@@ -1,0 +1,60 @@
+"""Table catalog: loads the driver's parquet tables and registers views.
+
+The reference stores every relation as a fjall LSM keyspace
+(``core/src/keyspaces.rs:1-104`` in the reference); here each relation is a
+columnar parquet/Delta table read through ``spark.read.parquet`` so filters
+and projections push down to the scan. At 100 TB the same code reads a
+partitioned table directory — nothing below materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Parquet scan → full pushdown support."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long nanos
+        # (legacy.parquet.nanosAsLong) — truncate to micros like every
+        # engine with us-precision timestamps (DuckDB included) does.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every table present under ``sf_dir`` keyed by name."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view for spark.sql use."""
+    tables = load_catalog(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

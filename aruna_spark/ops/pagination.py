@@ -1,0 +1,66 @@
+"""Keyset (watermark) pagination — the reference's cursor pattern.
+
+The reference pages search results and S3 listings with resumable cursors:
+a cursor is the last-seen sort key, and the next page is
+``filter(sort_key > cursor) → sort → limit`` (search:
+``operations/src/metadata/search_cursor.rs:298-397``; S3 listing:
+``operations/src/s3/list_objects_v2.rs:60-74``).
+
+Keyset pagination is the only pagination that scales: OFFSET n forces the
+engine to produce-and-discard n rows per page (O(pages²) total work at
+100 TB), while a keyset predicate pushes down to the parquet scan and reads
+only the tail. ``TakeOrderedAndProject`` keeps the per-page sort a top-k,
+never a full sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Cursor = tuple  # last-seen values of the sort keys, in sort_keys order
+
+
+def _after_predicate(sort_keys: Sequence[str], after: Cursor) -> Column:
+    """Row-value comparison (k1, k2, ...) > (a1, a2, ...) as a Column.
+
+    Expanded to the standard OR-of-ANDs form so every conjunct is a simple
+    range predicate Catalyst can push into the scan.
+    """
+    clauses: list[Column] = []
+    for i, key in enumerate(sort_keys):
+        conj = F.col(key) > F.lit(after[i])
+        for j in range(i):
+            conj = conj & (F.col(sort_keys[j]) == F.lit(after[j]))
+        clauses.append(conj)
+    pred = clauses[0]
+    for c in clauses[1:]:
+        pred = pred | c
+    return pred
+
+
+def keyset_page(
+    df: DataFrame,
+    sort_keys: Sequence[str],
+    page_size: int,
+    after: Cursor | None = None,
+) -> tuple[DataFrame, Cursor | None]:
+    """Return (page DataFrame, cursor for the next page).
+
+    ``sort_keys`` must be a total order (include a unique tie-breaker as the
+    last key) or pages can skip/duplicate rows — the same invariant the
+    reference enforces with its (score, graph_iri, subject_iri) triple.
+
+    The returned cursor is the sort-key tuple of the page's last row; it is
+    computed with one extra driver-side ``collect`` of a single row (cheap:
+    top-k only). Callers that page many times should feed the previous
+    page's last row instead.
+    """
+    if after is not None:
+        df = df.filter(_after_predicate(sort_keys, after))
+    page = df.orderBy(*[F.col(k) for k in sort_keys]).limit(page_size)
+    tail = page.orderBy(*[F.col(k).desc() for k in sort_keys]).limit(1).collect()
+    cursor = tuple(tail[0][k] for k in sort_keys) if tail else None
+    return page, cursor

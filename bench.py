@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries and prints one JSON line.
+
+Driver contract: executes at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is timed end-to-end (plan + execute + count the result) after a
+JVM/session warmup; the reported value is the sum of per-query times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from aruna_spark.queries import REGISTRY, load_all
+from aruna_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family. Updated as coverage widens.
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_region_revenue",
+    "rel_agg_kinds",
+    "rel_latest_order_per_customer",
+    "rel_setops",
+    "rel_exists_semi_anti",
+    "rel_keyset_page",
+    "rel_events_hourly",
+]
+
+
+def main() -> None:
+    load_all()
+    spark = get_spark("aruna-bench")
+    # warmup: touch each table once so fs cache + codegen paths are hot
+    from aruna_spark.catalog import load_catalog
+
+    for df in load_catalog(spark, SF_DIR).values():
+        df.limit(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
