@@ -31,14 +31,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Parquet scan → full pushdown support."""
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, which Spark rejects by default.
+        # The conf is runtime-settable, so set it here rather than relying on
+        # the session factory — the caller may supply any SparkSession
+        # (the driver's correctness harness does).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long nanos
-        # (legacy.parquet.nanosAsLong) — truncate to micros like every
-        # engine with us-precision timestamps (DuckDB included) does.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # With nanosAsLong the column arrives as long nanos; truncate to
+        # micros with *integer* division (double division rounds ±1 µs on
+        # ~12.5% of epoch-scale values, diverging from DuckDB's truncation).
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -48,7 +55,7 @@ def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str,
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

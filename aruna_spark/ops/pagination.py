@@ -61,6 +61,9 @@ def keyset_page(
     if after is not None:
         df = df.filter(_after_predicate(sort_keys, after))
     page = df.orderBy(*[F.col(k) for k in sort_keys]).limit(page_size)
-    tail = page.orderBy(*[F.col(k).desc() for k in sort_keys]).limit(1).collect()
+    # Cursor = sort key of the page's last row. tail(1) runs the page's own
+    # top-k once (TakeOrderedAndProject) and ships one row to the driver —
+    # no second opposite-order sort job.
+    tail = page.tail(1)
     cursor = tuple(tail[0][k] for k in sort_keys) if tail else None
     return page, cursor

@@ -135,8 +135,10 @@ def rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        # supplier scales with SF — no forced broadcast (OOM risk at 100×);
+        # AQE picks broadcast at small SF and shuffle join at scale.
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -220,8 +222,8 @@ def rel_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT DISTINCT o_custkey AS custkey, 'big_spender' AS tag
         FROM orders WHERE o_totalprice > 300000
     ) u
-    WHERE custkey NOT IN (
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderstatus = 'F' AND o.o_custkey = u.custkey
     )
     """,
 )

@@ -31,7 +31,6 @@ def get_spark(app_name: str = "aruna-spark", shuffle_partitions: int | None = No
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -44,4 +43,11 @@ def get_spark(app_name: str = "aruna-spark", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Only force local mode when no master is configured anywhere (submit
+    # args, spark-defaults, env). On a real cluster the configured master
+    # wins; hardcoding local[N] here would silently de-cluster the job.
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master") and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
