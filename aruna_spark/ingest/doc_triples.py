@@ -1,0 +1,204 @@
+"""Deterministic documents → triples projection (the RDF metadata plane).
+
+The reference projects RO-Crate JSON-LD documents into per-document named
+graphs of quads (``operations/src/metadata/handle.rs:3466-3878``; graph IRI
+scheme ``core/src/structs/metadata_registry.rs:31-33``). Real ingest of
+arbitrary JSON-LD lives in :mod:`aruna_spark.ingest.jsonld`; this module
+derives an equivalent graph *deterministically* from the driver's
+``documents.parquet`` so every SPARQL query has a DuckDB-SQL oracle over the
+same parquet.
+
+Derivation (pure column expressions — no UDFs, fully pushdown-friendly):
+
+Each document row ``(doc_id, text, lang, source, n_chars)`` becomes one
+named graph ``https://w3id.org/aruna/{doc_id}`` whose subject
+``urn:aruna:doc:{doc_id}`` carries:
+
+- ``rdf:type``           → ``schema:Dataset`` if doc_id % 5 == 0 else ``schema:File``
+- ``schema:name``        → ``"doc-{doc_id}"`` (plain literal)
+- ``schema:identifier``  → ``"{source}-{doc_id}"``
+- ``schema:inLanguage``  → lang
+- ``schema:contentSize`` → n_chars as xsd:integer literal
+- ``schema:keywords``    → first whitespace token of text
+- ``schema:encodingFormat`` → ``"text/plain"``
+- ``schema:description`` → first 80 chars of text, ONLY when n_chars >= 200
+  (gives OPTIONAL/unbound coverage)
+- ``schema:isPartOf``    → IRI ``urn:aruna:collection:{doc_id % 7}``
+
+plus one graph per collection k ∈ distinct(doc_id % 7):
+``urn:aruna:collection:{k}`` with ``rdf:type schema:Collection``,
+``schema:name "collection-{k}"``, and for k>0 ``schema:isPartOf
+urn:aruna:collection:{(k-1)//2}`` — a tree, so property paths
+(``isPartOf+``) have real transitive structure.
+
+At 100 TB this projection is a single narrow map stage per predicate
+unioned together — no shuffle at all; the union preserves the input
+partitioning of the documents scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.sparql.terms import RDF, SCHEMA, XSD_INTEGER
+
+DOC_NS = "urn:aruna:doc:"
+COLL_NS = "urn:aruna:collection:"
+GRAPH_NS = "https://w3id.org/aruna/"
+
+TRIPLE_COLS = (
+    "graph_iri",
+    "subject",
+    "predicate",
+    "object_kind",
+    "object_value",
+    "object_datatype",
+    "object_lang",
+)
+
+
+def _row(graph, subject, predicate, kind, value, datatype=None, lang=None):
+    return [
+        graph.alias("graph_iri"),
+        subject.alias("subject"),
+        F.lit(predicate).alias("predicate"),
+        F.lit(kind).alias("object_kind"),
+        value.alias("object_value"),
+        (F.lit(datatype) if datatype else F.lit(None).cast("string")).alias("object_datatype"),
+        (lang if lang is not None else F.lit(None).cast("string")).alias("object_lang"),
+    ]
+
+
+def documents_to_triples(docs: DataFrame) -> DataFrame:
+    """Project the documents table into the triples schema (see module doc)."""
+    d = docs.select(
+        F.col("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+        F.concat(F.lit(GRAPH_NS), F.col("doc_id").cast("string")).alias("g"),
+        F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("s"),
+    )
+    g, s = F.col("g"), F.col("s")
+
+    parts = [
+        d.select(
+            *_row(
+                g, s, RDF + "type", "iri",
+                F.when(F.col("doc_id") % 5 == 0, F.lit(SCHEMA + "Dataset")).otherwise(
+                    F.lit(SCHEMA + "File")
+                ),
+            )
+        ),
+        d.select(*_row(g, s, SCHEMA + "name", "literal",
+                       F.concat(F.lit("doc-"), F.col("doc_id").cast("string")))),
+        d.select(*_row(g, s, SCHEMA + "identifier", "literal",
+                       F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string")))),
+        d.select(*_row(g, s, SCHEMA + "inLanguage", "literal", F.col("lang"))),
+        d.select(*_row(g, s, SCHEMA + "contentSize", "literal",
+                       F.col("n_chars").cast("string"), datatype=XSD_INTEGER)),
+        d.select(*_row(g, s, SCHEMA + "keywords", "literal",
+                       F.split_part(F.col("text"), F.lit(" "), F.lit(1)))),
+        d.select(*_row(g, s, SCHEMA + "encodingFormat", "literal", F.lit("text/plain"))),
+        d.filter(F.col("n_chars") >= 200).select(
+            *_row(g, s, SCHEMA + "description", "literal", F.substring(F.col("text"), 1, 80))
+        ),
+        d.select(*_row(g, s, SCHEMA + "isPartOf", "iri",
+                       F.concat(F.lit(COLL_NS), (F.col("doc_id") % 7).cast("string")))),
+    ]
+
+    colls = (
+        docs.select((F.col("doc_id") % 7).alias("k"))
+        .distinct()
+        .select(
+            F.col("k"),
+            F.concat(F.lit(GRAPH_NS), F.lit("coll"), F.col("k").cast("string")).alias("g"),
+            F.concat(F.lit(COLL_NS), F.col("k").cast("string")).alias("s"),
+        )
+    )
+    cg, cs = F.col("g"), F.col("s")
+    parts += [
+        colls.select(*_row(cg, cs, RDF + "type", "iri", F.lit(SCHEMA + "Collection"))),
+        colls.select(*_row(cg, cs, SCHEMA + "name", "literal",
+                           F.concat(F.lit("collection-"), F.col("k").cast("string")))),
+        colls.filter(F.col("k") > 0).select(
+            *_row(cg, cs, SCHEMA + "isPartOf", "iri",
+                  F.concat(F.lit(COLL_NS), ((F.col("k") - 1) / 2).cast("long").cast("string")))
+        ),
+    ]
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def load_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triples table for an sf_dir — projection over documents.parquet."""
+    return documents_to_triples(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB SQL fragment reconstructing the SAME triples relation from the
+# pre-registered `documents` view — prepend as a CTE in oracle queries:
+#   WITH triples AS ({TRIPLES_ORACLE_SQL}) SELECT ...
+TRIPLES_ORACLE_SQL = """
+    SELECT 'https://w3id.org/aruna/' || doc_id AS graph_iri,
+           'urn:aruna:doc:' || doc_id AS subject,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+           'iri' AS object_kind,
+           CASE WHEN doc_id % 5 = 0 THEN 'http://schema.org/Dataset'
+                ELSE 'http://schema.org/File' END AS object_value,
+           NULL AS object_datatype, NULL AS object_lang
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://schema.org/name', 'literal', 'doc-' || doc_id, NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://schema.org/identifier', 'literal', source || '-' || doc_id, NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://schema.org/inLanguage', 'literal', lang, NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://schema.org/contentSize', 'literal', CAST(n_chars AS VARCHAR),
+           'http://www.w3.org/2001/XMLSchema#integer', NULL
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://schema.org/keywords', 'literal', split_part(text, ' ', 1), NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://schema.org/encodingFormat', 'literal', 'text/plain', NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://schema.org/description', 'literal', substring(text, 1, 80), NULL, NULL
+    FROM documents WHERE n_chars >= 200
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://schema.org/isPartOf', 'iri',
+           'urn:aruna:collection:' || (doc_id % 7), NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/coll' || k, 'urn:aruna:collection:' || k,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+           'http://schema.org/Collection', NULL, NULL
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/coll' || k, 'urn:aruna:collection:' || k,
+           'http://schema.org/name', 'literal', 'collection-' || k, NULL, NULL
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/coll' || k, 'urn:aruna:collection:' || k,
+           'http://schema.org/isPartOf', 'iri',
+           'urn:aruna:collection:' || CAST((k - 1) // 2 AS VARCHAR), NULL, NULL
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
+"""

@@ -1,0 +1,73 @@
+"""SPARQL engine: parser + compiler + the reference's governance rules.
+
+Mirrors the query entry path ``operations/src/metadata/api.rs:1141-1163`` →
+``operations/src/metadata/handle.rs:4931-5012``: SELECT/ASK only, SERVICE
+rejected, 64 KiB query cap (enforced in the parser), 10,000-row result cap
+(``handle.rs:94-97``). The 10 s deadline and 8 MiB serialized cap are driver
+I/O concerns (enforce at the API layer when collecting); the row cap is
+part of the *plan* here, so Catalyst pushes the limit down.
+
+Scale: the compiled plan is a pure DataFrame program over the ``triples``
+table — constant triple-pattern positions become parquet pushdown filters,
+BGP joins are struct equi-joins Catalyst plans (broadcast vs shuffle, AQE),
+and nothing materializes driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from aruna_spark.sparql import algebra as A
+from aruna_spark.sparql.compiler import Compiler
+from aruna_spark.sparql.parser import (
+    SparqlSyntaxError,
+    UnsupportedQueryError,
+    parse,
+)
+from aruna_spark.sparql.terms import TERM_SCHEMA
+
+__all__ = [
+    "SparqlEngine",
+    "SparqlSyntaxError",
+    "UnsupportedQueryError",
+    "MAX_RESULT_ROWS",
+]
+
+MAX_RESULT_ROWS = 10_000  # handle.rs:95 (result row cap)
+
+_TERM_FIELDS = [f.name for f in TERM_SCHEMA.fields]
+
+
+class SparqlEngine:
+    """Compile and run SPARQL SELECT/ASK queries over a triples DataFrame."""
+
+    def __init__(self, spark: SparkSession, triples: DataFrame):
+        self.spark = spark
+        self.triples = triples
+
+    def query(self, text: str, enforce_limits: bool = True) -> DataFrame:
+        """Parse + compile; SELECT yields term-struct columns, ASK a bool."""
+        q = parse(text)
+        compiler = Compiler(self.spark, self.triples)
+        if isinstance(q, A.AskQuery):
+            return compiler.compile_ask(q)
+        df = compiler.compile_select(q)
+        if enforce_limits and (q.limit is None or q.limit > MAX_RESULT_ROWS):
+            df = df.limit(MAX_RESULT_ROWS)
+        return df
+
+    def query_flat(self, text: str, enforce_limits: bool = True) -> DataFrame:
+        """Like :meth:`query`, with term-struct columns flattened to their
+        lexical value (string) — the shape a SQL oracle can reproduce."""
+        df = self.query(text, enforce_limits=enforce_limits)
+        out = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, StructType) and [
+                x.name for x in f.dataType.fields
+            ] == _TERM_FIELDS:
+                out.append(F.col(f.name)["value"].alias(f.name))
+            else:
+                out.append(F.col(f.name))
+        return df.select(*out)
