@@ -1,1 +1,236 @@
-"""Placeholder — queries registered in later milestones."""
+"""Oracle-checked SPARQL queries over the deterministic triples projection.
+
+Each entry runs a SPARQL string through :class:`SparqlEngine` (parser →
+algebra → DataFrame plan over the triples table derived from
+``documents.parquet``) and pairs it with an independent DuckDB SQL
+derivation of the same answer straight from ``documents`` — certifying the
+whole chain: projection rules, BGP joins, filters, OPTIONAL/MINUS/UNION,
+aggregation, property-path closure.
+
+Coverage maps to the reference's accepted algebra
+(``operations/src/metadata/api.rs:1998-2090``) and its golden query forms
+(``api/src/routes/metadata.rs:1336-1404``).
+
+Scale: every compiled plan is a pure DataFrame program — constant
+triple-pattern positions become pushed-down parquet filters, BGP joins are
+struct equi-joins planned by Catalyst/AQE, and nothing runs driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aruna_spark.ingest.doc_triples import TRIPLES_ORACLE_SQL, load_triples
+from aruna_spark.queries import register
+from aruna_spark.sparql.engine import SparqlEngine
+
+
+def _sparql(text: str):
+    """Build a (spark, sf_dir) -> DataFrame callable for one SPARQL query."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = SparqlEngine(spark, load_triples(spark, sf_dir))
+        return eng.query_flat(text)
+
+    return run
+
+
+def _reg(name: str, sparql: str, oracle: str) -> None:
+    register(name, oracle=oracle)(_sparql(sparql))
+
+
+DOC = "'urn:aruna:doc:' || doc_id"
+COLL = "'urn:aruna:collection:'"
+
+# -- BGP multi-pattern join + numeric FILTER (api.rs:2042; metadata.rs:1344) --
+_reg(
+    "sparql_bgp_filter",
+    """
+    SELECT ?s ?name ?size WHERE {
+      ?s a schema:File ;
+         schema:name ?name ;
+         schema:contentSize ?size .
+      FILTER(?size >= 500)
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s, 'doc-' || doc_id AS name, CAST(n_chars AS VARCHAR) AS size
+    FROM documents WHERE doc_id % 5 <> 0 AND n_chars >= 500
+    """,
+)
+
+# -- OPTIONAL / left outer join (api.rs:2049-2060) ---------------------------
+_reg(
+    "sparql_optional",
+    """
+    SELECT ?s ?d WHERE {
+      ?s a schema:File .
+      OPTIONAL { ?s schema:description ?d }
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s,
+           CASE WHEN n_chars >= 200 THEN substring(text, 1, 80) END AS d
+    FROM documents WHERE doc_id % 5 <> 0
+    """,
+)
+
+# -- UNION of group patterns with BIND tags (api.rs:2043-2048) ---------------
+_reg(
+    "sparql_union",
+    """
+    SELECT ?s ?t WHERE {
+      { ?s a schema:Dataset . BIND("dataset" AS ?t) }
+      UNION
+      { ?s a schema:Collection . BIND("collection" AS ?t) }
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s, 'dataset' AS t FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT {COLL} || k, 'collection'
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+    """,
+)
+
+# -- GROUP BY + COUNT/AVG aggregates (api.rs:2039-2049) ----------------------
+_reg(
+    "sparql_group_agg",
+    """
+    SELECT ?lang (COUNT(*) AS ?cnt) (AVG(?size) AS ?avg_size) WHERE {
+      ?s schema:inLanguage ?lang ; schema:contentSize ?size .
+    } GROUP BY ?lang
+    """,
+    """
+    SELECT lang, COUNT(*) AS cnt, AVG(CAST(n_chars AS DOUBLE)) AS avg_size
+    FROM documents GROUP BY lang
+    """,
+)
+
+# -- ORDER BY DESC + tie-break + LIMIT (api.rs:2030-2038) --------------------
+_reg(
+    "sparql_order_limit",
+    """
+    SELECT ?s ?size WHERE { ?s schema:contentSize ?size . }
+    ORDER BY DESC(?size) ?s LIMIT 10
+    """,
+    f"""
+    SELECT {DOC} AS s, CAST(n_chars AS VARCHAR) AS size
+    FROM documents ORDER BY n_chars DESC, {DOC} LIMIT 10
+    """,
+)
+
+# -- FILTER NOT EXISTS → anti join (api.rs:2055-2057) ------------------------
+_reg(
+    "sparql_not_exists",
+    """
+    SELECT ?s WHERE {
+      ?s a schema:File .
+      FILTER NOT EXISTS { ?s schema:description ?d }
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s FROM documents WHERE doc_id % 5 <> 0 AND n_chars < 200
+    """,
+)
+
+# -- MINUS (api.rs:2043) -----------------------------------------------------
+_reg(
+    "sparql_minus",
+    """
+    SELECT ?s WHERE {
+      ?s a schema:File .
+      MINUS { ?s schema:isPartOf <urn:aruna:collection:0> }
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0
+    """,
+)
+
+# -- VALUES inline table + BIND/CONCAT (api.rs:2042, 2027-2029) --------------
+_reg(
+    "sparql_values_bind",
+    """
+    SELECT ?s ?lang ?tag WHERE {
+      ?s schema:inLanguage ?lang .
+      VALUES ?lang { "en" "de" }
+      BIND(CONCAT(?lang, "-doc") AS ?tag)
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s, lang, lang || '-doc' AS tag
+    FROM documents WHERE lang IN ('en', 'de')
+    """,
+)
+
+# -- DISTINCT projection (api.rs:2031-2036) ----------------------------------
+_reg(
+    "sparql_distinct",
+    "SELECT DISTINCT ?lang WHERE { ?s schema:inLanguage ?lang }",
+    "SELECT DISTINCT lang FROM documents",
+)
+
+# -- HAVING over grouped aggregate -------------------------------------------
+_reg(
+    "sparql_having",
+    """
+    SELECT ?lang (COUNT(*) AS ?cnt) WHERE {
+      ?s schema:inLanguage ?lang .
+    } GROUP BY ?lang HAVING (COUNT(*) >= 5)
+    """,
+    "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang HAVING COUNT(*) >= 5",
+)
+
+# -- GROUP_CONCAT with deterministic ordering --------------------------------
+_reg(
+    "sparql_group_concat",
+    """
+    SELECT ?parent (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) WHERE {
+      ?c a schema:Collection ; schema:name ?n ; schema:isPartOf ?parent .
+    } GROUP BY ?parent
+    """,
+    f"""
+    SELECT {COLL} || CAST((k - 1) // 2 AS VARCHAR) AS parent,
+           string_agg('collection-' || k, ',' ORDER BY 'collection-' || k) AS names
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
+    GROUP BY 1
+    """,
+)
+
+# -- property path + (transitive closure; api.rs:2042 Path) ------------------
+_reg(
+    "sparql_path_plus",
+    "SELECT ?s ?anc WHERE { ?s schema:isPartOf+ ?anc }",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT {DOC} AS src, {COLL} || (doc_id % 7) AS dst FROM documents
+      UNION
+      SELECT {COLL} || k, {COLL} || CAST((k - 1) // 2 AS VARCHAR)
+      FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
+    ), cl AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT cl.src, e.dst FROM cl JOIN edges e ON cl.dst = e.src
+    )
+    SELECT src AS s, dst AS anc FROM cl
+    """,
+)
+
+# -- ASK (distributed ASK analog, api.rs:2916-2921) --------------------------
+_reg(
+    "sparql_ask",
+    "ASK { ?s schema:contentSize ?size FILTER(?size > 590) }",
+    "SELECT COUNT(*) > 0 AS ask FROM documents WHERE n_chars > 590",
+)
+
+# -- GRAPH-scoped pattern (graph snapshot scan, handle.rs:4931-5021) ---------
+_reg(
+    "sparql_graph_scoped",
+    "SELECT ?p ?o WHERE { GRAPH <https://w3id.org/aruna/0> { ?s ?p ?o } }",
+    f"""
+    WITH triples AS ({TRIPLES_ORACLE_SQL})
+    SELECT predicate AS p, object_value AS o FROM triples
+    WHERE graph_iri = 'https://w3id.org/aruna/0'
+    """,
+)

@@ -1,0 +1,124 @@
+"""SPARQL engine tests: governance rules, parse errors, end-to-end queries.
+
+Mirrors the reference's validation behavior (SELECT/ASK only, SERVICE
+rejected — ``operations/src/metadata/api.rs:1972-2090``; 64 KiB cap and
+10k-row result cap — ``handle.rs:94-97``) plus a few end-to-end checks at
+sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aruna_spark.sparql.engine import MAX_RESULT_ROWS, SparqlEngine
+from aruna_spark.sparql.parser import (
+    SparqlSyntaxError,
+    UnsupportedQueryError,
+    parse,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    from aruna_spark.ingest.doc_triples import load_triples
+
+    return SparqlEngine(spark, load_triples(spark, sf_dir).cache())
+
+
+# ----------------------------------------------------------- governance
+def test_construct_rejected():
+    with pytest.raises(UnsupportedQueryError):
+        parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+
+
+def test_describe_rejected():
+    with pytest.raises(UnsupportedQueryError):
+        parse("DESCRIBE <urn:aruna:doc:1>")
+
+
+def test_service_rejected():
+    with pytest.raises(UnsupportedQueryError):
+        parse(
+            "SELECT ?s WHERE { SERVICE <http://example.org/sparql> { ?s ?p ?o } }"
+        )
+
+
+def test_query_size_cap():
+    big = "SELECT ?s WHERE { ?s ?p ?o } # " + "x" * (64 * 1024)
+    with pytest.raises(UnsupportedQueryError):
+        parse(big)
+
+
+def test_syntax_error():
+    with pytest.raises(SparqlSyntaxError):
+        parse("SELECT ?s WHERE { ?s ?p }")
+
+
+def test_result_row_cap(engine):
+    df = engine.query("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+    # plan carries the 10k cap (handle.rs:95) as a limit node
+    assert "GlobalLimit" in df._jdf.queryExecution().optimizedPlan().toString() or (
+        df.count() <= MAX_RESULT_ROWS
+    )
+
+
+# ---------------------------------------------------------- end-to-end
+def test_bgp_join_shares_subject(engine):
+    rows = engine.query_flat(
+        """
+        SELECT ?s ?name WHERE {
+          ?s a schema:Dataset ; schema:name ?name .
+        } ORDER BY ?s LIMIT 5
+        """
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.s.startswith("urn:aruna:doc:")
+        assert r.name.startswith("doc-")
+
+
+def test_optional_yields_nulls(engine):
+    rows = engine.query_flat(
+        """
+        SELECT ?s ?d WHERE {
+          ?s a schema:File .
+          OPTIONAL { ?s schema:description ?d }
+        }
+        """
+    ).collect()
+    assert any(r.d is None for r in rows), "short docs must appear with unbound ?d"
+    assert any(r.d is not None for r in rows)
+
+
+def test_ask_true_and_false(engine):
+    assert engine.query("ASK { ?s a schema:Collection }").collect()[0].ask is True
+    assert (
+        engine.query('ASK { ?s schema:name "no-such-name-anywhere" }')
+        .collect()[0]
+        .ask
+        is False
+    )
+
+
+def test_path_plus_reaches_root(engine):
+    rows = engine.query_flat(
+        """
+        SELECT ?s ?anc WHERE {
+          ?s schema:isPartOf+ ?anc .
+          FILTER(STRSTARTS(STR(?s), "urn:aruna:collection:"))
+        }
+        """
+    ).collect()
+    pairs = {(r.s, r.anc) for r in rows}
+    # chain: 3 -> 1 -> 0 means (3,0) must be present (2-hop transitivity)
+    assert ("urn:aruna:collection:3", "urn:aruna:collection:1") in pairs
+    assert ("urn:aruna:collection:3", "urn:aruna:collection:0") in pairs
+
+
+def test_limit_offset_pagination(engine):
+    q = "SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 5"
+    q_off = "SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 5 OFFSET 5"
+    first = [r.s for r in engine.query_flat(q).collect()]
+    second = [r.s for r in engine.query_flat(q_off).collect()]
+    assert len(first) == 5 and len(second) == 5
+    assert not set(first) & set(second)
