@@ -1,1 +1,187 @@
-"""Placeholder — queries registered in later milestones."""
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-pipeline primitives on document text: token counting (whitespace +
+BPE-ish regex), quality ratios, a stopword-based language-ID heuristic,
+and md5 fingerprints (whole-doc + min-shingle-hash — the rolling-hash
+document fingerprint). Reference analog for content fingerprinting:
+``blob/src/hash.rs:10-77`` (multi-hash streaming pass; dedupe by hash).
+
+Design notes (100 TB):
+- every metric is a pure column expression over one scan — a narrow map
+  stage with NO shuffle for the per-doc profile, one shuffle for the
+  grouped summaries;
+- ratios use integer per-mille arithmetic (``1000*x div y``) instead of
+  float division wherever a ratio feeds a filter, so results are
+  bit-identical across engines and partitionings;
+- the md5-derived hashing is reproducible in DuckDB SQL, so even the
+  fingerprint columns are oracle-checked (see :mod:`aruna_spark.ops.text`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.ops.text import (
+    DUCK_HASH64,
+    STOPWORDS,
+    duck_shingles_sql,
+    hash64,
+    shingles,
+    ws_tokens,
+)
+from aruna_spark.queries import register
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# BPE-ish word/number/punct splitter (same dialect in Java regex and RE2)
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _profile(docs: DataFrame) -> DataFrame:
+    toks = ws_tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        toks.alias("toks"),
+        F.col("text"),
+    )
+    n = F.size("toks")
+    stop_hits = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("toks"))
+    sum_len = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        (sum_len / n).alias("avg_token_len"),
+        F.expr(f"1000 * size(filter(toks, t -> t IN ({_STOP_IN}))) div size(toks)")
+        .alias("stop_permille"),
+        F.expr("1000 * size(array_distinct(toks)) div size(toks)")
+        .alias("uniq_permille"),
+        F.md5("text").alias("fingerprint"),
+        F.array_min(
+            F.transform(shingles(F.col("toks"), 3), lambda s: hash64(s))
+        ).alias("min_shingle_hash"),
+        (stop_hits >= 1).alias("is_en_guess"),
+    )
+
+
+_DUCK_PROFILE = f"""
+    WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+             AS avg_token_len,
+           (1000 * len(list_filter(toks, t -> t IN ({_STOP_IN})))) // len(toks)
+             AS stop_permille,
+           (1000 * len(list_distinct(toks))) // len(toks) AS uniq_permille,
+           md5(text) AS fingerprint,
+           list_min(list_transform({duck_shingles_sql('toks', 3)},
+                                   s -> {DUCK_HASH64.format(x='s')}))
+             AS min_shingle_hash,
+           len(list_filter(toks, t -> t IN ({_STOP_IN}))) >= 1 AS is_en_guess
+    FROM t
+"""
+
+
+@register("textstats_profile", oracle=_DUCK_PROFILE)
+def textstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile: token counts, ratios, fingerprints."""
+    return _profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "textstats_lang_summary",
+    oracle=f"""
+    WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+    p AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(toks, t -> t IN ({_STOP_IN}))) >= 1
+                  THEN 'en' ELSE 'und' END AS langid_guess,
+             len(toks) AS n_tokens
+      FROM t
+    )
+    SELECT lang, langid_guess,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM p GROUP BY lang, langid_guess
+    """,
+)
+def textstats_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs labeled lang: confusion counts per pair.
+
+    The guess is a deterministic stopword-hit heuristic (the n-gram
+    analog an offline pipeline would bootstrap with); grouping it against
+    the labeled ``lang`` column gives the confusion matrix.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    p = docs.select(
+        "lang",
+        F.when(
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) >= 1, "en"
+        )
+        .otherwise("und")
+        .alias("langid_guess"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return p.groupBy("lang", "langid_guess").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "textstats_quality_topk",
+    oracle=f"""
+    WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+    p AS (
+      SELECT doc_id,
+             least(len(toks), 100) * 10
+               + (1000 - (1000 * len(list_filter(toks, t -> t IN ({_STOP_IN}))) // len(toks)))
+               + (1000 * len(list_distinct(toks))) // len(toks)
+               AS quality
+      FROM t
+    )
+    SELECT doc_id, quality FROM p
+    WHERE quality >= 1500
+    ORDER BY quality DESC, doc_id LIMIT 50
+    """,
+)
+def textstats_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + threshold + top-k, all integer arithmetic.
+
+    quality = 10*min(tokens,100) + (1000 - stop_permille) + uniq_permille —
+    long docs with low stopword density and high vocabulary diversity rank
+    first. Integer per-mille math keeps the score exactly reproducible on
+    any engine and any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.expr(
+            "least(size(split(text, ' ')), 100) * 10"
+            f" + (1000 - (1000 * size(filter(split(text, ' '), t -> t IN ({_STOP_IN})))"
+            " div size(split(text, ' '))))"
+            " + (1000 * size(array_distinct(split(text, ' ')))"
+            " div size(split(text, ' ')))"
+        ).alias("quality"),
+    )
+    return (
+        p.filter(F.col("quality") >= 1500)
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(50)
+    )
