@@ -59,11 +59,15 @@ def shingles(tokens: Column, k: int = 3) -> Column:
 def minhash_signature(sh: Column, num_hashes: int) -> Column:
     """MinHash signature: array<long> of per-seed minima over the shingle
     set. Null shingles → null signature (short docs opt out of LSH)."""
+    def one_seed(i: int):
+        # single-parameter lambda: a 2-arg lambda would make F.transform
+        # bind the second arg to the ARRAY INDEX, silently breaking seeds
+        return lambda s: seeded_hash64(s, i)
+
     return F.when(
         sh.isNotNull(),
         F.array(
-            *[F.array_min(F.transform(sh, lambda s, i=i: seeded_hash64(s, i)))
-              for i in range(num_hashes)]
+            *[F.array_min(F.transform(sh, one_seed(i))) for i in range(num_hashes)]
         ),
     )
 

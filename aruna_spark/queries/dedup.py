@@ -1,1 +1,293 @@
-"""Placeholder — queries registered in later milestones."""
+"""Deduplication operators: exact content-hash, MinHash-LSH, SimHash.
+
+Reference analog: content-addressed blob dedup — every blob hashed in one
+streaming pass and deduplicated by hash via the ``hash_paths_index``
+keyspace (``blob/src/hash.rs:10-77``, ``core/src/keyspaces.rs:44``). The
+near-dup operators extend that to an LLM-data-pipeline setting.
+
+The driver's ``documents`` table has no planted duplicates, so each query
+runs over a deterministic *corpus*: the documents plus exact copies of
+every ``doc_id % 10 == 0`` row and near copies (4-token tail appended) of
+every ``doc_id % 10 == 5`` row — reproduced identically in the DuckDB
+oracle, so even the LSH banding is value-checked end to end.
+
+Scale design (100 TB):
+- exact dedup is one hash + one groupBy — a single shuffle on the hash;
+- MinHash-LSH is strictly *banded*: signatures are a narrow map stage,
+  candidate pairs come from a self-join on (band, band-signature) — never
+  an all-pairs product; skewed buckets are AQE's skew-join problem, and
+  the verify step re-joins the shingle sets by doc_id instead of carrying
+  arrays through the shuffle;
+- SimHash avoids wide aggregates by exploding (token-hash × bit) rows and
+  reducing twice — both reductions are map-side-combinable sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.ops.text import (
+    DUCK_HASH64,
+    duck_shingles_sql,
+    minhash_signature,
+    shingles,
+    ws_tokens,
+)
+from aruna_spark.queries import register
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_PERMILLE = 500
+SIMHASH_BITS = 32
+
+NEAR_TAIL = " near dup marker tail"
+
+CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || '{NEAR_TAIL}' FROM documents
+    WHERE doc_id % 10 = 5
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted exact/near duplicates (see module doc)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def _ids_csv(ids: Column) -> Column:
+    return F.concat_ws(
+        ",", F.transform(F.sort_array(ids), lambda x: x.cast("string"))
+    )
+
+
+# ---------------------------------------------------------------- exact
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL})
+    SELECT md5(text) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groupBy(content hash) → duplicate groups with keeper.
+
+    Keeper = min doc_id (the reference keeps the first-hashed path for a
+    blob hash the same way). One shuffle, map-side partial counts.
+    """
+    c = corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            _ids_csv(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+# ----------------------------------------------------------- minhash-lsh
+def shingle_sets(c: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct 3-token shingle set; short docs dropped."""
+    sh = shingles(ws_tokens(F.col("text")), 3)
+    return (
+        c.select("doc_id", sh.alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", F.array_distinct("sh").alias("sh"))
+    )
+
+
+def lsh_candidate_pairs(sets: DataFrame) -> DataFrame:
+    """Banded LSH: minhash signature → band keys → self-join per band."""
+    sigs = sets.select(
+        "doc_id", minhash_signature(F.col("sh"), NUM_HASHES).alias("sig")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + i + 1).cast(
+                        "string"
+                    )
+                    for i in range(ROWS_PER_BAND)
+                ],
+            ).alias("k"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _duck_minhash_sql() -> str:
+    """DuckDB replication of the exact same LSH pipeline."""
+    sh_expr = duck_shingles_sql("toks", 3)
+    sig_items = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + DUCK_HASH64.format(x=f"'s{i}:' || s")
+        + "))"
+        for i in range(NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, "
+        + " || ',' || ".join(
+            f"CAST(sig[{b * ROWS_PER_BAND + i + 1}] AS VARCHAR)"
+            for i in range(ROWS_PER_BAND)
+        )
+        + " AS k FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    tokenized AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    shingled AS (
+      SELECT doc_id, list_distinct({sh_expr}) AS sh FROM tokenized
+      WHERE {sh_expr} IS NOT NULL
+    ),
+    sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM shingled),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (1000 * len(list_distinct(list_filter(a.sh, s -> list_contains(b.sh, s)))))
+             // len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_permille
+    FROM cand c
+    JOIN shingled a ON a.doc_id = c.doc_a
+    JOIN shingled b ON b.doc_id = c.doc_b
+    WHERE (1000 * len(list_distinct(list_filter(a.sh, s -> list_contains(b.sh, s)))))
+          // len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_PERMILLE}
+    """
+
+
+@register("dedup_minhash_pairs", oracle=_duck_minhash_sql())
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: banded MinHash-LSH candidates + exact-Jaccard verify.
+
+    Never an all-pairs product: candidates come only from shared
+    (band, band-signature) buckets; the Jaccard verify then re-joins the
+    shingle sets by doc_id. Output: (doc_a, doc_b, jaccard_permille ≥ 500).
+    """
+    sets = shingle_sets(corpus(spark, sf_dir))
+    cand = lsh_candidate_pairs(sets)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "1000 * size(array_intersect(sh_a, sh_b))"
+                " div size(array_union(sh_a, sh_b))"
+            ).alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= JACCARD_PERMILLE)
+    )
+
+
+# -------------------------------------------------------------- simhash
+@register(
+    "dedup_simhash_buckets",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM corpus
+    ),
+    hashed AS (SELECT doc_id, {DUCK_HASH64.format(x='tok')} AS h FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM hashed CROSS JOIN UNNEST(range(0, {SIMHASH_BITS})) AS t(j)
+      GROUP BY doc_id, j
+    ),
+    sim AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote >= 0 THEN CAST(power(2, j) AS BIGINT)
+                      ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+    FROM sim GROUP BY simhash HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets: 32-bit sign-vote hash over token sets.
+
+    Docs whose token sets agree bit-for-bit land in one bucket (hamming
+    distance 0). Two map-side-combinable aggregations; no wide agg lists.
+    """
+    c = corpus(spark, sf_dir)
+    toks = c.select(
+        "doc_id",
+        F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok"),
+    )
+    from aruna_spark.ops.text import hash64
+
+    hashed = toks.select("doc_id", hash64(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"), "h"
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(
+            F.when(
+                F.expr("(h div CAST(power(2, j) AS BIGINT)) % 2 = 1"), 1
+            ).otherwise(-1)
+        ).alias("vote")
+    )
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") >= 0, F.expr("CAST(power(2, j) AS BIGINT)")
+            ).otherwise(0)
+        ).alias("simhash")
+    )
+    return (
+        sim.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            _ids_csv(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1,0 +1,89 @@
+"""Dedup invariants: planted duplicates found; LSH vs exact agreement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aruna_spark.queries import REGISTRY, load_all
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, sf_dir):
+    from aruna_spark.queries.dedup import corpus
+
+    return corpus(spark, sf_dir).cache()
+
+
+def test_exact_dedup_finds_exactly_planted_copies(spark, sf_dir, corpus_df):
+    fn, _ = REGISTRY["dedup_exact"]
+    rows = fn(spark, sf_dir).collect()
+    n_planted = corpus_df.filter(F.col("doc_id") >= 1_000_000).filter(
+        F.col("doc_id") < 2_000_000
+    ).count()
+    assert len(rows) == n_planted
+    for r in rows:
+        ids = [int(x) for x in r.doc_ids.split(",")]
+        assert r.n_copies == 2
+        assert ids[1] == ids[0] + 1_000_000
+        assert r.keeper_doc_id == ids[0]
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """Every high-Jaccard pair (ground truth, all-pairs on the small test
+    slice) must be recovered by the banded LSH; no false positives above
+    the verify threshold can exist by construction."""
+    from aruna_spark.queries.dedup import (
+        JACCARD_PERMILLE,
+        corpus,
+        lsh_candidate_pairs,
+        shingle_sets,
+    )
+
+    sets = shingle_sets(corpus(spark, sf_dir)).cache()
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "1000 * size(array_intersect(sh_a, sh_b))"
+                " div size(array_union(sh_a, sh_b))"
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 900)
+    )
+    truth_pairs = {(r.doc_a, r.doc_b) for r in truth.collect()}
+    cand_pairs = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sets).collect()
+    }
+    assert truth_pairs, "test data must contain planted near-dups"
+    missed = truth_pairs - cand_pairs
+    recall = 1 - len(missed) / len(truth_pairs)
+    assert recall >= 0.9, f"LSH missed {len(missed)}/{len(truth_pairs)}: {missed}"
+
+    fn, _ = REGISTRY["dedup_minhash_pairs"]
+    reported = fn(spark, sf_dir).collect()
+    assert all(r.jaccard_permille >= JACCARD_PERMILLE for r in reported)
+
+
+def test_simhash_buckets_cover_exact_copies(spark, sf_dir):
+    fn, _ = REGISTRY["dedup_simhash_buckets"]
+    rows = fn(spark, sf_dir).collect()
+    bucketed = set()
+    for r in rows:
+        bucketed.update(int(x) for x in r.doc_ids.split(","))
+    # every exact copy shares its token set with the original → same simhash
+    exact_ids = {
+        int(x)
+        for r in rows
+        for x in r.doc_ids.split(",")
+        if int(x) >= 1_000_000 and int(x) < 2_000_000
+    }
+    assert exact_ids, "exact copies must land in simhash buckets"
+    for e in exact_ids:
+        assert e - 1_000_000 in bucketed
