@@ -1,1 +1,369 @@
-"""Placeholder — queries registered in later milestones."""
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Three operators on `(vec_id, embedding, label)`:
+
+- brute-force cosine top-k — the correctness baseline; queries broadcast,
+  score map-side, per-query top-k via window rank;
+- multi-probe hyperplane-LSH top-k — the scale path: vectors bucket by
+  6 sign bits against fixed hyperplanes, a query probes its own bucket
+  plus the 6 hamming-1 neighbors (≈11% of the corpus instead of 100%);
+- embedding-cosine near-dup pairs — full-bucket collisions verified by
+  quantized cosine ≥ 0.95.
+
+Determinism: hyperplanes are md5-derived ±1 literals (no RNG), all dot
+products run in double with one canonical expression shape, and scores
+quantize to 1e-6 buckets (the reference quantizes search scores the same
+way for stable merge order, ``search_cursor.rs:274-289``), so the DuckDB
+oracle reproduces every value bit-for-bit.
+
+Scale design (100 TB): the corpus is never crossed with itself — queries
+broadcast against the corpus scan (brute force) or hash-join on bucket
+(LSH); top-k is a per-query window over the matched slice; bucketing is a
+narrow map stage. At 1000 executors the LSH path scans nprobe/nbuckets of
+the data per query, which is the IVF trade dialed by BITS/probes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.queries import register
+
+DIM = 64
+BITS = 6
+TOP_K = 10
+QUERY_MOD = 100  # vec_id % QUERY_MOD == 0 rows are the query set
+NEARDUP_SCORE_Q = 950_000  # cosine >= 0.95
+
+
+TABLES = 4  # independent LSH tables; recall ~ 1-(1-P1)^TABLES
+
+
+def _hyperplane_signs(
+    table: int, bits: int = BITS, dim: int = DIM
+) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 parity — no RNG, same on
+    every engine and every run; one independent family per table."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"t{table}h{j}:{d}".encode()).hexdigest(), 16) % 2
+            == 1
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+HYPERPLANES = [_hyperplane_signs(t) for t in range(TABLES)]
+
+
+# ------------------------------------------------------------ spark exprs
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (canonical expression shape)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _score_q(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
+    return F.floor(dot / F.sqrt(norm2_a * norm2_b) * 1e6).cast("long")
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    v = F.col("embedding")
+    return df.select("vec_id", "embedding", _dot(v, v).alias("norm2"))
+
+
+def _bucket(v: Column, table: int = 0) -> Column:
+    """6-bit sign bucket of one LSH table's hyperplanes."""
+    acc = F.lit(0)
+    for j, plane in enumerate(HYPERPLANES[table]):
+        lit = F.expr(f"array({', '.join(str(x) for x in plane)})")
+        acc = acc + F.when(_dot(v, lit) >= 0, F.lit(1 << j)).otherwise(0)
+    return acc
+
+
+# ------------------------------------------------------------- duckdb sql
+_D_DOT = (
+    "list_sum(list_transform(range(1, {n}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _d_dot(a: str, b: str) -> str:
+    return _D_DOT.format(a=a, b=b, n=DIM + 1)
+
+
+def _d_bucket(v: str, table: int = 0) -> str:
+    parts = []
+    for j, plane in enumerate(HYPERPLANES[table]):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        parts.append(
+            f"CASE WHEN {_d_dot(v, lit)} >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+_D_CORPUS = f"""
+    corpus AS (
+      SELECT vec_id, embedding, {_d_dot('embedding', 'embedding')} AS norm2
+      FROM embeddings
+    ),
+    queries AS (SELECT * FROM corpus WHERE vec_id % {QUERY_MOD} = 0)
+"""
+
+_D_SCORE = (
+    "CAST(floor("
+    + _d_dot("q.embedding", "c.embedding")
+    + " / sqrt(q.norm2 * c.norm2) * 1e6) AS BIGINT)"
+)
+
+
+# ------------------------------------------------------------ brute force
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_D_SCORE} AS score_q
+      FROM queries q JOIN corpus c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, score_q, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan + window rank."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _score_q(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_norm2"),
+                F.col("norm2"),
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "score_q", "rnk")
+    )
+
+
+# ---------------------------------------------------- multi-table lsh ann
+def _d_bucketed_union() -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_d_bucket('embedding', t)} AS bucket"
+        " FROM corpus"
+        for t in range(TABLES)
+    )
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    bucketed AS ({_d_bucketed_union()}),
+    probes AS (
+      SELECT b.vec_id AS query_id, b.tbl,
+             UNNEST([b.bucket] || list_transform(range(0, {BITS}),
+                                                 j -> xor(b.bucket, 1 << j)))
+               AS probe
+      FROM bucketed b WHERE b.vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id
+      FROM probes p JOIN bucketed c ON c.tbl = p.tbl AND c.bucket = p.probe
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_D_SCORE} AS score_q
+      FROM cand
+      JOIN corpus q ON q.vec_id = cand.query_id
+      JOIN corpus c ON c.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, score_q, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: 4 independent 6-bit hyperplane tables, each probed at
+    its own bucket + its 6 hamming-1 neighbors; candidates are the union.
+
+    Recall compounds across tables (1-(1-P1)^TABLES) while each table
+    still prunes to ~7/64 of its buckets; candidates are deduped BEFORE
+    scoring so each surviving pair is scored exactly once. BITS/TABLES
+    dial the recall-vs-scan trade at scale.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    bucketed = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket(F.col("embedding"), t).alias("bucket"),
+                    )
+                    for t in range(TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    probes = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.expr(f"int(bucket) ^ {1 << j}") for j in range(BITS)],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        bucketed.alias("c")
+        .join(
+            F.broadcast(probes).alias("p"),
+            (F.col("c.tbl") == F.col("p.tbl"))
+            & (F.col("c.bucket") == F.col("p.probe"))
+            & (F.col("c.vec_id") != F.col("p.query_id")),
+        )
+        .select(F.col("p.query_id").alias("query_id"), F.col("c.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(emb, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _score_q(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_norm2"),
+                F.col("norm2"),
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "score_q", "rnk")
+    )
+
+
+# ------------------------------------------------------ embedding neardup
+# The driver's embeddings have no natural near-dups (max same-bucket cosine
+# ≈ 0.48), so this query plants perturbed copies — each vec_id % 50 == 0
+# vector re-inserted with element i scaled by (1 + 0.0005*i), a ~0.03%–3%
+# per-dim drift that keeps cosine ≈ 0.9997 — reproduced identically in the
+# oracle (double math, cast back to float32, both engines round-to-nearest).
+_PERTURB_SPARK = (
+    "transform(sequence(1, 64), i -> "
+    "CAST(element_at(embedding, i) * (1 + 0.0005 * (i - 1)) AS FLOAT))"
+)
+_PERTURB_DUCK = (
+    "list_transform(range(1, 65), i -> "
+    "CAST(embedding[i] * (1 + 0.0005 * (i - 1)) AS FLOAT))"
+)
+
+
+@register(
+    "similarity_neardup_pairs",
+    oracle=f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, {_PERTURB_DUCK}
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, {_d_dot('embedding', 'embedding')} AS norm2
+      FROM planted
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, norm2, {_d_bucket('embedding')} AS bucket
+      FROM corpus
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(floor({_d_dot('a.embedding', 'b.embedding')}
+                      / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) AS score_q
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE CAST(floor({_d_dot('a.embedding', 'b.embedding')}
+               / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) >= {NEARDUP_SCORE_Q}
+    """,
+)
+def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: same-bucket pairs with cosine ≥ 0.95.
+
+    Bucket collision prunes the pair space (never all-pairs); the cosine
+    verify runs only on collisions.
+    """
+    base = load_table(spark, sf_dir, "embeddings")
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK).alias("embedding"),
+    )
+    emb = _with_norm(
+        base.select("vec_id", "embedding").unionByName(planted)
+    )
+    bucketed = emb.withColumn("bucket", _bucket(F.col("embedding")))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm2").alias("norm2_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm2").alias("norm2_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            _score_q(
+                _dot(F.col("emb_a"), F.col("emb_b")),
+                F.col("norm2_a"),
+                F.col("norm2_b"),
+            ).alias("score_q"),
+        )
+        .filter(F.col("score_q") >= NEARDUP_SCORE_Q)
+    )

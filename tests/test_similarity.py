@@ -1,0 +1,48 @@
+"""Similarity invariants: LSH recall vs brute force, near-dup coverage."""
+
+from __future__ import annotations
+
+from aruna_spark.queries import REGISTRY, load_all
+
+load_all()
+
+
+def _topk_sets(rows):
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-probe LSH top-k must recover a reasonable share of the exact
+    top-k (it scans ~7/64 of the corpus; clustered data keeps recall
+    far above the scan fraction)."""
+    bf, _ = REGISTRY["similarity_topk_bruteforce"]
+    lsh, _ = REGISTRY["similarity_lsh_topk"]
+    exact = _topk_sets(bf(spark, sf_dir).collect())
+    approx = _topk_sets(lsh(spark, sf_dir).collect())
+    assert exact, "query set must be non-empty"
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+
+
+def test_lsh_subset_scores_match_bruteforce(spark, sf_dir):
+    """Where LSH and brute force agree on a neighbor, the quantized score
+    must be identical (same canonical scoring expression)."""
+    bf, _ = REGISTRY["similarity_topk_bruteforce"]
+    lsh, _ = REGISTRY["similarity_lsh_topk"]
+    exact = {(r.query_id, r.vec_id): r.score_q for r in bf(spark, sf_dir).collect()}
+    for r in lsh(spark, sf_dir).collect():
+        if (r.query_id, r.vec_id) in exact:
+            assert exact[(r.query_id, r.vec_id)] == r.score_q
+
+
+def test_neardup_finds_planted_pairs(spark, sf_dir):
+    fn, _ = REGISTRY["similarity_neardup_pairs"]
+    rows = fn(spark, sf_dir).collect()
+    planted = {(r.vec_a, r.vec_b) for r in rows if r.vec_b == r.vec_a + 1_000_000}
+    assert planted, "planted perturbed copies must be recovered"
+    assert all(r.score_q >= 950_000 for r in rows)
