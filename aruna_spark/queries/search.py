@@ -1,1 +1,228 @@
-"""Placeholder — queries registered in later milestones."""
+"""Oracle-checked BM25 search queries (the second query language).
+
+Each query builds postings from the triples projection's four searchable
+fields, scores with integer-quantized BM25, and orders by the merged
+contract (score_q desc, graph_iri, subject) — reference:
+``operations/src/metadata/handle.rs:5245-5307`` (scored search),
+``operations/src/metadata/search_cursor.rs:274-289`` (quantized order),
+``:298-384`` (watermark pagination).
+
+The DuckDB oracle rebuilds the identical postings/scoring chain straight
+from ``documents.parquet`` — including the SAME BM25 formula text — so
+tf/df/dl/idf and the quantized scores are value-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.ingest.doc_triples import load_triples
+from aruna_spark.queries import register
+from aruna_spark.search.bm25 import (
+    CONTRIB_SQL,
+    DEFAULT_PAGE,
+    SEARCH_FIELDS,
+    bm25_scores,
+    build_field_literals,
+    build_postings,
+    keyset_after,
+    validate_query,
+)
+
+QUERY_TEXT = "spark merge window"
+ENRICH_QUERY = "customer stream"
+
+
+def _scored(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    toks = validate_query(query)
+    triples = load_triples(spark, sf_dir)
+    postings = build_postings(build_field_literals(triples))
+    return bm25_scores(postings, toks)
+
+
+def _duck_scored(query: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in query.split())
+    return f"""
+    fields AS (
+      SELECT 'urn:aruna:doc:' || doc_id AS subject,
+             'https://w3id.org/aruna/' || doc_id AS graph_iri,
+             'name' AS field, 'doc-' || doc_id AS text FROM documents
+      UNION ALL
+      SELECT 'urn:aruna:doc:' || doc_id, 'https://w3id.org/aruna/' || doc_id,
+             'identifier', source || '-' || doc_id FROM documents
+      UNION ALL
+      SELECT 'urn:aruna:doc:' || doc_id, 'https://w3id.org/aruna/' || doc_id,
+             'keywords', split_part(text, ' ', 1) FROM documents
+      UNION ALL
+      SELECT 'urn:aruna:doc:' || doc_id, 'https://w3id.org/aruna/' || doc_id,
+             'description', substring(text, 1, 80) FROM documents
+      WHERE n_chars >= 200
+      UNION ALL
+      SELECT 'urn:aruna:collection:' || k, 'https://w3id.org/aruna/coll' || k,
+             'name', 'collection-' || k
+      FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+    ),
+    toks AS (
+      SELECT subject, graph_iri, UNNEST(string_split(text, ' ')) AS token
+      FROM fields
+    ),
+    postings AS (
+      SELECT subject, graph_iri, token, COUNT(*) AS tf
+      FROM toks GROUP BY subject, graph_iri, token
+    ),
+    dl AS (SELECT subject, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY subject),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ),
+    dfq AS (SELECT token, COUNT(*) AS df FROM postings GROUP BY token),
+    q AS (SELECT UNNEST([{toks}]) AS token),
+    scored AS (
+      SELECT p.graph_iri, p.subject, SUM({CONTRIB_SQL}) AS score_q
+      FROM postings p
+      JOIN q USING (token) JOIN dfq USING (token) JOIN dl USING (subject)
+      CROSS JOIN stats
+      GROUP BY p.graph_iri, p.subject
+    )
+    """
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH {_duck_scored(QUERY_TEXT)}
+    SELECT graph_iri, subject, score_q FROM scored
+    ORDER BY score_q DESC, graph_iri, subject LIMIT {DEFAULT_PAGE}
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 1: top-25 BM25 hits in the merged pagination order."""
+    return (
+        _scored(spark, sf_dir, QUERY_TEXT)
+        .orderBy(F.desc("score_q"), "graph_iri", "subject")
+        .limit(DEFAULT_PAGE)
+    )
+
+
+@register(
+    "search_bm25_page2",
+    oracle=f"""
+    WITH {_duck_scored(QUERY_TEXT)},
+    watermark AS (
+      SELECT score_q AS w_score_q, graph_iri AS w_graph, subject AS w_subject
+      FROM scored ORDER BY score_q DESC, graph_iri, subject
+      LIMIT 1 OFFSET {DEFAULT_PAGE - 1}
+    )
+    SELECT graph_iri, subject, score_q
+    FROM scored CROSS JOIN watermark
+    WHERE score_q < w_score_q
+       OR (score_q = w_score_q AND graph_iri > w_graph)
+       OR (score_q = w_score_q AND graph_iri = w_graph AND subject > w_subject)
+    ORDER BY score_q DESC, graph_iri, subject LIMIT {DEFAULT_PAGE}
+    """,
+)
+def search_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 via the keyset watermark — never OFFSET over the data.
+
+    The watermark is page 1's last sort key; the keyset predicate is an
+    OR-of-ANDs over (score_q, graph_iri, subject), so ties inside one
+    1e-6 score bucket are never skipped (search_cursor.rs:740-782 is the
+    reference's test of exactly this invariant).
+    """
+    scored = _scored(spark, sf_dir, QUERY_TEXT)
+    wm = (
+        scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
+        .offset(DEFAULT_PAGE - 1)
+        .limit(1)
+        .select(
+            F.col("score_q").alias("w_score_q"),
+            F.col("graph_iri").alias("w_graph"),
+            F.col("subject").alias("w_subject"),
+        )
+    )
+    return (
+        keyset_after(scored, wm)
+        .select("graph_iri", "subject", "score_q")
+        .orderBy(F.desc("score_q"), "graph_iri", "subject")
+        .limit(DEFAULT_PAGE)
+    )
+
+
+def _title_snippet_sql(tokens: list[str]) -> tuple[str, str]:
+    pos = "least(" + ", ".join(
+        f"nullif(instr(hay, '{t}'), 0)" for t in tokens
+    ) + ")"
+    title = "coalesce(name, regexp_extract(subject, '([^/:]+)$', 1))"
+    snippet = (
+        f"CASE WHEN {pos} IS NULL THEN substring(hay, 1, 160) "
+        f"ELSE substring(hay, greatest(1, {pos} - 40), 160) END"
+    )
+    return title, snippet
+
+
+@register(
+    "search_hits_enriched",
+    oracle=f"""
+    WITH {_duck_scored(ENRICH_QUERY)},
+    props AS (
+      SELECT subject,
+             MAX(CASE WHEN field = 'name' THEN text END) AS name,
+             MAX(CASE WHEN field = 'description' THEN text END) AS description,
+             MAX(CASE WHEN field = 'keywords' THEN text END) AS keywords,
+             MAX(CASE WHEN field = 'identifier' THEN text END) AS identifier
+      FROM fields GROUP BY subject
+    ),
+    top AS (
+      SELECT graph_iri, subject, score_q FROM scored
+      ORDER BY score_q DESC, graph_iri, subject LIMIT 10
+    ),
+    hay_t AS (
+      SELECT t.graph_iri, t.subject, t.score_q,
+             p.name,
+             concat_ws(' ', p.name, p.description, p.keywords, p.identifier)
+               AS hay
+      FROM top t JOIN props p USING (subject)
+    )
+    SELECT graph_iri, subject, score_q,
+           {_title_snippet_sql(ENRICH_QUERY.split())[0]} AS title,
+           {_title_snippet_sql(ENRICH_QUERY.split())[1]} AS snippet
+    FROM hay_t
+    """,
+)
+def search_hits_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hits enriched with title + snippet.
+
+    Title = name literal, else last path segment of the subject IRI
+    (search_enrichment.rs:14-38); snippet = ≤160-char window starting 40
+    chars before the first query-token match over the four fields in
+    canonical order, fallback prefix (search_enrichment.rs:42-120).
+    """
+    tokens = validate_query(ENRICH_QUERY)
+    triples = load_triples(spark, sf_dir)
+    fields = build_field_literals(triples)
+    scored = bm25_scores(build_postings(fields), tokens)
+    props = fields.groupBy("subject").agg(
+        *[
+            F.max(F.when(F.col("field") == f, F.col("text"))).alias(f)
+            for f in SEARCH_FIELDS
+        ]
+    )
+    top = (
+        scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
+        .limit(10)
+        .join(props, "subject")
+        .withColumn(
+            "hay",
+            F.concat_ws(
+                " ", *[F.col(f) for f in SEARCH_FIELDS]
+            ),
+        )
+    )
+    title_sql, snippet_sql = _title_snippet_sql(tokens)
+    return top.select(
+        "graph_iri",
+        "subject",
+        "score_q",
+        F.expr(title_sql).alias("title"),
+        F.expr(snippet_sql).alias("snippet"),
+    )

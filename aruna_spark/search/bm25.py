@@ -1,0 +1,172 @@
+"""BM25 scoring over a postings DataFrame + the reference's merge rules.
+
+Index semantics follow the reference: only four schema.org literal fields
+are searchable — name, description, keywords, identifier
+(``operations/src/metadata/search_enrichment.rs:3-8``); hits carry
+(graph_iri, subject, score, title, snippet) (``core/src/metadata.rs:667-676``).
+
+Scoring: BM25 (k1=1.2, b=0.75, Lucene-style idf). One deliberate
+refinement over the reference: the reference quantizes the final f32
+score to 1e-6 buckets for a deterministic merge order
+(``search_cursor.rs:274-289``); we quantize each term's contribution
+BEFORE summing, making the total an exact integer — bit-identical on any
+engine and any partitioning (a float sum of 3+ terms is not associative;
+an int sum is). The ordering contract — (score bucket desc, graph_iri,
+subject) — is the same.
+
+Scale design (100 TB): postings build is explode + two groupBys (map-side
+combinable); scoring joins the (tiny, broadcast) query-token table to the
+postings (shuffle pruned to matching tokens only), then one groupBy per
+doc. The df/stats sides are aggregates of the postings themselves. No
+driver-side materialization anywhere; pagination is a keyset predicate,
+never OFFSET.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aruna_spark.sparql.terms import SCHEMA
+
+K1 = 1.2
+B = 0.75
+MIN_QUERY_CHARS = 2  # api/src/routes/search.rs:227-229
+DEFAULT_PAGE = 25  # search_cursor.rs:13
+MAX_PAGE = 100  # search_cursor.rs:14
+MAX_DEPTH = 1_000  # search_cursor.rs:15
+
+SEARCH_FIELDS = ("name", "description", "keywords", "identifier")
+
+
+def build_field_literals(triples: DataFrame) -> DataFrame:
+    """(subject, graph_iri, field, text): the searchable literals."""
+    preds = [SCHEMA + f for f in SEARCH_FIELDS]
+    field_col = F.col("predicate")
+    expr = None
+    for f in SEARCH_FIELDS:
+        cond = field_col == SCHEMA + f
+        expr = F.when(cond, f) if expr is None else expr.when(cond, f)
+    return (
+        triples.filter(
+            F.col("predicate").isin(preds) & (F.col("object_kind") == "literal")
+        )
+        .select(
+            "subject",
+            "graph_iri",
+            expr.alias("field"),
+            F.col("object_value").alias("text"),
+        )
+    )
+
+
+def build_postings(fields: DataFrame) -> DataFrame:
+    """(subject, graph_iri, token, tf): doc-level term frequencies.
+
+    (The reference's Tantivy index is per-field; we aggregate tf across
+    the four fields — a documented simplification that keeps one postings
+    table. dl in :func:`build_doc_lengths` matches this choice.)
+    """
+    toks = fields.select(
+        "subject",
+        "graph_iri",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    return toks.groupBy("subject", "graph_iri", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def build_doc_lengths(postings: DataFrame) -> DataFrame:
+    """(subject, dl): total token count per document."""
+    return postings.groupBy("subject").agg(F.sum("tf").alias("dl"))
+
+
+# Per-term quantized BM25 contribution (see module doc). ONE formula text
+# shared verbatim with the DuckDB oracle so every double op rounds
+# identically (note {1 + K1} stringifies as 2.2000000000000002 — the same
+# literal parses to the same double in both engines).
+CONTRIB_SQL = (
+    "CAST(floor(1e6 * ln(1 + (n - df + 0.5) / (df + 0.5))"
+    f" * (tf * {1 + K1}) / (tf + {K1} * ({1 - B} + {B} * dl / avgdl)))"
+    " AS BIGINT)"
+)
+
+
+def _contrib_expr() -> Column:
+    return F.expr(CONTRIB_SQL)
+
+
+def bm25_scores(postings: DataFrame, query_tokens: list[str]) -> DataFrame:
+    """(graph_iri, subject, score_q): integer-quantized BM25 per doc."""
+    spark = postings.sparkSession
+    dl = build_doc_lengths(postings)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_tokens)], "token string"
+    )
+    joined = (
+        postings.join(F.broadcast(q), "token")
+        .join(df_, "token")
+        .join(dl, "subject")
+        .crossJoin(F.broadcast(stats))
+    )
+    return joined.groupBy("graph_iri", "subject").agg(
+        F.sum(_contrib_expr()).alias("score_q")
+    )
+
+
+def validate_query(q: str) -> list[str]:
+    """Min-2-chars validation + whitespace tokenization (search.rs:227)."""
+    q = q.strip()
+    if len(q) < MIN_QUERY_CHARS:
+        raise ValueError(f"search query must be >= {MIN_QUERY_CHARS} chars")
+    return q.split()
+
+
+def keyset_after(
+    scored: DataFrame, watermark: DataFrame
+) -> DataFrame:
+    """Rows strictly after the watermark in merged order
+    (score_q desc, graph_iri asc, subject asc) — search_cursor.rs:298-384.
+
+    ``watermark`` is a 1-row DF (w_score_q, w_graph, w_subject); the
+    predicate is an OR-of-ANDs keyset over the sort key, so page N+1
+    never re-reads or skips rows that tie within one score bucket.
+    """
+    return scored.crossJoin(F.broadcast(watermark)).filter(
+        (F.col("score_q") < F.col("w_score_q"))
+        | (
+            (F.col("score_q") == F.col("w_score_q"))
+            & (F.col("graph_iri") > F.col("w_graph"))
+        )
+        | (
+            (F.col("score_q") == F.col("w_score_q"))
+            & (F.col("graph_iri") == F.col("w_graph"))
+            & (F.col("subject") > F.col("w_subject"))
+        )
+    )
+
+
+def merge_search_hits(hits: DataFrame) -> DataFrame:
+    """Dedup merge of hits from multiple sources — search_cursor.rs:243-272:
+    key (graph_iri, subject); keep max score, tie-break min document_id;
+    keep any non-null snippet."""
+    w = Window.partitionBy("graph_iri", "subject").orderBy(
+        F.desc("score_q"), F.asc("document_id")
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "snippet",
+            F.first("snippet", ignorenulls=True).over(
+                Window.partitionBy("graph_iri", "subject")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

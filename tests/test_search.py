@@ -1,0 +1,90 @@
+"""Search invariants ported from the reference's unit tests.
+
+- tie-bucket non-skipping pagination (search_cursor.rs:740-782)
+- dedup merge of hits: max score, min document_id, any snippet
+  (search_cursor.rs:243-272, :833)
+- min-query validation (api/src/routes/search.rs:227-229)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aruna_spark.queries import REGISTRY, load_all
+from aruna_spark.search.bm25 import keyset_after, merge_search_hits, validate_query
+
+load_all()
+
+
+def _walk_pages(spark, scored, page_size):
+    """Keyset-walk every page; return the concatenated hit keys."""
+    out = []
+    wm = None
+    while True:
+        base = scored if wm is None else keyset_after(scored, wm)
+        page = (
+            base.select("graph_iri", "subject", "score_q")
+            .orderBy(F.desc("score_q"), "graph_iri", "subject")
+            .limit(page_size)
+            .collect()
+        )
+        if not page:
+            return out
+        out.extend((r.graph_iri, r.subject) for r in page)
+        last = page[-1]
+        wm = spark.createDataFrame(
+            [(last.score_q, last.graph_iri, last.subject)],
+            "w_score_q long, w_graph string, w_subject string",
+        )
+
+
+def test_tie_bucket_pages_never_skip(spark):
+    """Hits that tie within one quantized score bucket must all appear
+    exactly once across consecutive pages (page size < bucket size)."""
+    rows = [("g0", f"s{i:02d}", 100) for i in range(7)]  # one big tie bucket
+    rows += [("g0", f"t{i}", 90 - i) for i in range(5)]
+    scored = spark.createDataFrame(
+        rows, "graph_iri string, subject string, score_q long"
+    )
+    seen = _walk_pages(spark, scored, page_size=3)
+    assert len(seen) == len(rows), "every hit exactly once"
+    assert len(set(seen)) == len(rows), "no duplicates across pages"
+    # merged order respected: scores never increase across the walk
+    scores = {(g, s): q for g, s, q in rows}
+    walked = [scores[k] for k in seen]
+    assert walked == sorted(walked, reverse=True)
+
+
+def test_merge_hits_max_score_min_doc_any_snippet(spark):
+    hits = spark.createDataFrame(
+        [
+            ("g1", "s1", 500, 7, None),
+            ("g1", "s1", 900, 9, None),  # max score wins
+            ("g1", "s1", 900, 3, "snip-a"),  # tie -> min document_id
+            ("g2", "s2", 100, 1, None),  # singleton, no snippet anywhere
+        ],
+        "graph_iri string, subject string, score_q long, document_id long, snippet string",
+    )
+    merged = {
+        (r.graph_iri, r.subject): r for r in merge_search_hits(hits).collect()
+    }
+    assert len(merged) == 2
+    winner = merged[("g1", "s1")]
+    assert winner.score_q == 900 and winner.document_id == 3
+    assert winner.snippet == "snip-a"  # any non-null snippet survives
+    assert merged[("g2", "s2")].snippet is None
+
+
+def test_min_query_validation():
+    with pytest.raises(ValueError):
+        validate_query(" x ")
+    assert validate_query("ab cd") == ["ab", "cd"]
+
+
+def test_page1_page2_disjoint_and_contiguous(spark, sf_dir):
+    topk, _ = REGISTRY["search_bm25_topk"]
+    page2, _ = REGISTRY["search_bm25_page2"]
+    p1 = [(r.graph_iri, r.subject) for r in topk(spark, sf_dir).collect()]
+    p2 = [(r.graph_iri, r.subject) for r in page2(spark, sf_dir).collect()]
+    assert not set(p1) & set(p2)
