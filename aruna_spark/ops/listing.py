@@ -1,0 +1,118 @@
+"""S3 ListObjectsV2 / ListObjectVersions semantics as DataFrame expressions.
+
+Reference: ``operations/src/s3/list_objects_v2.rs:19-74,128-129`` (prefix,
+start_after, max_keys default 1000, continuation token = last emitted
+entry), delimiter grouping via ``common_prefix_of``
+(``operations/src/s3/listing.rs:1-13``): a key whose remainder after the
+prefix contains the delimiter rolls up into ONE CommonPrefixes entry
+ending at the first delimiter; other keys list individually. Entries and
+common prefixes share one lexicographic order, and max_keys counts both.
+
+Scale: everything is filter + groupBy + orderBy/limit over a key-sorted
+objects table — the prefix filter and keyset predicate push down to the
+parquet scan (file skipping on the sort key); the common-prefix rollup is
+one map-side-combinable aggregation. No driver round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_KEYS_DEFAULT = 1_000  # list_objects_v2.rs:128
+
+
+def common_prefix_entry(key: Column, prefix: str, delimiter: str) -> Column:
+    """listing.rs:1-13: prefix + first-delimiter-terminated remainder, or
+    NULL when the key lists individually."""
+    rest = F.substring_index(
+        key.substr(F.lit(len(prefix) + 1), F.length(key)), delimiter, 1
+    )
+    has_delim = F.instr(
+        key.substr(F.lit(len(prefix) + 1), F.length(key)), delimiter
+    ) > 0
+    return F.when(has_delim, F.concat(F.lit(prefix), rest, F.lit(delimiter)))
+
+
+def list_objects_v2(
+    latest: DataFrame,
+    prefix: str = "",
+    delimiter: str | None = None,
+    start_after: str = "",
+    after_common_prefix: str = "",
+    max_keys: int = MAX_KEYS_DEFAULT,
+) -> DataFrame:
+    """One listing page: (entry, kind, n_keys, total_size), entry-ordered.
+
+    ``kind`` ∈ {'key', 'common_prefix'}; n_keys counts rolled-up keys
+    (1 for plain keys); sizes aggregate beneath a common prefix. The
+    continuation token is (last_key, last_common_prefix) exactly like
+    ``list_objects_v2.rs:60-74``: resume skips keys ≤ last_key AND every
+    key still under the last emitted common prefix (a bare key > a
+    common-prefix boundary would otherwise re-emit the group).
+    """
+    df = latest.filter(F.col("key").startswith(prefix))
+    if start_after:
+        df = df.filter(F.col("key") > start_after)
+    if after_common_prefix:
+        df = df.filter(~F.col("key").startswith(after_common_prefix))
+    if delimiter is None:
+        grouped = df.select(
+            F.col("key").alias("entry"),
+            F.lit("key").alias("kind"),
+            F.lit(1).cast("long").alias("n_keys"),
+            F.col("size").cast("long").alias("total_size"),
+        )
+    else:
+        cp = common_prefix_entry(F.col("key"), prefix, delimiter)
+        tagged = df.select(
+            F.coalesce(cp, F.col("key")).alias("entry"),
+            F.when(cp.isNotNull(), "common_prefix").otherwise("key").alias(
+                "kind"
+            ),
+            F.col("size"),
+        )
+        grouped = tagged.groupBy("entry", "kind").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("size").cast("long").alias("total_size"),
+        )
+    return grouped.orderBy("entry").limit(max_keys)
+
+
+def duck_list_objects_v2(
+    objects_sql: str,
+    prefix: str = "",
+    delimiter: str | None = None,
+    start_after: str = "",
+    after_common_prefix: str = "",
+    max_keys: int = MAX_KEYS_DEFAULT,
+) -> str:
+    """DuckDB replication of :func:`list_objects_v2` over latest versions."""
+    after = f"AND key > '{start_after}'" if start_after else ""
+    if after_common_prefix:
+        after += f" AND NOT starts_with(key, '{after_common_prefix}')"
+    if delimiter is None:
+        body = f"""
+        SELECT key AS entry, 'key' AS kind, CAST(1 AS BIGINT) AS n_keys,
+               CAST(size AS BIGINT) AS total_size
+        FROM latest WHERE starts_with(key, '{prefix}') {after}
+        """
+    else:
+        p = len(prefix) + 1
+        rest = f"substring(key, {p})"
+        cp = (
+            f"CASE WHEN instr({rest}, '{delimiter}') > 0 THEN "
+            f"'{prefix}' || split_part({rest}, '{delimiter}', 1) || '{delimiter}' END"
+        )
+        body = f"""
+        SELECT coalesce({cp}, key) AS entry,
+               CASE WHEN {cp} IS NOT NULL THEN 'common_prefix' ELSE 'key' END AS kind,
+               COUNT(*) AS n_keys, CAST(SUM(size) AS BIGINT) AS total_size
+        FROM latest WHERE starts_with(key, '{prefix}') {after}
+        GROUP BY 1, 2
+        """
+    return f"""
+    WITH objects AS ({objects_sql}),
+    latest AS (SELECT * FROM objects WHERE is_latest)
+    SELECT * FROM ({body}) ORDER BY entry LIMIT {max_keys}
+    """

@@ -1,1 +1,105 @@
-"""Placeholder — queries registered in later milestones."""
+"""Oracle-checked S3 catalog listing queries.
+
+ListObjectsV2 delimiter grouping + keyset continuation and
+ListObjectVersions with ``is_latest`` — over the deterministic objects
+table (:mod:`aruna_spark.sources.objects`). Reference:
+``operations/src/s3/list_objects_v2.rs``, ``listing.rs:1-13``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.ops.listing import duck_list_objects_v2, list_objects_v2
+from aruna_spark.queries import register
+from aruna_spark.sources.objects import OBJECTS_ORACLE_SQL, load_object_versions
+
+PAGE = 20
+
+
+def _latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_object_versions(spark, sf_dir).filter(F.col("is_latest"))
+
+
+# -- delimiter grouping at the bucket root -----------------------------------
+@register(
+    "listing_v2_root",
+    oracle=duck_list_objects_v2(
+        OBJECTS_ORACLE_SQL, prefix="data/", delimiter="/", max_keys=PAGE
+    ),
+)
+def listing_v2_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListObjectsV2(prefix='data/', delimiter='/'): every source dir
+    rolls up into one CommonPrefixes entry."""
+    return list_objects_v2(
+        _latest(spark, sf_dir), prefix="data/", delimiter="/", max_keys=PAGE
+    )
+
+
+# -- leaf listing with start_after + max_keys (keyset page) ------------------
+@register(
+    "listing_v2_leaf_page",
+    oracle=duck_list_objects_v2(
+        OBJECTS_ORACLE_SQL,
+        prefix="data/src1/",
+        delimiter="/",
+        start_after="data/src1/de/",
+        after_common_prefix="data/src1/de/",
+        max_keys=PAGE,
+    ),
+)
+def listing_v2_leaf_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuation page after token (last_key, last_common_prefix) =
+    ('data/src1/de/', 'data/src1/de/'): the de/ group is fully skipped —
+    the reference's token carries the last common prefix for exactly this
+    reason (list_objects_v2.rs:60-74)."""
+    return list_objects_v2(
+        _latest(spark, sf_dir),
+        prefix="data/src1/",
+        delimiter="/",
+        start_after="data/src1/de/",
+        after_common_prefix="data/src1/de/",
+        max_keys=PAGE,
+    )
+
+
+# -- no delimiter: flat keyset pagination ------------------------------------
+@register(
+    "listing_v2_flat",
+    oracle=duck_list_objects_v2(
+        OBJECTS_ORACLE_SQL,
+        prefix="data/src2/en/",
+        start_after="data/src2/en/doc-3",
+        max_keys=PAGE,
+    ),
+)
+def listing_v2_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat listing (no delimiter) with prefix + start_after + max_keys."""
+    return list_objects_v2(
+        _latest(spark, sf_dir),
+        prefix="data/src2/en/",
+        start_after="data/src2/en/doc-3",
+        max_keys=PAGE,
+    )
+
+
+# -- versions listing --------------------------------------------------------
+@register(
+    "listing_versions",
+    oracle=f"""
+    WITH objects AS ({OBJECTS_ORACLE_SQL})
+    SELECT key, version_id, is_latest, size, etag
+    FROM objects WHERE starts_with(key, 'data/src3/')
+    ORDER BY key, version_idx DESC LIMIT 50
+    """,
+)
+def listing_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListObjectVersions: all versions, latest first per key."""
+    return (
+        load_object_versions(spark, sf_dir)
+        .filter(F.col("key").startswith("data/src3/"))
+        .orderBy("key", F.desc("version_idx"))
+        .select("key", "version_id", "is_latest", "size", "etag")
+        .limit(50)
+    )
