@@ -64,6 +64,12 @@ def load_object_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat(F.col("key"), F.lit(":"), F.col("version_idx").cast("string"))
         ).alias("etag"),
+        # content address: equal content (modeled as equal size) shares a
+        # blob — the substrate for content-addressed dedup counters
+        # (blob/src/hash.rs:10-77, keyspaces.rs:44)
+        F.md5(
+            F.concat(F.lit("blob:"), (F.col("n_chars") + F.col("version_idx")).cast("string"))
+        ).alias("blob_hash"),
     )
 
 
@@ -75,6 +81,7 @@ OBJECTS_ORACLE_SQL = """
            v = (doc_id % 3) AS is_latest,
            n_chars + v AS size,
            md5('data/' || source || '/' || lang || '/doc-' || doc_id || '.txt'
-               || ':' || v) AS etag
+               || ':' || v) AS etag,
+           md5('blob:' || (n_chars + v)) AS blob_hash
     FROM documents, UNNEST(range(0, doc_id % 3 + 1)) AS t(v)
 """
