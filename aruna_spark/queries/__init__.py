@@ -29,8 +29,10 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from aruna_spark.queries import (  # noqa: F401
+        backlinks,
         dedup,
         listing,
+        permissions,
         relational,
         search,
         similarity,

@@ -1,0 +1,76 @@
+"""Glob grant semantics — cases modeled on permission_rules.rs:642-782."""
+
+from __future__ import annotations
+
+import re
+
+from aruna_spark.ops.globs import glob_to_regex, visible
+from aruna_spark.queries import REGISTRY, load_all
+
+load_all()
+
+
+def m(glob: str, path: str) -> bool:
+    return re.match(glob_to_regex(glob), path) is not None
+
+
+def test_narrow_grant_does_not_leak_siblings():
+    g = "/realm/g/team/meta/**"
+    assert m(g, "/realm/g/team/meta")  # the dir itself
+    assert m(g, "/realm/g/team/meta/doc")
+    assert m(g, "/realm/g/team/meta/a/b/c")
+    assert not m(g, "/realm/g/other/meta/doc")
+    assert not m(g, "/realm/g/team/data/doc")
+    assert not m(g, "/realm/g/team/metadata")  # no prefix bleed
+
+
+def test_star_stays_within_segment():
+    g = "data/*/en/*.txt"
+    assert m(g, "data/src1/en/doc-1.txt")
+    assert not m(g, "data/src1/de/doc-1.txt")
+    assert not m(g, "data/a/b/en/doc-1.txt")  # * must not cross '/'
+    assert not m(g, "data/src1/en/sub/doc-1.txt")
+
+
+def test_doublestar_matches_everything():
+    g = "**"
+    for p in ("", "a", "a/b", "a/b/c.txt"):
+        assert m(g, p)
+
+
+def test_question_mark_single_char():
+    g = "data/src?/x"
+    assert m(g, "data/src1/x")
+    assert not m(g, "data/src10/x")
+    assert not m(g, "data/src//x")
+
+
+def test_regex_metachars_are_literal():
+    g = "a.b/c+d/**"
+    assert m(g, "a.b/c+d/e")
+    assert not m(g, "aXb/c+d/e")  # '.' must not be a wildcard
+
+
+def test_deny_overrides_allow(spark):
+    rows = [("k/allowed/f", ), ("k/denied/f", )]
+    keyed = spark.createDataFrame(rows, "key string")
+    grants = spark.createDataFrame(
+        [
+            ("u", glob_to_regex("k/**"), "allow"),
+            ("u", glob_to_regex("k/denied/**"), "deny"),
+        ],
+        "subject_id string, pattern string, effect string",
+    )
+    vis = {r.key for r in visible(keyed, grants).collect()}
+    assert vis == {"k/allowed/f"}
+
+
+def test_visible_summary_deny_subtree(spark, sf_dir):
+    rows = {r.subject_id: r for r in
+            REGISTRY["perm_visible_summary"][0](spark, sf_dir).collect()}
+    assert "alice" in rows and "root" in rows and "bob" in rows
+    # alice's deny subtree is excluded: no de/ keys visible
+    assert not rows["alice"].first_key.startswith("data/src1/de/")
+    assert "de" not in (rows["alice"].first_key, rows["alice"].last_key)
+    # root sees everything anyone else sees
+    assert rows["root"].n_visible >= max(r.n_visible for r in rows.values())
