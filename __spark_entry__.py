@@ -25,8 +25,12 @@ load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    fn, _ = REGISTRY["rel_region_revenue"]
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    A SPARQL BGP+FILTER query compiled to a DataFrame plan over the
+    triples projection — the engine's primary query language end to end.
+    """
+    fn, _ = REGISTRY["sparql_bgp_filter"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

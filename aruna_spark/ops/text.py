@@ -56,19 +56,46 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     return F.when(n >= k, mk)
 
 
+MINHASH_MOD = 1 << 28  # 28-bit hash space (keeps i*h2 well inside int64)
+
+
+def hash28(col: Column, seed: str) -> Column:
+    """Portable 28-bit hash: top 7 hex digits of a seeded md5."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), col)), 1, 7), 16, 10
+    ).cast("long")
+
+
 def minhash_signature(sh: Column, num_hashes: int) -> Column:
-    """MinHash signature: array<long> of per-seed minima over the shingle
-    set. Null shingles → null signature (short docs opt out of LSH)."""
-    def one_seed(i: int):
-        # single-parameter lambda: a 2-arg lambda would make F.transform
-        # bind the second arg to the ARRAY INDEX, silently breaking seeds
-        return lambda s: seeded_hash64(s, i)
+    """MinHash signature: array<long> of minima of the Carter-Wegman
+    family h_i(s) = (h1(s) + i*h2(s)) mod 2^28 over the shingle set —
+    TWO md5s per shingle instead of one per hash function (a per-seed-md5
+    variant dominated the dedup wall clock ~12x). Null shingles → null
+    signature (short docs opt out of LSH)."""
+    h1s = F.transform(sh, lambda s: hash28(s, "mh1"))
+    h2s = F.transform(sh, lambda s: hash28(s, "mh2"))
+
+    def sig_i(i: int) -> Column:
+        if i == 0:
+            return F.array_min(h1s)
+        return F.array_min(
+            F.zip_with(h1s, h2s, lambda a, b: (a + F.lit(i) * b) % MINHASH_MOD)
+        )
 
     return F.when(
-        sh.isNotNull(),
-        F.array(
-            *[F.array_min(F.transform(sh, one_seed(i))) for i in range(num_hashes)]
-        ),
+        sh.isNotNull(), F.array(*[sig_i(i) for i in range(num_hashes)])
+    )
+
+
+def duck_minhash_item_sql(i: int) -> str:
+    """DuckDB fragment for sig[i] over a shingle-list column ``sh`` —
+    replicates :func:`minhash_signature` exactly."""
+    h1 = "('0x' || substring(md5('mh1:' || s), 1, 7))::BIGINT"
+    h2 = "('0x' || substring(md5('mh2:' || s), 1, 7))::BIGINT"
+    if i == 0:
+        return f"list_min(list_transform(sh, s -> {h1}))"
+    return (
+        f"list_min(list_transform(sh, s -> ({h1} + {i} * {h2}) % {MINHASH_MOD}))"
     )
 
 

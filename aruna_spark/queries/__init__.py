@@ -33,6 +33,7 @@ def load_all() -> None:
         dedup,
         listing,
         permissions,
+        registry,
         relational,
         search,
         similarity,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.text import (
     DUCK_HASH64,
+    duck_minhash_item_sql,
     duck_shingles_sql,
     minhash_signature,
     shingles,
@@ -154,12 +155,7 @@ def lsh_candidate_pairs(sets: DataFrame) -> DataFrame:
 def _duck_minhash_sql() -> str:
     """DuckDB replication of the exact same LSH pipeline."""
     sh_expr = duck_shingles_sql("toks", 3)
-    sig_items = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + DUCK_HASH64.format(x=f"'s{i}:' || s")
-        + "))"
-        for i in range(NUM_HASHES)
-    )
+    sig_items = ", ".join(duck_minhash_item_sql(i) for i in range(NUM_HASHES))
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS b, "
         + " || ',' || ".join(
@@ -201,8 +197,21 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Never an all-pairs product: candidates come only from shared
     (band, band-signature) buckets; the Jaccard verify then re-joins the
     shingle sets by doc_id. Output: (doc_a, doc_b, jaccard_permille ≥ 500).
+
+    Execution shape: the shingle/hash map is CPU-bound, so the corpus is
+    repartitioned to the session's parallelism BEFORE the heavy map (a
+    small-file scan otherwise caps the stage at a handful of tasks), and
+    the shingle sets persist (memory+disk) because three downstream
+    branches reuse them (bands + both verify sides) — recomputing the
+    hashing 3x dwarfs the spill cost at any scale.
     """
-    sets = shingle_sets(corpus(spark, sf_dir))
+    from pyspark import StorageLevel
+
+    par = spark.sparkContext.defaultParallelism
+    sets = (
+        shingle_sets(corpus(spark, sf_dir).repartition(par, "doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = lsh_candidate_pairs(sets)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -1,0 +1,233 @@
+"""Registry projection, listing orders, path claims, distributed merge.
+
+Covers the event/registry operator family:
+
+- event-log replay → registry rows (``operations/src/metadata/projector.rs
+  :176-292``): idempotent projection of an append-only log into one row
+  per entity via LWW;
+- metadata listing orders (``operations/src/metadata/api.rs:105-112``):
+  Created (ascending id) and Recent (desc updated_at, tie desc id),
+  limit default 50;
+- path-claim resolution (``core/src/structs/path_claim.rs:19-75``): a
+  canonical path maps to exactly ONE winning claimant via a
+  deterministic digest order, losers retained as conflicts;
+- distributed SELECT merge (``api.rs:2911-2959``): per-node partial
+  results dedup-unioned and cut at the query LIMIT — the oracle is the
+  *semantic spec* (the global answer), not the per-node mechanics;
+- substring search (``operations/src/search_users.rs:134-147``):
+  case-insensitive contains, min 2 chars.
+
+Scale: replay/LWW and path claims are single window functions over the
+log (one shuffle on the entity key); the merge caps each side before the
+union so no node ships more than LIMIT rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.queries import register
+
+LISTING_LIMIT = 50  # api.rs:69 default
+MERGE_LIMIT = 50
+NODES = 3
+
+
+# ---------------------------------------------------- event-log → registry
+_D_REGISTRY = """
+    reg AS (
+      SELECT user_id, last_event_id, updated_at_us, last_event_type, n_events
+      FROM (
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+               MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS updated_at_us
+        FROM events
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_events",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .withColumn(
+            "updated_at_us", F.max("ts_us").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "updated_at_us",
+            F.col("event_type").alias("last_event_type"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "registry_event_replay",
+    oracle=f"WITH {_D_REGISTRY} SELECT * FROM reg",
+)
+def registry_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the event log into registry rows: LWW per entity + counts."""
+    return _registry(spark, sf_dir)
+
+
+# ----------------------------------------------------------- listing orders
+@register(
+    "registry_listing_recent",
+    oracle=f"""
+    WITH {_D_REGISTRY}
+    SELECT * FROM reg
+    ORDER BY updated_at_us DESC, user_id DESC LIMIT {LISTING_LIMIT}
+    """,
+)
+def registry_listing_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent order: desc updated_at, tie desc id (api.rs:105-112)."""
+    return _registry(spark, sf_dir).orderBy(
+        F.desc("updated_at_us"), F.desc("user_id")
+    ).limit(LISTING_LIMIT)
+
+
+@register(
+    "registry_listing_created",
+    oracle=f"""
+    WITH {_D_REGISTRY}
+    SELECT * FROM reg ORDER BY user_id LIMIT {LISTING_LIMIT}
+    """,
+)
+def registry_listing_created(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Created order: ascending id (ULID-creation order analog)."""
+    return _registry(spark, sf_dir).orderBy("user_id").limit(LISTING_LIMIT)
+
+
+# -------------------------------------------------------------- path claims
+@register(
+    "registry_path_claims",
+    oracle="""
+    WITH claims AS (
+      SELECT 'p/' || (doc_id % 50) AS path, doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS digest
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY path
+                                   ORDER BY digest, doc_id) AS rn
+      FROM claims
+    )
+    SELECT path,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS winner_doc_id,
+           COUNT(*) AS n_claimants,
+           coalesce(string_agg(CASE WHEN rn > 1 THEN doc_id END, ','
+                               ORDER BY digest, doc_id), '') AS conflict_doc_ids
+    FROM ranked GROUP BY path
+    """,
+)
+def registry_path_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic path-claim winner: min (digest, doc_id) per path;
+    losers kept as ordered conflicts (path_claim.rs:41-75). The digest
+    order makes the winner independent of claim arrival order."""
+    docs = load_table(spark, sf_dir, "documents")
+    claims = docs.select(
+        F.concat(F.lit("p/"), (F.col("doc_id") % 50).cast("string")).alias(
+            "path"
+        ),
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("digest"),
+    )
+    w = Window.partitionBy("path").orderBy("digest", "doc_id")
+    ranked = claims.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("path").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+            "winner_doc_id"
+        ),
+        F.count(F.lit(1)).alias("n_claimants"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") > 1,
+                            F.struct("digest", "doc_id"),
+                        )
+                    )
+                ),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+        ).alias("conflict_doc_ids"),
+    )
+
+
+# ------------------------------------------------- distributed SELECT merge
+@register(
+    "distributed_select_merge",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT {MERGE_LIMIT}
+    """,
+)
+def distributed_select_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node top-LIMIT partials → dedup-union → global LIMIT
+    (api.rs:2911-2959). The oracle is the semantic contract: the merged
+    page equals the global answer because every node ships its own full
+    top-LIMIT (resume_fetch_limit logic). Each node caps BEFORE the
+    union, so no node ships more than LIMIT rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = [
+        docs.filter(F.col("doc_id") % NODES == i)
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(MERGE_LIMIT)
+        for i in range(NODES)
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return (
+        merged.dropDuplicates()
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(MERGE_LIMIT)
+    )
+
+
+# --------------------------------------------------------- substring search
+@register(
+    "search_substring_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE contains(lower(c_name), '00001')
+    ORDER BY c_custkey LIMIT 50
+    """,
+)
+def search_substring_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring search, min-2-chars validated
+    (search_users.rs:134-147)."""
+    q = "00001"
+    if len(q.strip()) < 2:
+        raise ValueError("substring query must be >= 2 chars")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.lower(F.col("c_name")).contains(q.lower()))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(50)
+    )

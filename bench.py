@@ -25,6 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family. Updated as coverage widens.
 HEADLINE = [
+    # relational substrate
     "rel_pricing_summary",
     "rel_shipping_priority",
     "rel_region_revenue",
@@ -34,6 +35,23 @@ HEADLINE = [
     "rel_exists_semi_anti",
     "rel_keyset_page",
     "rel_events_hourly",
+    # SPARQL engine
+    "sparql_bgp_filter",
+    "sparql_group_agg",
+    "sparql_path_plus",
+    # search plane
+    "search_bm25_topk",
+    # LLM-pipeline operators
+    "textstats_profile",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_topk",
+    # catalog / aggregation planes
+    "listing_v2_root",
+    "usage_counters_by_group",
+    "perm_visible_summary",
+    "backlinks_grouped",
 ]
 
 
