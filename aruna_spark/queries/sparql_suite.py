@@ -234,3 +234,45 @@ _reg(
     WHERE graph_iri = 'https://w3id.org/aruna/0'
     """,
 )
+
+
+# -- fts: magic predicates inside SPARQL (handle.rs:98-103, §2.8) ------------
+def _fts_oracle_scored(query: str) -> str:
+    from aruna_spark.queries.search import _duck_scored
+
+    return _duck_scored(query)
+
+
+_reg(
+    "sparql_fts_score",
+    """
+    SELECT ?s ?score WHERE {
+      ?s fts:match "spark merge" ; fts:score ?score .
+    } ORDER BY DESC(?score) ?s LIMIT 20
+    """,
+    f"""
+    WITH {_fts_oracle_scored("spark merge")}
+    SELECT subject AS s, score_q AS score FROM scored
+    ORDER BY score_q DESC, subject LIMIT 20
+    """,
+)
+
+_reg(
+    "sparql_fts_bgp_mix",
+    """
+    SELECT ?s ?name WHERE {
+      ?s fts:match "spark merge" ;
+         a schema:File ;
+         schema:name ?name ;
+         schema:inLanguage "en" .
+    } ORDER BY ?s
+    """,
+    f"""
+    WITH {_fts_oracle_scored("spark merge")}
+    SELECT s.subject AS s, 'doc-' || d.doc_id AS name
+    FROM scored s
+    JOIN documents d ON s.subject = 'urn:aruna:doc:' || d.doc_id
+    WHERE d.doc_id % 5 <> 0 AND d.lang = 'en'
+    ORDER BY s.subject
+    """,
+)

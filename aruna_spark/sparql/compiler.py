@@ -165,10 +165,73 @@ def _term_cmp(a: CE, b: CE, op: str) -> Column:
     )
 
 
+FTS_NS = "urn:craqle:fts:"  # pre-declared fts: prefix (handle.rs:98-103)
+
+
 class Compiler:
-    def __init__(self, spark: SparkSession, triples: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame,
+        fts_resolver=None,
+    ):
         self.spark = spark
         self.triples = triples
+        # callable(query: str) -> DataFrame(subject STRING, score_q LONG);
+        # resolves fts:match magic predicates (SURVEY §2.8: FTS is exposed
+        # INSIDE SPARQL through the urn:craqle:fts: namespace)
+        self.fts_resolver = fts_resolver
+
+    # ---------------------------------------------------------------- fts
+    @staticmethod
+    def _is_fts(tp: A.TriplePattern) -> bool:
+        return isinstance(tp.p, A.Iri) and tp.p.value.startswith(FTS_NS)
+
+    def _fts_patterns(self, patterns: list[A.TriplePattern]) -> list[Rel]:
+        """fts:match / fts:score magic predicates → scored-subquery Rels.
+
+        ``?s fts:match "query"`` binds ?s to matching subjects;
+        ``?s fts:score ?v`` (same BGP) additionally binds the quantized
+        BM25 score. The scored relation then joins the rest of the BGP on
+        the shared subject variable like any other pattern.
+        """
+        if self.fts_resolver is None:
+            raise SparqlCompileError("no FTS resolver configured for fts:")
+        matches: dict[str, str] = {}
+        scores: dict[str, str] = {}
+        for tp in patterns:
+            if not isinstance(tp.s, A.Var):
+                raise SparqlCompileError("fts: subject must be a variable")
+            kind = tp.p.value[len(FTS_NS):]
+            if kind == "match":
+                if not isinstance(tp.o, A.Literal):
+                    raise SparqlCompileError("fts:match needs a literal query")
+                matches[tp.s.name] = tp.o.value
+            elif kind == "score":
+                if not isinstance(tp.o, A.Var):
+                    raise SparqlCompileError("fts:score needs a variable")
+                scores[tp.s.name] = tp.o.name
+            else:
+                raise SparqlCompileError(f"unknown fts: predicate {kind}")
+        missing = set(scores) - set(matches)
+        if missing:
+            raise SparqlCompileError(
+                f"fts:score without fts:match for ?{missing.pop()}"
+            )
+        rels = []
+        for svar, query in matches.items():
+            scored = self.fts_resolver(query)
+            cols = [node_term(F.col("subject")).alias(svar)]
+            variables, native = {svar}, set()
+            if svar in scores:
+                v = scores[svar]
+                cols.append(F.col("score_q").alias(v))
+                variables.add(v)
+                native.add(v)
+            rels.append(
+                Rel(scored.select(*cols), frozenset(variables), frozenset(native))
+            )
+        return rels
 
     # ------------------------------------------------------------ entry
     def compile_select(self, q: A.SelectQuery) -> DataFrame:
@@ -268,7 +331,12 @@ class Compiler:
         if isinstance(p, A.Bgp):
             if not p.patterns:
                 return self._unit()
-            rels = [self._triple_pattern(tp, graph) for tp in p.patterns]
+            fts, regular = [], []
+            for tp in p.patterns:
+                (fts if self._is_fts(tp) else regular).append(tp)
+            rels = [self._triple_pattern(tp, graph) for tp in regular]
+            if fts:
+                rels.extend(self._fts_patterns(fts))
             return reduce(self._join, rels)
         if isinstance(p, A.Join):
             return self._join(self.compile_pattern(p.left, graph),

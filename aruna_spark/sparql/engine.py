@@ -47,10 +47,26 @@ class SparqlEngine:
         self.spark = spark
         self.triples = triples
 
+    def _fts_resolver(self, query: str) -> DataFrame:
+        """BM25-scored subjects for fts:match — built over THIS engine's
+        triples (the reference's per-node Tantivy index is likewise
+        derived from the same graphs the query runs on)."""
+        from aruna_spark.search.bm25 import (
+            bm25_scores,
+            build_field_literals,
+            build_postings,
+            validate_query,
+        )
+
+        postings = build_postings(build_field_literals(self.triples))
+        return bm25_scores(postings, validate_query(query)).select(
+            "subject", "score_q"
+        )
+
     def query(self, text: str, enforce_limits: bool = True) -> DataFrame:
         """Parse + compile; SELECT yields term-struct columns, ASK a bool."""
         q = parse(text)
-        compiler = Compiler(self.spark, self.triples)
+        compiler = Compiler(self.spark, self.triples, self._fts_resolver)
         if isinstance(q, A.AskQuery):
             return compiler.compile_ask(q)
         df = compiler.compile_select(q)

@@ -115,6 +115,27 @@ def test_path_plus_reaches_root(engine):
     assert ("urn:aruna:collection:3", "urn:aruna:collection:0") in pairs
 
 
+def test_fts_match_and_score(engine):
+    rows = engine.query_flat(
+        """
+        SELECT ?s ?score WHERE {
+          ?s fts:match "spark" ; fts:score ?score .
+        } ORDER BY DESC(?score) ?s LIMIT 5
+        """
+    ).collect()
+    assert rows, "fts:match must bind matching subjects"
+    assert all(r.score > 0 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_fts_score_without_match_rejected(engine):
+    from aruna_spark.sparql.compiler import SparqlCompileError
+
+    with pytest.raises(SparqlCompileError):
+        engine.query("SELECT ?s WHERE { ?s fts:score ?v }").collect()
+
+
 def test_limit_offset_pagination(engine):
     q = "SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 5"
     q_off = "SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 5 OFFSET 5"
