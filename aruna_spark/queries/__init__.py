@@ -38,6 +38,7 @@ def load_all() -> None:
         search,
         similarity,
         sparql_suite,
+        streaming_suite,
         textstats,
         usage,
     )

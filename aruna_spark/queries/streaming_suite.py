@@ -1,0 +1,132 @@
+"""Oracle-checked batch semantics of the streaming plane.
+
+Each query runs the SAME transformation functions the Structured
+Streaming pipeline uses (:mod:`aruna_spark.streaming.watch`) over the
+batch ``events`` table, so the stream's semantics are value-checked by
+DuckDB here and exercised as a real stream in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.queries import register
+from aruna_spark.streaming.watch import (
+    _COMPILED,
+    debounce_windows,
+    lww_registry,
+    match_watches,
+    unread_counts,
+    watches_df,
+)
+
+_D_WATCHES = ", ".join(
+    "('" + wid + "', '" + pat + "', [" + ", ".join(f"'{k}'" for k in kinds) + "])"
+    for wid, pat, kinds in _COMPILED
+)
+
+_D_MATCHED = f"""
+    watches(watch_id, pattern, kinds) AS (VALUES {_D_WATCHES}),
+    ev AS (
+      SELECT *, 'users/' || user_id || '/' || event_type AS path FROM events
+    ),
+    matched AS (
+      SELECT e.*, w.watch_id
+      FROM ev e JOIN watches w
+        ON regexp_matches(e.path, w.pattern)
+       AND list_contains(w.kinds, e.event_type)
+    )
+"""
+
+
+def _matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_watches(
+        load_table(spark, sf_dir, "events"), watches_df(spark)
+    )
+
+
+@register(
+    "stream_watch_matches",
+    oracle=f"""
+    WITH {_D_MATCHED}
+    SELECT watch_id, COUNT(*) AS n_matched,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(epoch_us(ts)) AS first_ts_us, MAX(epoch_us(ts)) AS last_ts_us
+    FROM matched GROUP BY watch_id
+    """,
+)
+def stream_watch_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watch interest matching (glob + kind mask) summarized per watch."""
+    m = _matched(spark, sf_dir)
+    return m.groupBy("watch_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(F.unix_micros("ts")).alias("first_ts_us"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+
+
+@register(
+    "stream_debounce_windows",
+    oracle=f"""
+    WITH {_D_MATCHED}
+    SELECT watch_id,
+           (epoch_us(ts) // 2000000) * 2000000 AS window_start_us,
+           COUNT(*) AS n_coalesced,
+           MAX(event_id) AS last_event_id
+    FROM matched GROUP BY watch_id, (epoch_us(ts) // 2000000) * 2000000
+    """,
+)
+def stream_debounce_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 s debounce: one publish per (watch, tumbling window) — the batch
+    form of the stream's watermarked window agg (epoch-aligned, so the
+    integer-floor oracle reproduces Spark's window boundaries)."""
+    d = debounce_windows(_matched(spark, sf_dir))
+    return d.select(
+        "watch_id",
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "n_coalesced",
+        "last_event_id",
+    )
+
+
+@register(
+    "stream_lww_registry",
+    oracle="""
+    SELECT user_id, last_event_id, ts_us, event_type FROM (
+      SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us,
+             event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_lww_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW merge per entity — what foreachBatch applies after the 300 s
+    watermark defers late/skewed events."""
+    r = lww_registry(load_table(spark, sf_dir, "events"))
+    return r.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+
+
+@register(
+    "stream_unread_counts",
+    oracle=f"""
+    WITH {_D_MATCHED}
+    SELECT watch_id, COUNT(*) AS n_delivered,
+           CAST(SUM(CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unread
+    FROM matched GROUP BY watch_id
+    """,
+)
+def stream_unread_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbox→inbox delivery with unread counts per watch."""
+    return unread_counts(_matched(spark, sf_dir))

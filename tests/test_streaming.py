@@ -1,0 +1,163 @@
+"""Structured Streaming tests: the SAME transformations as the batch
+oracle queries, run as a real stream (file source, availableNow trigger,
+memory sink), plus watermark/foreachBatch behavior."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.streaming.watch import (
+    debounce_windows,
+    lww_registry,
+    match_watches,
+    unread_counts,
+    watches_df,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events.parquet rewritten (ts normalized to TIMESTAMP) into a dir a
+    file stream can read."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_to_memory(df, name, mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_debounce_equals_batch(spark, sf_dir, events_stream_dir):
+    watches = watches_df(spark)
+    stream = _read_stream(spark, events_stream_dir)
+    name = f"dbg_{uuid.uuid4().hex[:8]}"
+    matched = match_watches(stream, watches).withWatermark("ts", "300 seconds")
+    _run_to_memory(debounce_windows(matched), name)
+    got = {
+        (r.watch_id, r.w.start, r.n_coalesced, r.last_event_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = debounce_windows(
+        match_watches(load_table(spark, sf_dir, "events"), watches)
+    )
+    want = {
+        (r.watch_id, r.w.start, r.n_coalesced, r.last_event_id)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_unread_equals_batch(spark, sf_dir, events_stream_dir):
+    watches = watches_df(spark)
+    stream = _read_stream(spark, events_stream_dir)
+    name = f"unread_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(unread_counts(match_watches(stream, watches)), name)
+    got = {
+        (r.watch_id, r.n_delivered, r.n_unread)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.watch_id, r.n_delivered, r.n_unread)
+        for r in unread_counts(
+            match_watches(load_table(spark, sf_dir, "events"), watches)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_lww_foreachbatch_merge(spark, sf_dir, events_stream_dir):
+    """foreachBatch LWW merge across micro-batches converges to the batch
+    answer — the projector's idempotent replay in streaming form."""
+    state: dict[int, tuple] = {}
+
+    def merge(batch_df, _bid):
+        for r in lww_registry(batch_df).collect():
+            cur = state.get(r.user_id)
+            key = (r.ts, r.event_id)
+            if cur is None or key > (cur[0], cur[1]):
+                state[r.user_id] = (r.ts, r.event_id, r.event_type)
+
+    stream = _read_stream(spark, events_stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r.user_id: (r.ts, r.event_id, r.event_type)
+        for r in lww_registry(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert state == want
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """An event older than (max seen ts - 300 s) arriving in a LATER
+    micro-batch is excluded from the append-mode windowed result —
+    the clock-skew guard of projector.rs:68-92."""
+    d = str(tmp_path / "src")
+    base = "2024-01-01 12:00:00"
+    early = spark.createDataFrame(
+        [(1, base, 10), (2, "2024-01-01 12:30:00", 11)],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 11:00:00", 12), (4, "2024-01-01 12:30:01", 13)],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    # two runs over one checkpoint force the late file into a LATER batch,
+    # after the watermark advanced past (12:30 - 300 s)
+    early.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    ckpt = f"/tmp/ckpt_{uuid.uuid4().hex[:8]}"
+    emitted: list = []
+
+    def sink(batch_df, _bid):
+        emitted.extend(batch_df.collect())
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(d)
+        agg = (
+            stream.withWatermark("ts", "300 seconds")
+            .groupBy(F.window("ts", "60 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    late.coalesce(1).write.mode("append").parquet(d)
+    run()
+    starts = {r.window.start.isoformat() for r in emitted}
+    # the 11:00 event is > 300 s behind the advanced watermark; its window
+    # must never be emitted (append mode only emits finalized windows)
+    assert "2024-01-01T11:00:00" not in starts
+    # the legitimate early windows were emitted once the watermark passed
+    assert "2024-01-01T12:00:00" in starts
