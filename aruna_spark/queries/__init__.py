@@ -31,6 +31,7 @@ def load_all() -> None:
     from aruna_spark.queries import (  # noqa: F401
         backlinks,
         dedup,
+        ingest_suite,
         listing,
         permissions,
         registry,
