@@ -33,6 +33,7 @@ def load_all() -> None:
         dedup,
         ingest_suite,
         listing,
+        multimodal,
         permissions,
         registry,
         relational,
