@@ -47,6 +47,8 @@ from aruna_spark.sparql.terms import RDF, SCHEMA, XSD_INTEGER
 DOC_NS = "urn:aruna:doc:"
 COLL_NS = "urn:aruna:collection:"
 GRAPH_NS = "https://w3id.org/aruna/"
+PROFILE_NS = "urn:aruna:profile:"
+DCTERMS = "http://purl.org/dc/terms/"
 
 TRIPLE_COLS = (
     "graph_iri",
@@ -108,6 +110,10 @@ def documents_to_triples(docs: DataFrame) -> DataFrame:
         ),
         d.select(*_row(g, s, SCHEMA + "isPartOf", "iri",
                        F.concat(F.lit(COLL_NS), (F.col("doc_id") % 7).cast("string")))),
+        # dcterms:conformsTo profile IRI (search prefilter substrate,
+        # operations/src/metadata/api.rs:1165-1180)
+        d.select(*_row(g, s, DCTERMS + "conformsTo", "iri",
+                       F.concat(F.lit(PROFILE_NS), (F.col("doc_id") % 4).cast("string")))),
     ]
 
     colls = (
@@ -186,6 +192,11 @@ TRIPLES_ORACLE_SQL = """
     SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
            'http://schema.org/isPartOf', 'iri',
            'urn:aruna:collection:' || (doc_id % 7), NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/' || doc_id, 'urn:aruna:doc:' || doc_id,
+           'http://purl.org/dc/terms/conformsTo', 'iri',
+           'urn:aruna:profile:' || (doc_id % 4), NULL, NULL
     FROM documents
     UNION ALL
     SELECT 'https://w3id.org/aruna/coll' || k, 'urn:aruna:collection:' || k,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.catalog import load_table
 from aruna_spark.ingest.doc_triples import load_triples
 from aruna_spark.queries import register
 from aruna_spark.search.bm25 import (
@@ -145,6 +146,154 @@ def search_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("graph_iri", "subject", "score_q")
         .orderBy(F.desc("score_q"), "graph_iri", "subject")
         .limit(DEFAULT_PAGE)
+    )
+
+
+# -- conformsTo-scoped search (candidate prefilter via backlinks) ------------
+@register(
+    "search_conformsto_scoped",
+    oracle=f"""
+    WITH {_duck_scored(QUERY_TEXT)}
+    SELECT s.graph_iri, s.subject, s.score_q
+    FROM scored s
+    JOIN documents d ON s.subject = 'urn:aruna:doc:' || d.doc_id
+    WHERE d.doc_id % 4 = 2
+    ORDER BY s.score_q DESC, s.graph_iri, s.subject LIMIT {DEFAULT_PAGE}
+    """,
+)
+def search_conformsto_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search restricted to docs whose dcterms:conformsTo equals a
+    profile IRI — the backlink-index candidate prefilter of
+    api.rs:1165-1180: the scope join prunes the scored set BEFORE the
+    top-k cut, exactly like the reference's candidate scope."""
+    from aruna_spark.ingest.doc_triples import DCTERMS, PROFILE_NS
+
+    triples = load_triples(spark, sf_dir)
+    scored = bm25_scores(
+        build_postings(build_field_literals(triples)),
+        validate_query(QUERY_TEXT),
+    )
+    scope = triples.filter(
+        (F.col("predicate") == DCTERMS + "conformsTo")
+        & (F.col("object_value") == PROFILE_NS + "2")
+    ).select("subject")
+    return (
+        scored.join(scope, "subject")
+        .select("graph_iri", "subject", "score_q")
+        .orderBy(F.desc("score_q"), "graph_iri", "subject")
+        .limit(DEFAULT_PAGE)
+    )
+
+
+# -- unified 4-section search (api/src/routes/search.rs:27-29,271-330) -------
+UNIFIED_QUERY = "data"
+SECTION_LIMIT = 10
+
+
+@register(
+    "search_unified",
+    oracle=f"""
+    WITH {_duck_scored(UNIFIED_QUERY)},
+    docs_sec AS (
+      SELECT 'documents' AS section,
+             row_number() OVER (ORDER BY score_q DESC, graph_iri, subject)
+               AS rank,
+             subject AS key, subject AS display, score_q
+      FROM scored ORDER BY score_q DESC, graph_iri, subject
+      LIMIT {SECTION_LIMIT}
+    ),
+    buckets_sec AS (
+      SELECT 'buckets', row_number() OVER (ORDER BY b), b, b,
+             CAST(NULL AS BIGINT)
+      FROM (SELECT DISTINCT 'data/' || source AS b FROM documents
+            WHERE contains(lower('data/' || source), '{UNIFIED_QUERY}'))
+      ORDER BY b LIMIT {SECTION_LIMIT}
+    ),
+    groups_sec AS (
+      SELECT 'groups', row_number() OVER (ORDER BY g), g, g,
+             CAST(NULL AS BIGINT)
+      FROM (SELECT DISTINCT 'group-' || source AS g FROM documents
+            WHERE contains(lower('group-' || source), '{UNIFIED_QUERY}'))
+      ORDER BY g LIMIT {SECTION_LIMIT}
+    ),
+    users_sec AS (
+      SELECT 'users', row_number() OVER (ORDER BY c_custkey),
+             CAST(c_custkey AS VARCHAR), c_name, CAST(NULL AS BIGINT)
+      FROM customer WHERE contains(lower(c_name), '{UNIFIED_QUERY}')
+      ORDER BY c_custkey LIMIT {SECTION_LIMIT}
+    )
+    SELECT * FROM docs_sec UNION ALL SELECT * FROM buckets_sec
+    UNION ALL SELECT * FROM groups_sec UNION ALL SELECT * FROM users_sec
+    """,
+)
+def search_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One request fans out to four sections — documents (FTS-scored),
+    buckets, groups, users (substring) — each independently limited to
+    10, returned as one (section, rank, key, display, score_q) relation.
+    The four section queries are independent DataFrames (Spark runs
+    their stages concurrently under one action), matching the
+    reference's concurrent fan-out."""
+    from pyspark.sql import Window
+
+    tokens = validate_query(UNIFIED_QUERY)
+    triples = load_triples(spark, sf_dir)
+    scored = bm25_scores(build_postings(build_field_literals(triples)), tokens)
+    docs_sec = (
+        scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
+        .limit(SECTION_LIMIT)
+        .select(
+            F.lit("documents").alias("section"),
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("score_q"), "graph_iri", "subject")
+            )
+            .alias("rank"),
+            F.col("subject").alias("key"),
+            F.col("subject").alias("display"),
+            "score_q",
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+
+    def _substr_sec(name: str, col, order):
+        base = (
+            d.select(col.alias("v"))
+            .distinct()
+            .filter(F.lower(F.col("v")).contains(UNIFIED_QUERY))
+            .orderBy(order)
+            .limit(SECTION_LIMIT)
+        )
+        return base.select(
+            F.lit(name).alias("section"),
+            F.row_number().over(Window.orderBy(order)).alias("rank"),
+            F.col("v").alias("key"),
+            F.col("v").alias("display"),
+            F.lit(None).cast("long").alias("score_q"),
+        )
+
+    buckets_sec = _substr_sec(
+        "buckets", F.concat(F.lit("data/"), F.col("source")), F.col("v")
+    )
+    groups_sec = _substr_sec(
+        "groups", F.concat(F.lit("group-"), F.col("source")), F.col("v")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.lower(F.col("c_name")).contains(UNIFIED_QUERY))
+        .orderBy("c_custkey")
+        .limit(SECTION_LIMIT)
+    )
+    users_sec = cust.select(
+        F.lit("users").alias("section"),
+        F.row_number().over(Window.orderBy("c_custkey")).alias("rank"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("c_name").alias("display"),
+        F.lit(None).cast("long").alias("score_q"),
+    )
+    return (
+        docs_sec.unionByName(buckets_sec)
+        .unionByName(groups_sec)
+        .unionByName(users_sec)
     )
 
 
