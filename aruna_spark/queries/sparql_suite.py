@@ -236,6 +236,30 @@ _reg(
 )
 
 
+# -- LATERAL correlated subselect (api.rs:2044) ------------------------------
+_reg(
+    "sparql_lateral_topk_per_group",
+    """
+    SELECT ?lang ?s ?size WHERE {
+      { SELECT DISTINCT ?lang WHERE { ?x schema:inLanguage ?lang } }
+      LATERAL {
+        SELECT ?lang ?s ?size WHERE {
+          ?s schema:inLanguage ?lang ; schema:contentSize ?size .
+        } ORDER BY DESC(?size) ?s LIMIT 2
+      }
+    }
+    """,
+    f"""
+    SELECT lang, s, size FROM (
+      SELECT lang, {DOC} AS s, CAST(n_chars AS VARCHAR) AS size,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, {DOC}) AS rn
+      FROM documents
+    ) WHERE rn <= 2
+    """,
+)
+
+
 # -- fts: magic predicates inside SPARQL (handle.rs:98-103, §2.8) ------------
 def _fts_oracle_scored(query: str) -> str:
     from aruna_spark.queries.search import _duck_scored

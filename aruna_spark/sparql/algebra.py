@@ -208,6 +208,15 @@ class SubSelect:
     query: "SelectQuery"
 
 
+@dataclass(frozen=True)
+class Lateral:
+    """Correlated evaluation: right runs once per left solution
+    (api.rs:2044 accepts spargebra's Lateral)."""
+
+    left: "Pattern"
+    right: "Pattern"
+
+
 Pattern = (
     Bgp
     | Join
@@ -220,6 +229,7 @@ Pattern = (
     | GraphPattern
     | Group
     | SubSelect
+    | Lateral
 )
 
 

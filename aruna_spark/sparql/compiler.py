@@ -375,7 +375,63 @@ class Compiler:
         if isinstance(p, A.SubSelect):
             df = self.compile_select(p.query)
             return Rel(df, frozenset(df.columns))
+        if isinstance(p, A.Lateral):
+            return self._lateral(p, graph)
         raise SparqlCompileError(f"unsupported pattern {type(p).__name__}")
+
+    def _lateral(self, p: A.Lateral, graph) -> Rel:
+        """LATERAL (api.rs:2044): right evaluated per left solution.
+
+        The correlated-subselect-with-LIMIT shape — ``LATERAL { SELECT …
+        ORDER BY … LIMIT k }`` — compiles to a window: rank the inner
+        relation per correlation key (the variables shared with the
+        left) and keep rank ≤ k, then equi-join. Per-key limiting is
+        exactly what per-left-row LIMIT means when the correlation flows
+        through shared variables; a window + join keeps it one shuffle
+        instead of a per-row re-execution. Other shapes degenerate to a
+        compatible join (equivalent when no inner LIMIT/OFFSET exists).
+        """
+        from pyspark.sql import Window
+
+        left = self.compile_pattern(p.left, graph)
+        right = p.right
+        if isinstance(right, A.SubSelect) and right.query.limit is not None:
+            q = right.query
+            inner = self.compile_pattern(q.pattern, graph)
+            shared = sorted(left.variables & inner.variables)
+            if not shared:
+                raise SparqlCompileError(
+                    "LATERAL subselect must share variables with the left"
+                )
+            keys: list = []
+            for cond in q.order_by:
+                ce = self._expr(cond.expr, inner)
+                cols = (
+                    sort_key_columns(ce.col) if ce.kind == "term" else [ce.col]
+                )
+                keys.extend(
+                    [c.asc() if cond.ascending else c.desc() for c in cols]
+                )
+            w = Window.partitionBy(*shared).orderBy(
+                *(keys or [F.lit(1)])
+            )
+            df = (
+                inner.df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= q.limit)
+                .drop("__rn")
+            )
+            out_vars = (
+                [v for v, _ in q.projection]
+                if q.projection is not None
+                else sorted(inner.variables)
+            )
+            inner = Rel(
+                df.select(*out_vars),
+                frozenset(out_vars),
+                inner.native & frozenset(out_vars),
+            )
+            return self._join(left, inner)
+        return self._join(left, self.compile_pattern(right, graph))
 
     def _filter(self, p: A.Filter, graph) -> Rel:
         rel = self.compile_pattern(p.pattern, graph)

@@ -32,10 +32,25 @@ __all__ = [
     "SparqlEngine",
     "SparqlSyntaxError",
     "UnsupportedQueryError",
+    "ResultTooLargeError",
+    "QueryDeadlineError",
     "MAX_RESULT_ROWS",
+    "MAX_RESULT_BYTES",
+    "QUERY_DEADLINE_SECS",
 ]
 
 MAX_RESULT_ROWS = 10_000  # handle.rs:95 (result row cap)
+MAX_RESULT_BYTES = 8 * 1024 * 1024  # handle.rs:96 (serialized cap)
+QUERY_DEADLINE_SECS = 10.0  # handle.rs:97 (evaluation deadline)
+
+
+class ResultTooLargeError(RuntimeError):
+    """Serialized result exceeded the 8 MiB cap (handle.rs:96)."""
+
+
+class QueryDeadlineError(RuntimeError):
+    """Evaluation exceeded the deadline; the Spark job group is
+    cancelled cooperatively (handle.rs:94-97, 5023-5080)."""
 
 _TERM_FIELDS = [f.name for f in TERM_SCHEMA.fields]
 
@@ -73,6 +88,51 @@ class SparqlEngine:
         if enforce_limits and (q.limit is None or q.limit > MAX_RESULT_ROWS):
             df = df.limit(MAX_RESULT_ROWS)
         return df
+
+    def execute(
+        self,
+        text: str,
+        deadline_secs: float = QUERY_DEADLINE_SECS,
+        max_bytes: int = MAX_RESULT_BYTES,
+    ) -> list:
+        """Run a query with the reference's full governance envelope:
+        10k-row cap (in the plan), 8 MiB serialized cap, and a deadline
+        that CANCELS the running Spark job group (the reference's
+        cooperative cancellation, handle.rs:4740-4770)."""
+        import threading
+        import uuid
+
+        df = self.query_flat(text)
+        sc = self.spark.sparkContext
+        group = f"sparql-{uuid.uuid4().hex[:12]}"
+        done = threading.Event()
+        timed_out = threading.Event()
+
+        def reaper():
+            if not done.wait(deadline_secs):
+                timed_out.set()
+                sc.cancelJobGroup(group)
+
+        sc.setJobGroup(group, "sparql execute", interruptOnCancel=True)
+        t = threading.Thread(target=reaper, daemon=True)
+        t.start()
+        try:
+            rows = df.collect()
+        except Exception as e:  # noqa: BLE001 - cancelled jobs raise
+            if timed_out.is_set():
+                raise QueryDeadlineError(
+                    f"query exceeded {deadline_secs}s deadline"
+                ) from e
+            raise
+        finally:
+            done.set()
+            sc.setJobGroup("", "")
+        size = sum(len(repr(r)) for r in rows)
+        if size > max_bytes:
+            raise ResultTooLargeError(
+                f"serialized result {size} B exceeds {max_bytes} B"
+            )
+        return rows
 
     def query_flat(self, text: str, enforce_limits: bool = True) -> DataFrame:
         """Like :meth:`query`, with term-struct columns flattened to their

@@ -31,6 +31,7 @@ from aruna_spark.sparql.algebra import (
     Group,
     Iri,
     Join,
+    Lateral,
     LeftJoin,
     Literal,
     Minus,
@@ -44,6 +45,7 @@ from aruna_spark.sparql.algebra import (
     PathZeroOrMore,
     PathZeroOrOne,
     SelectQuery,
+    SubSelect,
     TriplePattern,
     Union,
     Values,
@@ -373,11 +375,17 @@ class Parser:
             elif self.at_kw("SERVICE"):
                 # rejected anywhere in the tree, like api.rs:1998-2090
                 raise UnsupportedQueryError("SERVICE is not supported")
+            elif self.at_kw("LATERAL"):
+                self.next()
+                inner = self._group_or_subselect()
+                current = Lateral(
+                    current if current is not None else Bgp(()), inner
+                )
             elif self.at("{"):
-                sub = self._group_graph_pattern()
+                sub = self._group_or_subselect()
                 while self.at_kw("UNION"):
                     self.next()
-                    sub = Union(sub, self._group_graph_pattern())
+                    sub = Union(sub, self._group_or_subselect())
                 merge(sub)
             else:
                 merge(self._triples_block())
@@ -389,6 +397,17 @@ class Parser:
         for f in filters:
             result = Filter(f, result)
         return result
+
+    def _group_or_subselect(self):
+        """``{ SELECT ... }`` subselect or a plain group graph pattern."""
+        save = self.i
+        self.eat("{")
+        if self.at_kw("SELECT"):
+            q = self._select_query()
+            self.eat("}")
+            return SubSelect(q)
+        self.i = save
+        return self._group_graph_pattern()
 
     def _triples_block(self) -> Bgp:
         patterns: list[TriplePattern] = []

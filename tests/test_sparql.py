@@ -136,6 +136,47 @@ def test_fts_score_without_match_rejected(engine):
         engine.query("SELECT ?s WHERE { ?s fts:score ?v }").collect()
 
 
+def test_lateral_topk_per_group(engine):
+    rows = engine.query_flat(
+        """
+        SELECT ?lang ?s ?size WHERE {
+          { SELECT DISTINCT ?lang WHERE { ?x schema:inLanguage ?lang } }
+          LATERAL {
+            SELECT ?lang ?s ?size WHERE {
+              ?s schema:inLanguage ?lang ; schema:contentSize ?size .
+            } ORDER BY DESC(?size) ?s LIMIT 2
+          }
+        }
+        """
+    ).collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(int(r.size))
+    assert per_lang and all(len(v) <= 2 for v in per_lang.values())
+    assert all(v == sorted(v, reverse=True) for v in per_lang.values())
+
+
+def test_execute_result_byte_cap(engine):
+    from aruna_spark.sparql.engine import ResultTooLargeError
+
+    with pytest.raises(ResultTooLargeError):
+        engine.execute(
+            "SELECT ?s ?p ?o WHERE { ?s ?p ?o } LIMIT 2000", max_bytes=1024
+        )
+
+
+def test_execute_deadline_cancels(engine):
+    from aruna_spark.sparql.engine import QueryDeadlineError
+
+    heavy = """
+        SELECT ?a ?b ?c WHERE {
+          ?a ?p1 ?x . ?b ?p2 ?y . ?c ?p3 ?z .
+        } LIMIT 10000
+    """
+    with pytest.raises(QueryDeadlineError):
+        engine.execute(heavy, deadline_secs=0.05)
+
+
 def test_limit_offset_pagination(engine):
     q = "SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 5"
     q_off = "SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 5 OFFSET 5"
