@@ -37,6 +37,7 @@ def load_all() -> None:
         permissions,
         registry,
         relational,
+        s3_suite,
         search,
         similarity,
         sparql_suite,

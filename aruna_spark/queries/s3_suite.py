@@ -1,0 +1,450 @@
+"""S3 object-plane operators: PutObject upsert, GetObject, HeadObject.
+
+The reference implements these as transactional state machines over the
+blob keyspaces (``operations/src/s3/put_object.rs`` — states
+CheckHashLookup/WriteBlobHead/CreateBlobVersionRecord/CleanupDuplicate;
+``get_object.rs:85-160`` — version resolution, conditional requests,
+range resolution; ``head_object.rs`` — same minus the body). Re-expressed
+Spark-first, the object plane is a *versions table* and the three calls
+become set-at-a-time DataFrame transforms:
+
+- **Put** = append a batch of writes: per-key version assignment is a
+  window (`max(version_idx)+row_number`), the ``is_latest`` head flip is
+  LWW over the unioned table, and content-addressed dedup
+  (CheckHashLookup → CleanupDuplicate) is a semi-join against the
+  pre-existing ``blob_hash`` set — a duplicate put creates a version
+  record but stores no new blob.
+- **Get/Head** = point lookups expressed as joins of a requests table
+  against the versions table: explicit ``version_id`` or the latest
+  head, conditional requests (``If-Match`` → 412, ``If-None-Match`` →
+  304), and byte-range resolution (``get_object.rs:98-133``: StartEnd /
+  Start / Suffix → 206 + ``content_range``, unsatisfiable → 416).
+
+Everything is native column algebra (windows, joins, CASE) — no UDFs —
+so at 100 TB the put batch is one shuffle on (bucket, key) and the
+get/head join broadcasts the (small) request batch against the
+bucket-partitioned versions table.
+
+The put/request batches are derived deterministically from ``documents``
+so DuckDB reproduces them exactly (oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aruna_spark.queries import register
+from aruna_spark.sources.objects import OBJECTS_ORACLE_SQL, load_object_versions
+
+
+# -- deterministic put batch --------------------------------------------------
+# Every doc with doc_id % 5 == 0 is re-put: doc_id % 10 == 0 writes the SAME
+# content (the dedup path — blob already stored), doc_id % 10 == 5 writes new
+# content (n_chars + 100). One put per key, seq = doc_id (stable order).
+
+def _put_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aruna_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    new_size = F.when(
+        F.col("doc_id") % 10 == 0, F.col("n_chars")  # same content → dedup
+    ).otherwise(F.col("n_chars") + 100)
+    return docs.select(
+        F.lit("corpus").alias("bucket"),
+        F.concat(
+            F.lit("data/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("key"),
+        new_size.cast("long").alias("size"),
+        F.md5(F.concat(F.lit("blob:"), new_size.cast("string"))).alias(
+            "blob_hash"
+        ),
+    )
+
+
+_D_PUTS = """
+    SELECT 'corpus' AS bucket,
+           'data/' || source || '/' || lang || '/doc-' || doc_id || '.txt' AS key,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars
+                     ELSE n_chars + 100 END AS BIGINT) AS size,
+           md5('blob:' || CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars
+                                    ELSE n_chars + 100 END AS BIGINT)) AS blob_hash
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def put_objects(versions: DataFrame, puts: DataFrame) -> DataFrame:
+    """Apply a put batch to the versions table → new versions table.
+
+    Returns the union of prior versions and the new version records, with
+    ``is_latest`` recomputed (the head-pointer flip, put_object.rs
+    WriteBlobHead) and ``deduplicated`` marking puts whose blob_hash was
+    already stored (CheckHashLookup hit → CleanupDuplicate: version
+    record written, no new blob)."""
+    prior_max = versions.groupBy("bucket", "key").agg(
+        F.max("version_idx").alias("prior_max")
+    )
+    stored = versions.select("blob_hash").distinct()
+    new_vers = (
+        puts.join(prior_max, ["bucket", "key"], "left")
+        .join(
+            stored.withColumn("__stored", F.lit(True)), "blob_hash", "left"
+        )
+        .select(
+            "bucket",
+            "key",
+            (F.coalesce(F.col("prior_max"), F.lit(-1)) + 1).alias(
+                "version_idx"
+            ),
+            "size",
+            "blob_hash",
+            F.coalesce(F.col("__stored"), F.lit(False)).alias("deduplicated"),
+        )
+        .withColumn(
+            "version_id",
+            F.concat(F.lit("v"), F.col("version_idx").cast("string")),
+        )
+        .withColumn(
+            "etag",
+            F.md5(
+                F.concat(
+                    F.col("key"),
+                    F.lit(":"),
+                    F.col("version_idx").cast("string"),
+                )
+            ),
+        )
+    )
+    unioned = versions.select(
+        "bucket",
+        "key",
+        "version_idx",
+        "version_id",
+        "size",
+        "etag",
+        "blob_hash",
+        F.lit(False).alias("deduplicated"),
+    ).unionByName(
+        new_vers.select(
+            "bucket",
+            "key",
+            "version_idx",
+            "version_id",
+            "size",
+            "etag",
+            "blob_hash",
+            "deduplicated",
+        )
+    )
+    w = Window.partitionBy("bucket", "key")
+    return unioned.withColumn(
+        "is_latest", F.col("version_idx") == F.max("version_idx").over(w)
+    )
+
+
+_D_AFTER_PUT = f"""
+    WITH objects AS ({OBJECTS_ORACLE_SQL}),
+    puts AS ({_D_PUTS}),
+    prior_max AS (
+      SELECT bucket, key, MAX(version_idx) AS prior_max
+      FROM objects GROUP BY bucket, key
+    ),
+    stored AS (SELECT DISTINCT blob_hash FROM objects),
+    new_vers AS (
+      SELECT p.bucket, p.key,
+             COALESCE(m.prior_max, -1) + 1 AS version_idx,
+             'v' || (COALESCE(m.prior_max, -1) + 1) AS version_id,
+             p.size,
+             md5(p.key || ':' || (COALESCE(m.prior_max, -1) + 1)) AS etag,
+             p.blob_hash,
+             s.blob_hash IS NOT NULL AS deduplicated
+      FROM puts p
+      LEFT JOIN prior_max m USING (bucket, key)
+      LEFT JOIN stored s ON s.blob_hash = p.blob_hash
+    ),
+    unioned AS (
+      SELECT bucket, key, version_idx, version_id, size, etag, blob_hash,
+             FALSE AS deduplicated
+      FROM objects
+      UNION ALL
+      SELECT bucket, key, version_idx, version_id, size, etag, blob_hash,
+             deduplicated
+      FROM new_vers
+    )
+    SELECT *,
+           version_idx = MAX(version_idx)
+             OVER (PARTITION BY bucket, key) AS is_latest
+    FROM unioned
+"""
+
+
+@register(
+    "s3_put_upsert",
+    oracle=f"""
+    WITH after AS ({_D_AFTER_PUT})
+    SELECT bucket, key, version_idx, version_id, size, etag, blob_hash,
+           deduplicated, is_latest
+    FROM after
+    WHERE key IN (SELECT key FROM ({_D_PUTS}))
+    """,
+)
+def s3_put_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Put batch applied to the catalog: new head versions, prior heads
+    demoted, dedup flags on content-addressed hits — the full version
+    history of every touched key."""
+    versions = load_object_versions(spark, sf_dir)
+    puts = _put_batch(spark, sf_dir)
+    after = put_objects(versions, puts)
+    touched = puts.select("bucket", "key").distinct()
+    return after.join(touched, ["bucket", "key"], "left_semi").select(
+        "bucket",
+        "key",
+        "version_idx",
+        "version_id",
+        "size",
+        "etag",
+        "blob_hash",
+        "deduplicated",
+        "is_latest",
+    )
+
+
+# -- Get/Head request batch ---------------------------------------------------
+# Deterministic request mix over keys doc_id % 11 == 0:
+#   kind 0: plain latest get
+#   kind 1: get with version_id = 'v0' (explicit version)
+#   kind 2: If-Match with the CORRECT latest etag   → 200
+#   kind 3: If-Match with a WRONG etag              → 412
+#   kind 4: If-None-Match with the latest etag      → 304
+#   kind 5: range 10..min(99,size-1)  (StartEnd)    → 206 | 416
+#   kind 6: suffix range last 16 bytes (Suffix)     → 206 | 416
+
+def _request_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aruna_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == 0
+    )
+    return docs.select(
+        F.lit("corpus").alias("bucket"),
+        F.concat(
+            F.lit("data/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("key"),
+        (F.col("doc_id") % 7).alias("kind"),
+    )
+
+
+_D_REQS = """
+    SELECT 'corpus' AS bucket,
+           'data/' || source || '/' || lang || '/doc-' || doc_id || '.txt' AS key,
+           doc_id % 7 AS kind
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def resolve_objects(versions: DataFrame, reqs: DataFrame) -> DataFrame:
+    """GetObject/HeadObject resolution (get_object.rs:85-160).
+
+    Joins requests to the versions table (explicit version or latest
+    head), evaluates conditional requests against the resolved etag, and
+    resolves byte ranges against the resolved size. ``status`` follows
+    S3: 200, 206 partial, 304 not-modified, 412 precondition-failed,
+    416 unsatisfiable-range, 404 no-such-key/version."""
+    latest = versions.filter(F.col("is_latest"))
+    v0 = versions.filter(F.col("version_id") == "v0")
+    want_v0 = F.col("kind") == 1
+    resolved = (
+        reqs.join(
+            latest.select(
+                "bucket",
+                "key",
+                F.col("version_id").alias("latest_vid"),
+                F.col("size").alias("latest_size"),
+                F.col("etag").alias("latest_etag"),
+            ),
+            ["bucket", "key"],
+            "left",
+        )
+        .join(
+            v0.select(
+                "bucket",
+                "key",
+                F.col("version_id").alias("v0_vid"),
+                F.col("size").alias("v0_size"),
+                F.col("etag").alias("v0_etag"),
+            ),
+            ["bucket", "key"],
+            "left",
+        )
+        .select(
+            "bucket",
+            "key",
+            "kind",
+            F.when(want_v0, F.col("v0_vid"))
+            .otherwise(F.col("latest_vid"))
+            .alias("resolved_version_id"),
+            F.when(want_v0, F.col("v0_size"))
+            .otherwise(F.col("latest_size"))
+            .alias("size"),
+            F.when(want_v0, F.col("v0_etag"))
+            .otherwise(F.col("latest_etag"))
+            .alias("etag"),
+            F.col("latest_etag"),
+        )
+    )
+    # conditional evaluation + range resolution, all CASE algebra
+    start = F.lit(10)
+    end = F.least(F.lit(99), F.col("size") - 1)  # inclusive end
+    sfx = F.lit(16)
+    range_ok_se = (F.col("size") > start) & (end >= start)
+    range_ok_sfx = F.col("size") > 0
+    sfx_start = F.greatest(F.col("size") - sfx, F.lit(0))
+    status = (
+        F.when(F.col("etag").isNull(), F.lit(404))
+        .when((F.col("kind") == 3), F.lit(412))  # wrong If-Match
+        .when((F.col("kind") == 4), F.lit(304))  # If-None-Match hit
+        .when((F.col("kind") == 5) & ~range_ok_se, F.lit(416))
+        .when((F.col("kind") == 6) & ~range_ok_sfx, F.lit(416))
+        .when(F.col("kind").isin(5, 6), F.lit(206))
+        .otherwise(F.lit(200))
+    )
+    content_length = (
+        F.when(F.col("kind") == 5, end - start + 1)
+        .when(F.col("kind") == 6, F.col("size") - sfx_start)
+        .otherwise(F.col("size"))
+    )
+    content_range = (
+        F.when(
+            F.col("kind") == 5,
+            F.concat(
+                F.lit("bytes "),
+                start.cast("string"),
+                F.lit("-"),
+                end.cast("string"),
+                F.lit("/"),
+                F.col("size").cast("string"),
+            ),
+        )
+        .when(
+            F.col("kind") == 6,
+            F.concat(
+                F.lit("bytes "),
+                sfx_start.cast("string"),
+                F.lit("-"),
+                (F.col("size") - 1).cast("string"),
+                F.lit("/"),
+                F.col("size").cast("string"),
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    body = status.isin(200, 206)
+    return resolved.select(
+        "bucket",
+        "key",
+        "kind",
+        "resolved_version_id",
+        status.alias("status"),
+        F.when(body, F.col("etag")).alias("etag"),
+        F.when(body, content_length).cast("long").alias("content_length"),
+        F.when(status == 206, content_range).alias("content_range"),
+    )
+
+
+def _duck_resolve(select_cols: str) -> str:
+    return f"""
+    WITH objects AS ({OBJECTS_ORACLE_SQL}),
+    reqs AS ({_D_REQS}),
+    latest AS (SELECT * FROM objects WHERE is_latest),
+    v0 AS (SELECT * FROM objects WHERE version_id = 'v0'),
+    resolved AS (
+      SELECT r.bucket, r.key, r.kind,
+             CASE WHEN r.kind = 1 THEN v.version_id ELSE l.version_id END
+               AS resolved_version_id,
+             CASE WHEN r.kind = 1 THEN v.size ELSE l.size END AS size,
+             CASE WHEN r.kind = 1 THEN v.etag ELSE l.etag END AS etag
+      FROM reqs r
+      LEFT JOIN latest l ON l.bucket = r.bucket AND l.key = r.key
+      LEFT JOIN v0 v ON v.bucket = r.bucket AND v.key = r.key
+    ),
+    evaled AS (
+      SELECT *,
+             LEAST(99, size - 1) AS se_end,
+             GREATEST(size - 16, 0) AS sfx_start,
+             CASE
+               WHEN etag IS NULL THEN 404
+               WHEN kind = 3 THEN 412
+               WHEN kind = 4 THEN 304
+               WHEN kind = 5 AND NOT (size > 10 AND LEAST(99, size - 1) >= 10)
+                 THEN 416
+               WHEN kind = 6 AND NOT (size > 0) THEN 416
+               WHEN kind IN (5, 6) THEN 206
+               ELSE 200
+             END AS status
+      FROM resolved
+    ),
+    final AS (
+      SELECT bucket, key, kind, resolved_version_id, status,
+             CASE WHEN status IN (200, 206) THEN etag END AS etag,
+             CAST(CASE
+               WHEN status NOT IN (200, 206) THEN NULL
+               WHEN kind = 5 THEN se_end - 10 + 1
+               WHEN kind = 6 THEN size - sfx_start
+               ELSE size
+             END AS BIGINT) AS content_length,
+             CASE
+               WHEN status = 206 AND kind = 5
+                 THEN 'bytes 10-' || se_end || '/' || size
+               WHEN status = 206 AND kind = 6
+                 THEN 'bytes ' || sfx_start || '-' || (size - 1) || '/' || size
+             END AS content_range
+      FROM evaled
+    )
+    SELECT {select_cols} FROM final
+    """
+
+
+@register(
+    "s3_get_object",
+    oracle=_duck_resolve(
+        "bucket, key, kind, resolved_version_id, status, etag, "
+        "content_length, content_range"
+    ),
+)
+def s3_get_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetObject over a deterministic request mix: latest/versioned
+    lookups, If-Match / If-None-Match conditionals, StartEnd and Suffix
+    ranges with content_range resolution."""
+    versions = load_object_versions(spark, sf_dir)
+    return resolve_objects(versions, _request_batch(spark, sf_dir))
+
+
+@register(
+    "s3_head_object",
+    oracle=_duck_resolve(
+        "bucket, key, kind, resolved_version_id, status, etag, content_length"
+    ),
+)
+def s3_head_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeadObject: same resolution as GetObject minus the body — metadata
+    (etag, content_length) only; range columns are absent because HEAD
+    carries no content."""
+    versions = load_object_versions(spark, sf_dir)
+    return resolve_objects(versions, _request_batch(spark, sf_dir)).drop(
+        "content_range"
+    )
