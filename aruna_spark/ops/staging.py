@@ -1,0 +1,287 @@
+"""Staging-source listing + HTTP autoindex parsing, Spark-first.
+
+Reference surface:
+
+- ``operations/src/staging/list_source.rs:14-30`` — ListStagingSource:
+  ``(source_path, offset, limit, recursive, files_only)`` →
+  ``(entries, truncated, next_offset)``. One directory level unless
+  ``recursive``; directories filtered out by ``files_only``.
+- ``blob/src/autoindex.rs`` — HTTP connectors cannot list, so classic
+  autoindex pages (nginx/Apache) are parsed into entries:
+  ``parse_autoindex`` keeps anchors that stay under the base path, skips
+  ``../`` / "Parent Directory" / query-string sort links, merges
+  duplicate names (fancy-index icon + name anchors), and reads size
+  from the trailing text (``-`` for dirs → None).
+
+Spark mapping: the listing is delimiter grouping over a keys DataFrame
+(same shape as ListObjectsV2 but returning offset pagination, which is
+what the reference's staging API exposes); the autoindex path is
+*generate → parse* entirely in JVM column algebra — ``regexp_extract_all``
+pulls the anchor rows, explode + per-anchor ``regexp_extract`` splits
+href/text/trailing — no Python UDF, so a 100-million-page crawl parse
+stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# one anchor row: href, link text, then everything up to the next tag /
+# line end (the nginx "  date  size" trailing block)
+_ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>([^<\r\n]*)'
+
+
+def list_source_level(
+    keys: DataFrame,
+    source_path: str,
+    offset: int = 0,
+    limit: int = 100,
+    recursive: bool = False,
+    files_only: bool = False,
+) -> DataFrame:
+    """One ListStagingSource call over a ``(key, size)`` DataFrame.
+
+    Returns entries ``(name, kind, size, pos)`` plus the page envelope
+    columns ``truncated`` / ``next_offset`` (constant per call —
+    list_source.rs:24-29). ``name`` is relative to ``source_path``;
+    ``kind`` is 'file' | 'dir'. Non-recursive = one level (dirs roll
+    up); recursive = full walk with dirs interleaved in name order
+    (autoindex.rs walks the queue in discovery order; we normalize to
+    lexicographic, which is what opendal's lister yields)."""
+    prefix = source_path.rstrip("/") + "/" if source_path else ""
+    under = keys.filter(F.col("key").startswith(prefix)).withColumn(
+        "rel", F.expr(f"substring(key, {len(prefix) + 1})")
+    )
+    if recursive:
+        files = under.select(
+            F.col("rel").alias("name"),
+            F.lit("file").alias("kind"),
+            F.col("size"),
+        )
+        # every intermediate directory appears once
+        dirs = (
+            under.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(rel, '/')) - 1),"
+                        " i -> concat_ws('/', slice(split(rel, '/'), 1, i)))"
+                    )
+                ).alias("name")
+            )
+            .distinct()
+            .select(
+                "name", F.lit("dir").alias("kind"), F.lit(None).cast("long").alias("size")
+            )
+        )
+        entries = files.unionByName(dirs)
+    else:
+        seg = F.split_part(F.col("rel"), F.lit("/"), F.lit(1))
+        is_file = ~F.col("rel").contains("/")
+        entries = (
+            under.select(
+                seg.alias("name"),
+                F.when(is_file, F.lit("file")).otherwise(F.lit("dir")).alias(
+                    "kind"
+                ),
+                F.when(is_file, F.col("size")).cast("long").alias("size"),
+            )
+            .groupBy("name", "kind")
+            .agg(F.min("size").alias("size"))
+        )
+    if files_only:
+        entries = entries.filter(F.col("kind") == "file")
+    w = Window.orderBy("name", "kind")
+    ranked = entries.withColumn("pos", F.row_number().over(w) - 1)
+    total = ranked.count()
+    truncated = total > offset + limit
+    page = ranked.filter(
+        (F.col("pos") >= offset) & (F.col("pos") < offset + limit)
+    )
+    return page.select(
+        "name",
+        "kind",
+        "size",
+        "pos",
+        F.lit(truncated).alias("truncated"),
+        F.lit(offset + limit if truncated else None)
+        .cast("long")
+        .alias("next_offset"),
+    )
+
+
+def duck_list_source_level(
+    keys_sql: str,
+    source_path: str,
+    offset: int = 0,
+    limit: int = 100,
+    recursive: bool = False,
+    files_only: bool = False,
+) -> str:
+    """DuckDB oracle for :func:`list_source_level` over the same keys."""
+    prefix = source_path.rstrip("/") + "/" if source_path else ""
+    plen = len(prefix)
+    if recursive:
+        body = f"""
+        files AS (
+          SELECT substring(key, {plen + 1}) AS name, 'file' AS kind,
+                 CAST(size AS BIGINT) AS size
+          FROM under
+        ),
+        dirs AS (
+          SELECT DISTINCT
+                 array_to_string(split(substring(key, {plen + 1}), '/')[1:i],
+                                 '/') AS name,
+                 'dir' AS kind, CAST(NULL AS BIGINT) AS size
+          FROM under,
+               UNNEST(range(1, len(split(substring(key, {plen + 1}), '/'))))
+                 AS t(i)
+        ),
+        entries AS (SELECT * FROM files UNION ALL SELECT * FROM dirs)
+        """
+    else:
+        body = f"""
+        entries AS (
+          SELECT split_part(substring(key, {plen + 1}), '/', 1) AS name,
+                 CASE WHEN strpos(substring(key, {plen + 1}), '/') = 0
+                      THEN 'file' ELSE 'dir' END AS kind,
+                 MIN(CASE WHEN strpos(substring(key, {plen + 1}), '/') = 0
+                      THEN CAST(size AS BIGINT) END) AS size
+          FROM under
+          GROUP BY 1, 2
+        )
+        """
+    fo = "WHERE kind = 'file'" if files_only else ""
+    return f"""
+    WITH keys AS ({keys_sql}),
+    under AS (SELECT * FROM keys WHERE key LIKE '{prefix}%'),
+    {body},
+    filtered AS (SELECT * FROM entries {fo}),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY name, kind) - 1 AS pos
+      FROM filtered
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM ranked)
+    SELECT name, kind, size, pos,
+           (SELECT n FROM tot) > {offset + limit} AS truncated,
+           CAST(CASE WHEN (SELECT n FROM tot) > {offset + limit}
+                THEN {offset + limit} END AS BIGINT) AS next_offset
+    FROM ranked
+    WHERE pos >= {offset} AND pos < {offset + limit}
+    """
+
+
+# -- autoindex generate + parse ----------------------------------------------
+
+def render_autoindex_pages(keys: DataFrame) -> DataFrame:
+    """One nginx-style autoindex HTML page per directory of a
+    ``(key, size)`` DataFrame — the *generator* half of the roundtrip
+    (shaped after the fixture builder in autoindex.rs tests).
+
+    Each page lists the directory's immediate children (dirs first with
+    trailing slash, then files with a trailing ``date  size`` block) and
+    deliberately includes the noise anchors a real index carries: the
+    parent link, a query-string sort link, and a path-escaping href —
+    all of which the parser must drop."""
+    parts = F.split(F.col("key"), "/")
+    leveled = keys.select(
+        "key",
+        "size",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(key, '/')) - 1),"
+                " i -> concat_ws('/', slice(split(key, '/'), 1, i)))"
+            )
+        ).alias("dir"),
+        parts.alias("parts"),
+    ).withColumn(
+        "depth", F.when(F.col("dir") == "", 0).otherwise(
+            F.size(F.split(F.col("dir"), "/"))
+        )
+    )
+    child = F.col("parts")[F.col("depth")]
+    is_file = F.size(F.col("parts")) == F.col("depth") + 1
+    rows = (
+        leveled.select(
+            "dir",
+            child.alias("child"),
+            is_file.alias("is_file"),
+            F.when(is_file, F.col("size")).alias("size"),
+        )
+        .groupBy("dir", "child", "is_file")
+        .agg(F.min("size").alias("size"))
+        .withColumn(
+            "row",
+            F.when(
+                F.col("is_file"),
+                F.concat(
+                    F.lit('<a href="'),
+                    F.col("child"),
+                    F.lit('">'),
+                    F.col("child"),
+                    F.lit('</a>  01-Jan-2026 00:00  '),
+                    F.col("size").cast("string"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<a href="'),
+                    F.col("child"),
+                    F.lit('/">'),
+                    F.col("child"),
+                    F.lit('/</a>  01-Jan-2026 00:00  -'),
+                )
+            ),
+        )
+    )
+    return rows.groupBy("dir").agg(
+        F.concat(
+            F.lit('<html><head><title>Index of /'),
+            F.col("dir"),
+            F.lit('</title></head><body><h1>Index of /'),
+            F.col("dir"),
+            F.lit('</h1><hr><pre><a href="../">../</a>\n'),
+            F.lit('<a href="?C=N;O=D">sort</a>\n'),
+            F.lit('<a href="../evil.txt">../evil.txt</a>\n'),
+            F.concat_ws("\n", F.sort_array(F.collect_list("row"))),
+            F.lit("\n</pre><hr></body></html>"),
+        ).alias("html")
+    )
+
+
+def parse_autoindex_pages(pages: DataFrame) -> DataFrame:
+    """``(dir, html) → (dir, name, is_dir, size)`` — the parser half
+    (autoindex.rs:243-283 semantics, minus duplicate-anchor merging
+    which the distinct handles): keep anchors that resolve under the
+    page's own directory; skip the parent link, query links, absolute
+    URLs, and escaping hrefs; dir-ness = trailing slash; size = last
+    trailing token, ``-`` → NULL."""
+    anchors = pages.select(
+        "dir",
+        F.explode(
+            F.expr(f"regexp_extract_all(html, '{_ANCHOR_RE}', 0)")
+        ).alias("a"),
+    ).select(
+        "dir",
+        F.regexp_extract("a", _ANCHOR_RE, 1).alias("href"),
+        F.regexp_extract("a", _ANCHOR_RE, 2).alias("text"),
+        F.trim(F.regexp_extract("a", _ANCHOR_RE, 3)).alias("trailing"),
+    )
+    keep = (
+        (F.col("href") != "../")
+        & (F.lower(F.trim(F.col("text"))) != "parent directory")
+        & ~F.col("href").startswith("?")
+        & ~F.col("href").contains("../")
+        & ~F.col("href").rlike("^[a-z]+://")
+        & ~F.col("href").startswith("/")
+    )
+    size_tok = F.element_at(F.split(F.col("trailing"), r"\s+"), -1)
+    return (
+        anchors.filter(keep)
+        .select(
+            "dir",
+            F.regexp_replace(F.col("href"), "/$", "").alias("name"),
+            F.col("href").endswith("/").alias("is_dir"),
+            F.when(size_tok != "-", size_tok).cast("long").alias("size"),
+        )
+        .distinct()
+    )

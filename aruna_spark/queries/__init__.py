@@ -39,6 +39,7 @@ def load_all() -> None:
         relational,
         s3_suite,
         search,
+        staging_suite,
         similarity,
         sparql_suite,
         streaming_suite,
