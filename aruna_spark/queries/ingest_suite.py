@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
-from aruna_spark.ingest.doc_triples import GRAPH_NS, load_triples
+from aruna_spark.ingest.doc_triples import (
+    GRAPH_NS,
+    TRIPLES_ORACLE_SQL,
+    load_triples,
+)
 from aruna_spark.ingest.jsonld import export_rocrate, ingest_jsonld
 from aruna_spark.queries import register
 
@@ -99,3 +103,48 @@ def rocrate_export_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("graph_iri").isin(graphs)
     )
     return export_rocrate(triples).orderBy("graph_iri")
+
+
+_N_IMPORT = 20
+
+
+@register(
+    "archive_import_rewrite",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_ORACLE_SQL})
+    SELECT replace(graph_iri, '{GRAPH_NS}', '{GRAPH_NS}imp') AS graph_iri,
+           replace(subject, 'urn:aruna:doc:', 'urn:aruna:doc:imp') AS subject,
+           predicate, object_kind, object_value, object_datatype, object_lang
+    FROM triples
+    WHERE graph_iri IN (SELECT '{GRAPH_NS}' || doc_id FROM documents
+                        WHERE doc_id < {_N_IMPORT})
+    """,
+)
+def archive_import_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive import (.eln): export the first {_N_IMPORT} document
+    graphs as crates, import each under a NEW document id with its
+    subject IRI in the rewrite-target map — external IRIs (collections,
+    profiles) pass through untouched (jobs/import/rewrite.rs:46-92).
+    The result is the rewritten triples, checked against a direct
+    SQL derivation."""
+    from aruna_spark.ingest.archive import import_crates
+
+    graphs = [f"{GRAPH_NS}{i}" for i in range(_N_IMPORT)]
+    triples = load_triples(spark, sf_dir).filter(
+        F.col("graph_iri").isin(graphs)
+    )
+    crates = export_rocrate(triples)
+    old_id = F.regexp_extract("graph_iri", r"/([0-9]+)$", 1)
+    return import_crates(
+        crates.select(
+            F.concat(F.lit("imp"), old_id).alias("document_id"),
+            "jsonld",
+            F.concat(
+                F.lit('{"urn:aruna:doc:'),
+                old_id,
+                F.lit('":"urn:aruna:doc:imp'),
+                old_id,
+                F.lit('"}'),
+            ).alias("targets_json"),
+        )
+    )

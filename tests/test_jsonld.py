@@ -101,3 +101,56 @@ def test_ingest_is_partition_parallel(spark, sf_dir):
     fn, _ = REGISTRY["ingest_jsonld_typing"]
     df = fn(spark, sf_dir)
     assert df.count() > 0
+
+
+def test_archive_rewrite_targets_only():
+    """Only identifiers in the target map are rewritten; external
+    references pass through (jobs/import/rewrite.rs:46-92)."""
+    import json
+
+    from aruna_spark.ingest.archive import rewrite_document
+
+    crate = json.dumps(
+        [
+            {
+                "@id": "urn:old:1",
+                "@type": ["File"],
+                "name": "a",
+                "partOf": {"@id": "urn:ext:coll"},
+                "refs": [{"@id": "urn:old:2"}, {"@id": "urn:ext:x"}],
+            }
+        ]
+    )
+    out = json.loads(
+        rewrite_document(
+            crate, {"urn:old:1": "urn:new:1", "urn:old:2": "urn:new:2"}
+        )
+    )
+    ent = out[0]
+    assert ent["@id"] == "urn:new:1"
+    assert ent["partOf"] == {"@id": "urn:ext:coll"}
+    assert {r["@id"] for r in ent["refs"]} == {"urn:new:2", "urn:ext:x"}
+
+
+def test_archive_import_export_roundtrip(spark, sf_dir):
+    """Re-exporting an imported graph yields the rewritten crate."""
+    from aruna_spark.ingest.archive import import_crates
+    from aruna_spark.ingest.doc_triples import load_triples
+
+    triples = load_triples(spark, sf_dir).filter(
+        F.col("graph_iri") == f"{GRAPH_NS}1"
+    )
+    crate = export_rocrate(triples)
+    imported = import_crates(
+        crate.select(
+            F.lit("imp1").alias("document_id"),
+            "jsonld",
+            F.lit(
+                '{"urn:aruna:doc:1":"urn:aruna:doc:imp1"}'
+            ).alias("targets_json"),
+        )
+    )
+    re_exported = export_rocrate(imported).collect()[0]
+    assert re_exported.graph_iri == f"{GRAPH_NS}imp1"
+    assert "urn:aruna:doc:imp1" in re_exported.jsonld
+    assert '"urn:aruna:doc:1"' not in re_exported.jsonld
