@@ -231,3 +231,28 @@ def search_substring_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(50)
     )
+
+
+@register(
+    "registry_doc_count",
+    oracle=f"""
+    WITH {_D_REGISTRY}
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN last_event_type <> 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_live
+    FROM reg
+    """,
+)
+def registry_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realm document count (operations/src/metadata/stats.rs:18-35):
+    registry size excluding tombstoned entities — here an entity whose
+    latest event is an error tombstone. One aggregate over the replayed
+    registry; the reference caches it, Spark just recomputes the
+    O(entities) count."""
+    reg = _registry(spark, sf_dir)
+    return reg.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("last_event_type") != "error", 1).otherwise(0)
+        ).cast("long").alias("n_live"),
+    )

@@ -130,3 +130,31 @@ def stream_lww_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_unread_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbox→inbox delivery with unread counts per watch."""
     return unread_counts(_matched(spark, sf_dir))
+
+
+@register(
+    "stream_dashboard_epoch",
+    oracle="""
+    WITH per_window AS (
+      SELECT time_bucket(INTERVAL 2 seconds, ts) AS wstart,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type IN ('signup', 'purchase', 'error')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+      FROM events GROUP BY 1
+    )
+    SELECT epoch_us(wstart) AS window_start_us, n_events, n_relevant,
+           n_relevant > 0 AS bumped,
+           CAST(SUM(CASE WHEN n_relevant > 0 THEN 1 ELSE 0 END)
+                OVER (ORDER BY wstart) AS BIGINT) AS epoch
+    FROM per_window
+    """,
+)
+def stream_dashboard_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard epoch watch (dashboard.rs:6-39): debounce windows where
+    a dashboard-relevant change landed bump a monotonically increasing
+    epoch. The running sum is over *windows* (bounded by the time span,
+    not the event volume), so the single-partition window is safe at
+    scale."""
+    from aruna_spark.streaming.watch import dashboard_epochs
+
+    return dashboard_epochs(load_table(spark, sf_dir, "events"))

@@ -172,3 +172,78 @@ def usage_quota_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(QUOTA_BYTES).cast("long").alias("quota_bytes"),
         (projected <= QUOTA_BYTES).alias("allowed"),
     )
+
+
+_REALM_OF = "'realm-' || (ascii(substr(group_id, -1, 1)) % 3)"
+
+
+@register(
+    "usage_snapshot_realms",
+    oracle=f"""
+    WITH {_D_BASE},
+    realmed AS (
+      SELECT *, {_REALM_OF} AS realm_id FROM grouped
+    ),
+    per_blob AS (
+      SELECT realm_id, blob_hash, MIN(size) AS blob_size
+      FROM realmed GROUP BY realm_id, blob_hash
+    ),
+    blobs AS (
+      SELECT realm_id, COUNT(*) AS stored_blobs,
+             CAST(SUM(blob_size) AS BIGINT) AS stored_bytes
+      FROM per_blob GROUP BY realm_id
+    ),
+    vers AS (
+      SELECT realm_id,
+             COUNT(DISTINCT group_id) AS groups,
+             COUNT(DISTINCT key) AS objects,
+             CAST(SUM(size) AS BIGINT) AS logical_bytes,
+             CAST(SUM(CASE WHEN is_latest THEN size ELSE 0 END) AS BIGINT)
+               AS referenced_bytes
+      FROM realmed GROUP BY realm_id
+    )
+    SELECT v.realm_id, v.groups, v.objects, b.stored_blobs, b.stored_bytes,
+           v.logical_bytes, v.referenced_bytes
+    FROM vers v JOIN blobs b USING (realm_id)
+    """,
+)
+def usage_snapshot_realms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage snapshot publish: the realm roll-up
+    (usage_stats.rs:1044-1792). Blob dedup happens ACROSS the realm's
+    groups — content shared between two groups of one realm is stored
+    once — so the realm row is not the sum of its group rows. The 2 s
+    debounce of the publisher is the same trigger as the watch plane;
+    this is the aggregation it publishes."""
+    g = _with_group(load_object_versions(spark, sf_dir)).withColumn(
+        "realm_id",
+        F.concat(
+            F.lit("realm-"),
+            (F.ascii(F.substring(F.col("group_id"), -1, 1)) % 3).cast(
+                "string"
+            ),
+        ),
+    )
+    per_blob = g.groupBy("realm_id", "blob_hash").agg(
+        F.min("size").alias("blob_size")
+    )
+    blobs = per_blob.groupBy("realm_id").agg(
+        F.count(F.lit(1)).alias("stored_blobs"),
+        F.sum("blob_size").cast("long").alias("stored_bytes"),
+    )
+    vers = g.groupBy("realm_id").agg(
+        F.countDistinct("group_id").alias("groups"),
+        F.countDistinct("key").alias("objects"),
+        F.sum("size").cast("long").alias("logical_bytes"),
+        F.sum(F.when(F.col("is_latest"), F.col("size")).otherwise(0))
+        .cast("long")
+        .alias("referenced_bytes"),
+    )
+    return vers.join(blobs, "realm_id").select(
+        "realm_id",
+        "groups",
+        "objects",
+        "stored_blobs",
+        "stored_bytes",
+        "logical_bytes",
+        "referenced_bytes",
+    )

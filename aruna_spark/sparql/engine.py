@@ -32,6 +32,7 @@ __all__ = [
     "SparqlEngine",
     "SparqlSyntaxError",
     "UnsupportedQueryError",
+    "QueryCache",
     "ResultTooLargeError",
     "QueryDeadlineError",
     "MAX_RESULT_ROWS",
@@ -42,6 +43,82 @@ __all__ = [
 MAX_RESULT_ROWS = 10_000  # handle.rs:95 (result row cap)
 MAX_RESULT_BYTES = 8 * 1024 * 1024  # handle.rs:96 (serialized cap)
 QUERY_DEADLINE_SECS = 10.0  # handle.rs:97 (evaluation deadline)
+
+
+CACHE_MAX_ENTRIES = 512  # per-node LRU (SURVEY §2.11: 512 / 32 MiB / 30 s)
+CACHE_MAX_BYTES = 32 * 1024 * 1024
+CACHE_TTL_SECS = 30.0
+
+
+class QueryCache:
+    """Per-node LRU result cache: 512 entries / 32 MiB / 30 s TTL.
+
+    Keyed by a fingerprint of the normalized query text; stores the
+    COLLECTED rows (the reference caches serialized result pages, not
+    plans). Eviction order: expired first, then LRU until both the
+    entry and byte budgets hold. ``now_fn`` is injectable so tests can
+    drive the TTL clock."""
+
+    def __init__(
+        self,
+        max_entries: int = CACHE_MAX_ENTRIES,
+        max_bytes: int = CACHE_MAX_BYTES,
+        ttl_secs: float = CACHE_TTL_SECS,
+        now_fn=None,
+    ):
+        import time
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self.max_bytes = max_bytes
+        self.ttl_secs = ttl_secs
+        self._now = now_fn or time.monotonic
+        self._entries: "OrderedDict[str, tuple[float, int, list]]" = (
+            OrderedDict()
+        )
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def fingerprint(text: str) -> str:
+        import hashlib
+
+        normalized = " ".join(text.split())
+        return hashlib.sha256(normalized.encode()).hexdigest()
+
+    def _drop(self, fp: str) -> None:
+        _, nbytes, _ = self._entries.pop(fp)
+        self._bytes -= nbytes
+
+    def get(self, text: str) -> list | None:
+        fp = self.fingerprint(text)
+        entry = self._entries.get(fp)
+        if entry is None:
+            self.misses += 1
+            return None
+        expires, _, rows = entry
+        if self._now() >= expires:
+            self._drop(fp)
+            self.misses += 1
+            return None
+        self._entries.move_to_end(fp)
+        self.hits += 1
+        return rows
+
+    def put(self, text: str, rows: list, nbytes: int) -> None:
+        if nbytes > self.max_bytes:
+            return  # larger than the whole budget: never cached
+        fp = self.fingerprint(text)
+        if fp in self._entries:
+            self._drop(fp)
+        self._entries[fp] = (self._now() + self.ttl_secs, nbytes, rows)
+        self._bytes += nbytes
+        while (
+            len(self._entries) > self.max_entries
+            or self._bytes > self.max_bytes
+        ):
+            self._drop(next(iter(self._entries)))
 
 
 class ResultTooLargeError(RuntimeError):
@@ -94,13 +171,20 @@ class SparqlEngine:
         text: str,
         deadline_secs: float = QUERY_DEADLINE_SECS,
         max_bytes: int = MAX_RESULT_BYTES,
+        cache: "QueryCache | None" = None,
     ) -> list:
         """Run a query with the reference's full governance envelope:
-        10k-row cap (in the plan), 8 MiB serialized cap, and a deadline
+        10k-row cap (in the plan), 8 MiB serialized cap, a deadline
         that CANCELS the running Spark job group (the reference's
-        cooperative cancellation, handle.rs:4740-4770)."""
+        cooperative cancellation, handle.rs:4740-4770), and an optional
+        result cache consulted before any Spark job starts."""
         import threading
         import uuid
+
+        if cache is not None:
+            cached = cache.get(text)
+            if cached is not None:
+                return cached
 
         df = self.query_flat(text)
         sc = self.spark.sparkContext
@@ -132,6 +216,8 @@ class SparqlEngine:
             raise ResultTooLargeError(
                 f"serialized result {size} B exceeds {max_bytes} B"
             )
+        if cache is not None:
+            cache.put(text, rows, size)
         return rows
 
     def query_flat(self, text: str, enforce_limits: bool = True) -> DataFrame:

@@ -103,6 +103,37 @@ def lww_registry(events: DataFrame) -> DataFrame:
     )
 
 
+# event kinds whose sync targets are dashboard-relevant — the analog of
+# targets_change_dashboard (operations/src/dashboard.rs:23-39): identity /
+# registry / usage changes bump the epoch; pure content traffic does not.
+DASHBOARD_KINDS = ("signup", "purchase", "error")
+
+
+def dashboard_epochs(events: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
+    """Dashboard epoch counter (dashboard.rs:6-39): one tumbling debounce
+    window per burst; a window containing ≥1 dashboard-relevant event
+    bumps the epoch, and subscribers see the running epoch value. Batch
+    form = cumulative sum over window starts; the stream publishes the
+    same bump per trigger."""
+    per_window = events.groupBy(F.window("ts", debounce).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type").isin(*DASHBOARD_KINDS), 1).otherwise(0)
+        ).alias("n_relevant"),
+    )
+    bump = (F.col("n_relevant") > 0).cast("int")
+    cum = Window.orderBy(F.col("w.start")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_window.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "n_events",
+        "n_relevant",
+        bump.cast("boolean").alias("bumped"),
+        F.sum(bump).over(cum).alias("epoch"),
+    )
+
+
 def unread_counts(matched: DataFrame) -> DataFrame:
     """Inbox unread counts per watch: delivery marks every 4th event id
     read (deterministic stand-in for read receipts)."""

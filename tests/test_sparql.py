@@ -168,13 +168,15 @@ def test_execute_result_byte_cap(engine):
 def test_execute_deadline_cancels(engine):
     from aruna_spark.sparql.engine import QueryDeadlineError
 
+    # unbounded-variable cross joins: |triples|^4 intermediate rows with a
+    # final aggregate, so it cannot finish before any realistic deadline
     heavy = """
-        SELECT ?a ?b ?c WHERE {
-          ?a ?p1 ?x . ?b ?p2 ?y . ?c ?p3 ?z .
-        } LIMIT 10000
+        SELECT (COUNT(?a) AS ?n) WHERE {
+          ?a ?p1 ?x . ?b ?p2 ?y . ?c ?p3 ?z . ?d ?p4 ?w .
+        }
     """
     with pytest.raises(QueryDeadlineError):
-        engine.execute(heavy, deadline_secs=0.05)
+        engine.execute(heavy, deadline_secs=0.2)
 
 
 def test_limit_offset_pagination(engine):
@@ -184,3 +186,38 @@ def test_limit_offset_pagination(engine):
     second = [r.s for r in engine.query_flat(q_off).collect()]
     assert len(first) == 5 and len(second) == 5
     assert not set(first) & set(second)
+
+
+def test_query_cache_hit_ttl_eviction(engine):
+    from aruna_spark.sparql.engine import QueryCache
+
+    clock = [0.0]
+    cache = QueryCache(max_entries=2, ttl_secs=30.0, now_fn=lambda: clock[0])
+    q = "SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 3"
+    first = engine.execute(q, cache=cache)
+    assert cache.misses == 1 and cache.hits == 0
+    second = engine.execute(q, cache=cache)
+    assert cache.hits == 1 and second is first  # served from cache
+    # whitespace-insensitive fingerprint
+    engine.execute("SELECT ?s WHERE { ?s a schema:File }\n ORDER BY ?s LIMIT 3",
+                   cache=cache)
+    assert cache.hits == 2
+    # TTL expiry forces recompute
+    clock[0] = 31.0
+    third = engine.execute(q, cache=cache)
+    assert third is not first and cache.misses == 2
+    # LRU eviction at capacity 2
+    engine.execute("SELECT ?s WHERE { ?s a schema:Dataset } LIMIT 2", cache=cache)
+    engine.execute("SELECT ?s WHERE { ?s a schema:Collection } LIMIT 2", cache=cache)
+    assert cache.get(q) is None  # oldest evicted
+
+
+def test_query_cache_byte_budget():
+    from aruna_spark.sparql.engine import QueryCache
+
+    cache = QueryCache(max_entries=10, max_bytes=100, now_fn=lambda: 0.0)
+    cache.put("q1", ["a"], 60)
+    cache.put("q2", ["b"], 60)  # over budget -> q1 evicted
+    assert cache.get("q1") is None and cache.get("q2") == ["b"]
+    cache.put("huge", ["x"], 1000)  # larger than the whole budget
+    assert cache.get("huge") is None
