@@ -300,3 +300,44 @@ _reg(
     ORDER BY s.subject
     """,
 )
+
+
+# -- distributed ASK: OR across per-node booleans (api.rs:2916-2921) ---------
+@register(
+    "sparql_distributed_ask",
+    oracle="""
+    SELECT CAST(doc_id % 3 AS BIGINT) AS node,
+           COUNT(CASE WHEN doc_id % 5 <> 0 AND n_chars > 990 THEN 1 END) > 0
+             AS node_ask
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def sparql_distributed_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ASK (api.rs:2916-2921): the graph set is sharded over
+    3 nodes (doc_id mod 3), each node evaluates the ASK over only its
+    shard, and the cluster answer is the OR of the per-node booleans.
+    Returned as the per-node boolean vector (the merge's input) so the
+    oracle checks the sharded evaluation itself, not just the final OR."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.sparql.engine import SparqlEngine
+
+    triples = load_triples(spark, sf_dir)
+    ask = "ASK { ?s a schema:File ; schema:contentSize ?c FILTER(?c > 990) }"
+    doc_num = F.regexp_extract("subject", r"urn:aruna:doc:([0-9]+)$", 1)
+    parts = []
+    for node in range(3):
+        shard = triples.filter(
+            (doc_num != "") & (doc_num.cast("long") % 3 == node)
+        )
+        node_ask = SparqlEngine(spark, shard).query(ask)
+        parts.append(
+            node_ask.select(
+                F.lit(node).cast("long").alias("node"),
+                F.col("ask").alias("node_ask"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("node")

@@ -52,6 +52,15 @@ HEADLINE = [
     "usage_counters_by_group",
     "perm_visible_summary",
     "backlinks_grouped",
+    # object / staging planes
+    "s3_put_upsert",
+    "s3_get_object",
+    "staging_list_recursive",
+    "autoindex_parse_entries",
+    # ingest + streaming + snapshots
+    "archive_import_rewrite",
+    "stream_dashboard_epoch",
+    "usage_snapshot_realms",
 ]
 
 
