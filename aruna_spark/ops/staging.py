@@ -91,10 +91,20 @@ def list_source_level(
         )
     if files_only:
         entries = entries.filter(F.col("kind") == "file")
+    # pos and the total ride the SAME window stage: no separate count job,
+    # no driver round-trip — the page envelope is part of the plan
     w = Window.orderBy("name", "kind")
-    ranked = entries.withColumn("pos", F.row_number().over(w) - 1)
-    total = ranked.count()
-    truncated = total > offset + limit
+    ranked = entries.withColumn(
+        "pos", F.row_number().over(w) - 1
+    ).withColumn(
+        "__total",
+        F.count(F.lit(1)).over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    truncated = F.col("__total") > offset + limit
     page = ranked.filter(
         (F.col("pos") >= offset) & (F.col("pos") < offset + limit)
     )
@@ -103,8 +113,8 @@ def list_source_level(
         "kind",
         "size",
         "pos",
-        F.lit(truncated).alias("truncated"),
-        F.lit(offset + limit if truncated else None)
+        truncated.alias("truncated"),
+        F.when(truncated, F.lit(offset + limit))
         .cast("long")
         .alias("next_offset"),
     )
