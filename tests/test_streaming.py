@@ -161,3 +161,38 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     assert "2024-01-01T11:00:00" not in starts
     # the legitimate early windows were emitted once the watermark passed
     assert "2024-01-01T12:00:00" in starts
+
+
+def test_stream_dashboard_bumps_equal_batch(spark, sf_dir, events_stream_dir):
+    """Per-window dashboard bump decisions computed on a real stream match
+    the batch dashboard_epochs derivation (the cumulative epoch itself is
+    the publisher's foreachBatch running counter)."""
+    from aruna_spark.streaming.watch import DASHBOARD_KINDS, dashboard_epochs
+
+    stream = _read_stream(spark, events_stream_dir)
+    per_window = (
+        stream.withWatermark("ts", "300 seconds")
+        .groupBy(F.window("ts", "2 seconds").alias("w"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type").isin(*DASHBOARD_KINDS), 1)
+                .otherwise(0)
+            ).alias("n_relevant")
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            (F.col("n_relevant") > 0).alias("bumped"),
+        )
+    )
+    _run_to_memory(per_window, "dash_stream")
+    got = {
+        (r.window_start_us, r.bumped)
+        for r in spark.sql("SELECT * FROM dash_stream").collect()
+    }
+    want = {
+        (r.window_start_us, r.bumped)
+        for r in dashboard_epochs(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == want
