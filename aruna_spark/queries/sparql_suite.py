@@ -217,6 +217,27 @@ _reg(
     """,
 )
 
+# -- closure over a COMPOSITE path: (isPartOf/isPartOf)+ ---------------------
+_reg(
+    "sparql_path_seq_closure",
+    "SELECT ?s ?o WHERE { ?s (schema:isPartOf/schema:isPartOf)+ ?o }",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT {DOC} AS src, {COLL} || (doc_id % 7) AS dst FROM documents
+      UNION
+      SELECT {COLL} || k, {COLL} || CAST((k - 1) // 2 AS VARCHAR)
+      FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
+    ), e2 AS (
+      SELECT a.src, b.dst FROM base a JOIN base b ON a.dst = b.src
+    ), cl AS (
+      SELECT src, dst FROM e2
+      UNION
+      SELECT cl.src, e.dst FROM cl JOIN e2 e ON cl.dst = e.src
+    )
+    SELECT src AS s, dst AS o FROM cl
+    """,
+)
+
 # -- ASK (distributed ASK analog, api.rs:2916-2921) --------------------------
 _reg(
     "sparql_ask",

@@ -543,26 +543,49 @@ class Compiler:
             return self._closure_pattern(tp, p, graph)
         raise SparqlCompileError(f"unsupported path {type(p).__name__}")
 
+    def _path_edges(self, inner, graph) -> DataFrame:
+        """(src, dst) edge set of one hop of an arbitrary path expression
+        — the substrate the closure iterates over. A bare IRI reads the
+        triples directly; composite paths (sequence / alternative /
+        inverse / negated set) compile through :meth:`_path_pattern`
+        between two fresh variables, so ``(p1/p2)+`` and ``(p1|p2)*``
+        work with the same BFS."""
+        if isinstance(inner, A.PathIri):
+            df = self.triples
+            if isinstance(graph, A.Iri):
+                df = df.filter(F.col("graph_iri") == graph.value)
+            return (
+                df.filter(
+                    (F.col("predicate") == inner.iri)
+                    & (F.col("object_kind") != "literal")
+                )
+                .select(
+                    F.col("subject").alias("src"),
+                    F.col("object_value").alias("dst"),
+                )
+                .distinct()
+            )
+        s, o = A.Var("__edge_s"), A.Var("__edge_o")
+        rel = self._path_pattern(A.TriplePattern(s, inner, o), graph)
+        return (
+            rel.df.filter(F.col("__edge_o")["kind"] != "literal")
+            .select(
+                F.col("__edge_s")["value"].alias("src"),
+                F.col("__edge_o")["value"].alias("dst"),
+            )
+            .distinct()
+        )
+
     def _closure_pattern(self, tp: A.TriplePattern, p, graph) -> Rel:
-        """Transitive closure of a single-IRI path via iterative delta joins.
+        """Transitive closure of a path via iterative delta joins.
 
         ``?s p+ ?o`` materializes the closure of the (s, o) edge set of
-        predicate p. Each iteration extends the frontier by one hop and
+        path p. Each iteration extends the frontier by one hop and
         ``localCheckpoint``s to truncate lineage; the loop stops when the
         frontier is empty or at MAX_PATH_ITERATIONS (the reference's
         evaluator is equally bounded in practice by its 10 s deadline).
         """
-        inner = p.inner
-        if not isinstance(inner, A.PathIri):
-            raise SparqlCompileError("closure over complex paths not supported")
-        df = self.triples
-        if isinstance(graph, A.Iri):
-            df = df.filter(F.col("graph_iri") == graph.value)
-        edges = (
-            df.filter((F.col("predicate") == inner.iri) & (F.col("object_kind") != "literal"))
-            .select(F.col("subject").alias("src"), F.col("object_value").alias("dst"))
-            .distinct()
-        )
+        edges = self._path_edges(p.inner, graph)
 
         closure = edges.localCheckpoint(eager=True)
         frontier = closure
