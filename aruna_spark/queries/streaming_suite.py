@@ -158,3 +158,49 @@ def stream_dashboard_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aruna_spark.streaming.watch import dashboard_epochs
 
     return dashboard_epochs(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_debounce_sessions",
+    oracle=f"""
+    WITH {_D_MATCHED},
+    marked AS (
+      SELECT watch_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY watch_id
+                                                 ORDER BY ts, event_id)
+                       >= 2000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY watch_id
+                                             ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM matched
+    ),
+    grouped AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY watch_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked
+    )
+    SELECT watch_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 2000000 AS session_end_us,
+           COUNT(*) AS n_coalesced,
+           MAX(event_id) AS last_event_id
+    FROM grouped GROUP BY watch_id, grp
+    """,
+)
+def stream_debounce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window debounce: bursts with <2 s gaps coalesce into one
+    publish per watch, closing 2 s after the last write — the faithful
+    timer semantics of interest.rs:32-37 (vs the tumbling approximation
+    in stream_debounce_windows). Oracle = gaps-and-islands SQL."""
+    from aruna_spark.streaming.watch import debounce_sessions
+
+    s = debounce_sessions(_matched(spark, sf_dir))
+    return s.select(
+        "watch_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_coalesced",
+        "last_event_id",
+    )

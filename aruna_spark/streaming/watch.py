@@ -103,6 +103,23 @@ def lww_registry(events: DataFrame) -> DataFrame:
     )
 
 
+def debounce_sessions(matched: DataFrame, gap: str = DEBOUNCE) -> DataFrame:
+    """Burst coalescing with SESSION windows — the faithful shape of the
+    reference's debounce (interest.rs:32-37: the timer fires ``gap``
+    after the first dirty write of a burst, and writes landing within
+    the gap coalesce into the same publish). ``session_window`` merges
+    events whose gaps are < ``gap`` per watch; the publish fires at
+    session close (end = last event + gap). Works identically on a
+    watermarked stream — Spark's native stateful session operator — so
+    no custom state management is needed."""
+    return matched.groupBy(
+        "watch_id", F.session_window("ts", gap).alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_coalesced"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
 # event kinds whose sync targets are dashboard-relevant — the analog of
 # targets_change_dashboard (operations/src/dashboard.rs:23-39): identity /
 # registry / usage changes bump the epoch; pure content traffic does not.

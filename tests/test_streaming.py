@@ -196,3 +196,42 @@ def test_stream_dashboard_bumps_equal_batch(spark, sf_dir, events_stream_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_session_debounce_equals_batch(spark, sf_dir, events_stream_dir):
+    """Session-window debounce on a real watermarked stream equals the
+    batch derivation — Spark's native stateful session operator."""
+    from aruna_spark.streaming.watch import (
+        debounce_sessions,
+        match_watches,
+        watches_df,
+    )
+
+    watches = watches_df(spark)
+    stream = _read_stream(spark, events_stream_dir).withWatermark(
+        "ts", "300 seconds"
+    )
+    out = debounce_sessions(match_watches(stream, watches)).select(
+        "watch_id",
+        F.unix_micros(F.col("w.start")).alias("s"),
+        F.unix_micros(F.col("w.end")).alias("e"),
+        "n_coalesced",
+        "last_event_id",
+    )
+    _run_to_memory(out, "sess_stream", mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess_stream").collect()}
+    want = {
+        tuple(r)
+        for r in debounce_sessions(
+            match_watches(load_table(spark, sf_dir, "events"), watches)
+        )
+        .select(
+            "watch_id",
+            F.unix_micros(F.col("w.start")).alias("s"),
+            F.unix_micros(F.col("w.end")).alias("e"),
+            "n_coalesced",
+            "last_event_id",
+        )
+        .collect()
+    }
+    assert got == want
