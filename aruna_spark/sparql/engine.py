@@ -161,8 +161,18 @@ class SparqlEngine:
         compiler = Compiler(self.spark, self.triples, self._fts_resolver)
         if isinstance(q, A.AskQuery):
             return compiler.compile_ask(q)
+        if (
+            enforce_limits
+            and q.limit is not None
+            and q.limit > MAX_RESULT_ROWS
+        ):
+            # api.rs:1986-1994: an explicit LIMIT above the cap is an
+            # error, not a silent truncation
+            raise UnsupportedQueryError(
+                f"LIMIT {q.limit} exceeds the {MAX_RESULT_ROWS}-row cap"
+            )
         df = compiler.compile_select(q)
-        if enforce_limits and (q.limit is None or q.limit > MAX_RESULT_ROWS):
+        if enforce_limits and q.limit is None:
             df = df.limit(MAX_RESULT_ROWS)
         return df
 

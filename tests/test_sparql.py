@@ -221,3 +221,12 @@ def test_query_cache_byte_budget():
     assert cache.get("q1") is None and cache.get("q2") == ["b"]
     cache.put("huge", ["x"], 1000)  # larger than the whole budget
     assert cache.get("huge") is None
+
+
+def test_limit_above_cap_rejected(engine):
+    from aruna_spark.sparql.engine import UnsupportedQueryError
+
+    with pytest.raises(UnsupportedQueryError):
+        engine.query("SELECT ?s WHERE { ?s ?p ?o } LIMIT 10001")
+    # at the cap is fine
+    engine.query("SELECT ?s WHERE { ?s ?p ?o } LIMIT 10000")
