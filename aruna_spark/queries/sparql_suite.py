@@ -238,6 +238,27 @@ _reg(
     """,
 )
 
+# -- nested slice: subselect with LIMIT joined to an outer pattern -----------
+# (the golden form at api/src/routes/metadata.rs:3495, made deterministic
+# with ORDER BY)
+_reg(
+    "sparql_nested_slice",
+    """
+    SELECT ?s ?name WHERE {
+      { SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 5 }
+      ?s schema:name ?name
+    }
+    """,
+    f"""
+    SELECT s, 'doc-' || CAST(replace(s, 'urn:aruna:doc:', '') AS VARCHAR)
+             AS name
+    FROM (
+      SELECT {DOC} AS s FROM documents WHERE doc_id % 5 <> 0
+      ORDER BY s LIMIT 5
+    )
+    """,
+)
+
 # -- ASK (distributed ASK analog, api.rs:2916-2921) --------------------------
 _reg(
     "sparql_ask",
