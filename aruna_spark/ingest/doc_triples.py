@@ -213,3 +213,28 @@ TRIPLES_ORACLE_SQL = """
            'urn:aruna:collection:' || CAST((k - 1) // 2 AS VARCHAR), NULL, NULL
     FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
 """
+
+
+def materialize_triples(triples: DataFrame, path: str) -> None:
+    """Write the triples relation as a predicate-partitioned parquet
+    table sorted by (graph_iri, subject) within files.
+
+    This is the 100 TB layout: predicates are low-cardinality (a schema
+    vocabulary), so ``partitionBy("predicate")`` turns every constant-
+    predicate triple pattern — the overwhelmingly common case — into a
+    *partition-pruned* scan that never touches other predicates' files,
+    and the in-file (graph, subject) sort gives parquet min/max skipping
+    for graph-scoped queries. The SPARQL compiler's pattern filters
+    (``predicate == <iri>``) become PartitionFilters automatically."""
+    (
+        triples.repartition("predicate")
+        .sortWithinPartitions("graph_iri", "subject")
+        .write.mode("overwrite")
+        .partitionBy("predicate")
+        .parquet(path)
+    )
+
+
+def load_materialized_triples(spark: SparkSession, path: str) -> DataFrame:
+    """Read a materialized triples table back in canonical column order."""
+    return spark.read.parquet(path).select(*TRIPLE_COLS)
