@@ -97,14 +97,27 @@ def _contrib_expr() -> Column:
     return F.expr(CONTRIB_SQL)
 
 
-def bm25_scores(postings: DataFrame, query_tokens: list[str]) -> DataFrame:
-    """(graph_iri, subject, score_q): integer-quantized BM25 per doc."""
+def bm25_scores(
+    postings: DataFrame,
+    query_tokens: list[str],
+    dl: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """(graph_iri, subject, score_q): integer-quantized BM25 per doc.
+
+    ``dl`` (per-doc lengths) and ``stats`` (corpus n/avgdl) default to
+    being derived from ``postings`` — pass precomputed tables when
+    querying a shard-pruned materialized index, where the scan no longer
+    sees the whole corpus (per-token df IS correct from a pruned scan,
+    because a token's shard holds all of its postings)."""
     spark = postings.sparkSession
-    dl = build_doc_lengths(postings)
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
+    if dl is None:
+        dl = build_doc_lengths(postings)
+    if stats is None:
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
     df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame(
         [(t,) for t in dict.fromkeys(query_tokens)], "token string"
@@ -170,3 +183,43 @@ def merge_search_hits(hits: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def materialize_postings(postings: DataFrame, path: str) -> None:
+    """Persist the postings index token-partition-pruned for query time.
+
+    100 TB layout: hash the token into a bounded number of shards
+    (``pmod(xxhash64(token), 256)``) and partition the files by shard —
+    a query for k tokens prunes to ≤k shards (PartitionFilters), and the
+    in-file token sort gives parquet min/max skipping within a shard.
+    Tokens themselves are too high-cardinality to be a partition key;
+    the shard keeps directory counts bounded while preserving pruning.
+    """
+    (
+        postings.withColumn(
+            "shard", F.pmod(F.xxhash64("token"), F.lit(256)).cast("int")
+        )
+        .repartition("shard")
+        .sortWithinPartitions("token", "subject")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def load_materialized_postings(spark, path: str) -> DataFrame:
+    """Read a materialized postings index; queries should filter with
+    :func:`shard_filter` so scans prune to the query tokens' shards."""
+    return spark.read.parquet(path)
+
+
+def shard_filter(tokens: list[str]) -> Column:
+    """Partition-pruning predicate for a token set (apply BEFORE the
+    token equality filter so the scan prunes directories). Built as an
+    OR of equalities against ``xxhash64(lit)`` expressions — foldable,
+    so Catalyst reduces them to literals and prunes partitions."""
+    pred = F.lit(False)
+    for t in tokens:
+        shard = F.pmod(F.xxhash64(F.lit(t)), F.lit(256)).cast("int")
+        pred = pred | (F.col("shard") == shard)
+    return pred if tokens else F.lit(True)

@@ -88,3 +88,53 @@ def test_page1_page2_disjoint_and_contiguous(spark, sf_dir):
     p1 = [(r.graph_iri, r.subject) for r in topk(spark, sf_dir).collect()]
     p2 = [(r.graph_iri, r.subject) for r in page2(spark, sf_dir).collect()]
     assert not set(p1) & set(p2)
+
+
+def test_materialized_postings_prune_and_match(spark, sf_dir, tmp_path):
+    """BM25 over the materialized shard-partitioned index equals the
+    derived postings, and a token query's scan prunes to its shards."""
+    from aruna_spark.ingest.doc_triples import load_triples
+    from aruna_spark.search.bm25 import (
+        bm25_scores,
+        build_field_literals,
+        build_postings,
+        load_materialized_postings,
+        materialize_postings,
+        shard_filter,
+    )
+
+    postings = build_postings(
+        build_field_literals(load_triples(spark, sf_dir))
+    )
+    path = str(tmp_path / "postings")
+    materialize_postings(postings, path)
+    stored = load_materialized_postings(spark, path)
+    toks = ["doc-1", "collection-2"]
+    pruned = stored.filter(shard_filter(toks)).drop("shard")
+    a = {
+        tuple(r)
+        for r in bm25_scores(postings, toks)
+        .select("subject", "score_q")
+        .collect()
+    }
+    from aruna_spark.search.bm25 import build_doc_lengths
+
+    dl = build_doc_lengths(postings)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    b = {
+        tuple(r)
+        for r in bm25_scores(pruned, toks, dl=dl, stats=stats)
+        .select("subject", "score_q")
+        .collect()
+    }
+    plan = (
+        stored.filter(shard_filter(toks))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert a == b
