@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
+from aruna_spark.ops.merge import merge_into
 from aruna_spark.queries import register
 
 LISTING_LIMIT = 50  # api.rs:69 default
@@ -60,6 +61,10 @@ def _registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
     )
+    return _registry_of(ev)
+
+
+def _registry_of(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts_us"), F.desc("event_id")
     )
@@ -90,6 +95,57 @@ def _registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def registry_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the event log into registry rows: LWW per entity + counts."""
     return _registry(spark, sf_dir)
+
+
+# ---------------------------------------------------- incremental MERGE
+@register(
+    "registry_incremental_merge",
+    oracle=f"WITH {_D_REGISTRY} SELECT * FROM reg",
+)
+def registry_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental projection as MERGE INTO: an existing registry snapshot
+    (events with ``event_id % 10 < 7`` already applied) reconciled with a
+    new event batch (the remaining 30%) via :func:`merge_into` — the
+    lakehouse form of the projector's read-modify-write fold
+    (``operations/src/metadata/projector.rs:176-292``).
+
+    WHEN MATCHED: last-writer-wins on ``(updated_at_us, last_event_id)``
+    (the projector's LWW rule), counters summed, watermark maxed.
+    WHEN NOT MATCHED: new entity inserted. Target-only rows pass through.
+    The oracle is the FULL replay — the merge of any prefix/suffix split
+    must equal replaying the whole log, which is exactly the projector's
+    idempotence/associativity contract.
+
+    Scale: one shuffle on user_id for each partial + one for the merge
+    join; the batch side is small in steady state, so AQE broadcasts it.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+    snapshot = _registry_of(ev.filter(F.col("event_id") % 10 < 7))
+    batch = _registry_of(ev.filter(F.col("event_id") % 10 >= 7))
+
+    src_newer = (F.col("src.updated_at_us") > F.col("tgt.updated_at_us")) | (
+        (F.col("src.updated_at_us") == F.col("tgt.updated_at_us"))
+        & (F.col("src.last_event_id") > F.col("tgt.last_event_id"))
+    )
+    pick = lambda c: F.when(src_newer, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}"))  # noqa: E731
+    return merge_into(
+        snapshot,
+        batch,
+        ["user_id"],
+        when_matched={
+            "last_event_id": pick("last_event_id"),
+            "last_event_type": pick("last_event_type"),
+            "updated_at_us": F.greatest(
+                F.col("tgt.updated_at_us"), F.col("src.updated_at_us")
+            ),
+            "n_events": F.col("tgt.n_events") + F.col("src.n_events"),
+        },
+    )
 
 
 # ----------------------------------------------------------- listing orders
