@@ -238,3 +238,35 @@ def materialize_triples(triples: DataFrame, path: str) -> None:
 def load_materialized_triples(spark: SparkSession, path: str) -> DataFrame:
     """Read a materialized triples table back in canonical column order."""
     return spark.read.parquet(path).select(*TRIPLE_COLS)
+
+
+def materialize_triples_bucketed(
+    triples: DataFrame, table: str, path: str, buckets: int = 16
+) -> None:
+    """Write triples as a predicate-partitioned, **subject-bucketed**
+    table — the co-located-join layout for the 100 TB store.
+
+    Every subject-keyed join in the engine — per-subject describe for
+    search enrichment (``handle.rs:5245-5307``), backlink expansion
+    (``iri_index.rs:48-71``), graph snapshot assembly — joins triples to
+    triples (or hits to triples) on the subject IRI. ``bucketBy(subject)``
+    makes two scans of this table co-partitioned: Catalyst sees matching
+    ``HashPartitioning(subject, N)`` on both sides and plans the join with
+    ZERO Exchange — at 1000 executors that removes the all-to-all shuffle
+    of the whole triples relation, the dominant cost of enrichment joins.
+    ``partitionBy(predicate)`` is kept, so constant-predicate patterns
+    still prune to one directory before the bucketed join.
+
+    Bucket count is a layout decision: at 100 TB pick buckets so one
+    bucket × one predicate ≈ a few hundred MB (e.g. 4,096); 16 keeps the
+    local test layout small. Requires ``saveAsTable`` (bucket metadata
+    lives in the session catalog), hence the explicit external ``path``.
+    """
+    (
+        triples.write.mode("overwrite")
+        .option("path", path)
+        .partitionBy("predicate")
+        .bucketBy(buckets, "subject")
+        .sortBy("subject")
+        .saveAsTable(table)
+    )
