@@ -64,6 +64,9 @@ def import_crates(crates: DataFrame) -> DataFrame:
     ``document_id`` (the importing document), so a re-export of the
     imported graph equals the rewritten crate — the import/export
     roundtrip invariant."""
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(crates.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in TRIPLES_SCHEMA.fields]

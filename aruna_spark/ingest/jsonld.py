@@ -159,6 +159,9 @@ def project_document(document_id, jsonld: str) -> list[tuple]:
 
 def ingest_jsonld(docs: DataFrame) -> DataFrame:
     """(document_id, jsonld) → triples via Arrow-batched mapInPandas."""
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in TRIPLES_SCHEMA.fields]
@@ -198,6 +201,9 @@ def export_rocrate(triples: DataFrame) -> DataFrame:
     (list of entities, properties as @value/@id objects, deterministic
     key order) — handle.rs:1853-1905. Roundtrips through
     :func:`ingest_jsonld` back to the identical triples."""
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(triples.sparkSession)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         graph = pdf["graph_iri"].iloc[0]

@@ -160,6 +160,20 @@ def stream_dashboard_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dashboard_epochs(load_table(spark, sf_dir, "events"))
 
 
+@register("stream_debounce_timer", oracle=None)
+def stream_debounce_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-after-first-write debounce (interest.rs:32-37) — the custom
+    stateful operator (:mod:`aruna_spark.streaming.stateful`). The greedy
+    first-write-aligned fold is order-sequential per key (no single-pass
+    SQL oracle); batch==stream==pure-Python parity is pinned in
+    ``tests/test_stateful_debounce.py``."""
+    from aruna_spark.streaming.stateful import debounce_timer_batch
+
+    return debounce_timer_batch(_matched(spark, sf_dir)).orderBy(
+        "watch_id", "burst_start_us"
+    )
+
+
 @register(
     "stream_debounce_sessions",
     oracle=f"""
