@@ -73,6 +73,20 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-string form of :func:`_dot` (same expression, same fold order).
+
+    Building the 24 hyperplane dot products through Column lambdas costs
+    hundreds of py4j round-trips (~4 s of driver time per query build);
+    one ``expr()`` parse of the equivalent SQL is ~free and compiles to
+    the identical Catalyst tree."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def _score_q(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
     return F.floor(dot / F.sqrt(norm2_a * norm2_b) * 1e6).cast("long")
 
@@ -82,13 +96,16 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.select("vec_id", "embedding", _dot(v, v).alias("norm2"))
 
 
-def _bucket(v: Column, table: int = 0) -> Column:
-    """6-bit sign bucket of one LSH table's hyperplanes."""
-    acc = F.lit(0)
+def _bucket(v: str, table: int = 0) -> Column:
+    """6-bit sign bucket of one LSH table's hyperplanes (``v`` is a
+    column name / SQL expression)."""
+    parts = []
     for j, plane in enumerate(HYPERPLANES[table]):
-        lit = F.expr(f"array({', '.join(str(x) for x in plane)})")
-        acc = acc + F.when(_dot(v, lit) >= 0, F.lit(1 << j)).otherwise(0)
-    return acc
+        lit = f"array({', '.join(str(x) for x in plane)})"
+        parts.append(
+            f"(CASE WHEN {_dot_sql(v, lit)} >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return F.expr("(" + " + ".join(parts) + ")")
 
 
 # ------------------------------------------------------------- duckdb sql
@@ -229,7 +246,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        _bucket(F.col("embedding"), t).alias("bucket"),
+                        _bucket("embedding", t).alias("bucket"),
                     )
                     for t in range(TABLES)
                 ]
@@ -341,7 +358,7 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
         base.select("vec_id", "embedding").unionByName(planted)
     )
-    bucketed = emb.withColumn("bucket", _bucket(F.col("embedding")))
+    bucketed = emb.withColumn("bucket", _bucket("embedding"))
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
