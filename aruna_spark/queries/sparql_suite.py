@@ -383,3 +383,109 @@ def sparql_distributed_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("node")
+
+
+# -- SUM + SAMPLE aggregates (SPARQL 1.1 set, api.rs:2039-2049) --------------
+# SAMPLE is deterministic here because ?fmt is constant within every group.
+_reg(
+    "sparql_sum_sample",
+    """
+    SELECT ?lang (SUM(?size) AS ?sum_size) (SAMPLE(?fmt) AS ?a_fmt) WHERE {
+      ?s schema:inLanguage ?lang ; schema:contentSize ?size ;
+         schema:encodingFormat ?fmt .
+    } GROUP BY ?lang
+    """,
+    """
+    SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS sum_size,
+           'text/plain' AS a_fmt
+    FROM documents GROUP BY lang
+    """,
+)
+
+# -- OFFSET within the sliced order (api.rs:2030-2038) -----------------------
+_reg(
+    "sparql_offset_page",
+    """
+    SELECT ?s ?size WHERE { ?s schema:contentSize ?size . }
+    ORDER BY DESC(?size) ?s LIMIT 10 OFFSET 5
+    """,
+    f"""
+    SELECT {DOC} AS s, CAST(n_chars AS VARCHAR) AS size
+    FROM documents ORDER BY n_chars DESC, {DOC} LIMIT 10 OFFSET 5
+    """,
+)
+
+# -- inverse path: ?coll ^isPartOf ?m == ?m isPartOf ?coll -------------------
+_reg(
+    "sparql_path_inverse",
+    """
+    SELECT ?coll ?m WHERE {
+      ?coll a schema:Collection .
+      ?coll ^schema:isPartOf ?m .
+    }
+    """,
+    f"""
+    SELECT {COLL} || (doc_id % 7) AS coll, {DOC} AS m FROM documents
+    UNION ALL
+    SELECT {COLL} || CAST((k - 1) // 2 AS VARCHAR), {COLL} || k
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
+    """,
+)
+
+# -- zero-or-more closure: identity over every node in the edge set ----------
+_reg(
+    "sparql_path_star",
+    "SELECT ?s ?o WHERE { ?s schema:isPartOf* ?o }",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT {DOC} AS src, {COLL} || (doc_id % 7) AS dst FROM documents
+      UNION
+      SELECT {COLL} || k, {COLL} || CAST((k - 1) // 2 AS VARCHAR)
+      FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
+    ), cl AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT cl.src, e.dst FROM cl JOIN edges e ON cl.dst = e.src
+    ), nodes AS (
+      SELECT src AS n FROM edges UNION SELECT dst FROM edges
+    )
+    SELECT src AS s, dst AS o FROM cl
+    UNION
+    SELECT n, n FROM nodes
+    """,
+)
+
+# -- negated property set: every edge EXCEPT the listed predicates -----------
+_reg(
+    "sparql_path_negated",
+    """
+    SELECT ?s ?o WHERE {
+      ?s a schema:Collection .
+      ?s !(schema:name|rdf:type) ?o .
+    }
+    """,
+    f"""
+    SELECT {COLL} || k AS s, {COLL} || CAST((k - 1) // 2 AS VARCHAR) AS o
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
+    """,
+)
+
+# -- builtin-function FILTER: IN + REGEX, BIND(COALESCE) over OPTIONAL -------
+_reg(
+    "sparql_filter_builtins",
+    """
+    SELECT ?s ?label WHERE {
+      ?s schema:inLanguage ?lang ; schema:name ?name .
+      OPTIONAL { ?s schema:description ?d }
+      BIND(COALESCE(?d, ?name) AS ?label)
+      FILTER(?lang IN ("en", "de") && REGEX(?name, "^doc-1[0-9]$"))
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s,
+           CASE WHEN n_chars >= 200 THEN substring(text, 1, 80)
+                ELSE 'doc-' || doc_id END AS label
+    FROM documents
+    WHERE lang IN ('en', 'de') AND regexp_matches('doc-' || doc_id, '^doc-1[0-9]$')
+    """,
+)
