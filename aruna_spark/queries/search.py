@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
-from aruna_spark.ingest.doc_triples import load_triples
+from aruna_spark.ingest.doc_triples import TRIPLES_ORACLE_SQL, load_triples
 from aruna_spark.queries import register
 from aruna_spark.search.bm25 import (
     CONTRIB_SQL,
@@ -374,4 +374,67 @@ def search_hits_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_q",
         F.expr(title_sql).alias("title"),
         F.expr(snippet_sql).alias("snippet"),
+    )
+
+
+# -- per-subject describe for hit enrichment (handle.rs:5245-5307) -----------
+@register(
+    "search_describe_hits",
+    oracle=f"""
+    WITH {_duck_scored(ENRICH_QUERY)},
+    triples AS ({TRIPLES_ORACLE_SQL}),
+    top AS (
+      SELECT graph_iri, subject, score_q FROM scored
+      ORDER BY score_q DESC, graph_iri, subject LIMIT 10
+    ),
+    descr AS (
+      SELECT tr.subject,
+             string_agg(tr.predicate || '=' || tr.object_value, ';'
+                        ORDER BY tr.predicate || '=' || tr.object_value)
+               AS props,
+             COUNT(*) AS n_props
+      FROM top t
+      JOIN triples tr ON tr.subject = t.subject AND tr.graph_iri = t.graph_iri
+      GROUP BY tr.subject
+    )
+    SELECT t.graph_iri, t.subject, t.score_q, d.props, d.n_props
+    FROM top t JOIN descr d ON d.subject = t.subject
+    """,
+)
+def search_describe_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject DESCRIBE of the top hits: every (predicate, object) of
+    each hit's subject folded into one sorted property bag — the describe
+    step the reference runs per search hit before building titles and
+    snippets (handle.rs:5245-5307, search_enrichment.rs:11-50).
+
+    Scale: the 10-row hit page broadcasts against the triples scan; the
+    property fold is one partial-aggregated groupBy over the pruned
+    slice. On the subject-bucketed store layout both sides of the
+    describe join are co-partitioned (zero shuffle)."""
+    tokens = validate_query(ENRICH_QUERY)
+    triples = load_triples(spark, sf_dir)
+    scored = bm25_scores(build_postings(build_field_literals(triples)), tokens)
+    top = scored.orderBy(F.desc("score_q"), "graph_iri", "subject").limit(10)
+    descr = (
+        triples.join(
+            F.broadcast(top.select("graph_iri", "subject")),
+            ["graph_iri", "subject"],
+        )
+        .groupBy("subject")
+        .agg(
+            F.concat_ws(
+                ";",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.col("predicate"), F.lit("="), F.col("object_value")
+                        )
+                    )
+                ),
+            ).alias("props"),
+            F.count(F.lit(1)).alias("n_props"),
+        )
+    )
+    return top.join(descr, "subject").select(
+        "graph_iri", "subject", "score_q", "props", "n_props"
     )

@@ -185,3 +185,58 @@ def textstats_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("quality"), "doc_id")
         .limit(50)
     )
+
+
+# ------------------------------------------------- corpus rollup + sketches
+@register(
+    "corpus_rollup_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def corpus_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile at three granularities in ONE pass — (lang, source),
+    per-lang subtotal, grand total — via ROLLUP (absent in the reference,
+    free in Spark per SURVEY §2.4; the shape every training-data pipeline
+    reports). One shuffle; partial aggregation map-side; the rollup adds
+    no extra scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "corpus_approx_distinct",
+    oracle="""
+    SELECT lang, COUNT(DISTINCT split_part(text, ' ', 1)) AS exact_distinct,
+           TRUE AS approx_within_5pct
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token sketch vs the exact count.
+
+    At 100 TB an exact COUNT DISTINCT of corpus vocabulary shuffles every
+    token; ``approx_count_distinct`` keeps a fixed-size HLL sketch per
+    partition (mergeable, no token shuffle). The query emits the exact
+    count (oracle-checked) plus a guarantee bit that the sketch landed
+    within 5% — pinning the approximation contract itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_tok = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    agg = docs.groupBy("lang").agg(
+        F.countDistinct(first_tok).alias("exact_distinct"),
+        F.approx_count_distinct(first_tok, rsd=0.02).alias("approx"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_distinct"))
+        <= 0.05 * F.col("exact_distinct")
+    )
+    return agg.select(
+        "lang", "exact_distinct", within.alias("approx_within_5pct")
+    )
