@@ -213,3 +213,136 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE CAST(256 AS BIGINT) END"
         ).alias("out_height"),
     )
+
+
+# ------------------------------------------------ real stdlib codec paths
+WAV_RATE = 8000
+
+ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_md5", StringType()),
+        StructField("container_bytes", LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_png_roundtrip",
+    oracle=f"""
+    WITH {_D_MEDIA}
+    SELECT media_id, CAST(octet_length(payload) AS BIGINT) AS width,
+           CAST(1 AS BIGINT) AS height,
+           CAST(octet_length(payload) AS BIGINT) AS n_pixels,
+           md5(decode(payload)) AS pixel_md5
+    FROM media WHERE kind = 'image'
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path, stdlib-only: payload bytes → 8-bit gray PNG
+    (zlib IDAT, CRC-checked chunks, one n×1 scanline so no byte is
+    dropped) → decode back → pixel stats.
+
+    The oracle computes the same stats straight from the source bytes, so
+    a hash match proves the encode→decode roundtrip is lossless — an
+    actual container parse in the executors, not a stub. (JPEG/mp4 stay
+    behind the PIL/ffmpeg import gate.) ``container_bytes`` is dropped
+    from the oracle row (zlib-version-dependent); tests assert it > 0."""
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from aruna_spark.ops.codecs import png_decode_gray, png_encode_gray
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pixels = bytes(payload)
+                png = png_encode_gray(pixels, len(pixels), 1)
+                w2, h2, back = png_decode_gray(png)
+                assert back == pixels
+                rows.append(
+                    (
+                        int(mid), w2, h2, w2 * h2,
+                        hashlib.md5(back).hexdigest(), len(png),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ROUNDTRIP_SCHEMA.fields]
+            )
+
+    media = load_media(spark, sf_dir).filter(F.col("kind") == "image")
+    out = media.select("media_id", "payload").mapInPandas(
+        run, ROUNDTRIP_SCHEMA
+    )
+    return out.select(
+        "media_id", "width", "height", "n_pixels", "pixel_md5"
+    )
+
+
+WAV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    oracle=f"""
+    WITH {_D_MEDIA}
+    SELECT media_id, CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(octet_length(payload) // 2 AS BIGINT) AS n_samples,
+           CAST((octet_length(payload) // 2) * 1000 // {WAV_RATE} AS BIGINT)
+             AS duration_ms,
+           md5(decode(payload)) AS pcm_md5
+    FROM media
+    WHERE kind = 'audio' AND octet_length(payload) % 2 = 0
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path: payload bytes as PCM16 → RIFF/WAVE container
+    → chunk-walking decode → sample stats, verified against the direct
+    derivation (same contract as the PNG roundtrip). PCM16 frames are
+    2 bytes, so the operator takes the even-length payloads (blob
+    truncation is not expressible in the oracle dialect)."""
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from aruna_spark.ops.codecs import wav_decode_pcm16, wav_encode_pcm16
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm = bytes(payload)
+                rate, back = wav_decode_pcm16(wav_encode_pcm16(pcm, WAV_RATE))
+                assert back == pcm
+                n = len(back) // 2
+                rows.append(
+                    (
+                        int(mid), rate, n, n * 1000 // rate,
+                        hashlib.md5(back).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_SCHEMA.fields]
+            )
+
+    media = load_media(spark, sf_dir).filter(
+        (F.col("kind") == "audio") & (F.length("payload") % 2 == 0)
+    )
+    return media.select("media_id", "payload").mapInPandas(run, WAV_SCHEMA)
