@@ -148,3 +148,141 @@ def archive_import_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("targets_json"),
         )
     )
+
+
+# --------------------------------------------------- RO-Crate summary view
+@register(
+    "rocrate_export_summary",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_ORACLE_SQL})
+    SELECT graph_iri,
+           COUNT(DISTINCT subject) AS n_entities,
+           COUNT(*) AS n_triples,
+           string_agg(DISTINCT CASE WHEN predicate LIKE '%22-rdf-syntax-ns#type'
+                                    THEN object_value END, ','
+                      ORDER BY CASE WHEN predicate LIKE '%22-rdf-syntax-ns#type'
+                                    THEN object_value END) AS entity_types
+    FROM triples GROUP BY graph_iri
+    """,
+)
+def rocrate_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RO-Crate SUMMARY view (``core/src/metadata.rs:658-664``,
+    route ``api/src/routes/metadata.rs:950-978``): per-graph entity and
+    triple counts plus the sorted set of entity types — the cheap
+    metadata view served without assembling the full JSON-LD document.
+    One partial-aggregated groupBy over the graph scan."""
+    triples = load_triples(spark, sf_dir)
+    is_type = F.col("predicate").endswith("22-rdf-syntax-ns#type")
+    return triples.groupBy("graph_iri").agg(
+        F.countDistinct("subject").alias("n_entities"),
+        F.count(F.lit(1)).alias("n_triples"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_set(F.when(is_type, F.col("object_value")))
+            ),
+        ).alias("entity_types"),
+    )
+
+
+# ------------------------------------- graph snapshot with orphan skipping
+@register(
+    "graph_snapshot_orphan_skip",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_ORACLE_SQL}),
+    augmented AS (
+      SELECT * FROM triples
+      UNION ALL
+      SELECT 'https://w3id.org/aruna/' || doc_id,
+             'urn:aruna:orphan:' || doc_id,
+             'http://schema.org/name', 'literal', 'ghost-' || doc_id,
+             NULL, NULL
+      FROM documents
+    ),
+    roots AS (
+      SELECT DISTINCT graph_iri,
+             CASE WHEN graph_iri LIKE '%/coll%'
+                  THEN 'urn:aruna:collection:'
+                       || regexp_extract(graph_iri, 'coll([0-9]+)$', 1)
+                  ELSE 'urn:aruna:doc:'
+                       || regexp_extract(graph_iri, '/([0-9]+)$', 1) END AS root
+      FROM augmented
+    ),
+    referenced AS (
+      SELECT DISTINCT graph_iri, object_value AS subject FROM augmented
+      WHERE object_kind = 'iri'
+    )
+    SELECT a.graph_iri,
+           CAST(COUNT(CASE WHEN a.subject = r.root
+                           OR ref.subject IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(COUNT(CASE WHEN a.subject <> r.root
+                           AND ref.subject IS NULL THEN 1 END) AS BIGINT)
+             AS n_skipped
+    FROM augmented a
+    JOIN roots r ON r.graph_iri = a.graph_iri
+    LEFT JOIN referenced ref
+      ON ref.graph_iri = a.graph_iri AND ref.subject = a.subject
+    GROUP BY a.graph_iri
+    """,
+)
+def graph_snapshot_orphan_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph snapshot scan that SKIPS orphaned entities
+    (``operations/src/metadata/handle.rs:4931-5021``: the full-quad dump
+    excludes entities neither rooted nor referenced). Each graph is
+    augmented with a synthetic unreferenced 'ghost' entity; the snapshot
+    keeps a triple iff its subject is the graph root or is referenced as
+    an object IRI inside the same graph, and reports kept/skipped per
+    graph (every ghost must land in n_skipped).
+
+    Scale: root extraction is a column expression on graph_iri; the
+    reachability check is one aggregated self-join per graph — both
+    shuffle on graph_iri only."""
+    triples = load_triples(spark, sf_dir)
+    ghosts = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit(GRAPH_NS), F.col("doc_id").cast("string")).alias(
+            "graph_iri"
+        ),
+        F.concat(F.lit("urn:aruna:orphan:"), F.col("doc_id").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("http://schema.org/name").alias("predicate"),
+        F.lit("literal").alias("object_kind"),
+        F.concat(F.lit("ghost-"), F.col("doc_id").cast("string")).alias(
+            "object_value"
+        ),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+    )
+    aug = triples.unionByName(ghosts)
+    root = F.when(
+        F.col("graph_iri").contains("/coll"),
+        F.concat(
+            F.lit("urn:aruna:collection:"),
+            F.regexp_extract("graph_iri", r"coll([0-9]+)$", 1),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("urn:aruna:doc:"),
+            F.regexp_extract("graph_iri", r"/([0-9]+)$", 1),
+        )
+    )
+    referenced = (
+        aug.filter(F.col("object_kind") == "iri")
+        .select(
+            F.col("graph_iri").alias("ref_graph"),
+            F.col("object_value").alias("ref_subject"),
+        )
+        .distinct()
+    )
+    marked = aug.withColumn("root", root).join(
+        referenced,
+        (F.col("graph_iri") == F.col("ref_graph"))
+        & (F.col("subject") == F.col("ref_subject")),
+        "left",
+    )
+    keep = (F.col("subject") == F.col("root")) | F.col("ref_subject").isNotNull()
+    return marked.groupBy("graph_iri").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_skipped"),
+    )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
 from aruna_spark.sources.objects import OBJECTS_ORACLE_SQL, load_object_versions
 
@@ -447,4 +448,73 @@ def s3_head_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = load_object_versions(spark, sf_dir)
     return resolve_objects(versions, _request_batch(spark, sf_dir)).drop(
         "content_range"
+    )
+
+
+# ------------------------------------------- multipart upload completion
+N_UPLOADS = 25
+
+
+@register(
+    "s3_multipart_complete",
+    oracle=f"""
+    WITH parts AS (
+      SELECT 'up-' || (doc_id % {N_UPLOADS}) AS upload_id,
+             doc_id // {N_UPLOADS} + 1 AS part_number,
+             n_chars AS part_size,
+             md5(text) AS part_etag
+      FROM documents
+    )
+    SELECT upload_id,
+           COUNT(*) AS n_parts,
+           CAST(SUM(part_size) AS BIGINT) AS total_size,
+           md5(string_agg(part_etag, '' ORDER BY part_number)) || '-'
+             || COUNT(*) AS final_etag,
+           MIN(part_number) = 1 AND MAX(part_number) = COUNT(*)
+             AS is_contiguous
+    FROM parts GROUP BY upload_id
+    """,
+)
+def s3_multipart_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompleteMultipartUpload: per-upload part manifests folded into the
+    assembled object — S3's multipart etag structure ``md5(part digests
+    in part order) + '-' + n_parts`` (hex-concat stands in for AWS's
+    binary-digest concat, same shape) plus the part-contiguity validation
+    (parts must be exactly 1..N). Multipart state mirrors the reference's
+    multipart keyspaces (``core/src/keyspaces.rs`` s3 family; dispatch
+    ``api/src/s3/s3_service.rs``).
+
+    Scale: one shuffle on upload_id; the ordered digest fold is a sorted
+    in-group array op, never a driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = docs.select(
+        F.concat(F.lit("up-"), (F.col("doc_id") % N_UPLOADS).cast("string")).alias(
+            "upload_id"
+        ),
+        ((F.col("doc_id") / N_UPLOADS).cast("long") + 1).alias("part_number"),
+        F.col("n_chars").alias("part_size"),
+        F.md5(F.col("text")).alias("part_etag"),
+    )
+    return parts.groupBy("upload_id").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("part_size").cast("long").alias("total_size"),
+        F.concat(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("part_number", "part_etag"))
+                        ),
+                        lambda s: s["part_etag"],
+                    ),
+                )
+            ),
+            F.lit("-"),
+            F.count(F.lit(1)).cast("string"),
+        ).alias("final_etag"),
+        (
+            (F.min("part_number") == 1)
+            & (F.max("part_number") == F.count(F.lit(1)))
+        ).alias("is_contiguous"),
     )
