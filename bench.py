@@ -61,6 +61,14 @@ HEADLINE = [
     "archive_import_rewrite",
     "stream_dashboard_epoch",
     "usage_snapshot_realms",
+    # round-2 additions: merge, stateful debounce, codecs, summary views
+    "registry_incremental_merge",
+    "stream_debounce_timer",
+    "multimodal_png_roundtrip",
+    "corpus_rollup_stats",
+    "s3_multipart_complete",
+    "rocrate_export_summary",
+    "search_describe_hits",
 ]
 
 
