@@ -384,3 +384,140 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score_q") >= NEARDUP_SCORE_Q)
     )
+
+
+# ------------------------------------------------------------- ivf ann
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _centroid_vec(c: int, dim: int = DIM) -> list[int]:
+    """Deterministic ±1 centroid directions from md5 parity (no RNG, no
+    training pass — a fixed coarse quantizer; a production IVF would
+    k-means these, the query plan is identical)."""
+    return [
+        1 if int(hashlib.md5(f"c{c}:{d}".encode()).hexdigest(), 16) % 2 == 1
+        else -1
+        for d in range(dim)
+    ]
+
+
+CENTROIDS = [_centroid_vec(c) for c in range(N_CENTROIDS)]
+
+
+def _assign_sql_spark(v: str, n_probe: int) -> str:
+    """SQL expr: array of the n_probe centroid ids nearest to vector
+    ``v`` by dot product (desc, tie → lower id)."""
+    scores = ", ".join(
+        f"named_struct('d', -({_dot_sql(v, 'array(' + ', '.join(str(x) for x in c) + ')')}), 'c', {i})"
+        for i, c in enumerate(CENTROIDS)
+    )
+    return (
+        f"transform(slice(array_sort(array({scores})), 1, {n_probe}), s -> s.c)"
+    )
+
+
+def _d_assign(v: str, n_probe: int) -> str:
+    """DuckDB: same nearest-centroid list via list_sort of (d, c) structs."""
+    scores = ", ".join(
+        "{'d': -(" + _d_dot(v, "[" + ", ".join(str(x) for x in c) + "]")
+        + f"), 'c': {i}}}"
+        for i, c in enumerate(CENTROIDS)
+    )
+    return (
+        f"list_transform(list_sort([{scores}])[1:{n_probe}], s -> s.c)"
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    assigned AS (
+      SELECT vec_id, {_d_assign('embedding', 1)}[1] AS cell FROM corpus
+    ),
+    probes AS (
+      SELECT c.vec_id AS query_id, UNNEST({_d_assign('c.embedding', N_PROBE)})
+               AS cell
+      FROM corpus c WHERE c.vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_D_SCORE} AS score_q
+      FROM cand
+      JOIN corpus q ON q.vec_id = cand.query_id
+      JOIN corpus c ON c.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, score_q, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors assign to their nearest of 8 coarse
+    centroids (one inverted list per cell); a query probes its nprobe=2
+    nearest cells and scores only those lists — the classic
+    IVF recall/scan dial (cells ~ sqrt(n) at scale, nprobe tunes recall).
+
+    Versus the hyperplane-LSH path: one partition key per vector (no
+    multi-table replication), candidate lists are contiguous cell scans,
+    and the coarse quantizer can later be trained without changing the
+    plan. Both paths share the scoring/rank tail."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    assigned = emb.select(
+        "vec_id",
+        F.expr(_assign_sql_spark("embedding", 1))[0].alias("cell"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.expr(_assign_sql_spark("embedding", N_PROBE))).alias(
+                "cell"
+            ),
+        )
+    )
+    cand = (
+        assigned.alias("a")
+        .join(
+            F.broadcast(probes).alias("p"),
+            (F.col("a.cell") == F.col("p.cell"))
+            & (F.col("a.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("vec_id"),
+        )
+        .distinct()
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(emb, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _score_q(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_norm2"),
+                F.col("norm2"),
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "score_q", "rnk")
+    )

@@ -46,3 +46,23 @@ def test_neardup_finds_planted_pairs(spark, sf_dir):
     planted = {(r.vec_a, r.vec_b) for r in rows if r.vec_b == r.vec_a + 1_000_000}
     assert planted, "planted perturbed copies must be recovered"
     assert all(r.score_q >= 950_000 for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (8 cells, nprobe=2) scans ~2/8 of the corpus; recall must stay
+    well above the scan fraction, and overlapping neighbors must carry
+    the identical quantized score (shared scoring tail)."""
+    bf, _ = REGISTRY["similarity_topk_bruteforce"]
+    ivf, _ = REGISTRY["similarity_ivf_topk"]
+    exact_rows = bf(spark, sf_dir).collect()
+    ivf_rows = ivf(spark, sf_dir).collect()
+    exact = _topk_sets(exact_rows)
+    approx = _topk_sets(ivf_rows)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+    scores = {(r.query_id, r.vec_id): r.score_q for r in exact_rows}
+    for r in ivf_rows:
+        if (r.query_id, r.vec_id) in scores:
+            assert scores[(r.query_id, r.vec_id)] == r.score_q
