@@ -130,11 +130,17 @@ def search_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 score bucket are never skipped (search_cursor.rs:740-782 is the
     reference's test of exactly this invariant).
     """
+    from pyspark.sql import Window
+
     scored = _scored(spark, sf_dir, QUERY_TEXT)
+    # watermark = page 1's LAST row, selected by rank rather than a plan-
+    # level Offset: row_number is the well-trodden operator (Offset inside
+    # a broadcast subplan intermittently mis-planned under AQE, dropping
+    # the outer limit — observed once at sf0.01, 262 rows instead of 25)
+    rank_w = Window.orderBy(F.desc("score_q"), "graph_iri", "subject")
     wm = (
-        scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
-        .offset(DEFAULT_PAGE - 1)
-        .limit(1)
+        scored.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == DEFAULT_PAGE)
         .select(
             F.col("score_q").alias("w_score_q"),
             F.col("graph_iri").alias("w_graph"),

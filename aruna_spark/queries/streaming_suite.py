@@ -205,9 +205,11 @@ def stream_debounce_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_debounce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window debounce: bursts with <2 s gaps coalesce into one
-    publish per watch, closing 2 s after the last write — the faithful
-    timer semantics of interest.rs:32-37 (vs the tumbling approximation
-    in stream_debounce_windows). Oracle = gaps-and-islands SQL."""
+    publish per watch, closing 2 s after the LAST write — the
+    gap-extending approximation of interest.rs:32-37 (the exact
+    first-write-aligned timer is ``stream_debounce_timer``; sessions
+    differ when steady writes arrive faster than the gap). Oracle =
+    gaps-and-islands SQL."""
     from aruna_spark.streaming.watch import debounce_sessions
 
     s = debounce_sessions(_matched(spark, sf_dir))
@@ -217,4 +219,41 @@ def stream_debounce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("w.end")).alias("session_end_us"),
         "n_coalesced",
         "last_event_id",
+    )
+
+
+@register(
+    "stream_sliding_window_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id, event_type, ts,
+             UNNEST([time_bucket(INTERVAL 5 minutes, ts),
+                     time_bucket(INTERVAL 5 minutes, ts) - INTERVAL 5 minutes])
+               AS wstart
+      FROM events
+    )
+    SELECT epoch_us(wstart) AS window_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM starts GROUP BY wstart
+    """,
+)
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (10 min, slide 5 min) — a windowed
+    aggregate the reference lacks entirely (SURVEY §2.9 'absent') but a
+    monitoring plane needs; ``F.window`` assigns each event to its two
+    overlapping panes, identically on a watermarked stream. The oracle
+    expands the same two pane starts per event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return ev.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    ).select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "n_events",
+        "n_errors",
     )
