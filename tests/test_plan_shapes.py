@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the scale properties the engine's
+100 TB story depends on, pinned via explain output so a refactor that
+silently loses a pushdown, a broadcast, or a top-k shows up as a test
+failure, not a production regression.
+
+These assert plan SHAPE, not timing — stable across machines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aruna_spark.queries import REGISTRY, load_all
+
+load_all()
+
+
+def _plan(spark, name, sf_dir):
+    fn, _ = REGISTRY[name]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, "rel_pricing_summary", sf_dir)
+    # the shipdate filter must reach the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1][:300]
+    # map-side partial aggregation before the exchange
+    assert "partial" in plan.lower()
+
+
+def test_shipping_priority_is_topk_not_full_sort(spark, sf_dir):
+    plan = _plan(spark, "rel_shipping_priority", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_region_revenue_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "rel_region_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bruteforce_ann_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "similarity_topk_bruteforce", sf_dir)
+    # the small query set must broadcast; the corpus must NOT shuffle
+    # into a join exchange before scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_keyset_page_filter_pushdown(spark, sf_dir):
+    plan = _plan(spark, "rel_keyset_page", sf_dir)
+    assert "PushedFilters: [" in plan
+
+
+def test_bm25_topk_no_python_udfs(spark, sf_dir):
+    """The whole BM25 chain must stay JVM-side (no Python eval nodes)."""
+    plan = _plan(spark, "search_bm25_topk", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rel_pricing_summary",
+        "sparql_bgp_filter",
+        "textstats_profile",
+        "dedup_exact",
+        "usage_counters_by_group",
+    ],
+)
+def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
