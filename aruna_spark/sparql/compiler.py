@@ -585,10 +585,17 @@ class Compiler:
         frontier is empty or at MAX_PATH_ITERATIONS (the reference's
         evaluator is equally bounded in practice by its 10 s deadline).
         """
-        edges = self._path_edges(p.inner, graph)
+        # checkpoint the edge set ONCE — it feeds every iteration's join,
+        # and without this each round would repeat the edge-derivation
+        # shuffle (distinct) from scratch
+        edges = self._path_edges(p.inner, graph).localCheckpoint(eager=True)
 
-        closure = edges.localCheckpoint(eager=True)
-        frontier = closure
+        # semi-naive deltas: only each round's NEW pairs are materialized;
+        # the running closure stays a lazy union of checkpointed deltas
+        # (materializing the full closure every round is O(closure) extra
+        # I/O per iteration and dominated the loop's cost)
+        deltas = [edges]
+        frontier = edges
         for _ in range(MAX_PATH_ITERATIONS):
             step = (
                 frontier.alias("f")
@@ -596,11 +603,15 @@ class Compiler:
                 .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
                 .distinct()
             )
-            new = step.join(closure, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
+            closure_so_far = reduce(DataFrame.unionByName, deltas)
+            new = step.join(
+                closure_so_far, ["src", "dst"], "left_anti"
+            ).localCheckpoint(eager=True)
             if not new.take(1):
                 break
-            closure = closure.unionByName(new).localCheckpoint(eager=True)
+            deltas.append(new)
             frontier = new
+        closure = reduce(DataFrame.unionByName, deltas)
 
         if isinstance(p, (A.PathZeroOrMore, A.PathZeroOrOne)):
             nodes = (
