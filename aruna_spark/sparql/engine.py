@@ -88,17 +88,22 @@ class QueryCache:
         return hashlib.sha256(normalized.encode()).hexdigest()
 
     def _drop(self, fp: str) -> None:
-        _, nbytes, _ = self._entries.pop(fp)
+        _, nbytes, _, _ = self._entries.pop(fp)
         self._bytes -= nbytes
 
-    def get(self, text: str) -> list | None:
+    def get(self, text: str, generation: int = 0) -> list | None:
+        """``generation`` is the caller's visibility generation stamp,
+        taken BEFORE the read (SURVEY §2.11 / query_cache.rs:15-50): an
+        entry cached under an older generation is stale — any visibility
+        change (grant/revoke, document create/delete) bumps the stamp
+        and atomically invalidates every older entry."""
         fp = self.fingerprint(text)
         entry = self._entries.get(fp)
         if entry is None:
             self.misses += 1
             return None
-        expires, _, rows = entry
-        if self._now() >= expires:
+        expires, _, gen, rows = entry
+        if self._now() >= expires or gen < generation:
             self._drop(fp)
             self.misses += 1
             return None
@@ -106,13 +111,17 @@ class QueryCache:
         self.hits += 1
         return rows
 
-    def put(self, text: str, rows: list, nbytes: int) -> None:
+    def put(
+        self, text: str, rows: list, nbytes: int, generation: int = 0
+    ) -> None:
         if nbytes > self.max_bytes:
             return  # larger than the whole budget: never cached
         fp = self.fingerprint(text)
         if fp in self._entries:
             self._drop(fp)
-        self._entries[fp] = (self._now() + self.ttl_secs, nbytes, rows)
+        self._entries[fp] = (
+            self._now() + self.ttl_secs, nbytes, generation, rows,
+        )
         self._bytes += nbytes
         while (
             len(self._entries) > self.max_entries
@@ -182,6 +191,7 @@ class SparqlEngine:
         deadline_secs: float = QUERY_DEADLINE_SECS,
         max_bytes: int = MAX_RESULT_BYTES,
         cache: "QueryCache | None" = None,
+        generation: int = 0,
     ) -> list:
         """Run a query with the reference's full governance envelope:
         10k-row cap (in the plan), 8 MiB serialized cap, a deadline
@@ -192,7 +202,7 @@ class SparqlEngine:
         import uuid
 
         if cache is not None:
-            cached = cache.get(text)
+            cached = cache.get(text, generation)
             if cached is not None:
                 return cached
 
@@ -227,7 +237,7 @@ class SparqlEngine:
                 f"serialized result {size} B exceeds {max_bytes} B"
             )
         if cache is not None:
-            cache.put(text, rows, size)
+            cache.put(text, rows, size, generation)
         return rows
 
     def query_flat(self, text: str, enforce_limits: bool = True) -> DataFrame:

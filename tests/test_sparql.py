@@ -230,3 +230,20 @@ def test_limit_above_cap_rejected(engine):
         engine.query("SELECT ?s WHERE { ?s ?p ?o } LIMIT 10001")
     # at the cap is fine
     engine.query("SELECT ?s WHERE { ?s ?p ?o } LIMIT 10000")
+
+
+def test_cache_generation_stamp_invalidates(spark):
+    """A visibility-generation bump (grant/revoke, doc change) must make
+    older cached results stale (SURVEY §2.11, query_cache.rs:15-50)."""
+    from aruna_spark.sparql.engine import QueryCache
+
+    cache = QueryCache(now_fn=lambda: 0.0)
+    cache.put("SELECT ?s WHERE { ?s ?p ?o }", [("row",)], 10, generation=1)
+    # same generation: hit
+    assert cache.get("SELECT ?s WHERE { ?s ?p ?o }", generation=1) == [("row",)]
+    # older reader generation than entry: still valid (entry is newer)
+    assert cache.get("SELECT ?s WHERE { ?s ?p ?o }", generation=0) == [("row",)]
+    # newer generation: stale, dropped, and a subsequent same-gen get misses
+    assert cache.get("SELECT ?s WHERE { ?s ?p ?o }", generation=2) is None
+    assert cache.get("SELECT ?s WHERE { ?s ?p ?o }", generation=1) is None
+    assert cache.misses == 2
