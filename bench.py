@@ -92,6 +92,29 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    # Document-create throughput — the reference's only published
+    # performance gate (BASELINE.md: best >= 1,000 doc-creates/s,
+    # operations/tests/metadata_throughput.rs:76,119-123). Batch analog:
+    # full JSON-LD documents pushed through validation + typing rules +
+    # triples projection (ingest_jsonld). Crates are pre-built untimed;
+    # the timed span is the create path itself.
+    from aruna_spark.ingest.doc_triples import load_triples
+    from aruna_spark.ingest.jsonld import export_rocrate, ingest_jsonld
+    from pyspark.sql import functions as F
+
+    crates = export_rocrate(load_triples(spark, SF_DIR)).select(
+        F.regexp_extract("graph_iri", r"([^/]+)$", 1).alias("document_id"),
+        "jsonld",
+    )
+    # materialize the crates (localCheckpoint) so the timed span runs
+    # ONLY the create path, not the untimed crate-building export
+    crates = crates.localCheckpoint(eager=True)
+    n_docs = crates.count()
+    t0 = time.time()
+    ingest_jsonld(crates).write.format("noop").mode("overwrite").save()
+    ingest_secs = time.time() - t0
+    docs_per_sec = round(n_docs / ingest_secs, 1)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -100,6 +123,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "ingest_docs_per_sec": docs_per_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
