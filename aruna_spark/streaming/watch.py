@@ -151,6 +151,20 @@ def dashboard_epochs(events: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
     )
 
 
+def dedup_deliveries(matched: DataFrame, watermark: str = MAX_CLOCK_SKEW) -> DataFrame:
+    """Exactly-once inbox delivery: the outbox may redeliver an event
+    (at-least-once transport), so the inbox drain dedups on the delivery
+    key before counting (``operations/src/notifications/inbox.rs`` —
+    inbox writes are idempotent per event id). On a stream this is
+    ``dropDuplicatesWithinWatermark`` — state bounded by the 300 s skew
+    window, not by history; on a batch frame it degrades to a plain
+    dropDuplicates over the same key."""
+    keys = ["watch_id", "event_id"]
+    if matched.isStreaming:
+        return matched.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return matched.dropDuplicates(keys)
+
+
 def unread_counts(matched: DataFrame) -> DataFrame:
     """Inbox unread counts per watch: delivery marks every 4th event id
     read (deterministic stand-in for read receipts)."""

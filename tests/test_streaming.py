@@ -235,3 +235,48 @@ def test_stream_session_debounce_equals_batch(spark, sf_dir, events_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_exactly_once_inbox_delivery(spark, sf_dir, tmp_path):
+    """At-least-once redelivery (the same events appended twice, landing
+    in different micro-batches) must not double-count the inbox:
+    dropDuplicatesWithinWatermark keys on (watch_id, event_id)."""
+    from aruna_spark.streaming.watch import dedup_deliveries
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)  # redelivery of every event
+
+    watches = watches_df(spark)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_deliveries(match_watches(stream, watches))
+    name = f"inbox_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.groupBy("watch_id")
+        .count()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.watch_id, r["count"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.watch_id, r["count"])
+        for r in match_watches(events, watches)
+        .groupBy("watch_id")
+        .count()
+        .collect()
+    }
+    assert got == want
