@@ -116,3 +116,43 @@ def duck_list_objects_v2(
     latest AS (SELECT * FROM objects WHERE is_latest)
     SELECT * FROM ({body}) ORDER BY entry LIMIT {max_keys}
     """
+
+
+# --------------------------------------------- request-limit governance
+LISTING_DEFAULT = 50  # api.rs:69-74 (metadata listing)
+LISTING_MAX = 1_000
+LISTING_MAX_ANONYMOUS = 100
+
+SEARCH_PAGE_DEFAULT = 25  # search_cursor.rs:13-14
+SEARCH_PAGE_MAX = 100
+SEARCH_DEPTH_MAX = 1_000  # search_cursor.rs:15 (per-node pagination depth)
+
+
+def resolve_listing_limit(
+    requested: int | None, anonymous: bool = False
+) -> int:
+    """Metadata-listing limit rules (api.rs:69-74): default 50, clamped
+    to 1,000 (100 for anonymous callers); non-positive requests are
+    invalid."""
+    cap = LISTING_MAX_ANONYMOUS if anonymous else LISTING_MAX
+    if requested is None:
+        return min(LISTING_DEFAULT, cap)
+    if requested < 1:
+        raise ValueError(f"listing limit must be >= 1, got {requested}")
+    return min(requested, cap)
+
+
+def resolve_search_page(requested: int | None, depth: int = 0) -> int:
+    """Search page sizing (search_cursor.rs:13-21): default 25, max 100;
+    paging past depth 1,000 is rejected rather than silently truncated."""
+    if requested is None:
+        page = SEARCH_PAGE_DEFAULT
+    elif requested < 1:
+        raise ValueError(f"page size must be >= 1, got {requested}")
+    else:
+        page = min(requested, SEARCH_PAGE_MAX)
+    if depth + page > SEARCH_DEPTH_MAX:
+        raise ValueError(
+            f"search pagination depth cap {SEARCH_DEPTH_MAX} exceeded"
+        )
+    return page

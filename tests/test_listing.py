@@ -61,3 +61,31 @@ def test_exactly_one_latest_version_per_key(spark, sf_dir):
         (F.col("n_latest") != 1) | (F.col("n_versions") < 1)
     ).count()
     assert bad == 0
+
+
+def test_listing_limit_rules():
+    import pytest
+
+    from aruna_spark.ops.listing import resolve_listing_limit
+
+    assert resolve_listing_limit(None) == 50
+    assert resolve_listing_limit(None, anonymous=True) == 50
+    assert resolve_listing_limit(5_000) == 1_000
+    assert resolve_listing_limit(5_000, anonymous=True) == 100
+    assert resolve_listing_limit(75, anonymous=True) == 75
+    with pytest.raises(ValueError):
+        resolve_listing_limit(0)
+
+
+def test_search_page_rules():
+    import pytest
+
+    from aruna_spark.ops.listing import resolve_search_page
+
+    assert resolve_search_page(None) == 25
+    assert resolve_search_page(500) == 100
+    assert resolve_search_page(40, depth=900) == 40
+    with pytest.raises(ValueError):
+        resolve_search_page(40, depth=980)
+    with pytest.raises(ValueError):
+        resolve_search_page(-1)
