@@ -31,7 +31,9 @@ from aruna_spark.catalog import load_table
 from aruna_spark.ops.merge import merge_into
 from aruna_spark.queries import register
 
-LISTING_LIMIT = 50  # api.rs:69 default
+from aruna_spark.ops.listing import resolve_listing_limit
+
+LISTING_LIMIT = resolve_listing_limit(None)  # api.rs:69 default (50)
 MERGE_LIMIT = 50
 NODES = 3
 

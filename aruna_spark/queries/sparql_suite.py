@@ -489,3 +489,20 @@ _reg(
     WHERE lang IN ('en', 'de') AND regexp_matches('doc-' || doc_id, '^doc-1[0-9]$')
     """,
 )
+
+
+# -- GRAPH with a VARIABLE graph term: per-graph grouping --------------------
+_reg(
+    "sparql_graph_var",
+    """
+    SELECT ?g (COUNT(*) AS ?n) WHERE {
+      GRAPH ?g { ?s schema:name ?name }
+    } GROUP BY ?g
+    """,
+    """
+    SELECT 'https://w3id.org/aruna/' || doc_id AS g, 1 AS n FROM documents
+    UNION ALL
+    SELECT 'https://w3id.org/aruna/coll' || k, 1
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+    """,
+)

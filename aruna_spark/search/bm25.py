@@ -32,7 +32,9 @@ from aruna_spark.sparql.terms import SCHEMA
 K1 = 1.2
 B = 0.75
 MIN_QUERY_CHARS = 2  # api/src/routes/search.rs:227-229
-DEFAULT_PAGE = 25  # search_cursor.rs:13
+from aruna_spark.ops.listing import resolve_search_page
+
+DEFAULT_PAGE = resolve_search_page(None)  # search_cursor.rs:13 (25)
 MAX_PAGE = 100  # search_cursor.rs:14
 MAX_DEPTH = 1_000  # search_cursor.rs:15
 
