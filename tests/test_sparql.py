@@ -247,3 +247,34 @@ def test_cache_generation_stamp_invalidates(spark):
     assert cache.get("SELECT ?s WHERE { ?s ?p ?o }", generation=2) is None
     assert cache.get("SELECT ?s WHERE { ?s ?p ?o }", generation=1) is None
     assert cache.misses == 2
+
+
+def test_union_safe_shape_check():
+    """api.rs:2092-2140: the fan-out merge accepts only SELECT DISTINCT
+    over single patterns / unions of single patterns (GRAPH-wrapped ok,
+    zero-offset slice ok)."""
+    from aruna_spark.sparql.parser import parse
+    from aruna_spark.sparql.shape import is_union_safe
+
+    ok = [
+        "SELECT DISTINCT ?s WHERE { ?s a schema:File }",
+        "SELECT DISTINCT ?s ?n WHERE { ?s schema:name ?n } LIMIT 10",
+        """SELECT DISTINCT ?s WHERE {
+             { ?s a schema:File } UNION { ?s a schema:Dataset }
+             UNION { GRAPH <https://w3id.org/aruna/1> { ?s schema:name ?n } }
+           }""",
+    ]
+    bad = [
+        "SELECT ?s WHERE { ?s a schema:File }",  # not DISTINCT
+        "SELECT DISTINCT ?s WHERE { ?s a schema:File } OFFSET 5",
+        "SELECT DISTINCT ?s WHERE { ?s a schema:File ; schema:name ?n }",
+        "SELECT DISTINCT ?s WHERE { { ?s a schema:File } UNION "
+        "{ ?s schema:name ?n . ?s schema:inLanguage ?l } }",
+        "SELECT DISTINCT ?s WHERE { ?s schema:isPartOf+ ?o }",  # path leaf
+        "SELECT DISTINCT ?lang (COUNT(*) AS ?n) WHERE "
+        "{ ?s schema:inLanguage ?lang } GROUP BY ?lang",
+    ]
+    for text in ok:
+        assert is_union_safe(parse(text)), text
+    for text in bad:
+        assert not is_union_safe(parse(text)), text
