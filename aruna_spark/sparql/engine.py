@@ -33,6 +33,7 @@ __all__ = [
     "SparqlSyntaxError",
     "UnsupportedQueryError",
     "QueryCache",
+    "GraphNotFoundError",
     "ResultTooLargeError",
     "QueryDeadlineError",
     "MAX_RESULT_ROWS",
@@ -130,6 +131,11 @@ class QueryCache:
             self._drop(next(iter(self._entries)))
 
 
+class GraphNotFoundError(RuntimeError):
+    """An explicitly-requested graph is not visible to the caller —
+    indistinguishable from absent (handle.rs:4657-4700)."""
+
+
 class ResultTooLargeError(RuntimeError):
     """Serialized result exceeded the 8 MiB cap (handle.rs:96)."""
 
@@ -142,11 +148,50 @@ _TERM_FIELDS = [f.name for f in TERM_SCHEMA.fields]
 
 
 class SparqlEngine:
-    """Compile and run SPARQL SELECT/ASK queries over a triples DataFrame."""
+    """Compile and run SPARQL SELECT/ASK queries over a triples DataFrame.
 
-    def __init__(self, spark: SparkSession, triples: DataFrame):
+    ``visible_graphs`` (optional, one ``graph_iri`` column) is the
+    caller's authorization scope: when given, EVERY read is gated by a
+    left-semi join against it — the reference's lazy visibility filter
+    (``handle.rs:4657-4700,5668,5896``), where per-graph visibility is
+    computed from the caller's glob grants. The scope table is per-caller
+    and small relative to the store, so it broadcasts; the semi-join
+    prunes before any pattern work.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame,
+        visible_graphs: DataFrame | None = None,
+    ):
         self.spark = spark
+        self.visible_graphs = visible_graphs
+        if visible_graphs is not None:
+            triples = triples.join(
+                F.broadcast(visible_graphs.select("graph_iri")),
+                "graph_iri",
+                "left_semi",
+            )
         self.triples = triples
+
+    def check_graphs(self, graph_iris: list[str]) -> None:
+        """Eager mode (handle.rs:4657-4700): a query naming explicit
+        graphs requires ALL of them visible, else GraphNotFound — an
+        invisible graph must be indistinguishable from a missing one.
+        Bounded collect: the request's graph list, never the store."""
+        if self.visible_graphs is None:
+            return
+        requested = self.spark.createDataFrame(
+            [(g,) for g in graph_iris], "graph_iri string"
+        )
+        missing = requested.join(
+            self.visible_graphs.select("graph_iri"), "graph_iri", "left_anti"
+        ).collect()
+        if missing:
+            raise GraphNotFoundError(
+                f"graph not found: {missing[0].graph_iri}"
+            )
 
     def _fts_resolver(self, query: str) -> DataFrame:
         """BM25-scored subjects for fts:match — built over THIS engine's

@@ -74,3 +74,44 @@ def test_visible_summary_deny_subtree(spark, sf_dir):
     assert "de" not in (rows["alice"].first_key, rows["alice"].last_key)
     # root sees everything anyone else sees
     assert rows["root"].n_visible >= max(r.n_visible for r in rows.values())
+
+
+def test_engine_visibility_scope_filters_reads(spark, sf_dir):
+    """Lazy visibility (handle.rs:4657-4700): the engine's triples are
+    gated by the caller's visible-graph scope, derived here from glob
+    grants over per-document permission paths."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.ingest.doc_triples import GRAPH_NS, load_triples
+    from aruna_spark.ops.globs import glob_to_regex
+    from aruna_spark.sparql.engine import GraphNotFoundError, SparqlEngine
+
+    triples = load_triples(spark, sf_dir)
+    # permission path meta/{doc_id}; grant covers meta/1* only
+    paths = triples.select("graph_iri").distinct().withColumn(
+        "path",
+        F.concat(F.lit("meta/"), F.regexp_extract("graph_iri", r"/(\w+)$", 1)),
+    )
+    pattern = glob_to_regex("meta/1*")
+    scope = paths.filter(F.regexp_like("path", F.lit(pattern))).select(
+        "graph_iri"
+    )
+    open_eng = SparqlEngine(spark, triples)
+    gated = SparqlEngine(spark, triples, visible_graphs=scope)
+    q = "SELECT ?s WHERE { ?s schema:name ?name }"
+    all_subjects = {r.s for r in open_eng.query_flat(q).collect()}
+    visible_subjects = {r.s for r in gated.query_flat(q).collect()}
+    assert visible_subjects and visible_subjects < all_subjects
+    # every visible subject comes from a doc id starting with 1
+    assert all(
+        s.rsplit(":", 1)[1].startswith("1")
+        for s in visible_subjects
+        if s.startswith("urn:aruna:doc:")
+    )
+    # eager check: a named invisible graph is GraphNotFound
+    gated.check_graphs([f"{GRAPH_NS}1"])  # doc 1 -> meta/1 matches 1*
+    try:
+        gated.check_graphs([f"{GRAPH_NS}2"])
+        raise AssertionError("expected GraphNotFoundError")
+    except GraphNotFoundError:
+        pass
