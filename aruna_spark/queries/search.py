@@ -420,7 +420,13 @@ def search_describe_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = validate_query(ENRICH_QUERY)
     triples = load_triples(spark, sf_dir)
     scored = bm25_scores(build_postings(build_field_literals(triples)), tokens)
-    top = scored.orderBy(F.desc("score_q"), "graph_iri", "subject").limit(10)
+    # the 10-row page feeds BOTH sides of the describe join; checkpoint it
+    # so the whole BM25 chain runs once, not twice (bounded: page size)
+    top = (
+        scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
+        .limit(10)
+        .localCheckpoint(eager=True)
+    )
     descr = (
         triples.join(
             F.broadcast(top.select("graph_iri", "subject")),
