@@ -506,3 +506,31 @@ _reg(
     FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
     """,
 )
+
+
+# -- REDUCED: dedup permitted (compiled as dedup, deterministically) ---------
+_reg(
+    "sparql_reduced",
+    "SELECT REDUCED ?lang WHERE { ?s schema:inLanguage ?lang }",
+    "SELECT DISTINCT lang FROM documents",
+)
+
+# -- string builtins: UCASE/STRLEN/SUBSTR in BIND, STRSTARTS in FILTER -------
+_reg(
+    "sparql_string_funcs",
+    """
+    SELECT ?s ?u ?l ?pre WHERE {
+      ?s schema:name ?name .
+      BIND(UCASE(?name) AS ?u)
+      BIND(STRLEN(?name) AS ?l)
+      BIND(SUBSTR(?name, 1, 5) AS ?pre)
+      FILTER(STRSTARTS(?name, "doc-2"))
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s, upper('doc-' || doc_id) AS u,
+           CAST(length('doc-' || doc_id) AS VARCHAR) AS l,
+           substring('doc-' || doc_id, 1, 5) AS pre
+    FROM documents WHERE starts_with('doc-' || doc_id, 'doc-2')
+    """,
+)

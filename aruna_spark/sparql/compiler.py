@@ -856,7 +856,15 @@ class Compiler:
         if name == "STRENDS":
             return CE(args[0].to_str().endswith(args[1].to_str()), "bool")
         if name == "STRLEN":
-            return CE(F.length(args[0].to_str()).cast("double"), "num")
+            # xsd:integer per spec — keep the integer lexical form ('5',
+            # not '5.0') so projected values match other engines
+            return CE(
+                literal_term(
+                    F.length(args[0].to_str()).cast("long").cast("string"),
+                    F.lit(XSD_INTEGER),
+                ),
+                "term",
+            )
         if name == "UCASE":
             return CE(F.upper(args[0].to_str()), "str")
         if name == "LCASE":
