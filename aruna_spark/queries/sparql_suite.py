@@ -534,3 +534,23 @@ _reg(
     FROM documents WHERE starts_with('doc-' || doc_id, 'doc-2')
     """,
 )
+
+
+# -- zero-or-one path: identity over nodes plus direct edges -----------------
+_reg(
+    "sparql_path_zero_or_one",
+    "SELECT ?s ?o WHERE { ?s schema:isPartOf? ?o }",
+    f"""
+    WITH edges AS (
+      SELECT {DOC} AS src, {COLL} || (doc_id % 7) AS dst FROM documents
+      UNION
+      SELECT {COLL} || k, {COLL} || CAST((k - 1) // 2 AS VARCHAR)
+      FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
+    ), nodes AS (
+      SELECT src AS n FROM edges UNION SELECT dst FROM edges
+    )
+    SELECT src AS s, dst AS o FROM edges
+    UNION
+    SELECT n, n FROM nodes
+    """,
+)
