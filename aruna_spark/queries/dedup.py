@@ -300,3 +300,117 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------- dup clusters
+def _duck_clusters_sql() -> str:
+    ctes = _duck_minhash_sql().replace("WITH ", "", 1)
+    ctes = ctes.split("SELECT c.doc_a", 1)[0].rstrip().rstrip(",")
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shingled a ON a.doc_id = c.doc_a
+      JOIN shingled b ON b.doc_id = c.doc_b
+      WHERE (1000 * len(list_distinct(list_filter(a.sh, s -> list_contains(b.sh, s)))))
+            // len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_PERMILLE}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (SELECT n, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n)
+    SELECT label AS cluster_rep,
+           COUNT(*) AS n_members,
+           string_agg(n, ',' ORDER BY n) AS member_ids
+    FROM comp GROUP BY label
+    """
+
+
+@register("dedup_clusters", oracle=_duck_clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    near-dup pairs — the endpoint of a dedup pipeline (keep one
+    representative per component, drop the rest). Representative =
+    minimum doc_id in the component.
+
+    Spark form: iterative min-label propagation over the (tiny relative
+    to the corpus) pair graph — each round joins labels to edges and
+    takes the min neighbor label, localCheckpoint-ed like the SPARQL
+    closure; rounds = component diameter (near-dup clusters are
+    star-like, so 1-2 rounds). The label table is O(duplicated docs),
+    never O(corpus).
+    """
+    from pyspark import StorageLevel
+
+    par = spark.sparkContext.defaultParallelism
+    sets = (
+        shingle_sets(corpus(spark, sf_dir).repartition(par, "doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = lsh_candidate_pairs(sets)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            F.expr(
+                "1000 * size(array_intersect(sh_a, sh_b))"
+                " div size(array_union(sh_a, sh_b))"
+            )
+            >= JACCARD_PERMILLE
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("n"), F.col("doc_b").alias("m")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("m"))
+    )
+    labels = edges.select("n").distinct().select(
+        "n", F.col("n").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("n", "m2"),
+                       edges["m"] == F.col("m2"))
+            .groupBy("n")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least(F.col("label"), F.col("nbr_label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.label") != F.col("y.label"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("n")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("member_ids"),
+    ).select(
+        F.col("label").alias("cluster_rep"), "n_members", "member_ids"
+    )

@@ -87,3 +87,25 @@ def test_simhash_buckets_cover_exact_copies(spark, sf_dir):
     assert exact_ids, "exact copies must land in simhash buckets"
     for e in exact_ids:
         assert e - 1_000_000 in bucketed
+
+
+def test_clusters_contain_planted_pairs_and_are_disjoint(spark, sf_dir):
+    from aruna_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["dedup_clusters"]
+    rows = fn(spark, sf_dir).collect()
+    seen: set[int] = set()
+    by_member: dict[int, int] = {}
+    for r in rows:
+        members = [int(x) for x in r.member_ids.split(",")]
+        assert r.n_members == len(members) >= 2
+        assert r.cluster_rep == min(members)
+        for m in members:
+            assert m not in seen, "clusters must be disjoint"
+            seen.add(m)
+            by_member[m] = r.cluster_rep
+    # every planted exact copy clusters with its source
+    planted = [m for m in by_member if m >= 1_000_000 and m < 2_000_000]
+    assert planted
+    for m in planted:
+        assert by_member[m] == by_member[m - 1_000_000]
