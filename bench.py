@@ -84,13 +84,20 @@ def main() -> None:
         fn, _ = REGISTRY[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Min of two timed runs per query: transient host contention (other
+    # tenants on this VM) was observed inflating single runs 3-6x; the
+    # min is the steady-state capability of the plan, which is what
+    # round-over-round comparison needs.
     times: dict[str, float] = {}
     for name in names:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # Document-create throughput — the reference's only published
     # performance gate (BASELINE.md: best >= 1,000 doc-creates/s,
