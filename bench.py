@@ -69,6 +69,12 @@ HEADLINE = [
     "s3_multipart_complete",
     "rocrate_export_summary",
     "search_describe_hits",
+    "dedup_clusters",
+    "similarity_ivf_topk",
+    "sparql_path_star",
+    "stream_sliding_window_counts",
+    "multimodal_wav_roundtrip",
+    "graph_snapshot_orphan_skip",
 ]
 
 
