@@ -554,3 +554,23 @@ _reg(
     SELECT n, n FROM nodes
     """,
 )
+
+
+# -- arithmetic + IF + ISIRI + DATATYPE (api.rs:2053-2090 walker corners) ----
+_reg(
+    "sparql_arith_if",
+    """
+    SELECT ?s ?twice ?cls WHERE {
+      ?s schema:contentSize ?size .
+      BIND(?size * 2 + 1 AS ?twice)
+      BIND(IF(?size >= 500, "big", "small") AS ?cls)
+      FILTER(ISIRI(?s) && DATATYPE(?size) = xsd:integer)
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s,
+           CAST(CAST(n_chars * 2 + 1 AS DOUBLE) AS VARCHAR) AS twice,
+           CASE WHEN n_chars >= 500 THEN 'big' ELSE 'small' END AS cls
+    FROM documents
+    """,
+)
