@@ -72,3 +72,18 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_rollup_single_scan_partial_agg(spark, sf_dir):
+    """ROLLUP must stay one scan + partial aggregation (Expand, not a
+    scan per grouping set)."""
+    plan = _plan(spark, "corpus_rollup_stats", sf_dir)
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert "partial" in plan.lower()
+
+
+def test_multipart_complete_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "s3_multipart_complete", sf_dir)
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), no extras
+    assert "BatchEvalPython" not in plan
