@@ -244,15 +244,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed AS (SELECT doc_id, {DUCK_HASH64.format(x='tok')} AS h FROM toks),
     bits AS (
       SELECT doc_id, j,
-             SUM(CASE WHEN (h // CAST(power(2, j) AS BIGINT)) % 2 = 1
-                      THEN 1 ELSE -1 END) AS vote
+             CAST(SUM(CASE WHEN (h // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                           THEN 1 ELSE -1 END) AS BIGINT) AS vote
       FROM hashed CROSS JOIN UNNEST(range(0, {SIMHASH_BITS})) AS t(j)
       GROUP BY doc_id, j
     ),
     sim AS (
       SELECT doc_id,
-             SUM(CASE WHEN vote >= 0 THEN CAST(power(2, j) AS BIGINT)
-                      ELSE 0 END) AS simhash
+             CAST(SUM(CASE WHEN vote >= 0 THEN CAST(power(2, j) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
     )
     SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id,

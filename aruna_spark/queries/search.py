@@ -79,7 +79,8 @@ def _duck_scored(query: str) -> str:
     dfq AS (SELECT token, COUNT(*) AS df FROM postings GROUP BY token),
     q AS (SELECT UNNEST([{toks}]) AS token),
     scored AS (
-      SELECT p.graph_iri, p.subject, SUM({CONTRIB_SQL}) AS score_q
+      SELECT p.graph_iri, p.subject,
+             CAST(SUM({CONTRIB_SQL}) AS BIGINT) AS score_q
       FROM postings p
       JOIN q USING (token) JOIN dfq USING (token) JOIN dl USING (subject)
       CROSS JOIN stats

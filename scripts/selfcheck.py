@@ -1,9 +1,15 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every registered query on Spark and its oracle on DuckDB at a given
-sf dir, then compares row count, column names, and exact cell values
-(columns sorted by name, rows sorted) — a conservative approximation of
-the driver's order-insensitive value-hash.
+sf dir, then compares row count, column names, pandas dtypes, and exact
+cell values (columns sorted by name, rows sorted) — a conservative
+approximation of the driver's order-insensitive value-hash.
+
+The dtype check reproduces the driver's encoding strictness: DuckDB
+``SUM(BIGINT)`` returns HUGEINT which pandas renders as float64/object,
+hashing differently from Spark's int64 even when values are equal
+(the CORRECTNESS_r02 ``hash_match: false`` artifact). Cell-string
+comparison alone cannot see that; dtype *kind* comparison can.
 
 Usage: python scripts/selfcheck.py [sf_dir] [query ...]
 """
@@ -48,6 +54,11 @@ def normalize(df, float_sig=12):
     return cols, rows
 
 
+def dtype_kinds(df) -> dict[str, str]:
+    """column -> numpy dtype kind ('i' int, 'f' float, 'O' object, ...)."""
+    return {c: df[c].dtype.kind for c in sorted(df.columns)}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -81,9 +92,15 @@ def main() -> int:
             continue
         s_cols, s_rows = normalize(spark_pdf)
         d_cols, d_rows = normalize(duck_pdf)
+        s_kinds, d_kinds = dtype_kinds(spark_pdf), dtype_kinds(duck_pdf)
         if s_cols != d_cols:
             failures.append(name)
             print(f"FAIL {name}: columns {s_cols} != {d_cols}")
+        elif s_kinds != d_kinds:
+            failures.append(name)
+            bad = {c: (s_kinds[c], d_kinds[c]) for c in s_kinds
+                   if s_kinds[c] != d_kinds[c]}
+            print(f"FAIL {name}: dtype kinds spark!=duck: {bad}")
         elif len(s_rows) != len(d_rows):
             failures.append(name)
             print(f"FAIL {name}: rowcount {len(s_rows)} != {len(d_rows)}")
