@@ -5,14 +5,19 @@ are searchable — name, description, keywords, identifier
 (``operations/src/metadata/search_enrichment.rs:3-8``); hits carry
 (graph_iri, subject, score, title, snippet) (``core/src/metadata.rs:667-676``).
 
-Scoring: BM25 (k1=1.2, b=0.75, Lucene-style idf). One deliberate
-refinement over the reference: the reference quantizes the final f32
-score to 1e-6 buckets for a deterministic merge order
-(``search_cursor.rs:274-289``); we quantize each term's contribution
-BEFORE summing, making the total an exact integer — bit-identical on any
-engine and any partitioning (a float sum of 3+ terms is not associative;
-an int sum is). The ordering contract — (score bucket desc, graph_iri,
-subject) — is the same.
+Scoring: BM25 (k1=1.2, b=0.75, Lucene-style idf), **per-field** like the
+reference's Tantivy index: each of the four fields is an independent
+BM25 space (its own tf, df, dl, avgdl, docCount), and a document's score
+is the sum of its per-field scores — so a token in a short ``name``
+outranks the same token buried in a long ``description``, matching
+Tantivy's multi-field union query. One deliberate refinement over the
+reference: the reference quantizes the final f32 score to 1e-6 buckets
+for a deterministic merge order (``search_cursor.rs:274-289``); we
+quantize each (term, field) contribution BEFORE summing, making the
+total an exact integer — bit-identical on any engine and any
+partitioning (a float sum of 3+ terms is not associative; an int sum
+is). The ordering contract — (score bucket desc, graph_iri, subject) —
+is the same.
 
 Scale design (100 TB): postings build is explode + two groupBys (map-side
 combinable); scoring joins the (tiny, broadcast) query-token table to the
@@ -63,31 +68,43 @@ def build_field_literals(triples: DataFrame) -> DataFrame:
 
 
 def build_postings(fields: DataFrame) -> DataFrame:
-    """(subject, graph_iri, token, tf): doc-level term frequencies.
-
-    (The reference's Tantivy index is per-field; we aggregate tf across
-    the four fields — a documented simplification that keeps one postings
-    table. dl in :func:`build_doc_lengths` matches this choice.)
-    """
+    """(subject, graph_iri, field, token, tf): PER-FIELD term
+    frequencies — the reference's Tantivy index is per-field over
+    name/description/keywords/identifier
+    (``search_enrichment.rs:3-8``), so tf is counted within one field,
+    never across fields."""
     toks = fields.select(
         "subject",
         "graph_iri",
+        "field",
         F.explode(F.split(F.col("text"), " ")).alias("token"),
     )
-    return toks.groupBy("subject", "graph_iri", "token").agg(
+    return toks.groupBy("subject", "graph_iri", "field", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
 
 
 def build_doc_lengths(postings: DataFrame) -> DataFrame:
-    """(subject, dl): total token count per document."""
-    return postings.groupBy("subject").agg(F.sum("tf").alias("dl"))
+    """(subject, field, dl): token count of each document FIELD."""
+    return postings.groupBy("subject", "field").agg(
+        F.sum("tf").alias("dl")
+    )
 
 
-# Per-term quantized BM25 contribution (see module doc). ONE formula text
-# shared verbatim with the DuckDB oracle so every double op rounds
-# identically (note {1 + K1} stringifies as 2.2000000000000002 — the same
-# literal parses to the same double in both engines).
+def build_field_stats(dl: DataFrame) -> DataFrame:
+    """(field, n, avgdl): per-field corpus stats — n is the number of
+    documents that HAVE the field (Lucene/Tantivy docCount semantics),
+    avgdl the mean field length over those."""
+    return dl.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+
+# Per-(term, field) quantized BM25 contribution (see module doc). ONE
+# formula text shared verbatim with the DuckDB oracle so every double op
+# rounds identically (note {1 + K1} stringifies as 2.2000000000000002 —
+# the same literal parses to the same double in both engines).
 CONTRIB_SQL = (
     "CAST(floor(1e6 * ln(1 + (n - df + 0.5) / (df + 0.5))"
     f" * (tf * {1 + K1}) / (tf + {K1} * ({1 - B} + {B} * dl / avgdl)))"
@@ -105,27 +122,59 @@ def bm25_scores(
     dl: DataFrame | None = None,
     stats: DataFrame | None = None,
 ) -> DataFrame:
-    """(graph_iri, subject, score_q): integer-quantized BM25 per doc.
+    """(graph_iri, subject, score_q): integer-quantized per-field BM25
+    summed over fields — Tantivy multi-field parity.
 
-    ``dl`` (per-doc lengths) and ``stats`` (corpus n/avgdl) default to
-    being derived from ``postings`` — pass precomputed tables when
-    querying a shard-pruned materialized index, where the scan no longer
-    sees the whole corpus (per-token df IS correct from a pruned scan,
-    because a token's shard holds all of its postings)."""
+    ``dl`` (per-field doc lengths) and ``stats`` (per-field n/avgdl)
+    default to being derived from ``postings`` — pass the precomputed
+    tables when querying a shard-pruned materialized index, where the
+    scan no longer sees the whole corpus (per-(field, token) df IS
+    correct from a pruned scan, because a token's shard holds all of its
+    postings)."""
     spark = postings.sparkSession
     if dl is None:
         dl = build_doc_lengths(postings)
     if stats is None:
-        stats = dl.agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        )
-    df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        stats = build_field_stats(dl)
+    df_ = postings.groupBy("field", "token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     q = spark.createDataFrame(
         [(t,) for t in dict.fromkeys(query_tokens)], "token string"
     )
     joined = (
         postings.join(F.broadcast(q), "token")
+        .join(df_, ["field", "token"])
+        .join(dl, ["subject", "field"])
+        .join(F.broadcast(stats), "field")
+    )
+    return joined.groupBy("graph_iri", "subject").agg(
+        F.sum(_contrib_expr()).alias("score_q")
+    )
+
+
+def bm25_scores_field_merged(
+    postings: DataFrame, query_tokens: list[str]
+) -> DataFrame:
+    """Round-2's field-MERGED scorer (tf/df/dl pooled across the four
+    fields), kept as the comparison baseline: the registered
+    ``search_perfield_rank_shift`` query demonstrates where Tantivy
+    per-field parity re-ranks documents relative to this scorer."""
+    spark = postings.sparkSession
+    merged = postings.groupBy("subject", "graph_iri", "token").agg(
+        F.sum("tf").alias("tf")
+    )
+    dl = merged.groupBy("subject").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_tokens)], "token string"
+    )
+    joined = (
+        merged.join(F.broadcast(q), "token")
         .join(df_, "token")
         .join(dl, "subject")
         .crossJoin(F.broadcast(stats))

@@ -39,6 +39,10 @@ __all__ = [
     "MAX_RESULT_ROWS",
     "MAX_RESULT_BYTES",
     "QUERY_DEADLINE_SECS",
+    "graphs_digest",
+    "credential_digest",
+    "local_key",
+    "remote_key",
 ]
 
 MAX_RESULT_ROWS = 10_000  # handle.rs:95 (result row cap)
@@ -49,6 +53,105 @@ QUERY_DEADLINE_SECS = 10.0  # handle.rs:97 (evaluation deadline)
 CACHE_MAX_ENTRIES = 512  # per-node LRU (SURVEY §2.11: 512 / 32 MiB / 30 s)
 CACHE_MAX_BYTES = 32 * 1024 * 1024
 CACHE_TTL_SECS = 30.0
+
+# -- cache key derivation (operations/src/metadata/query_cache.rs) -----------
+# The reference keys local entries by (scope kind tag, scope digest, query)
+# so a hit can never expose graphs the caller could not evaluate itself
+# (query_cache.rs:99-109), and keys fan-out entries additionally by the
+# caller's credential digest + realm + fan-out shape, because remote
+# partitions authorize on the forwarded credential (api.rs:2643-2672).
+# Length prefixes keep concatenated components unambiguous (rs:27-31).
+_NO_CREDENTIAL = b"aruna.metadata.query.anonymous"  # query_cache.rs:23
+_TAG_EAGER, _TAG_LAZY, _TAG_FANOUT = 1, 2, 3  # query_cache.rs:20-22
+
+
+def _push(h, data: bytes) -> None:
+    h.update(len(data).to_bytes(8, "little"))
+    h.update(data)
+
+
+def graphs_digest(graph_iris) -> str:
+    """Hex digest of an UNORDERED graph set (query_cache.rs:48-57):
+    sorted + deduped so scope order never changes the key."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for g in sorted(set(graph_iris)):
+        _push(h, g.encode())
+    return h.hexdigest()
+
+
+def credential_digest(
+    auth: str | None = None, bearer_token: str | None = None
+) -> str:
+    """Fingerprint of the caller's credential (query_cache.rs:60-76).
+    The bearer token is only ever hashed — never stored or logged."""
+    import hashlib
+
+    h = hashlib.sha256()
+    _push(h, auth.encode() if auth is not None else _NO_CREDENTIAL)
+    _push(
+        h,
+        bearer_token.encode() if bearer_token is not None else _NO_CREDENTIAL,
+    )
+    return h.hexdigest()
+
+
+def local_key(kind: str, scope_digest: str, sparql: str) -> str:
+    """Cache key for a locally evaluated query (query_cache.rs:99-109).
+
+    ``kind`` is ``"eager"`` (caller named exact graphs) or ``"lazy"``
+    (scope digest covers the RESOLVED visible graph set) — distinct tags
+    so an eager key can never alias a lazy one."""
+    import hashlib
+
+    if kind == "eager":
+        tag = _TAG_EAGER
+    elif kind == "lazy":
+        tag = _TAG_LAZY
+    else:
+        raise ValueError(f"unknown scope kind {kind!r}")
+    h = hashlib.sha256()
+    h.update(bytes([tag]))
+    _push(h, scope_digest.encode())
+    _push(h, " ".join(sparql.split()).encode())
+    return h.hexdigest()
+
+
+def remote_key(
+    distributed: bool,
+    realm_id: str,
+    credential: str,
+    graph_iris,
+    sparql: str,
+    allow_partial: bool = False,
+    target_nodes=None,
+) -> str:
+    """Cache key for a merged fan-out result (query_cache.rs:112-146):
+    partitioned by credential digest (remote partitions authorize on the
+    forwarded credential), realm, mode, graph filter, and fan-out shape
+    — two callers with different credentials NEVER share an entry."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(bytes([_TAG_FANOUT]))
+    h.update(bytes([1 if distributed else 0]))
+    _push(h, realm_id.encode())
+    _push(h, credential.encode())
+    if graph_iris is None:
+        h.update(b"\x00")
+    else:
+        h.update(b"\x01")
+        _push(h, graphs_digest(graph_iris).encode())
+    _push(h, " ".join(sparql.split()).encode())
+    h.update(bytes([1 if allow_partial else 0]))
+    if target_nodes is None:
+        h.update(b"\x00")
+    else:
+        h.update(b"\x01")
+        for n in sorted(target_nodes):
+            _push(h, str(n).encode())
+    return h.hexdigest()
 
 
 class QueryCache:
@@ -167,6 +270,7 @@ class SparqlEngine:
     ):
         self.spark = spark
         self.visible_graphs = visible_graphs
+        self._scope_hex: str | None = None  # memoized resolved-scope digest
         if visible_graphs is not None:
             triples = triples.join(
                 F.broadcast(visible_graphs.select("graph_iri")),
@@ -174,6 +278,23 @@ class SparqlEngine:
                 "left_semi",
             )
         self.triples = triples
+
+    def scope_digest(self) -> str:
+        """Digest of the caller's RESOLVED visible-graph set, memoized
+        per engine (the reference's lazy ScopeDigest,
+        query_cache.rs:34-45): two engines share a cache entry only when
+        their authorization resolved to the identical graph set. An
+        unscoped engine (no visibility filter) uses a distinct sentinel
+        that can never collide with a real graph set. The collect is the
+        caller's grant set — bounded, and the same set the reference
+        resolves per request."""
+        if self._scope_hex is None:
+            if self.visible_graphs is None:
+                self._scope_hex = graphs_digest(["\x00aruna.scope.unrestricted"])
+            else:
+                rows = self.visible_graphs.select("graph_iri").collect()
+                self._scope_hex = graphs_digest(r.graph_iri for r in rows)
+        return self._scope_hex
 
     def check_graphs(self, graph_iris: list[str]) -> None:
         """Eager mode (handle.rs:4657-4700): a query naming explicit
@@ -237,17 +358,30 @@ class SparqlEngine:
         max_bytes: int = MAX_RESULT_BYTES,
         cache: "QueryCache | None" = None,
         generation: int = 0,
+        graph_iris: list[str] | None = None,
     ) -> list:
         """Run a query with the reference's full governance envelope:
         10k-row cap (in the plan), 8 MiB serialized cap, a deadline
         that CANCELS the running Spark job group (the reference's
         cooperative cancellation, handle.rs:4740-4770), and an optional
-        result cache consulted before any Spark job starts."""
+        result cache consulted before any Spark job starts.
+
+        Cache entries are keyed by (scope kind, scope digest, query) —
+        NOT the query text alone — so one cache shared across callers
+        with different visible-graph scopes can never serve caller A's
+        rows to caller B (query_cache.rs:99-109). ``graph_iris`` is the
+        eager mode: the caller named exact graphs (checked via
+        :meth:`check_graphs`), and the key digests that request set;
+        otherwise the lazy key digests this engine's resolved scope."""
         import threading
         import uuid
 
+        if graph_iris is not None:
+            key = local_key("eager", graphs_digest(graph_iris), text)
+        else:
+            key = local_key("lazy", self.scope_digest(), text)
         if cache is not None:
-            cached = cache.get(text, generation)
+            cached = cache.get(key, generation)
             if cached is not None:
                 return cached
 
@@ -282,7 +416,7 @@ class SparqlEngine:
                 f"serialized result {size} B exceeds {max_bytes} B"
             )
         if cache is not None:
-            cache.put(text, rows, size, generation)
+            cache.put(key, rows, size, generation)
         return rows
 
     def query_flat(self, text: str, enforce_limits: bool = True) -> DataFrame:

@@ -87,3 +87,21 @@ def test_multipart_complete_single_shuffle(spark, sf_dir):
     plan = _plan(spark, "s3_multipart_complete", sf_dir)
     assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), no extras
     assert "BatchEvalPython" not in plan
+
+
+def test_default_sparql_path_prunes_predicate_partitions(spark, sf_dir):
+    """The DEFAULT registered sparql_* path must read the materialized
+    predicate-partitioned store with PartitionFilters — not re-derive
+    the projection union per query (VERDICT r2 perf-weak item b)."""
+    plan = _plan(spark, "sparql_order_limit", sf_dir)
+    assert "PartitionFilters: [" in plan
+    assert "contentSize" in plan.split("PartitionFilters:", 1)[1][:400]
+
+
+def test_default_search_path_prunes_token_shards(spark, sf_dir):
+    """The DEFAULT registered search_* path must read the materialized
+    token-shard postings index with shard PartitionFilters — not rebuild
+    postings per query (VERDICT r2 perf-weak item a)."""
+    plan = _plan(spark, "search_bm25_topk", sf_dir)
+    assert "PartitionFilters: [" in plan
+    assert "shard" in plan.split("PartitionFilters:", 1)[1][:400]

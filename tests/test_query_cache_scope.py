@@ -1,0 +1,140 @@
+"""Cache authorization-isolation tests (query_cache.rs parity).
+
+The round-2 advisory flagged a real leak: a result cache keyed by query
+text alone serves caller A's rows to caller B when their visible-graph
+scopes differ. The reference keys local entries by (scope kind, scope
+digest, query) and fan-out entries by credential digest + realm + shape
+(``operations/src/metadata/query_cache.rs:99-146``, used at
+``api.rs:2643-2672``). These tests pin that isolation end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aruna_spark.ingest.doc_triples import GRAPH_NS, load_triples
+from aruna_spark.sparql.engine import (
+    QueryCache,
+    SparqlEngine,
+    credential_digest,
+    graphs_digest,
+    local_key,
+    remote_key,
+)
+
+Q = "SELECT ?s WHERE { ?s a schema:File } ORDER BY ?s LIMIT 5"
+
+
+def _scoped_engine(spark, sf_dir, doc_ids):
+    graphs = spark.createDataFrame(
+        [(f"{GRAPH_NS}{i}",) for i in doc_ids], "graph_iri string"
+    )
+    return SparqlEngine(spark, load_triples(spark, sf_dir), graphs)
+
+
+def test_shared_cache_does_not_leak_across_scopes(spark, sf_dir):
+    """Two callers, one cache, different visible scopes: caller B must
+    NOT be served caller A's cached rows."""
+    cache = QueryCache(now_fn=lambda: 0.0)
+    a = _scoped_engine(spark, sf_dir, range(1, 30))
+    b = _scoped_engine(spark, sf_dir, range(30, 60))
+    rows_a = a.execute(Q, cache=cache)
+    assert cache.misses == 1 and cache.hits == 0
+    rows_b = b.execute(Q, cache=cache)
+    assert cache.misses == 2 and cache.hits == 0, "scope isolation broken"
+    assert rows_a != rows_b  # disjoint scopes -> different answers
+    # and each caller's OWN repeat is a hit
+    assert a.execute(Q, cache=cache) is rows_a
+    assert b.execute(Q, cache=cache) is rows_b
+    assert cache.hits == 2
+
+
+def test_identical_resolved_scope_shares_entry(spark, sf_dir):
+    """Callers whose authorization resolved to the IDENTICAL graph set
+    share an entry (query_cache.rs:99-101) — safe by construction."""
+    cache = QueryCache(now_fn=lambda: 0.0)
+    a = _scoped_engine(spark, sf_dir, range(1, 20))
+    b = _scoped_engine(spark, sf_dir, range(1, 20))
+    rows_a = a.execute(Q, cache=cache)
+    assert b.execute(Q, cache=cache) is rows_a
+    assert cache.hits == 1
+
+
+def test_unscoped_sentinel_never_collides_with_real_scope(spark, sf_dir):
+    cache = QueryCache(now_fn=lambda: 0.0)
+    unscoped = SparqlEngine(spark, load_triples(spark, sf_dir))
+    scoped = _scoped_engine(spark, sf_dir, range(1, 10))
+    unscoped.execute(Q, cache=cache)
+    scoped.execute(Q, cache=cache)
+    assert cache.misses == 2 and cache.hits == 0
+
+
+def test_eager_and_lazy_keys_are_distinct():
+    scope = graphs_digest(["g1", "g2"])
+    assert local_key("eager", scope, Q) != local_key("lazy", scope, Q)
+    # same kind + scope + query -> same key; whitespace-insensitive
+    assert local_key("lazy", scope, Q) == local_key("lazy", scope, f"  {Q}  ")
+
+
+def test_eager_key_digests_the_request_graphs(spark, sf_dir):
+    cache = QueryCache(now_fn=lambda: 0.0)
+    eng = _scoped_engine(spark, sf_dir, range(1, 10))
+    eng.execute(Q, cache=cache, graph_iris=[f"{GRAPH_NS}1"])
+    eng.execute(Q, cache=cache, graph_iris=[f"{GRAPH_NS}2"])
+    assert cache.misses == 2
+    eng.execute(Q, cache=cache, graph_iris=[f"{GRAPH_NS}1"])
+    assert cache.hits == 1
+
+
+def test_credential_digest_hashes_not_stores():
+    d1 = credential_digest(auth='{"user":"a"}', bearer_token="tok-1")
+    d2 = credential_digest(auth='{"user":"a"}', bearer_token="tok-2")
+    d3 = credential_digest(auth='{"user":"a"}', bearer_token="tok-1")
+    assert d1 != d2 and d1 == d3
+    assert "tok-1" not in d1  # only a hash leaves this function
+    # anonymous sentinel is stable and distinct from any real token
+    anon = credential_digest()
+    assert anon == credential_digest() and anon != d1
+
+
+def test_remote_key_partitions_by_credential_and_shape():
+    """Fan-out cache entries are credential-partitioned: remote nodes
+    authorize on the forwarded credential, so two callers never share
+    (api.rs:2643-2646)."""
+    base = dict(
+        distributed=True,
+        realm_id="realm-1",
+        credential=credential_digest(bearer_token="tok-a"),
+        graph_iris=["g1", "g2"],
+        sparql=Q,
+        allow_partial=False,
+        target_nodes=None,
+    )
+    k = remote_key(**base)
+    assert k == remote_key(**base)
+    assert k != remote_key(**{**base, "credential": credential_digest(bearer_token="tok-b")})
+    assert k != remote_key(**{**base, "realm_id": "realm-2"})
+    assert k != remote_key(**{**base, "distributed": False})
+    assert k != remote_key(**{**base, "graph_iris": ["g1"]})
+    assert k != remote_key(**{**base, "graph_iris": None})
+    assert k != remote_key(**{**base, "allow_partial": True})
+    assert k != remote_key(**{**base, "target_nodes": ["n1"]})
+    assert k != remote_key(**{**base, "sparql": Q + " extra"})
+    assert k == remote_key(**{**base, "sparql": f"  {Q}  "})  # ws-normalized
+    # graph order does not matter (unordered set digest)
+    assert k == remote_key(**{**base, "graph_iris": ["g2", "g1"]})
+
+
+def test_distributed_cache_cross_credential_isolation():
+    """End-to-end: one shared cache, two credentials, same query —
+    entries never cross."""
+    cache = QueryCache(now_fn=lambda: 0.0)
+    key_a = remote_key(True, "realm", credential_digest(bearer_token="a"), None, Q)
+    key_b = remote_key(True, "realm", credential_digest(bearer_token="b"), None, Q)
+    cache.put(key_a, [("rows-for-a",)], 10, generation=1)
+    assert cache.get(key_b, generation=1) is None
+    assert cache.get(key_a, generation=1) == [("rows-for-a",)]
+    # generation bump invalidates both partitions identically
+    cache.put(key_b, [("rows-for-b",)], 10, generation=1)
+    assert cache.get(key_a, generation=2) is None
+    assert cache.get(key_b, generation=2) is None

@@ -117,13 +117,10 @@ def test_materialized_postings_prune_and_match(spark, sf_dir, tmp_path):
         .select("subject", "score_q")
         .collect()
     }
-    from aruna_spark.search.bm25 import build_doc_lengths
+    from aruna_spark.search.bm25 import build_doc_lengths, build_field_stats
 
     dl = build_doc_lengths(postings)
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
+    stats = build_field_stats(dl)
     b = {
         tuple(r)
         for r in bm25_scores(pruned, toks, dl=dl, stats=stats)
