@@ -9,11 +9,20 @@ the (tiny) grants table against the keyed rows:
 
     allowed(row) = ∃ allow-grant matching ∧ ¬∃ deny-grant matching
 
-Glob dialect (globset-compatible subset):
-- ``**``  any number of path segments (including empty)
-- ``*``   within one segment ([^/]*)
-- ``?``   single non-separator char
+Glob dialect — matches the reference's compile exactly: grants are
+compiled with globset DEFAULTS (``Glob::new(p)?.compile_matcher()``,
+``permission_rules.rs:82``), where ``literal_separator`` is false, so:
+- ``*``   any sequence of characters INCLUDING ``/`` (.*)
+- ``?``   any single character including ``/`` (.)
+- ``**/`` leading: zero or more leading components; ``/**`` trailing:
+  everything strictly inside the directory (globset: ``a/**`` does not
+  match ``a`` itself); interior ``**`` ≡ ``*``
 - everything else literal (regex-escaped)
+
+(Round-2 advisory: the previous single-segment ``*`` under-granted
+allows and — worse — under-matched DENY rules relative to the
+reference, silently widening visibility. Pinned against globset
+behavior in tests/test_permissions.py.)
 
 Scale: grants are per-caller and small — always broadcast; the regex
 match is a vectorized JVM expression (rlike), no Python UDFs; the join
@@ -29,25 +38,27 @@ from pyspark.sql import functions as F
 
 
 def glob_to_regex(glob: str) -> str:
-    """Translate a permission glob to an anchored regex (see module doc).
-
-    ``**`` handling matches globset: ``a/**`` covers ``a/`` and any depth
-    beneath it; a bare ``**`` covers everything.
-    """
+    """Translate a permission glob to an anchored regex with globset
+    DEFAULT semantics (see module doc): ``*``/``?`` are not
+    separator-limited; ``**/x`` also matches bare ``x``; ``x/**``
+    matches everything under ``x`` but not ``x`` itself."""
     out = []
     i = 0
     while i < len(glob):
-        if glob[i : i + 3] == "/**" and i + 3 == len(glob):
-            out.append("(/.*)?")  # trailing /** also matches the dir itself
+        if glob[i : i + 3] == "**/" and i == 0:
+            out.append("(.*/)?")  # globset: '**/b' matches 'b' and 'a/b'
+            i += 3
+        elif glob[i : i + 3] == "/**" and i + 3 == len(glob):
+            out.append("/.*")  # globset: 'a/**' does NOT match bare 'a'
             i += 3
         elif glob[i : i + 2] == "**":
             out.append(".*")
             i += 2
         elif glob[i] == "*":
-            out.append("[^/]*")
+            out.append(".*")  # literal_separator=false: crosses '/'
             i += 1
         elif glob[i] == "?":
-            out.append("[^/]")
+            out.append(".")  # likewise
             i += 1
         else:
             out.append(re.escape(glob[i]))

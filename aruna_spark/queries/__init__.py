@@ -70,6 +70,8 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from aruna_spark.queries import (  # noqa: F401
         backlinks,
+        crdt_suite,
+        drs,
         dedup,
         ingest_suite,
         listing,

@@ -439,12 +439,13 @@ _reg(
     """,
 )
 
-# -- zero-or-more closure: identity over every node in the edge set ----------
+# -- zero-or-more closure: identity over EVERY graph term (ZeroLengthPath) ---
 _reg(
     "sparql_path_star",
     "SELECT ?s ?o WHERE { ?s schema:isPartOf* ?o }",
     f"""
-    WITH RECURSIVE edges AS (
+    WITH RECURSIVE triples AS ({TRIPLES_ORACLE_SQL}),
+    edges AS (
       SELECT {DOC} AS src, {COLL} || (doc_id % 7) AS dst FROM documents
       UNION
       SELECT {COLL} || k, {COLL} || CAST((k - 1) // 2 AS VARCHAR)
@@ -454,7 +455,9 @@ _reg(
       UNION
       SELECT cl.src, e.dst FROM cl JOIN edges e ON cl.dst = e.src
     ), nodes AS (
-      SELECT src AS n FROM edges UNION SELECT dst FROM edges
+      SELECT subject AS n FROM triples
+      UNION
+      SELECT object_value FROM triples WHERE object_kind = 'iri'
     )
     SELECT src AS s, dst AS o FROM cl
     UNION
@@ -543,18 +546,21 @@ _reg(
 )
 
 
-# -- zero-or-one path: identity over nodes plus direct edges -----------------
+# -- zero-or-one path: identity over EVERY graph term plus direct edges ------
 _reg(
     "sparql_path_zero_or_one",
     "SELECT ?s ?o WHERE { ?s schema:isPartOf? ?o }",
     f"""
-    WITH edges AS (
+    WITH triples AS ({TRIPLES_ORACLE_SQL}),
+    edges AS (
       SELECT {DOC} AS src, {COLL} || (doc_id % 7) AS dst FROM documents
       UNION
       SELECT {COLL} || k, {COLL} || CAST((k - 1) // 2 AS VARCHAR)
       FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents) WHERE k > 0
     ), nodes AS (
-      SELECT src AS n FROM edges UNION SELECT dst FROM edges
+      SELECT subject AS n FROM triples
+      UNION
+      SELECT object_value FROM triples WHERE object_kind = 'iri'
     )
     SELECT src AS s, dst AS o FROM edges
     UNION

@@ -585,46 +585,66 @@ class Compiler:
         frontier is empty or at MAX_PATH_ITERATIONS (the reference's
         evaluator is equally bounded in practice by its 10 s deadline).
         """
-        # checkpoint the edge set ONCE — it feeds every iteration's join,
-        # and without this each round would repeat the edge-derivation
-        # shuffle (distinct) from scratch
-        edges = self._path_edges(p.inner, graph).localCheckpoint(eager=True)
-
-        # semi-naive deltas: only each round's NEW pairs are materialized;
-        # the running closure stays a lazy union of checkpointed deltas
-        # (materializing the full closure every round is O(closure) extra
-        # I/O per iteration and dominated the loop's cost)
-        deltas = [edges]
-        frontier = edges
-        for _ in range(MAX_PATH_ITERATIONS):
-            step = (
-                frontier.alias("f")
-                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
-                .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
-                .distinct()
+        if isinstance(p, A.PathZeroOrOne):
+            # 'p?' needs only edges ∪ identity — running the closure loop
+            # (with its per-round eager materializations) and discarding
+            # the result was pure waste (round-2 advisory)
+            closure = self._path_edges(p.inner, graph)
+        else:
+            # checkpoint the edge set ONCE — it feeds every iteration's
+            # join, and without this each round would repeat the edge-
+            # derivation shuffle (distinct) from scratch
+            edges = self._path_edges(p.inner, graph).localCheckpoint(
+                eager=True
             )
-            closure_so_far = reduce(DataFrame.unionByName, deltas)
-            new = step.join(
-                closure_so_far, ["src", "dst"], "left_anti"
-            ).localCheckpoint(eager=True)
-            if not new.take(1):
-                break
-            deltas.append(new)
-            frontier = new
-        closure = reduce(DataFrame.unionByName, deltas)
+
+            # semi-naive deltas: only each round's NEW pairs are
+            # materialized; the running closure stays a lazy union of
+            # checkpointed deltas (materializing the full closure every
+            # round is O(closure) extra I/O per iteration and dominated
+            # the loop's cost)
+            deltas = [edges]
+            frontier = edges
+            for _ in range(MAX_PATH_ITERATIONS):
+                step = (
+                    frontier.alias("f")
+                    .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+                    .select(
+                        F.col("f.src").alias("src"),
+                        F.col("e.dst").alias("dst"),
+                    )
+                    .distinct()
+                )
+                closure_so_far = reduce(DataFrame.unionByName, deltas)
+                new = step.join(
+                    closure_so_far, ["src", "dst"], "left_anti"
+                ).localCheckpoint(eager=True)
+                if not new.take(1):
+                    break
+                deltas.append(new)
+                frontier = new
+            closure = reduce(DataFrame.unionByName, deltas)
 
         if isinstance(p, (A.PathZeroOrMore, A.PathZeroOrOne)):
+            # Zero-length solutions range over ALL graph terms (SPARQL
+            # ZeroLengthPath), not just p-incident nodes: a bound subject
+            # with no p edges still yields its identity row (round-2
+            # advisory). Literal terms are excluded — the closure's node
+            # domain is IRI/bnode (edge endpoints are never literals).
+            scoped = self.triples
+            if isinstance(graph, A.Iri):
+                scoped = scoped.filter(F.col("graph_iri") == graph.value)
             nodes = (
-                edges.select(F.col("src").alias("n"))
-                .unionByName(edges.select(F.col("dst").alias("n")))
+                scoped.select(F.col("subject").alias("n"))
+                .unionByName(
+                    scoped.filter(F.col("object_kind") == "iri").select(
+                        F.col("object_value").alias("n")
+                    )
+                )
                 .distinct()
             )
             zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-            base = zero if isinstance(p, A.PathZeroOrOne) else closure.unionByName(zero)
-            if isinstance(p, A.PathZeroOrOne):
-                closure = edges.unionByName(zero).dropDuplicates()
-            else:
-                closure = base.dropDuplicates()
+            closure = closure.unionByName(zero).dropDuplicates()
 
         sel: dict[str, Column] = {}
         out = closure
@@ -914,8 +934,18 @@ class Compiler:
                 "bool",
             )
         if name == "STRBEFORE":
+            # literal (instr-based) like STRAFTER — F.split treats its
+            # pattern as a REGEX, so a match string with metacharacters
+            # gave wrong results (STRBEFORE('a.b','.') -> '') or threw
+            # on invalid patterns like '(' (round-2 advisory)
             s, m = args[0].to_str(), args[1].to_str()
-            return CE(F.when(s.contains(m), F.split(s, F.lit(m), 2)[0]).otherwise(F.lit("")), "str")
+            idx = F.instr(s, m)
+            return CE(
+                F.when(idx > 0, F.substring(s, F.lit(1), idx - 1)).otherwise(
+                    F.lit("")
+                ),
+                "str",
+            )
         if name == "STRAFTER":
             s, m = args[0].to_str(), args[1].to_str()
             idx = F.instr(s, m)

@@ -15,8 +15,10 @@ def m(glob: str, path: str) -> bool:
 
 
 def test_narrow_grant_does_not_leak_siblings():
+    """globset defaults (permission_rules.rs:82: Glob::new + defaults):
+    'a/**' matches everything strictly inside a, not a itself."""
     g = "/realm/g/team/meta/**"
-    assert m(g, "/realm/g/team/meta")  # the dir itself
+    assert not m(g, "/realm/g/team/meta")  # globset: not the dir itself
     assert m(g, "/realm/g/team/meta/doc")
     assert m(g, "/realm/g/team/meta/a/b/c")
     assert not m(g, "/realm/g/other/meta/doc")
@@ -24,12 +26,17 @@ def test_narrow_grant_does_not_leak_siblings():
     assert not m(g, "/realm/g/team/metadata")  # no prefix bleed
 
 
-def test_star_stays_within_segment():
+def test_star_crosses_separators_like_globset_default():
+    """globset's literal_separator defaults to FALSE: '*' matches across
+    '/'. The round-2 advisory showed the stricter single-segment dialect
+    under-matched DENY rules, silently widening visibility — this pins
+    the reference dialect."""
     g = "data/*/en/*.txt"
     assert m(g, "data/src1/en/doc-1.txt")
-    assert not m(g, "data/src1/de/doc-1.txt")
-    assert not m(g, "data/a/b/en/doc-1.txt")  # * must not cross '/'
-    assert not m(g, "data/src1/en/sub/doc-1.txt")
+    assert m(g, "data/a/b/en/doc-1.txt")  # '*' crosses '/'
+    assert m(g, "data/src1/en/sub/doc-1.txt")
+    assert not m(g, "data/src1/de/doc-1.txt")  # still needs '/en/'
+    assert m(g, "data/x/de/y/en/doc.txt")  # any '/en/' component suffices
 
 
 def test_doublestar_matches_everything():
@@ -38,11 +45,19 @@ def test_doublestar_matches_everything():
         assert m(g, p)
 
 
-def test_question_mark_single_char():
+def test_leading_doublestar_matches_bare_name():
+    g = "**/b"
+    assert m(g, "b")  # globset: '**/b' matches bare 'b'
+    assert m(g, "a/b")
+    assert m(g, "x/y/b")
+    assert not m(g, "a/bc")
+
+
+def test_question_mark_any_single_char():
     g = "data/src?/x"
     assert m(g, "data/src1/x")
     assert not m(g, "data/src10/x")
-    assert not m(g, "data/src//x")
+    assert m(g, "data/src//x")  # globset default: '?' may match '/'
 
 
 def test_regex_metachars_are_literal():

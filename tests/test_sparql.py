@@ -278,3 +278,22 @@ def test_union_safe_shape_check():
         assert is_union_safe(parse(text)), text
     for text in bad:
         assert not is_union_safe(parse(text)), text
+
+
+def test_strbefore_strafter_literal_not_regex(engine):
+    """STRBEFORE/STRAFTER match strings are LITERAL: metacharacters like
+    '.' and '(' must not be treated as regex (round-2 advisory — the old
+    split-based STRBEFORE returned '' for STRBEFORE('a.b','.') and threw
+    on '(')."""
+    q = """
+    SELECT ?x ?b ?a ?p WHERE {
+      VALUES ?x { "a.b" "nodot" "(x)y" }
+      BIND(STRBEFORE(?x, ".") AS ?b)
+      BIND(STRAFTER(?x, ".") AS ?a)
+      BIND(STRAFTER(?x, "(") AS ?p)
+    }
+    """
+    rows = {r.x: (r.b, r.a, r.p) for r in engine.query_flat(q).collect()}
+    assert rows["a.b"] == ("a", "b", "")
+    assert rows["nodot"] == ("", "", "")
+    assert rows["(x)y"] == ("", "", "x)y")
