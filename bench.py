@@ -1,11 +1,15 @@
-"""Benchmark harness: runs the headline queries and prints one JSON line.
+"""Benchmark harness: runs EVERY registered query and prints one JSON line.
 
 Driver contract: executes at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Each query is timed end-to-end (plan + execute + count the result) after a
-JVM/session warmup; the reported value is the sum of per-query times.
+Each query is timed end-to-end (plan + execute + noop-write the result)
+after a JVM/session warmup; the reported value is the sum of per-query
+times over the FULL registry (round-3 change — previously a 42-query
+headline subset; the old headline total is still reported as
+``headline_total`` for round-over-round comparison). A regression
+anywhere in the registry now moves the reported numbers.
 """
 
 from __future__ import annotations
@@ -23,7 +27,9 @@ from aruna_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: one per operator family. Updated as coverage widens.
+# Round-2-comparable headline subset: one per operator family. The bench
+# now TIMES every registered query; this list only scopes the
+# ``headline_total`` figure reported alongside for r2 comparison.
 HEADLINE = [
     # relational substrate
     "rel_pricing_summary",
@@ -81,9 +87,11 @@ HEADLINE = [
 def main() -> None:
     load_all()
     spark = get_spark("aruna-bench")
-    names = [n for n in HEADLINE if n in REGISTRY]
+    # Full registry, registration order (flagship families first — same
+    # order the driver's correctness sample sees).
+    names = list(REGISTRY)
 
-    # Warmup: execute every headline query once UNTIMED through the same
+    # Warmup: execute every query once UNTIMED through the same
     # noop-write path, so JVM/codegen/fs-cache warmup is paid before any
     # timer starts (the first timed query otherwise absorbs ~10-20 s of it).
     for name in names:
@@ -129,13 +137,18 @@ def main() -> None:
     docs_per_sec = round(n_docs / ingest_secs, 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    headline_total = round(
+        sum(t for n, t in times.items() if n in HEADLINE), 3
+    )
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_clock_total",
+                "metric": "registry_query_wall_clock_total",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "n_queries": len(times),
+                "headline_total": headline_total,
                 "ingest_docs_per_sec": docs_per_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

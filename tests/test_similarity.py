@@ -66,3 +66,37 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     for r in ivf_rows:
         if (r.query_id, r.vec_id) in scores:
             assert scores[(r.query_id, r.vec_id)] == r.score_q
+
+
+def test_trained_ivf_recall_and_determinism(spark, sf_dir):
+    """Trained IVF: (a) k-means training is bit-deterministic across two
+    independent runs (integer arithmetic, order-independent sums); (b)
+    recall vs brute force is at least as good as the recall floor of the
+    untrained quantizer; (c) shared scoring tail gives identical
+    quantized scores on overlapping neighbors."""
+    from aruna_spark.catalog import load_table
+    from aruna_spark.queries.similarity import (
+        _with_norm,
+        train_ivf_centroids,
+    )
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    c1 = train_ivf_centroids(emb)
+    c2 = train_ivf_centroids(emb)
+    assert c1 == c2, "training must be bit-deterministic"
+    assert len(c1) >= 2, "clustering must keep at least two cells"
+
+    bf, _ = REGISTRY["similarity_topk_bruteforce"]
+    trained, _ = REGISTRY["similarity_ivf_trained_topk"]
+    exact_rows = bf(spark, sf_dir).collect()
+    trained_rows = trained(spark, sf_dir).collect()
+    exact = _topk_sets(exact_rows)
+    approx = _topk_sets(trained_rows)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.4, f"trained-IVF recall {recall:.2f} below floor"
+    scores = {(r.query_id, r.vec_id): r.score_q for r in exact_rows}
+    for r in trained_rows:
+        if (r.query_id, r.vec_id) in scores:
+            assert scores[(r.query_id, r.vec_id)] == r.score_q
