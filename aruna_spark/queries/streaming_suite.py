@@ -160,12 +160,61 @@ def stream_dashboard_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dashboard_epochs(load_table(spark, sf_dir, "events"))
 
 
-@register("stream_debounce_timer", oracle=None)
+@register(
+    "stream_debounce_timer",
+    oracle=f"""
+    WITH RECURSIVE {_D_MATCHED},
+    mts AS MATERIALIZED (
+      -- MATERIALIZED: referenced from the recursive term, which would
+      -- otherwise re-run the regex match join once per iteration
+      SELECT watch_id, epoch_us(ts) AS ts_us, event_id FROM matched
+    ),
+    -- greedy first-write-aligned burst starts: the first event opens a
+    -- burst; the next burst opens at the FIRST event with
+    -- ts >= prev_start + gap. Single-pass window functions can't walk
+    -- that chain, but each event's JUMP TARGET (the earliest event at
+    -- least gap later) is one RANGE-frame window; the recursion then
+    -- follows precomputed jumps via cheap equality joins instead of
+    -- re-scanning events with an inequality join per iteration.
+    jumps AS MATERIALIZED (
+      SELECT watch_id, ts_us,
+             MIN(ts_us) OVER (
+               PARTITION BY watch_id ORDER BY ts_us
+               RANGE BETWEEN 2000000 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_start_us
+      FROM (SELECT DISTINCT watch_id, ts_us FROM mts)
+    ),
+    starts AS (
+      SELECT watch_id, MIN(ts_us) AS burst_start_us FROM mts
+      GROUP BY watch_id
+      UNION
+      SELECT j.watch_id, j.next_start_us AS burst_start_us
+      FROM starts s JOIN jumps j
+        ON j.watch_id = s.watch_id AND j.ts_us = s.burst_start_us
+      WHERE j.next_start_us IS NOT NULL
+    )
+    SELECT s.watch_id, s.burst_start_us,
+           s.burst_start_us + 2000000 AS publish_at_us,
+           COUNT(*) AS n_coalesced,
+           MAX(m.event_id) AS last_event_id
+    FROM starts s JOIN mts m
+      ON m.watch_id = s.watch_id
+     AND m.ts_us >= s.burst_start_us
+     AND m.ts_us < s.burst_start_us + 2000000
+    GROUP BY s.watch_id, s.burst_start_us
+    """,
+)
 def stream_debounce_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timer-after-first-write debounce (interest.rs:32-37) — the custom
     stateful operator (:mod:`aruna_spark.streaming.stateful`). The greedy
-    first-write-aligned fold is order-sequential per key (no single-pass
-    SQL oracle); batch==stream==pure-Python parity is pinned in
+    first-write-aligned fold is order-sequential per key (no SINGLE-PASS
+    SQL form), but a recursive CTE walks the burst-start chain — each
+    next start is the first event at or past the previous start plus the
+    gap — so the fold IS oracle-checked since round 3 (previously the
+    registry's one no-oracle exemption). Membership is then a plain
+    range join: every event belongs to the latest burst start at or
+    before it, by construction of the chain.
+    batch==stream==pure-Python parity is separately pinned in
     ``tests/test_stateful_debounce.py``."""
     from aruna_spark.streaming.stateful import debounce_timer_batch
 
