@@ -232,6 +232,109 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- n-gram jaccard
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    tokenized AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    shingled AS (
+      SELECT doc_id, list_distinct({duck_shingles_sql('toks', 3)}) AS sh
+      FROM tokenized WHERE {duck_shingles_sql('toks', 3)} IS NOT NULL
+    ),
+    sized AS (SELECT doc_id, len(sh) AS n, UNNEST(sh) AS tok FROM shingled),
+    -- definitional: Jaccard from shared-token counts over the inverted
+    -- index; the Spark side's prefix filter is lossless, so both compute
+    -- the same pair set
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS inter
+      FROM sized a JOIN sized b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           (1000 * inter) // (na + nb - inter) AS jaccard_permille
+    FROM shared
+    WHERE (1000 * inter) // (na + nb - inter) >= {JACCARD_PERMILLE}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via a PREFIX-FILTERED set-similarity
+    join (PPJoin-style; Vernica et al., SIGMOD'10 distributed variant) —
+    the LOSSLESS counterpart to :func:`dedup_minhash_pairs`: every pair
+    with Jaccard ≥ 0.5 over 3-token shingle sets is returned, exactly.
+
+    Scale design (100 TB): all-pairs is never formed. Under any global
+    token order, two sets with Jaccard ≥ t must share a token within the
+    first ``|S| - ceil(t·|S|) + 1`` tokens of each (the *prefix filter*,
+    lossless). Ordering tokens rarest-first (ascending document
+    frequency) makes those prefixes the rare tokens, so the prefix
+    self-join touches tiny postings lists; frequent shingles never enter
+    the join. Candidates are further length-pruned (``|Sb| ≥ t·|Sa|``),
+    then verified with exact Jaccard by re-joining shingle sets by
+    doc_id. Everything is joins + groupBys on keys — no driver state.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    t = JACCARD_PERMILLE  # permille
+    par = spark.sparkContext.defaultParallelism
+    sets = (
+        shingle_sets(corpus(spark, sf_dir).repartition(par, "doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sized = sets.select("doc_id", F.size("sh").alias("n"), "sh")
+    toks = sized.select("doc_id", "n", F.explode("sh").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first rank within each doc; (df, tok) is a total order
+    # because tokens are distinct per doc
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")
+    )
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("rn", rn)
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(t) / 1000.0) + 1
+        )
+        .select("doc_id", "n", "tok")
+    )
+    x = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "tok"
+    )
+    y = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "tok"
+    )
+    cand = (
+        x.join(y, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length pruning: Jaccard >= t needs t*na <= nb <= na/t
+            & (F.col("nb") * 1000 >= F.col("na") * t)
+            & (F.col("na") * 1000 >= F.col("nb") * t)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "1000 * size(array_intersect(sh_a, sh_b))"
+                " div size(array_union(sh_a, sh_b))"
+            ).alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= JACCARD_PERMILLE)
+    )
+
+
 # -------------------------------------------------------------- simhash
 @register(
     "dedup_simhash_buckets",
