@@ -38,14 +38,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (the driver's correctness harness does).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events":
         # With nanosAsLong the column arrives as long nanos; truncate to
         # micros with *integer* division (double division rounds ±1 µs on
         # ~12.5% of epoch-scale values, diverging from DuckDB's truncation).
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet written with isAdjustedToUTC=false infers TIMESTAMP_NTZ, which
+    # functions like unix_micros reject. DuckDB reads the same column as a
+    # naive TIMESTAMP and extracts epochs as-if-UTC, so pin the session zone
+    # and cast NTZ -> LTZ: identical wall-clock values, epoch-compatible.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 
