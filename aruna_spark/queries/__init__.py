@@ -27,23 +27,42 @@ def register(name: str, oracle: str | None = None):
 
 
 # Families the driver's bounded correctness sample (~first 50 registry
-# entries, registration order) must always cover: the flagship SPARQL
-# plane, the search plane (hash-artifact fix needs driver-green proof),
-# and the families never sampled in rounds 1-2. Prefixes listed first
-# win; everything else follows in module-load order.
+# entries, registration order) must always cover. Prefixes listed first
+# win; everything else follows in module-load order. ROTATED each round
+# (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
+# window on a cycle: round 4 leads with the families that sat outside
+# the r3 window (stream/textstats/crdt/rel/listing/s3/staging/
+# multimodal/registry/...), while exact-name entries keep >=1 query per
+# flagship family (sparql/search/similarity/dedup/usage/rocrate) inside
+# the window — deliberately the queries whose implementation changed
+# this round (tokenizer, materialized ANN index, prefix index).
 PRIORITY_PREFIXES = (
-    "sparql_",
-    "search_",
-    "dedup_simhash",
-    "rocrate_export_page",
-    "similarity_",
-    "usage_",
     "stream_",
     "textstats_",
-    "drs_",
     "crdt_",
-    "dedup_",
+    # flagship representatives, pinned early in case the window shrinks
+    "sparql_fts_score",
+    "search_bm25_topk",
+    "similarity_ivf_trained_topk",
+    "dedup_ngram_jaccard",
+    "usage_counters_by_group",
+    "rocrate_export_page",
+    # families never driver-checked under the r3 ordering
+    "rel_",
+    "listing_",
+    "s3_",
+    "staging_",
+    "autoindex_",
     "multimodal_",
+    "drs_",
+    "backlinks_",
+    "registry_",
+    "corpus_",
+    "perm_",
+    "graph_",
+    "archive_",
+    "ingest_",
+    "distributed_",
 )
 
 

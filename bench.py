@@ -140,20 +140,29 @@ def main() -> None:
     headline_total = round(
         sum(t for n, t in times.items() if n in HEADLINE), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "registry_query_wall_clock_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "n_queries": len(times),
-                "headline_total": headline_total,
-                "ingest_docs_per_sec": docs_per_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The printed line must fit the driver's tail-capture buffer
+    # (BENCH_r03 overflowed it with the full 109-query dict and came back
+    # parsed:null — VERDICT r3 'What's wrong' #2). Print a COMPACT line
+    # whose "queries" dict holds only the r2-comparable headline subset,
+    # and write the full per-query dict to BENCH_FULL.json in the repo so
+    # every family's times stay recoverable round over round.
+    payload = {
+        "metric": "registry_query_wall_clock_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": {n: t for n, t in times.items() if n in HEADLINE},
+        "n_queries": len(times),
+        "headline_total": headline_total,
+        "ingest_docs_per_sec": docs_per_sec,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path.write_text(
+        json.dumps({**payload, "queries": times}, indent=1, sort_keys=True)
+        + "\n",
+        encoding="utf-8",
     )
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
