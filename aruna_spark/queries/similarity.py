@@ -162,8 +162,11 @@ _D_SCORE = (
     """,
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan + window rank."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    """Exact cosine top-k: broadcast queries × corpus scan + window rank.
+    Norms come precomputed from ``store.vectors_store``."""
+    from aruna_spark.store import vectors_store
+
+    emb = vectors_store(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -237,24 +240,16 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     still prunes to ~7/64 of its buckets; candidates are deduped BEFORE
     scoring so each surviving pair is scored exactly once. BITS/TABLES
     dial the recall-vs-scan trade at scale.
+
+    Served from the STORED bucket table (``store.lsh_store``): the 24
+    hyperplane dot products per vector are paid once at index build,
+    and the query path joins bucket ids + the precomputed-norm vectors
+    layout (``store.vectors_store``) — no per-query re-bucketing.
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    bucketed = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket("embedding", t).alias("bucket"),
-                    )
-                    for t in range(TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select(
-        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+    from aruna_spark.store import lsh_store, vectors_store
+
+    emb = vectors_store(spark, sf_dir)
+    bucketed = lsh_store(spark, sf_dir)
     probes = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         "tbl",
@@ -469,8 +464,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Versus the hyperplane-LSH path: one partition key per vector (no
     multi-table replication), candidate lists are contiguous cell scans,
     and the coarse quantizer can later be trained without changing the
-    plan. Both paths share the scoring/rank tail."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    plan. Both paths share the scoring/rank tail. Norms come
+    precomputed from ``store.vectors_store``."""
+    from aruna_spark.store import vectors_store
+
+    emb = vectors_store(spark, sf_dir)
     assigned = emb.select(
         "vec_id",
         F.expr(_assign_sql_spark("embedding", 1))[0].alias("cell"),
@@ -702,28 +700,37 @@ _D_TRAINED_FINAL = f"""
     """,
 )
 def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a TRAINED coarse quantizer: deterministic fixed-point
-    Lloyd's k-means (3 iterations, exact integer arithmetic) replaces
-    the fixed md5 quantizer of `similarity_ivf_topk`; the probe/score
-    tail is identical. The whole training run is replicated in the
-    DuckDB oracle, so cell assignments AND final top-k are both checked.
+    """IVF ANN with a TRAINED coarse quantizer, served from the STORED
+    index (``store.ivf_trained_store``): deterministic fixed-point
+    Lloyd's k-means runs ONCE at index-build time, and the inverted
+    lists are cell-partitioned parquet with vectors in the lists.
+
+    The query path never trains: it reads the stored centroids (a tiny
+    JSON artifact), computes each query vector's nprobe nearest cells
+    against those literals, and broadcast-joins the probes against the
+    cell-partitioned lists — one join, no ``.distinct()`` (a vector
+    lives in exactly one cell, so a (query, vec) pair can match at most
+    one probe). At scale the broadcast probe join dynamic-partition-
+    prunes to the probed cell directories. The DuckDB oracle still
+    replicates the full training run, so the stored quantizer's cell
+    assignments AND the final top-k are both checked.
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    cents = train_ivf_centroids(emb)
-    qe = emb.withColumn("qe", F.expr(_QE_SPARK))
-    assigned = qe.select(
-        "vec_id", F.expr(_nearest_cells_sql("qe", cents, 1))[0].alias("cell")
-    )
+    from aruna_spark.store import ivf_trained_store
+
+    cents, assigned = ivf_trained_store(spark, sf_dir)
     probes = (
-        qe.filter(F.col("vec_id") % QUERY_MOD == 0)
+        assigned.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("qe", F.expr(_QE_SPARK))
         .select(
             F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
             F.explode(
                 F.expr(_nearest_cells_sql("qe", cents, N_PROBE))
             ).alias("cell"),
         )
     )
-    cand = (
+    scored = (
         assigned.alias("a")
         .join(
             F.broadcast(probes).alias("p"),
@@ -733,24 +740,10 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p.query_id").alias("query_id"),
             F.col("a.vec_id").alias("vec_id"),
-        )
-        .distinct()
-    )
-    q = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm2").alias("q_norm2"),
-    )
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(emb, "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
             _score_q(
-                _dot(F.col("q_emb"), F.col("embedding")),
-                F.col("q_norm2"),
-                F.col("norm2"),
+                _dot(F.col("p.q_emb"), F.col("a.embedding")),
+                F.col("p.q_norm2"),
+                F.col("a.norm2"),
             ).alias("score_q"),
         )
     )
