@@ -35,7 +35,9 @@ from aruna_spark.search.bm25 import (
     bm25_scores_field_merged,
     build_field_literals,
     build_postings,
+    duck_tokenize_sql,
     keyset_after,
+    tokenize,
     validate_query,
 )
 from aruna_spark.store import bm25_scored, triples_store
@@ -52,7 +54,7 @@ def _scored(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
 # The four-field projection + per-field postings/dl/stats chain, shared
 # by every search oracle. Mirrors build_field_literals/build_postings/
 # build_doc_lengths/build_field_stats exactly.
-_DUCK_FIELDS = """
+_DUCK_FIELDS = f"""
     fields AS (
       SELECT 'urn:aruna:doc:' || doc_id AS subject,
              'https://w3id.org/aruna/' || doc_id AS graph_iri,
@@ -74,7 +76,7 @@ _DUCK_FIELDS = """
     ),
     toks AS (
       SELECT subject, graph_iri, field,
-             UNNEST(string_split(text, ' ')) AS token
+             UNNEST({duck_tokenize_sql('text')}) AS token
       FROM fields
     ),
     postings AS (
@@ -93,7 +95,7 @@ _DUCK_FIELDS = """
 
 
 def _duck_scored(query: str) -> str:
-    toks = ", ".join(f"'{t}'" for t in query.split())
+    toks = ", ".join(f"'{t}'" for t in tokenize(query))
     return f"""
     {_DUCK_FIELDS},
     q AS (SELECT UNNEST([{toks}]) AS token),
@@ -319,8 +321,11 @@ def search_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _title_snippet_sql(tokens: list[str]) -> tuple[str, str]:
+    # tokens are lowercased by the analyzer; match case-insensitively in
+    # the haystack (Tantivy's lowercase analyzer makes hits
+    # case-insensitive, so the snippet locator must be too)
     pos = "least(" + ", ".join(
-        f"nullif(instr(hay, '{t}'), 0)" for t in tokens
+        f"nullif(instr(lower(hay), '{t}'), 0)" for t in tokens
     ) + ")"
     title = "coalesce(name, regexp_extract(subject, '([^/:]+)$', 1))"
     snippet = (
@@ -354,8 +359,8 @@ def _title_snippet_sql(tokens: list[str]) -> tuple[str, str]:
       FROM top t JOIN props p USING (subject)
     )
     SELECT graph_iri, subject, score_q,
-           {_title_snippet_sql(ENRICH_QUERY.split())[0]} AS title,
-           {_title_snippet_sql(ENRICH_QUERY.split())[1]} AS snippet
+           {_title_snippet_sql(tokenize(ENRICH_QUERY))[0]} AS title,
+           {_title_snippet_sql(tokenize(ENRICH_QUERY))[1]} AS snippet
     FROM hay_t
     """,
 )

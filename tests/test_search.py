@@ -82,6 +82,70 @@ def test_min_query_validation():
     assert validate_query("ab cd") == ["ab", "cd"]
 
 
+def test_tokenizer_tantivy_default_analyzer():
+    """Tantivy default analyzer parity: lowercase + split on
+    non-alphanumerics + drop >40-char tokens (search_enrichment.rs:3-8
+    implies Tantivy's default `en` pipeline)."""
+    from aruna_spark.search.bm25 import tokenize
+
+    assert tokenize("Spark, merge-window!") == ["spark", "merge", "window"]
+    assert tokenize("Data") == ["data"]
+    assert tokenize("a" * 41 + " ok") == ["ok"]  # RemoveLongFilter(40)
+    assert validate_query("Spark,") == ["spark"]
+
+
+def test_tokenizer_spark_duckdb_parity(spark):
+    """The Spark tokenize_expr and the DuckDB oracle expression produce
+    the identical token list on punctuation/case/length corners."""
+    import duckdb
+
+    from aruna_spark.search.bm25 import duck_tokenize_sql, tokenize_expr
+
+    texts = [
+        "Spark, merge-window!",
+        "MiXeD CaSe  spaces\tand\ttabs",
+        "trailing.dot. 42numbers7 _under_score_",
+        "x" * 41 + " keep-me",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_toks = [
+        r.toks
+        for r in df.select(tokenize_expr("text").alias("toks")).collect()
+    ]
+    con = duckdb.connect()
+    duck_toks = [
+        con.execute(
+            f"SELECT {duck_tokenize_sql('?')} "
+        , [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_toks == duck_toks
+
+
+def test_case_insensitive_search_hits(spark, sf_dir):
+    """Golden: `Doc` (uppercase) and `doc,` (punctuation-adjacent) both
+    hit documents whose name field tokenizes to `doc` — the observable
+    behavior change the tokenizer-parity upgrade exists for."""
+    from aruna_spark.store import bm25_scored
+
+    lower = {
+        (r.graph_iri, r.subject, r.score_q)
+        for r in bm25_scored(spark, sf_dir, "doc").collect()
+    }
+    assert lower, "baseline lowercase query must hit"
+    upper = {
+        (r.graph_iri, r.subject, r.score_q)
+        for r in bm25_scored(spark, sf_dir, "Doc").collect()
+    }
+    punct = {
+        (r.graph_iri, r.subject, r.score_q)
+        for r in bm25_scored(spark, sf_dir, "doc,").collect()
+    }
+    assert upper == lower
+    assert punct == lower
+
+
 def test_page1_page2_disjoint_and_contiguous(spark, sf_dir):
     topk, _ = REGISTRY["search_bm25_topk"]
     page2, _ = REGISTRY["search_bm25_page2"]
@@ -109,7 +173,9 @@ def test_materialized_postings_prune_and_match(spark, sf_dir, tmp_path):
     path = str(tmp_path / "postings")
     materialize_postings(postings, path)
     stored = load_materialized_postings(spark, path)
-    toks = ["doc-1", "collection-2"]
+    # analyzer tokens (the Tantivy-parity tokenizer splits "doc-1" into
+    # ["doc", "1"], so index tokens are the split pieces)
+    toks = ["doc", "collection"]
     pruned = stored.filter(shard_filter(toks)).drop("shard")
     a = {
         tuple(r)
