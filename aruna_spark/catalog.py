@@ -30,7 +30,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one catalog table. Parquet scan → full pushdown support."""
+    """Read one catalog table. Parquet scan → full pushdown support.
+
+    Side effect (deliberate, unconditional): pins the session timezone
+    to UTC. Every oracle comparison assumes UTC wall-clock semantics
+    (DuckDB reads naive timestamps as-if-UTC), and pinning only when an
+    NTZ column happened to be loaded left bigint-nanos paths (events)
+    zone-dependent while silently flipping the zone for other queries
+    mid-session (ADVICE r3)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet, which Spark rejects by default.
         # The conf is runtime-settable, so set it here rather than relying on
@@ -48,11 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Parquet written with isAdjustedToUTC=false infers TIMESTAMP_NTZ, which
     # functions like unix_micros reject. DuckDB reads the same column as a
-    # naive TIMESTAMP and extracts epochs as-if-UTC, so pin the session zone
-    # and cast NTZ -> LTZ: identical wall-clock values, epoch-compatible.
+    # naive TIMESTAMP and extracts epochs as-if-UTC; with the session zone
+    # pinned UTC above, casting NTZ -> LTZ keeps identical wall-clock
+    # values and becomes epoch-compatible. Only top-level columns are
+    # inspected: the driver's tables are flat, and nested NTZ fields
+    # (struct/array) would need a recursive schema walk (ADVICE r3).
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns(
             {c: F.col(c).cast("timestamp") for c in ntz_cols}
         )
