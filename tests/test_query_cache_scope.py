@@ -69,6 +69,30 @@ def test_unscoped_sentinel_never_collides_with_real_scope(spark, sf_dir):
     assert cache.misses == 2 and cache.hits == 0
 
 
+def test_default_path_uses_shared_cache(spark, sf_dir, monkeypatch):
+    """execute() with no cache argument consults the process-wide shared
+    cache: two engine instances with the identical resolved scope hit
+    one entry, and a third engine with a different scope stays isolated
+    — all on the DEFAULT path (VERDICT r3 next-round #7)."""
+    from aruna_spark.sparql import engine as eng_mod
+
+    fresh = QueryCache(now_fn=lambda: 0.0)
+    monkeypatch.setattr(eng_mod, "_SHARED_CACHE", fresh)
+    a = _scoped_engine(spark, sf_dir, range(1, 20))
+    b = _scoped_engine(spark, sf_dir, range(1, 20))
+    c = _scoped_engine(spark, sf_dir, range(20, 40))
+    rows_a = a.execute(Q)
+    assert fresh.misses == 1 and fresh.hits == 0
+    assert b.execute(Q) is rows_a, "identical scope must share the entry"
+    assert fresh.hits == 1
+    rows_c = c.execute(Q)
+    assert fresh.misses == 2, "different scope must not hit"
+    assert rows_c != rows_a
+    # explicit opt-out bypasses the shared cache entirely
+    a.execute(Q, cache=None)
+    assert fresh.hits == 1 and fresh.misses == 2
+
+
 def test_eager_and_lazy_keys_are_distinct():
     scope = graphs_digest(["g1", "g2"])
     assert local_key("eager", scope, Q) != local_key("lazy", scope, Q)
