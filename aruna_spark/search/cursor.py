@@ -16,17 +16,17 @@ Python analog of ``operations/src/metadata/search_cursor.rs``:
   non-skipping, saturated-node continuation, saturated-duplicate
   progress, churn suppression, depth-cap truncation.
 
-Two documented deviations from the Rust original, neither changing the
-contract:
+Signature primitive: cursors are ed25519-signed (RFC 8032, pure-Python
+stdlib implementation in :mod:`aruna_spark.ops.ed25519`) and the node id
+IS the 32-byte public key — matching the reference's iroh identity,
+where signing uses the node's ed25519 key and verification needs only
+the public key (rs:105-122). This closes the round-3 documented
+deviation (the cursor was previously HMAC-SHA256 MAC'd under a node
+secret); the ``hmac`` scheme is retained as an explicit fallback.
 
-1. Signature primitive: the reference signs with the node's iroh
-   ed25519 key. This container has no ed25519 implementation, so the
-   cursor is MAC'd with HMAC-SHA256 under a per-node secret; the node id
-   is a commitment to the secret. Verification still requires the
-   cursor's ``signer`` to appear in the caller's authorized set, and any
-   bit-flip in the payload invalidates the tag — the same
-   tamper/authorization semantics as ``decode`` (rs:105-122).
-2. Scores: the engine quantizes scores to integers end-to-end
+One remaining documented deviation, not changing the contract:
+
+- Scores: the engine quantizes scores to integers end-to-end
    (``score_q``, see :mod:`aruna_spark.search.bm25`), so the watermark
    stores the integer bucket directly; the reference stores the raw f32
    and quantizes inside every comparison (``score_key``, rs:283-285).
@@ -65,26 +65,54 @@ class CursorQueryMismatch(SearchCursorError):
 
 
 class NodeKey:
-    """A node's signing identity: HMAC secret + derived 32-byte node id.
+    """A node's signing identity. Default scheme ``ed25519``: the
+    32-byte node id IS the RFC 8032 public key, exactly like the
+    reference's iroh node identity, and verification uses only the
+    public key. ``hmac`` is the retained fallback scheme (node id =
+    hash commitment to the secret, tag = HMAC-SHA256). ``authorized``
+    sets are lists of NodeKey whose ids gate cursor acceptance
+    (rs:112-117)."""
 
-    The node id is a hash commitment to the secret (stands in for the
-    reference's ed25519 public key); ``authorized`` sets are lists of
-    NodeKey whose ids gate cursor acceptance (rs:112-117)."""
-
-    def __init__(self, secret: bytes):
+    def __init__(self, secret: bytes, scheme: str = "ed25519"):
         if not secret:
             raise ValueError("empty node secret")
+        if scheme not in ("ed25519", "hmac"):
+            raise ValueError(f"unknown signature scheme {scheme!r}")
         self.secret = bytes(secret)
-        self.node_id: bytes = hashlib.sha256(
-            b"aruna.node.id\x00" + self.secret
-        ).digest()
+        self.scheme = scheme
+        if scheme == "ed25519":
+            from aruna_spark.ops import ed25519
+
+            # uniform 32-byte seed from an arbitrary-length secret
+            self._seed = hashlib.sha256(
+                b"aruna.node.seed\x00" + self.secret
+            ).digest()
+            self.node_id: bytes = ed25519.public_key(self._seed)
+        else:
+            self.node_id = hashlib.sha256(
+                b"aruna.node.id\x00" + self.secret
+            ).digest()
 
     @classmethod
-    def from_seed(cls, seed: int) -> "NodeKey":
-        return cls(bytes([seed % 256]) * 32)
+    def from_seed(cls, seed: int, scheme: str = "ed25519") -> "NodeKey":
+        return cls(bytes([seed % 256]) * 32, scheme=scheme)
 
     def sign(self, payload: bytes) -> bytes:
+        if self.scheme == "ed25519":
+            from aruna_spark.ops import ed25519
+
+            return ed25519.sign(self._seed, payload)
         return hmac.new(self.secret, payload, hashlib.sha256).digest()
+
+    def verify(self, payload: bytes, signature: bytes) -> bool:
+        """Ed25519 verification uses ONLY the public node id (the
+        reference's model — any holder of the id can verify); the hmac
+        fallback recomputes the tag from the secret."""
+        if self.scheme == "ed25519":
+            from aruna_spark.ops import ed25519
+
+            return ed25519.verify(self.node_id, payload, signature)
+        return hmac.compare_digest(self.sign(payload), signature)
 
 
 @dataclass(frozen=True)
@@ -191,7 +219,7 @@ class SearchCursor:
         payload = _signing_bytes(
             version, signer, fingerprint, watermark, list(resume)
         )
-        if not hmac.compare_digest(key.sign(payload), signature):
+        if not key.verify(payload, signature):
             raise SearchCursorError("invalid search cursor")
         return SearchCursor(
             version, signer, fingerprint, watermark, resume, signature

@@ -367,3 +367,82 @@ def test_resume_fetch_limit_defaults_unknown_to_deepest():
 
 def test_depth_is_bounded_constant():
     assert MAX_PAGINATION_DEPTH == 1000
+
+
+# -- ed25519 signature primitive (RFC 8032) ----------------------------------
+RFC8032_VECTORS = [
+    # (seed, public key, message, signature) — RFC 8032 §7.1 TEST 1-3
+    (
+        "9d61b19deffd5a60ba844af492ec2cc44449c5697b326919703bac031cae7f60",
+        "d75a980182b10ab7d54bfed3c964073a0ee172f3daa62325af021a68f707511a",
+        "",
+        "e5564300c360ac729086e2cc806e828a84877f1eb8e5d974d873e06522490155"
+        "5fb8821590a33bacc61e39701cf9b46bd25bf5f0595bbe24655141438e7a100b",
+    ),
+    (
+        "4ccd089b28ff96da9db6c346ec114e0f5b8a319f35aba624da8cf6ed4fb8a6fb",
+        "3d4017c3e843895a92b70aa74d1b7ebc9c982ccf2ec4968cc0cd55f12af4660c",
+        "72",
+        "92a009a9f0d4cab8720e820b5f642540a2b27b5416503f8fb3762223ebdb69da"
+        "085ac1e43e15996e458f3613d0f11d8c387b2eaeb4302aeeb00d291612bb0c00",
+    ),
+    (
+        "c5aa8df43f9f837bedb7442f31dcb7b166d38535076f094b85ce3a2e0b4458f7",
+        "fc51cd8e6218a1a38da47ed00230f0580816ed13ba3303ac5deb911548908025",
+        "af82",
+        "6291d657deec24024827e69c3abe01a30ce548a284743a445e3680d7db5ac3ac"
+        "18ff9b538d16f290ae67f760984dc6594a7c15e9716ed28dc027beceea1ec40a",
+    ),
+]
+
+
+def test_ed25519_rfc8032_vectors():
+    from aruna_spark.ops import ed25519
+
+    for seed, pub, msg, sig in RFC8032_VECTORS:
+        seed_b, pub_b = bytes.fromhex(seed), bytes.fromhex(pub)
+        msg_b, sig_b = bytes.fromhex(msg), bytes.fromhex(sig)
+        assert ed25519.public_key(seed_b) == pub_b
+        assert ed25519.sign(seed_b, msg_b) == sig_b
+        assert ed25519.verify(pub_b, msg_b, sig_b)
+        assert not ed25519.verify(pub_b, msg_b + b"x", sig_b)
+        flipped = bytearray(sig_b)
+        flipped[0] ^= 1
+        assert not ed25519.verify(pub_b, msg_b, bytes(flipped))
+
+
+def test_ed25519_verify_rejects_malformed_inputs():
+    from aruna_spark.ops import ed25519
+
+    assert not ed25519.verify(b"\x00" * 31, b"m", b"\x00" * 64)
+    assert not ed25519.verify(b"\x00" * 32, b"m", b"\x00" * 63)
+    # non-canonical scalar S >= L
+    assert not ed25519.verify(b"\x01" * 32, b"m", b"\x00" * 32 + b"\xff" * 32)
+
+
+def test_cursor_node_id_is_ed25519_public_key():
+    """Default scheme parity with the reference: the node id IS the
+    ed25519 public key, and decode verifies with the public key only."""
+    from aruna_spark.ops import ed25519
+
+    key = node(7)
+    assert key.scheme == "ed25519"
+    assert key.node_id == ed25519.public_key(key._seed)
+    cur = SearchCursor.new_signed(
+        query_fingerprint("q"), SearchWatermark(10, "g", "s"), [], key
+    )
+    # 64-byte ed25519 signature, verifiable from the public id alone
+    assert len(cur.signature) == 64
+    payload_ok = SearchCursor.decode(cur.encode(), [key])
+    assert payload_ok.signer == key.node_id
+
+
+def test_hmac_fallback_scheme_still_works():
+    key = NodeKey.from_seed(9, scheme="hmac")
+    cur = SearchCursor.new_signed(
+        query_fingerprint("q"), SearchWatermark(10, "g", "s"), [], key
+    )
+    assert SearchCursor.decode(cur.encode(), [key]).signer == key.node_id
+    # ed25519 key with the same secret has a DIFFERENT node id: the
+    # schemes can never alias each other in an authorized set
+    assert NodeKey.from_seed(9).node_id != key.node_id
