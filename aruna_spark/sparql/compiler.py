@@ -91,7 +91,9 @@ class CE:
         if self.kind == "bool":
             return self.col.cast("double")
         if self.kind == "str":
-            return self.col.cast("double")
+            # try_cast: non-numeric strings are a type error (null),
+            # not an ANSI-mode NumberFormatException
+            return self.col.try_cast("double")
         return numeric_value(self.col)
 
     def to_str(self) -> Column:
@@ -781,12 +783,10 @@ class Compiler:
             return F.avg(ce.to_num())
         if fn.name == "MIN":
             n = ce.to_num()
-            return F.when(F.min(n).isNotNull(), F.min(n)).otherwise(
-                F.min(ce.to_str()).cast("double")
-            ) if False else F.coalesce(F.min(n), F.min(ce.to_str()).cast("double"))
+            return F.coalesce(F.min(n), F.min(ce.to_str()).try_cast("double"))
         if fn.name == "MAX":
             n = ce.to_num()
-            return F.coalesce(F.max(n), F.max(ce.to_str()).cast("double"))
+            return F.coalesce(F.max(n), F.max(ce.to_str()).try_cast("double"))
         if fn.name == "GROUP_CONCAT":
             sep = fn.separator if fn.separator is not None else " "
             vals = F.collect_set(ce.to_str()) if fn.distinct else F.collect_list(ce.to_str())
@@ -956,7 +956,9 @@ class Compiler:
         if name.startswith("http://www.w3.org/2001/XMLSchema#"):
             dt = name
             if dt == XSD_INTEGER:
-                return CE(literal_term(args[0].to_num().cast("long").cast("string"),
+                # try_cast: an out-of-long-range double is a cast error
+                # (unbound), not an ANSI overflow crash
+                return CE(literal_term(args[0].to_num().try_cast("long").cast("string"),
                                        F.lit(XSD_INTEGER)), "term")
             if dt == XSD_DOUBLE:
                 return CE(literal_term(args[0].to_num().cast("string"),

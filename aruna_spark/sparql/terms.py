@@ -87,8 +87,15 @@ def is_numeric_literal(t: Column) -> Column:
 
 
 def numeric_value(t: Column) -> Column:
-    """Numeric value-space projection (double) — null if not numeric."""
-    return F.when(is_numeric_literal(t), t["value"].cast("double"))
+    """Numeric value-space projection (double) — null if not numeric.
+
+    ``try_cast``, not ``cast``: Spark 4 runs ANSI mode, where casting a
+    malformed lexical form (e.g. ``''^^xsd:integer``) throws and kills
+    the whole query. SPARQL 17.3 makes a malformed numeric a TYPE ERROR
+    on that binding only — null here, so comparisons fall back to term
+    equality / lexical compare (found by the hypothesis compare suite).
+    """
+    return F.when(is_numeric_literal(t), t["value"].try_cast("double"))
 
 
 def boolean_value(t: Column) -> Column:
@@ -101,7 +108,9 @@ def boolean_value(t: Column) -> Column:
 def datetime_value(t: Column) -> Column:
     return F.when(
         (t["kind"] == "literal") & t["datatype"].isin(XSD_DATETIME, XSD_DATE),
-        F.to_timestamp(t["value"].substr(F.lit(1), F.length(t["value"]))),
+        # try_to_timestamp: malformed datetime lexical forms are a
+        # per-binding type error (null), never an ANSI-mode query crash
+        F.try_to_timestamp(t["value"].substr(F.lit(1), F.length(t["value"]))),
     )
 
 
@@ -109,7 +118,7 @@ def effective_boolean_value(t: Column) -> Column:
     """EBV per SPARQL 17.2.2: booleans as-is; numbers ≠ 0; strings non-empty."""
     return (
         F.when((t["datatype"] == XSD_BOOLEAN), t["value"] == "true")
-        .when(is_numeric_literal(t), t["value"].cast("double") != 0.0)
+        .when(is_numeric_literal(t), t["value"].try_cast("double") != 0.0)
         .when(
             (t["kind"] == "literal") & (t["datatype"].isNull() | (t["datatype"] == XSD_STRING)),
             F.length(t["value"]) > 0,
