@@ -1,0 +1,150 @@
+"""Versioned table layer: snapshot-isolated reads + optimistic commits.
+
+SURVEY §4 maps the reference's snapshot isolation — fjall optimistic
+transactions over LSM keyspaces (``storage/src/storage.rs:40-43``, every
+read path opens a snapshot txn, writers conflict-check at commit) — to
+Delta-style table versions. Delta Lake itself is not in this container,
+so this module implements the same contract directly on parquet + a
+JSON commit log, the way Delta's `_delta_log` works:
+
+- a table directory holds immutable parquet data files plus
+  ``_log/<version>.json`` manifests listing the files that make up that
+  version;
+- **readers pin a manifest**: a read of version N sees exactly N's file
+  list forever (snapshot isolation — concurrent writers add new files
+  and new manifests, never mutate old ones);
+- **writers commit optimistically**: a commit writes its data files,
+  then atomically creates ``_log/<next>.json`` via ``O_EXCL``. If
+  another writer won the race the create fails and the commit raises
+  :class:`CommitConflict` — the fjall optimistic-txn conflict, surfaced
+  for retry;
+- ``append`` commits (new files + previous file list) never conflict
+  semantically but still serialize through the version counter, exactly
+  like Delta's blind appends.
+
+At 100 TB this is the standard lakehouse metadata pattern: manifests are
+KB-sized JSON regardless of data volume, data files are immutable, and
+time travel is "read an old manifest". The implementation is
+driver-side-bounded (one small JSON per commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency violation — retry against the new snapshot)."""
+
+
+class NoSuchVersion(ValueError):
+    """Requested version does not exist in the log."""
+
+
+class VersionedTable:
+    """A parquet table with a Delta-style JSON commit log."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+
+    # -- log inspection ------------------------------------------------------
+    def versions(self) -> list[int]:
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[:-5]) for n in names if n.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        try:
+            with open(
+                os.path.join(self.log_dir, f"{version}.json"),
+                encoding="utf-8",
+            ) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise NoSuchVersion(
+                f"version {version} of {self.path} does not exist"
+            ) from None
+
+    # -- reads (snapshot isolation) ------------------------------------------
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Read a pinned snapshot: the file list of ``version`` (default
+        latest). The returned DataFrame NEVER sees later commits."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise NoSuchVersion(f"{self.path} has no committed version")
+        files = self._manifest(version)["files"]
+        if not files:
+            raise NoSuchVersion(
+                f"version {version} of {self.path} is empty"
+            )
+        return spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    # -- writes (optimistic commit) ------------------------------------------
+    def _write_data(self, df: DataFrame) -> list[str]:
+        part = f"part-{uuid.uuid4().hex}"
+        out = os.path.join(self.path, part)
+        df.write.parquet(out)
+        return [part]
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        expected_version: int | None = None,
+    ) -> int:
+        """Write ``df``'s files, then atomically claim the next version.
+
+        ``expected_version`` is the snapshot the writer based its work
+        on (fjall's optimistic read-set check): if the log has moved
+        past it, the commit conflicts WITHOUT writing a manifest. A
+        raced claim of the same version number also conflicts — the
+        ``O_EXCL`` create is the atomic arbiter, as in Delta.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        latest = self.latest_version()
+        if expected_version is not None and latest != expected_version:
+            raise CommitConflict(
+                f"expected version {expected_version}, log is at {latest}"
+            )
+        new_files = self._write_data(df)
+        if mode == "append" and latest is not None:
+            new_files = self._manifest(latest)["files"] + new_files
+        next_version = 0 if latest is None else latest + 1
+        os.makedirs(self.log_dir, exist_ok=True)
+        manifest = {
+            "version": next_version,
+            "mode": mode,
+            "files": new_files,
+            "committed_at": time.time(),
+        }
+        target = os.path.join(self.log_dir, f"{next_version}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {next_version} was committed concurrently"
+            ) from None
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        return next_version

@@ -314,3 +314,48 @@ def registry_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("last_event_type") != "error", 1).otherwise(0)
         ).cast("long").alias("n_live"),
     )
+
+
+@register(
+    "registry_snapshot_asof",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DOUBLE)) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 3 <> 2
+    GROUP BY event_type
+    """,
+)
+def registry_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated AS-OF read over a versioned table (SURVEY §4:
+    fjall optimistic-txn snapshots -> table versions,
+    ``storage/src/storage.rs:40-43``; ``aruna_spark/ops/versioned.py``).
+
+    A three-commit history is built once per corpus into the store
+    cache — v0 = events with ``event_id % 3 == 0``, v1 appends the
+    ``% 3 == 1`` slice, v2 OVERWRITES with the ``% 3 == 2`` slice —
+    and the query reads **version 1**: the pinned manifest still sees
+    v0+v1's files even though the table's latest state (v2) has
+    replaced them. The oracle replicates what version 1 contained
+    (``event_id % 3 <> 2``), so the hash match proves the time-travel
+    read, not just the aggregation.
+    """
+    import os
+
+    from aruna_spark.ops.versioned import VersionedTable
+    from aruna_spark.store import _ensure
+
+    def build(tmp: str) -> None:
+        t = VersionedTable(os.path.join(tmp, "table"))
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        t.commit(ev.filter(F.col("event_id") % 3 == 0))
+        t.commit(ev.filter(F.col("event_id") % 3 == 1), mode="append")
+        t.commit(ev.filter(F.col("event_id") % 3 == 2), mode="overwrite")
+
+    dest = _ensure("versioned_events", sf_dir, build, src_name="events.parquet")
+    snap = VersionedTable(os.path.join(dest, "table")).read(spark, version=1)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("double")).cast("double").alias("total_value"),
+    )
