@@ -464,25 +464,28 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Versus the hyperplane-LSH path: one partition key per vector (no
     multi-table replication), candidate lists are contiguous cell scans,
     and the coarse quantizer can later be trained without changing the
-    plan. Both paths share the scoring/rank tail. Norms come
-    precomputed from ``store.vectors_store``."""
-    from aruna_spark.store import vectors_store
+    plan. Both paths share the scoring/rank tail.
 
-    emb = vectors_store(spark, sf_dir)
-    assigned = emb.select(
-        "vec_id",
-        F.expr(_assign_sql_spark("embedding", 1))[0].alias("cell"),
-    )
+    Served from the STORED cell-partitioned lists
+    (``store.ivf_fixed_store``): assignments are computed once at index
+    build; the query path is one broadcast probe join over the pruned
+    lists (no ``.distinct()`` — a vector lives in exactly one cell, so
+    a (query, vec) pair matches at most one of the distinct probes)."""
+    from aruna_spark.store import ivf_fixed_store
+
+    assigned = ivf_fixed_store(spark, sf_dir)
     probes = (
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        assigned.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
             F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
             F.explode(F.expr(_assign_sql_spark("embedding", N_PROBE))).alias(
                 "cell"
             ),
         )
     )
-    cand = (
+    scored = (
         assigned.alias("a")
         .join(
             F.broadcast(probes).alias("p"),
@@ -492,24 +495,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p.query_id").alias("query_id"),
             F.col("a.vec_id").alias("vec_id"),
-        )
-        .distinct()
-    )
-    q = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm2").alias("q_norm2"),
-    )
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(emb, "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
             _score_q(
-                _dot(F.col("q_emb"), F.col("embedding")),
-                F.col("q_norm2"),
-                F.col("norm2"),
+                _dot(F.col("p.q_emb"), F.col("a.embedding")),
+                F.col("p.q_norm2"),
+                F.col("a.norm2"),
             ).alias("score_q"),
         )
     )

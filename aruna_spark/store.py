@@ -273,6 +273,33 @@ def lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(dest, "buckets"))
 
 
+def ivf_fixed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-quantizer IVF lists: ``(vec_id, embedding, norm2,
+    cell)`` partitioned by ``cell``, where cell is the nearest of the 8
+    deterministic md5 centroids. Same maintained-artifact treatment as
+    the trained index — the 8 corpus-wide dot products per vector run
+    once at build, not per query."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.catalog import load_table
+    from aruna_spark.queries.similarity import _assign_sql_spark, _with_norm
+
+    def build(tmp: str) -> None:
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        assigned = emb.select(
+            "vec_id",
+            "embedding",
+            "norm2",
+            F.expr(_assign_sql_spark("embedding", 1))[0].alias("cell"),
+        )
+        assigned.repartition("cell").write.partitionBy("cell").parquet(
+            os.path.join(tmp, "assigned")
+        )
+
+    dest = _ensure("ivf_fixed", sf_dir, build, src_name="embeddings.parquet")
+    return spark.read.parquet(os.path.join(dest, "assigned"))
+
+
 # ------------------------------------------------------------ dedup store
 def shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, sh, shh)`` — the distinct 3-token shingle set of every
