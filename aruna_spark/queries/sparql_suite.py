@@ -33,10 +33,22 @@ def _sparql(text: str):
     partitioned triples store (round-3 change, VERDICT r2 perf-weak item
     b): constant-predicate patterns — the overwhelmingly common case —
     prune to one predicate directory via PartitionFilters instead of
-    re-deriving the 13-branch projection union per query."""
+    re-deriving the 13-branch projection union per query. The fts:
+    resolver likewise reads the materialized token-shard postings index
+    (``store.bm25_scored``) instead of rebuilding postings from the
+    triples scan per query — valid here because the engine's triples
+    ARE the full store for this corpus."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        eng = SparqlEngine(spark, triples_store(spark, sf_dir))
+        from aruna_spark.store import bm25_scored
+
+        eng = SparqlEngine(
+            spark,
+            triples_store(spark, sf_dir),
+            fts_resolver=lambda q: bm25_scored(spark, sf_dir, q).select(
+                "subject", "score_q"
+            ),
+        )
         return eng.query_flat(text)
 
     return run

@@ -286,9 +286,18 @@ class SparqlEngine:
         spark: SparkSession,
         triples: DataFrame,
         visible_graphs: DataFrame | None = None,
+        fts_resolver=None,
     ):
+        """``fts_resolver`` (optional, ``query -> DataFrame(subject,
+        score_q)``) overrides the derived BM25 resolver. Pass one backed
+        by the materialized postings store when ``triples`` IS the full
+        store for a corpus — rebuilding postings from the triples scan
+        per fts: query is the per-query-build anti-pattern. Scoped
+        engines (``visible_graphs``) should keep the default derived
+        resolver, which scores only the visible slice."""
         self.spark = spark
         self.visible_graphs = visible_graphs
+        self._fts_override = fts_resolver
         self._scope_hex: str | None = None  # memoized resolved-scope digest
         if visible_graphs is not None:
             triples = triples.join(
@@ -297,6 +306,27 @@ class SparqlEngine:
                 "left_semi",
             )
         self.triples = triples
+
+    def substrate_digest(self) -> str:
+        """Digest of the engine's triples RELATION (the analyzed plan,
+        expression-ids normalized) — cache keys must bind the substrate,
+        not just the visibility scope: two unscoped engines over
+        DIFFERENT relations (fan-out shard slices, different corpora)
+        would otherwise share the 'unrestricted' sentinel and serve each
+        other's rows (found by ``test_fanout_merge_equals_global`` when
+        caching became the default). The reference never hits this
+        because each node caches over its one store; a process-wide
+        cache spanning many engine substrates needs the plan identity."""
+        if getattr(self, "_substrate_hex", None) is None:
+            import hashlib
+            import re
+
+            plan = self.triples._jdf.queryExecution().analyzed().toString()
+            normalized = re.sub(r"#\d+", "", plan)
+            self._substrate_hex = hashlib.sha256(
+                normalized.encode()
+            ).hexdigest()
+        return self._substrate_hex
 
     def scope_digest(self) -> str:
         """Digest of the caller's RESOLVED visible-graph set, memoized
@@ -334,9 +364,12 @@ class SparqlEngine:
             )
 
     def _fts_resolver(self, query: str) -> DataFrame:
-        """BM25-scored subjects for fts:match — built over THIS engine's
-        triples (the reference's per-node Tantivy index is likewise
-        derived from the same graphs the query runs on)."""
+        """BM25-scored subjects for fts:match — the injected store-backed
+        resolver when configured, else built over THIS engine's triples
+        (the reference's per-node Tantivy index is likewise derived from
+        the same graphs the query runs on)."""
+        if self._fts_override is not None:
+            return self._fts_override(query)
         from aruna_spark.search.bm25 import (
             bm25_scores,
             build_field_literals,
@@ -402,10 +435,15 @@ class SparqlEngine:
 
         if cache is _USE_DEFAULT_CACHE:
             cache = default_cache()
+        # the scope component binds BOTH the caller's visibility and the
+        # engine's substrate relation (see substrate_digest)
+        sub = self.substrate_digest()
         if graph_iris is not None:
-            key = local_key("eager", graphs_digest(graph_iris), text)
+            key = local_key(
+                "eager", f"{graphs_digest(graph_iris)}:{sub}", text
+            )
         else:
-            key = local_key("lazy", self.scope_digest(), text)
+            key = local_key("lazy", f"{self.scope_digest()}:{sub}", text)
         if cache is not None:
             cached = cache.get(key, generation)
             if cached is not None:

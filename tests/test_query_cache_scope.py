@@ -69,6 +69,29 @@ def test_unscoped_sentinel_never_collides_with_real_scope(spark, sf_dir):
     assert cache.misses == 2 and cache.hits == 0
 
 
+def test_unscoped_engines_over_different_substrates_never_share(
+    spark, sf_dir, monkeypatch
+):
+    """The fan-out poisoning scenario distilled: two UNSCOPED engines
+    over different triples relations (a shard slice vs the full corpus)
+    must not share a cache entry — the key binds the substrate plan,
+    not just the 'unrestricted' visibility sentinel."""
+    from aruna_spark.sparql import engine as eng_mod
+
+    fresh = QueryCache(now_fn=lambda: 0.0)
+    monkeypatch.setattr(eng_mod, "_SHARED_CACHE", fresh)
+    triples = load_triples(spark, sf_dir)
+    num = F.regexp_extract("graph_iri", r"/(\d+)$", 1)
+    shard = triples.filter((num != "") & (num.cast("long") % 2 == 0))
+    full_rows = SparqlEngine(spark, triples).execute(Q)
+    shard_rows = SparqlEngine(spark, shard).execute(Q)
+    assert fresh.misses == 2 and fresh.hits == 0
+    assert shard_rows != full_rows
+    # identical substrate still shares (two fresh engine instances)
+    again = SparqlEngine(spark, load_triples(spark, sf_dir)).execute(Q)
+    assert again is full_rows and fresh.hits == 1
+
+
 def test_default_path_uses_shared_cache(spark, sf_dir, monkeypatch):
     """execute() with no cache argument consults the process-wide shared
     cache: two engine instances with the identical resolved scope hit
