@@ -135,3 +135,30 @@ def test_lsh_topk_reads_stored_bucket_table(spark, sf_dir):
     plan = _plan(spark, "similarity_lsh_topk", sf_dir)
     assert ".cache/lsh" in plan
     assert ".cache/vectors" in plan
+
+
+def test_trained_ivf_dynamic_partition_pruning(spark, sf_dir):
+    """The broadcast probe join over the cell-partitioned stored lists
+    must trigger dynamic partition pruning — at scale a probe reads the
+    nprobe cell directories, not the whole index."""
+    plan = _plan(spark, "similarity_ivf_trained_topk", sf_dir)
+    assert "dynamicpruning" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_ngram_jaccard_reads_stored_prefix_index(spark, sf_dir):
+    """The exact set-similarity join must consume the materialized
+    PPJoin prefix index and the shingle store (with column pruning:
+    the hashed pre-verify reads shh only, the exact verify sh only) —
+    never recompute df-ranking or shingles per query."""
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert ".cache/ngram_prefix" in plan
+    assert ".cache/shingles" in plan
+    assert "BatchEvalPython" not in plan
+    # column-pruned scans of the shingle store: one shh-only pair
+    # (pre-verify) and one sh-only pair (exact verify)
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*shingles", plan)
+    assert any("shh" in s and "sh#" not in s for s in scans), scans
+    assert any("sh#" in s and "shh" not in s for s in scans), scans
