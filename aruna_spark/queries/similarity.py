@@ -381,6 +381,90 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The sf1 rehearsal (SCALE.md) measured the 6-bit neardup at 33.8x for
+# 10x data: per-bucket occupancy grows linearly with the corpus at a
+# fixed 64-cell table, so same-bucket candidate pairs grow
+# quadratically. The production answer is the standard LSH dial —
+# bucket count tracks the corpus (BITS ~ log2(n / target occupancy)).
+# This variant DEMONSTRATES the dial: a 12-bit bucket (tables 0 and 1
+# concatenated -> 4096 cells) shrinks occupancy 64x at identical
+# per-pair semantics; the slight recall loss on the planted
+# cosine~0.9997 pairs is the documented LSH trade, and the oracle
+# replicates the bucketing bit-for-bit so the result is still exact.
+def _bucket12(v: str) -> Column:
+    return _bucket(v, 0) * 64 + _bucket(v, 1)
+
+
+def _d_bucket12(v: str) -> str:
+    return f"(({_d_bucket(v, 0)}) * 64 + ({_d_bucket(v, 1)}))"
+
+
+@register(
+    "similarity_neardup_scaled",
+    oracle=f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, {_PERTURB_DUCK}
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, {_d_dot('embedding', 'embedding')} AS norm2
+      FROM planted
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, norm2, {_d_bucket12('embedding')} AS bucket
+      FROM corpus
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(floor({_d_dot('a.embedding', 'b.embedding')}
+                      / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) AS score_q
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE CAST(floor({_d_dot('a.embedding', 'b.embedding')}
+               / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) >= {NEARDUP_SCORE_Q}
+    """,
+)
+def similarity_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with the corpus-scaled 12-bit bucket (see the
+    comment above): identical verify semantics to
+    ``similarity_neardup_pairs``, 64x fewer same-bucket collisions."""
+    base = load_table(spark, sf_dir, "embeddings")
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK).alias("embedding"),
+    )
+    emb = _with_norm(
+        base.select("vec_id", "embedding").unionByName(planted)
+    )
+    bucketed = emb.withColumn("bucket", _bucket12("embedding"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm2").alias("norm2_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm2").alias("norm2_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            _score_q(
+                _dot(F.col("emb_a"), F.col("emb_b")),
+                F.col("norm2_a"),
+                F.col("norm2_b"),
+            ).alias("score_q"),
+        )
+        .filter(F.col("score_q") >= NEARDUP_SCORE_Q)
+    )
+
+
 # ------------------------------------------------------------- ivf ann
 N_CENTROIDS = 8
 N_PROBE = 2
