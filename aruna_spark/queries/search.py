@@ -522,16 +522,25 @@ def search_perfield_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``search_enrichment.rs:3-8``), so a term in a short ``name`` field
     outranks the same term diluted in a long merged document, while a
     merged postings table (one tf/dl pool across fields) cannot tell
-    them apart. Both scorings run over the same materialized postings;
-    ranks are dense row_numbers in the merge order contract."""
+    them apart. BOTH scorers read materialized shard-pruned layouts
+    (the per-field store and the merged store); ranks are dense
+    row_numbers in the merge order contract."""
     from pyspark.sql import Window
 
-    from aruna_spark.store import postings_store
+    from aruna_spark.search.bm25 import shard_filter
+    from aruna_spark.store import merged_postings_store
 
     toks = validate_query(QUERY_TEXT)
-    postings, _, _ = postings_store(spark, sf_dir)
+    merged, mdl, mstats, mdf = merged_postings_store(spark, sf_dir)
     pf = _scored(spark, sf_dir, QUERY_TEXT)
-    mg = bm25_scores_field_merged(postings, toks)
+    mg = bm25_scores_field_merged(
+        None,
+        toks,
+        merged=merged.filter(shard_filter(toks)).drop("shard"),
+        dl=mdl,
+        stats=mstats,
+        df_=mdf,
+    )
     pf_rank = pf.select(
         "graph_iri",
         "subject",

@@ -192,23 +192,42 @@ def bm25_scores(
     )
 
 
+def build_merged_postings(postings: DataFrame) -> DataFrame:
+    """Field-MERGED postings (tf pooled across the four fields) — the
+    round-2 scorer's index, kept for the rank-shift comparison."""
+    return postings.groupBy("subject", "graph_iri", "token").agg(
+        F.sum("tf").alias("tf")
+    )
+
+
 def bm25_scores_field_merged(
-    postings: DataFrame, query_tokens: list[str]
+    postings: DataFrame | None,
+    query_tokens: list[str],
+    merged: DataFrame | None = None,
+    dl: DataFrame | None = None,
+    stats: DataFrame | None = None,
+    df_: DataFrame | None = None,
 ) -> DataFrame:
     """Round-2's field-MERGED scorer (tf/df/dl pooled across the four
     fields), kept as the comparison baseline: the registered
     ``search_perfield_rank_shift`` query demonstrates where Tantivy
-    per-field parity re-ranks documents relative to this scorer."""
-    spark = postings.sparkSession
-    merged = postings.groupBy("subject", "graph_iri", "token").agg(
-        F.sum("tf").alias("tf")
-    )
-    dl = merged.groupBy("subject").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    df_ = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per-field parity re-ranks documents relative to this scorer.
+
+    The merged index tables default to being derived from ``postings``;
+    pass the precomputed (``merged``/``dl``/``stats``/``df_``) tables
+    when querying the materialized merged layout."""
+    if merged is None:
+        merged = build_merged_postings(postings)
+    spark = merged.sparkSession
+    if dl is None:
+        dl = merged.groupBy("subject").agg(F.sum("tf").alias("dl"))
+    if stats is None:
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    if df_ is None:
+        df_ = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame(
         [(t,) for t in dict.fromkeys(query_tokens)], "token string"
     )

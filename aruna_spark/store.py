@@ -156,6 +156,41 @@ def bm25_scored(
     return bm25_scores(pruned, toks, dl=dl, stats=stats)
 
 
+def merged_postings_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The field-MERGED BM25 index (round-2 scorer, kept for the
+    rank-shift comparison query) as a stored layout: token-shard
+    partitioned merged postings + per-doc lengths + corpus stats + token
+    df — previously re-derived from the per-field postings on every
+    ``search_perfield_rank_shift`` run."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.search.bm25 import build_merged_postings, materialize_postings
+
+    def build(tmp: str) -> None:
+        postings, _, _ = postings_store(spark, sf_dir)
+        merged = build_merged_postings(postings)
+        materialize_postings(merged, os.path.join(tmp, "merged"))
+        dl = merged.groupBy("subject").agg(F.sum("tf").alias("dl"))
+        dl.coalesce(1).write.parquet(os.path.join(tmp, "dl"))
+        dl.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        ).coalesce(1).write.parquet(os.path.join(tmp, "stats"))
+        merged.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
+        ).coalesce(1).write.parquet(os.path.join(tmp, "df"))
+
+    dest = _ensure("bm25_merged", sf_dir, build)
+    return (
+        spark.read.parquet(os.path.join(dest, "merged")),
+        spark.read.parquet(os.path.join(dest, "dl")),
+        spark.read.parquet(os.path.join(dest, "stats")),
+        spark.read.parquet(os.path.join(dest, "df")),
+    )
+
+
 # --------------------------------------------------------------- ANN store
 def vectors_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(vec_id, embedding, norm2)`` with the norm precomputed once at
