@@ -86,6 +86,16 @@ class VersionedTable:
     ) -> DataFrame:
         """Read a pinned snapshot: the file list of ``version`` (default
         latest). The returned DataFrame NEVER sees later commits."""
+        files = self.files(version)
+        return spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    def files(self, version: int | None = None) -> list[str]:
+        """The relative file list of a version — manifest-level file
+        pruning (the lakehouse pattern: callers select the subset of
+        paths they need, e.g. by a partition key encoded in the path,
+        without touching storage)."""
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -95,9 +105,7 @@ class VersionedTable:
             raise NoSuchVersion(
                 f"version {version} of {self.path} is empty"
             )
-        return spark.read.parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        return files
 
     # -- writes (optimistic commit) ------------------------------------------
     def _write_data(self, df: DataFrame) -> list[str]:
@@ -130,12 +138,20 @@ class VersionedTable:
         new_files = self._write_data(df)
         if mode == "append" and latest is not None:
             new_files = self._manifest(latest)["files"] + new_files
+        return self._commit_manifest(new_files, mode)
+
+    def _commit_manifest(self, files: list[str], mode: str) -> int:
+        """Atomically claim the next version for an explicit file list
+        (files must already be written under the table directory). The
+        primitive behind :meth:`commit` and incremental-maintenance
+        writers that carry unaffected files over by reference."""
+        latest = self.latest_version()
         next_version = 0 if latest is None else latest + 1
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {
             "version": next_version,
             "mode": mode,
-            "files": new_files,
+            "files": files,
             "committed_at": time.time(),
         }
         target = os.path.join(self.log_dir, f"{next_version}.json")

@@ -1,0 +1,126 @@
+"""Incremental postings maintenance == full rebuild, with shard-level
+rewrites and snapshot isolation (``aruna_spark/search/incremental.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aruna_spark.ingest.doc_triples import load_triples
+from aruna_spark.search.bm25 import build_field_literals, build_postings
+from aruna_spark.search.incremental import (
+    _SHARD_RE,
+    init_postings_table,
+    read_pruned,
+    upsert_postings,
+)
+
+
+def _postings_set(df):
+    return {
+        (r.subject, r.graph_iri, r.field, r.token, r.tf)
+        for r in df.select(
+            "subject", "graph_iri", "field", "token", "tf"
+        ).collect()
+    }
+
+
+def _split_fields(spark, sf_dir):
+    """Full corpus fields, split into (base, changed-docs slice)."""
+    fields = build_field_literals(load_triples(spark, sf_dir))
+    changed = fields.filter(
+        F.regexp_extract("subject", r"(\d+)$", 1).cast("long") % 7 == 3
+    )
+    base = fields.join(
+        changed.select("subject").distinct(), "subject", "left_anti"
+    )
+    return fields, base, changed
+
+
+def test_incremental_upsert_equals_full_rebuild(spark, sf_dir, tmp_path):
+    fields, base, changed = _split_fields(spark, sf_dir)
+    # v0: index WITHOUT the changed docs
+    table = init_postings_table(
+        spark, build_postings(base), str(tmp_path / "idx")
+    )
+    v0_files = set(table.files(0))
+    # upsert the changed docs incrementally
+    v1 = upsert_postings(
+        table,
+        spark,
+        build_postings(changed),
+        changed.select("subject").distinct(),
+    )
+    assert v1 == 1
+    # incremental result == one-shot full rebuild, exactly
+    assert _postings_set(table.read(spark)) == _postings_set(
+        build_postings(fields)
+    )
+    # unaffected shards carried over by reference (same file paths)
+    v1_files = set(table.files(1))
+    assert v0_files & v1_files, "unaffected shard files must carry over"
+    assert v1_files != v0_files
+    # snapshot isolation: v0 still reads the pre-upsert index
+    assert _postings_set(table.read(spark, version=0)) == _postings_set(
+        build_postings(base)
+    )
+
+
+def test_incremental_delete(spark, sf_dir, tmp_path):
+    fields, base, changed = _split_fields(spark, sf_dir)
+    table = init_postings_table(
+        spark, build_postings(fields), str(tmp_path / "idx")
+    )
+    # pure delete: changed subjects removed, no new postings
+    empty = build_postings(changed).limit(0)
+    upsert_postings(
+        table, spark, empty, changed.select("subject").distinct()
+    )
+    assert _postings_set(table.read(spark)) == _postings_set(
+        build_postings(base)
+    )
+
+
+def test_manifest_level_shard_pruning(spark, sf_dir, tmp_path):
+    fields, _, _ = _split_fields(spark, sf_dir)
+    postings = build_postings(fields)
+    table = init_postings_table(spark, postings, str(tmp_path / "idx"))
+    # pick a real token and prune to its shard
+    row = postings.select("token").first()
+    shard = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(row.token)), F.lit(256))
+            .cast("int")
+            .alias("s")
+        )
+        .collect()[0].s
+    )
+    pruned = read_pruned(spark, table, {shard})
+    got = {r.token for r in pruned.select("token").distinct().collect()}
+    assert row.token in got
+    # every token in the pruned read hashes to the pruned shard
+    check = pruned.select(
+        F.pmod(F.xxhash64("token"), F.lit(256)).cast("int").alias("s")
+    ).distinct()
+    assert {r.s for r in check.collect()} == {shard}
+
+
+def test_upsert_optimistic_conflict(spark, sf_dir, tmp_path):
+    import pytest
+
+    from aruna_spark.ops.versioned import CommitConflict
+
+    fields, base, changed = _split_fields(spark, sf_dir)
+    table = init_postings_table(
+        spark, build_postings(base), str(tmp_path / "idx")
+    )
+    upsert_postings(
+        table, spark, build_postings(changed),
+        changed.select("subject").distinct(),
+    )
+    with pytest.raises(CommitConflict):
+        upsert_postings(
+            table, spark, build_postings(changed),
+            changed.select("subject").distinct(), expected_version=0,
+        )
