@@ -41,6 +41,35 @@ def _after_predicate(sort_keys: Sequence[str], after: Cursor) -> Column:
     return pred
 
 
+def bounded_rank(
+    df: DataFrame, keys: Sequence[Column], rank_name: str = "rank"
+) -> DataFrame:
+    """Assign dense 1-based ranks to an ALREADY-BOUNDED DataFrame without
+    a global row_number window.
+
+    A ``Window.orderBy(...)`` with no partition spec moves every row into
+    one partition (Spark's ``WindowExec: No Partition Defined`` warning)
+    — the wrong template even when today's input is small, because the
+    same code at 100× single-partitions millions of rows. This helper is
+    the scale-safe form for page envelopes: the caller bounds ``df``
+    first (``orderBy(...).limit(k)`` = distributed TakeOrderedAndProject),
+    then the ≤k rows fold into ONE sorted array on a single-row aggregate
+    and ``posexplode`` re-emits them with their 1-based position.
+
+    ``keys`` are ascending sort columns (negate numerics for
+    descending); they must reference columns of ``df``. The caller MUST
+    have bounded ``df`` — the fold is a deliberate single-row aggregate.
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns]).alias("__p")
+    item = F.struct(
+        *[k.alias(f"__k{i}") for i, k in enumerate(keys)], payload
+    )
+    folded = df.agg(F.array_sort(F.collect_list(item)).alias("__a"))
+    return folded.select(
+        F.posexplode("__a").alias("__pos", "__r")
+    ).select((F.col("__pos") + F.lit(1)).alias(rank_name), "__r.__p.*")
+
+
 def keyset_page(
     df: DataFrame,
     sort_keys: Sequence[str],

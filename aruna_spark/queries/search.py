@@ -152,23 +152,32 @@ def search_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 score bucket are never skipped (search_cursor.rs:740-782 is the
     reference's test of exactly this invariant).
     """
-    from pyspark.sql import Window
-
     scored = _scored(spark, sf_dir, QUERY_TEXT)
-    # watermark = page 1's LAST row, selected by rank rather than a plan-
-    # level Offset: row_number is the well-trodden operator (Offset inside
-    # a broadcast subplan intermittently mis-planned under AQE, dropping
-    # the outer limit — observed once at sf0.01, 262 rows instead of 25)
-    rank_w = Window.orderBy(F.desc("score_q"), "graph_iri", "subject")
-    wm = (
-        scored.withColumn("__rn", F.row_number().over(rank_w))
-        .filter(F.col("__rn") == DEFAULT_PAGE)
-        .select(
-            F.col("score_q").alias("w_score_q"),
-            F.col("graph_iri").alias("w_graph"),
-            F.col("subject").alias("w_subject"),
-        )
-    )
+    # watermark = page 1's LAST row in merge order, derived distributed:
+    # orderBy+limit is a TakeOrderedAndProject (top-k per partition, then
+    # a k-row merge), and the last row of those k is a 1-row max_by
+    # aggregate over the INVERTED sort key. No plan-level Offset (it
+    # mis-planned inside a broadcast subplan under AQE — dropped the
+    # outer limit once at sf0.01) and no global row_number window (a
+    # WindowExec with no partition spec single-partitions the whole
+    # scored relation — millions of rows for a common token at 100×).
+    page1 = scored.orderBy(
+        F.desc("score_q"), "graph_iri", "subject"
+    ).limit(DEFAULT_PAGE)
+    wm = page1.agg(
+        F.max_by(
+            F.struct(
+                F.col("score_q").alias("w_score_q"),
+                F.col("graph_iri").alias("w_graph"),
+                F.col("subject").alias("w_subject"),
+            ),
+            F.struct(
+                (-F.col("score_q")).alias("__o1"),
+                F.col("graph_iri").alias("__o2"),
+                F.col("subject").alias("__o3"),
+            ),
+        ).alias("__wm")
+    ).select("__wm.*")
     return (
         keyset_after(scored, wm)
         .select("graph_iri", "subject", "score_q")
@@ -257,58 +266,58 @@ def search_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     10, returned as one (section, rank, key, display, score_q) relation.
     The four section queries are independent DataFrames (Spark runs
     their stages concurrently under one action), matching the
-    reference's concurrent fan-out."""
-    from pyspark.sql import Window
+    reference's concurrent fan-out. Section ranks are assigned with
+    :func:`bounded_rank` over each ≤10-row envelope — TakeOrdered +
+    single-row fold, never an unpartitioned row_number window."""
+    from aruna_spark.ops.pagination import bounded_rank
 
     scored = _scored(spark, sf_dir, UNIFIED_QUERY)
-    docs_sec = (
-        scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
-        .limit(SECTION_LIMIT)
-        .select(
-            F.lit("documents").alias("section"),
-            F.row_number()
-            .over(
-                Window.orderBy(F.desc("score_q"), "graph_iri", "subject")
-            )
-            .alias("rank"),
-            F.col("subject").alias("key"),
-            F.col("subject").alias("display"),
-            "score_q",
-        )
+    docs_sec = bounded_rank(
+        scored.orderBy(F.desc("score_q"), "graph_iri", "subject").limit(
+            SECTION_LIMIT
+        ),
+        [-F.col("score_q"), F.col("graph_iri"), F.col("subject")],
+    ).select(
+        F.lit("documents").alias("section"),
+        "rank",
+        F.col("subject").alias("key"),
+        F.col("subject").alias("display"),
+        "score_q",
     )
     d = load_table(spark, sf_dir, "documents")
 
-    def _substr_sec(name: str, col, order):
+    def _substr_sec(name: str, col):
         base = (
             d.select(col.alias("v"))
             .distinct()
             .filter(F.lower(F.col("v")).contains(UNIFIED_QUERY))
-            .orderBy(order)
+            .orderBy("v")
             .limit(SECTION_LIMIT)
         )
-        return base.select(
+        return bounded_rank(base, [F.col("v")]).select(
             F.lit(name).alias("section"),
-            F.row_number().over(Window.orderBy(order)).alias("rank"),
+            "rank",
             F.col("v").alias("key"),
             F.col("v").alias("display"),
             F.lit(None).cast("long").alias("score_q"),
         )
 
     buckets_sec = _substr_sec(
-        "buckets", F.concat(F.lit("data/"), F.col("source")), F.col("v")
+        "buckets", F.concat(F.lit("data/"), F.col("source"))
     )
     groups_sec = _substr_sec(
-        "groups", F.concat(F.lit("group-"), F.col("source")), F.col("v")
+        "groups", F.concat(F.lit("group-"), F.col("source"))
     )
     cust = (
         load_table(spark, sf_dir, "customer")
         .filter(F.lower(F.col("c_name")).contains(UNIFIED_QUERY))
+        .select("c_custkey", "c_name")
         .orderBy("c_custkey")
         .limit(SECTION_LIMIT)
     )
-    users_sec = cust.select(
+    users_sec = bounded_rank(cust, [F.col("c_custkey")]).select(
         F.lit("users").alias("section"),
-        F.row_number().over(Window.orderBy("c_custkey")).alias("rank"),
+        "rank",
         F.col("c_custkey").cast("string").alias("key"),
         F.col("c_name").alias("display"),
         F.lit(None).cast("long").alias("score_q"),
@@ -495,18 +504,22 @@ def search_describe_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY m.graph_iri, m.subject
     ),
     pr AS (
-      SELECT graph_iri, subject, score_q AS score_pf,
-             CAST(ROW_NUMBER() OVER
-                  (ORDER BY score_q DESC, graph_iri, subject) AS BIGINT)
-               AS rank_pf
-      FROM scored
+      SELECT * FROM (
+        SELECT graph_iri, subject, score_q AS score_pf,
+               CAST(ROW_NUMBER() OVER
+                    (ORDER BY score_q DESC, graph_iri, subject) AS BIGINT)
+                 AS rank_pf
+        FROM scored
+      ) WHERE rank_pf <= 1000
     ),
     mr AS (
-      SELECT graph_iri, subject, score_m,
-             CAST(ROW_NUMBER() OVER
-                  (ORDER BY score_m DESC, graph_iri, subject) AS BIGINT)
-               AS rank_m
-      FROM mscored
+      SELECT * FROM (
+        SELECT graph_iri, subject, score_m,
+               CAST(ROW_NUMBER() OVER
+                    (ORDER BY score_m DESC, graph_iri, subject) AS BIGINT)
+                 AS rank_m
+        FROM mscored
+      ) WHERE rank_m <= 1000
     )
     SELECT pr.graph_iri, pr.subject, pr.score_pf, pr.rank_pf,
            mr.score_m, mr.rank_m
@@ -524,10 +537,14 @@ def search_perfield_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged postings table (one tf/dl pool across fields) cannot tell
     them apart. BOTH scorers read materialized shard-pruned layouts
     (the per-field store and the merged store); ranks are dense
-    row_numbers in the merge order contract."""
-    from pyspark.sql import Window
-
-    from aruna_spark.search.bm25 import shard_filter
+    positions in the merge order contract, compared to the reference's
+    own pagination depth cap MAX_DEPTH=1000 (search_cursor.rs:15) —
+    ranks past the deepest reachable page are unobservable in the
+    reference, and the cut makes each side a distributed
+    TakeOrderedAndProject + bounded fold instead of a global
+    row_number window over the full scored relation."""
+    from aruna_spark.ops.pagination import bounded_rank
+    from aruna_spark.search.bm25 import MAX_DEPTH, shard_filter
     from aruna_spark.store import merged_postings_store
 
     toks = validate_query(QUERY_TEXT)
@@ -541,24 +558,23 @@ def search_perfield_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats=mstats,
         df_=mdf,
     )
-    pf_rank = pf.select(
-        "graph_iri",
-        "subject",
-        F.col("score_q").alias("score_pf"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_q"), "graph_iri", "subject"))
-        .cast("long")
-        .alias("rank_pf"),
-    )
-    mg_rank = mg.select(
-        "graph_iri",
-        "subject",
-        F.col("score_q").alias("score_m"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_q"), "graph_iri", "subject"))
-        .cast("long")
-        .alias("rank_m"),
-    )
+    def _ranked(scored: DataFrame, score_name: str, rank_name: str):
+        top = (
+            scored.select(
+                "graph_iri", "subject", F.col("score_q").alias(score_name)
+            )
+            .orderBy(F.desc(score_name), "graph_iri", "subject")
+            .limit(MAX_DEPTH)
+        )
+        ranked = bounded_rank(
+            top,
+            [-F.col(score_name), F.col("graph_iri"), F.col("subject")],
+            rank_name,
+        )
+        return ranked.withColumn(rank_name, F.col(rank_name).cast("long"))
+
+    pf_rank = _ranked(pf, "score_pf", "rank_pf")
+    mg_rank = _ranked(mg, "score_m", "rank_m")
     return (
         pf_rank.join(mg_rank, ["graph_iri", "subject"])
         .filter(F.col("rank_pf") != F.col("rank_m"))
