@@ -47,12 +47,46 @@ class NoSuchVersion(ValueError):
     """Requested version does not exist in the log."""
 
 
+class CommitProtocol:
+    """The seam around the ONE operation that must be atomic: publishing
+    the manifest for an EXACT version number, first-writer-wins.
+
+    The local implementation uses ``O_EXCL`` exclusive create — atomic
+    on POSIX filesystems but NOT on object stores (S3 has no exclusive
+    create or atomic rename). A 100 TB deployment swaps this seam for a
+    conditional put (S3 ``If-None-Match: *``) or an external lock/commit
+    service (the DynamoDB lock table Delta used before conditional
+    writes; Iceberg's catalog compare-and-swap). The contract is
+    identical either way: exactly one writer's payload lands for a given
+    version key; every other claimant of that key gets
+    ``FileExistsError`` (mapped to :class:`CommitConflict` above).
+    """
+
+    def claim(self, target: str, payload: str) -> None:
+        """Atomically create ``target`` with ``payload``; raise
+        ``FileExistsError`` if any writer already claimed it."""
+        raise NotImplementedError
+
+
+class LocalExclusiveCreate(CommitProtocol):
+    """POSIX ``O_EXCL`` claim — the local-filesystem arbiter."""
+
+    def claim(self, target: str, payload: str) -> None:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(payload)
+
+
+LOCAL_PROTOCOL = LocalExclusiveCreate()
+
+
 class VersionedTable:
     """A parquet table with a Delta-style JSON commit log."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, protocol: CommitProtocol | None = None):
         self.path = path
         self.log_dir = os.path.join(path, "_log")
+        self.protocol = protocol or LOCAL_PROTOCOL
 
     # -- log inspection ------------------------------------------------------
     def versions(self) -> list[int]:
@@ -138,29 +172,40 @@ class VersionedTable:
         new_files = self._write_data(df)
         if mode == "append" and latest is not None:
             new_files = self._manifest(latest)["files"] + new_files
-        return self._commit_manifest(new_files, mode)
+        # claim EXACTLY the version derived from the snapshot this write
+        # validated — never re-read the log here (a writer that committed
+        # in between must surface as CommitConflict, not be clobbered:
+        # an append based on a stale file list would silently drop the
+        # intervening commit's files)
+        return self._commit_manifest(
+            new_files, mode, 0 if latest is None else latest + 1
+        )
 
-    def _commit_manifest(self, files: list[str], mode: str) -> int:
-        """Atomically claim the next version for an explicit file list
-        (files must already be written under the table directory). The
-        primitive behind :meth:`commit` and incremental-maintenance
-        writers that carry unaffected files over by reference."""
-        latest = self.latest_version()
-        next_version = 0 if latest is None else latest + 1
+    def _commit_manifest(
+        self, files: list[str], mode: str, version: int
+    ) -> int:
+        """Atomically claim ``version`` for an explicit file list (files
+        must already be written under the table directory). The primitive
+        behind :meth:`commit` and incremental-maintenance writers that
+        carry unaffected files over by reference.
+
+        ``version`` MUST be derived from the snapshot the caller read
+        and validated (latest + 1) — the claim arbitrates that exact
+        version, so any concurrent commit makes this raise
+        :class:`CommitConflict` and the caller retries against the
+        winner's snapshot."""
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {
-            "version": next_version,
+            "version": version,
             "mode": mode,
             "files": files,
             "committed_at": time.time(),
         }
-        target = os.path.join(self.log_dir, f"{next_version}.json")
+        target = os.path.join(self.log_dir, f"{version}.json")
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            self.protocol.claim(target, json.dumps(manifest))
         except FileExistsError:
             raise CommitConflict(
-                f"version {next_version} was committed concurrently"
+                f"version {version} was committed concurrently"
             ) from None
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump(manifest, f)
-        return next_version
+        return version

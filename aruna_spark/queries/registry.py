@@ -320,7 +320,7 @@ def registry_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "registry_snapshot_asof",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DOUBLE)) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events WHERE event_id % 3 <> 2
     GROUP BY event_type
     """,
@@ -355,7 +355,13 @@ def registry_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dest = _ensure("versioned_events", sf_dir, build, src_name="events.parquet")
     snap = VersionedTable(os.path.join(dest, "table")).read(spark, version=1)
+    # DECIMAL sum, double at the end (relational.py's convention): float
+    # addition is order-dependent, so a double sum can drift in low bits
+    # between Spark's shuffled partial aggregates and DuckDB's
+    # sequential sum; fixed-point addition is order-independent
     return snap.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("double")).cast("double").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
     )

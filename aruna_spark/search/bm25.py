@@ -249,7 +249,14 @@ def validate_query(q: str) -> list[str]:
     q = q.strip()
     if len(q) < MIN_QUERY_CHARS:
         raise ValueError(f"search query must be >= {MIN_QUERY_CHARS} chars")
-    return tokenize(q)
+    toks = tokenize(q)
+    if not toks:
+        # a ≥2-char all-punctuation query ("!!") passes the length check
+        # but analyzes to nothing; downstream SQL builders would emit
+        # malformed expressions (zero-arg least(), UNNEST([])) — reject
+        # it at validation like the reference's query parse does
+        raise ValueError("search query contains no indexable tokens")
+    return toks
 
 
 def keyset_after(

@@ -73,7 +73,10 @@ def init_postings_table(
     leaves = sorted(
         f"{part}/{d}" for d in os.listdir(out) if d.startswith("shard=")
     )
-    table._commit_manifest(leaves, mode="overwrite")
+    latest = table.latest_version()
+    table._commit_manifest(
+        leaves, "overwrite", 0 if latest is None else latest + 1
+    )
     return table
 
 
@@ -84,10 +87,13 @@ def upsert_postings(
     changed_subjects: DataFrame,
     expected_version: int | None = None,
 ) -> int:
-    """Apply one write batch: every subject in ``changed_subjects`` has
-    its old postings dropped, and ``new_postings`` (possibly empty for
-    pure deletes) inserted. Only affected shards are rewritten; all
-    other shard files carry into the new manifest untouched."""
+    """Apply one write batch: every subject in ``changed_subjects`` OR
+    appearing in ``new_postings`` has its old postings dropped, and
+    ``new_postings`` (possibly empty for pure deletes) inserted — the
+    drop set is the UNION, so an upsert whose subject was omitted from
+    ``changed_subjects`` can never leave stale duplicate (subject,
+    token) rows behind. Only affected shards are rewritten; all other
+    shard files carry into the new manifest untouched."""
     latest = table.latest_version()
     if expected_version is not None and latest != expected_version:
         from aruna_spark.ops.versioned import CommitConflict
@@ -103,14 +109,18 @@ def upsert_postings(
             by_shard.setdefault(int(m.group(1)), []).append(f)
 
     new_p = _with_shard(new_postings)
-    old = table.read(spark)  # snapshot: no shard column needed for this
+    drop_subjects = (
+        changed_subjects.select("subject")
+        .unionByName(new_postings.select("subject"))
+        .distinct()
+    )
+    # pin the snapshot this batch validated — a re-resolved `latest`
+    # here would widen the window between the conflict check above and
+    # the data actually read
+    old = table.read(spark, version=latest)
     old_affected = (
         _with_shard(
-            old.join(
-                F.broadcast(changed_subjects.select("subject")),
-                "subject",
-                "left_semi",
-            )
+            old.join(F.broadcast(drop_subjects), "subject", "left_semi")
         )
         .select("shard")
         .distinct()
@@ -127,11 +137,7 @@ def upsert_postings(
     out = os.path.join(table.path, part)
     kept_old = _with_shard(old).filter(
         F.col("shard").isin(*affected)
-    ).join(
-        F.broadcast(changed_subjects.select("subject")),
-        "subject",
-        "left_anti",
-    )
+    ).join(F.broadcast(drop_subjects), "subject", "left_anti")
     rewritten = kept_old.unionByName(
         new_p.filter(F.col("shard").isin(*affected))
     )
@@ -150,7 +156,11 @@ def upsert_postings(
         if s not in affected
         for f in fs
     ]
-    return table._commit_manifest(sorted(carried) + new_leaves, "overwrite")
+    return table._commit_manifest(
+        sorted(carried) + new_leaves,
+        "overwrite",
+        0 if latest is None else latest + 1,
+    )
 
 
 def read_pruned(

@@ -319,10 +319,18 @@ class SparqlEngine:
         cache spanning many engine substrates needs the plan identity."""
         if getattr(self, "_substrate_hex", None) is None:
             import hashlib
-            import re
 
-            plan = self.triples._jdf.queryExecution().analyzed().toString()
-            normalized = re.sub(r"#\d+", "", plan)
+            # Catalyst's canonicalized plan normalizes attribute exprIds
+            # positionally while leaving literal values intact — unlike a
+            # blanket '#\d+' strip, which would also erase '#N' inside
+            # data literals/paths and collide two substrates that differ
+            # only in such a literal (cross-serving cached rows)
+            normalized = (
+                self.triples._jdf.queryExecution()
+                .analyzed()
+                .canonicalized()
+                .toString()
+            )
             self._substrate_hex = hashlib.sha256(
                 normalized.encode()
             ).hexdigest()

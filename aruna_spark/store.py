@@ -59,7 +59,14 @@ def _ensure(
     """Return a directory holding the materialized layout, building it
     on first use. ``build_fn(tmp_dir)`` must write the layout under
     ``tmp_dir``; the finished directory is renamed into place so readers
-    never observe a half-written layout."""
+    never observe a half-written layout.
+
+    The build-to-temp + ``os.rename`` publish is local-FS-atomic only —
+    this cache is node-local scratch (rebuildable from the fingerprinted
+    source). An object-store deployment keeps it on local disk per node,
+    or promotes the layout into an ``ops.versioned.VersionedTable``
+    whose ``CommitProtocol`` seam carries the conditional-put story —
+    see SCALE.md 'Object-store commit safety'."""
     fp = _fingerprint(sf_dir, src_name)
     key = hashlib.sha256(fp.encode()).hexdigest()[:16]
     dest = os.path.join(CACHE_ROOT, kind, key)

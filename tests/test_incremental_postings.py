@@ -106,6 +106,29 @@ def test_manifest_level_shard_pruning(spark, sf_dir, tmp_path):
     assert {r.s for r in check.collect()} == {shard}
 
 
+def test_upsert_implied_subjects_never_duplicate(spark, sf_dir, tmp_path):
+    """ADVICE r4: a subject present in new_postings but omitted from
+    changed_subjects must still have its old postings dropped — the drop
+    set is changed ∪ new subjects, so no duplicate (subject, token) rows
+    can survive an upsert."""
+    fields, base, changed = _split_fields(spark, sf_dir)
+    table = init_postings_table(
+        spark, build_postings(fields), str(tmp_path / "idx")
+    )
+    # re-upsert the changed docs' postings with an EMPTY changed set
+    empty_changed = changed.select("subject").distinct().limit(0)
+    upsert_postings(table, spark, build_postings(changed), empty_changed)
+    latest = table.read(spark)
+    dupes = (
+        latest.groupBy("subject", "graph_iri", "field", "token")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dupes.count() == 0
+    # and the index still equals the full rebuild
+    assert _postings_set(latest) == _postings_set(build_postings(fields))
+
+
 def test_upsert_optimistic_conflict(spark, sf_dir, tmp_path):
     import pytest
 

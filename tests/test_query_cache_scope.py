@@ -92,6 +92,29 @@ def test_unscoped_engines_over_different_substrates_never_share(
     assert again is full_rows and fresh.hits == 1
 
 
+def test_substrates_differing_only_in_literals_never_share(
+    spark, sf_dir
+):
+    """ADVICE r4: the old digest stripped every '#<digits>' from the
+    analyzed plan, so two substrates whose ONLY difference is a literal
+    like 'tag#1' vs 'tag#2' collided to one digest (cross-serving rows).
+    The canonicalized-plan digest keeps literals intact while still
+    normalizing Catalyst exprIds."""
+    triples = load_triples(spark, sf_dir)
+    a = SparqlEngine(
+        spark, triples.filter(F.col("object_value") != "tag#1")
+    )
+    b = SparqlEngine(
+        spark, triples.filter(F.col("object_value") != "tag#2")
+    )
+    assert a.substrate_digest() != b.substrate_digest()
+    # and exprId renumbering alone still shares: two fresh loads of the
+    # same relation get different exprIds but the same canonical plan
+    c = SparqlEngine(spark, load_triples(spark, sf_dir))
+    d = SparqlEngine(spark, load_triples(spark, sf_dir))
+    assert c.substrate_digest() == d.substrate_digest()
+
+
 def test_default_path_uses_shared_cache(spark, sf_dir, monkeypatch):
     """execute() with no cache argument consults the process-wide shared
     cache: two engine instances with the identical resolved scope hit

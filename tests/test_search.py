@@ -80,6 +80,11 @@ def test_min_query_validation():
     with pytest.raises(ValueError):
         validate_query(" x ")
     assert validate_query("ab cd") == ["ab", "cd"]
+    # ≥2 chars but zero indexable tokens must also be rejected — the
+    # downstream SQL builders would otherwise emit zero-arg least() /
+    # UNNEST([]) (ADVICE r4)
+    with pytest.raises(ValueError):
+        validate_query("!!")
 
 
 def test_tokenizer_tantivy_default_analyzer():

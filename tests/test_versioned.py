@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from aruna_spark.ops.versioned import (
     CommitConflict,
+    LocalExclusiveCreate,
     NoSuchVersion,
     VersionedTable,
 )
@@ -80,6 +81,45 @@ def test_raced_same_version_claim_conflicts(spark, tmp_path):
 
     with pytest.raises(CommitConflict):
         Raced(t.path).commit(_df(spark, 2))
+
+
+def test_intervening_commit_conflicts_instead_of_clobbering(
+    spark, tmp_path
+):
+    """ADVICE r4 TOCTOU: a writer that committed BETWEEN this commit's
+    snapshot read and its manifest claim must surface as CommitConflict
+    — never be silently skipped past (an append claiming a re-read
+    next-version would drop the intervening commit's files). The claim
+    arbitrates exactly the version derived from the validated read."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+
+    class InterveningWriter(LocalExclusiveCreate):
+        """Injects a competing commit mid-claim (the race window)."""
+
+        def __init__(self):
+            self.fired = False
+
+        def claim(self, target, payload):
+            if not self.fired:
+                self.fired = True
+                VersionedTable(t.path).commit(_df(spark, 50), mode="append")
+            super().claim(target, payload)
+
+    victim = VersionedTable(t.path, protocol=InterveningWriter())
+    with pytest.raises(CommitConflict):
+        victim.commit(_df(spark, 2), mode="append", expected_version=0)
+    # the winner's commit is intact, and the loser's retry against the
+    # refreshed snapshot sees the winner's rows
+    assert sorted(r.v for r in t.read(spark).collect()) == [1, 50]
+    v = t.commit(
+        _df(spark, 2), mode="append", expected_version=t.latest_version()
+    )
+    assert sorted(r.v for r in t.read(spark, version=v).collect()) == [
+        1,
+        2,
+        50,
+    ]
 
 
 def test_missing_version_raises(spark, tmp_path):
