@@ -42,10 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.ops.versioned import VersionedTable
+from aruna_spark.search.bm25 import build_doc_lengths, build_field_stats
 
 N_SHARDS = 256  # must match bm25.materialize_postings / shard_filter
 
 _SHARD_RE = re.compile(r"shard=(\d+)")
+
+_AUX = "_aux"
 
 
 def _with_shard(postings: DataFrame) -> DataFrame:
@@ -54,12 +57,73 @@ def _with_shard(postings: DataFrame) -> DataFrame:
     )
 
 
+def _write_aux(table: VersionedTable, version: int, dl: DataFrame) -> None:
+    """Materialize the per-version scoring sidecars (per-field doc
+    lengths + corpus stats) under ``_aux/<version>/``, written BEFORE
+    the manifest claim — same immutability invariant as data files: a
+    losing writer leaves only unreferenced aux dirs, never a version
+    whose sidecars are missing or stale.
+
+    Stats are recomputed from the (small) dl relation per commit — one
+    scan per BATCH, never per query. The algebraic refinement for very
+    large corpora (store per-field (n, sum_dl) and roll deltas forward)
+    drops even that scan; dl is ≤4 rows/doc, so the scan is cheap far
+    past this sandbox's scale."""
+    base = os.path.join(table.path, _AUX, str(version))
+    dl.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "dl")
+    )
+    build_field_stats(dl).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "stats")
+    )
+
+
+def read_aux(
+    spark: SparkSession, table: VersionedTable, version: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The pinned version's (dl, stats) scoring sidecars."""
+    if version is None:
+        version = table.latest_version()
+    base = os.path.join(table.path, _AUX, str(version))
+    return (
+        spark.read.parquet(os.path.join(base, "dl")),
+        spark.read.parquet(os.path.join(base, "stats")),
+    )
+
+
+_SHARD_CACHE: dict[str, int] = {}
+
+
+def token_shards(spark: SparkSession, tokens: list[str]) -> set[int]:
+    """Driver-side shard ids for query tokens (memoized): one 1-row
+    constant-folded job for the uncached tokens — no Python xxhash64
+    reimplementation to drift from the JVM's, no data scan."""
+    missing = [t for t in dict.fromkeys(tokens) if t not in _SHARD_CACHE]
+    if missing:
+        row = (
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(F.lit(t)), F.lit(N_SHARDS))
+                    .cast("int")
+                    .alias(f"s{i}")
+                    for i, t in enumerate(missing)
+                ]
+            )
+            .collect()[0]
+        )
+        for i, t in enumerate(missing):
+            _SHARD_CACHE[t] = row[i]
+    return {_SHARD_CACHE[t] for t in tokens}
+
+
 def init_postings_table(
     spark: SparkSession, postings: DataFrame, path: str
 ) -> VersionedTable:
     """Create version 0: the full postings written as one part dir of
     shard leaves, manifest listing each ``shard=N`` leaf separately so
-    later versions can swap individual shards."""
+    later versions can swap individual shards. The scoring sidecars
+    (dl/stats) are materialized for the version before its claim."""
     table = VersionedTable(path)
     part = f"part-{uuid.uuid4().hex}"
     out = os.path.join(path, part)
@@ -74,9 +138,9 @@ def init_postings_table(
         f"{part}/{d}" for d in os.listdir(out) if d.startswith("shard=")
     )
     latest = table.latest_version()
-    table._commit_manifest(
-        leaves, "overwrite", 0 if latest is None else latest + 1
-    )
+    next_version = 0 if latest is None else latest + 1
+    _write_aux(table, next_version, build_doc_lengths(postings))
+    table._commit_manifest(leaves, "overwrite", next_version)
     return table
 
 
@@ -156,10 +220,17 @@ def upsert_postings(
         if s not in affected
         for f in fs
     ]
+    next_version = 0 if latest is None else latest + 1
+    # maintain the scoring sidecars incrementally: dropped subjects' dl
+    # rows out, new docs' dl rows in; stats re-aggregated from the small
+    # dl relation (see _write_aux)
+    old_dl, _ = read_aux(spark, table, latest)
+    new_dl = old_dl.join(
+        F.broadcast(drop_subjects), "subject", "left_anti"
+    ).unionByName(build_doc_lengths(new_postings))
+    _write_aux(table, next_version, new_dl)
     return table._commit_manifest(
-        sorted(carried) + new_leaves,
-        "overwrite",
-        0 if latest is None else latest + 1,
+        sorted(carried) + new_leaves, "overwrite", next_version
     )
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Bump when any materialized layout changes shape (postings schema,
 # partitioning, sort) so stale caches rebuild instead of mis-reading.
-LAYOUT_VERSION = "v3-tantivy-tok"
+LAYOUT_VERSION = "v4-versioned-postings"
 
 
 def _repo_root() -> str:
@@ -114,53 +114,64 @@ def triples_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_materialized_triples(spark, os.path.join(dest, "data"))
 
 
-def postings_store(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The DEFAULT BM25 index: (postings, dl, stats) read from the
-    token-shard-partitioned materialized layout with precomputed
-    per-document lengths and corpus stats. Query-time cost is a
-    shard-pruned postings scan (≤k shards for k query tokens) + two tiny
-    broadcast sides — never a corpus rescan."""
-    from aruna_spark.search.bm25 import (
-        build_doc_lengths,
-        build_field_literals,
-        build_field_stats,
-        build_postings,
-        materialize_postings,
-    )
+def postings_table(spark: SparkSession, sf_dir: str):
+    """The DEFAULT BM25 index as ONE maintained artifact: a
+    :class:`~aruna_spark.ops.versioned.VersionedTable` of token-shard
+    leaves plus per-version scoring sidecars, built by
+    :func:`aruna_spark.search.incremental.init_postings_table` — the
+    SAME table the incremental maintenance plane
+    (``search/incremental.py``) upserts into. This matches the
+    reference's single Tantivy index that is both queried and updated
+    in place (``search_enrichment.rs``; ``handle.rs:1906-1912`` flush)
+    — the queried artifact and the maintained artifact are not two
+    copies that can drift."""
+    from aruna_spark.ops.versioned import VersionedTable
+    from aruna_spark.search.bm25 import build_field_literals, build_postings
+    from aruna_spark.search.incremental import init_postings_table
 
     def build(tmp: str) -> None:
         triples = triples_store(spark, sf_dir)
         postings = build_postings(build_field_literals(triples))
-        materialize_postings(postings, os.path.join(tmp, "postings"))
-        dl = build_doc_lengths(postings)
-        dl.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "dl")
-        )
-        build_field_stats(dl).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "stats")
-        )
+        init_postings_table(spark, postings, os.path.join(tmp, "table"))
 
     dest = _ensure("bm25", sf_dir, build)
-    postings = spark.read.parquet(os.path.join(dest, "postings"))
-    dl = spark.read.parquet(os.path.join(dest, "dl"))
-    stats = spark.read.parquet(os.path.join(dest, "stats"))
-    return postings, dl, stats
+    return VersionedTable(os.path.join(dest, "table"))
+
+
+def postings_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, dl, stats) pinned to the versioned index's latest
+    manifest — a snapshot: concurrent maintenance commits new versions,
+    this read never sees them mid-query."""
+    from aruna_spark.search.incremental import read_aux
+
+    table = postings_table(spark, sf_dir)
+    version = table.latest_version()
+    dl, stats = read_aux(spark, table, version)
+    return table.read(spark, version), dl, stats
 
 
 def bm25_scored(
     spark: SparkSession, sf_dir: str, query: str
 ) -> DataFrame:
     """(graph_iri, subject, score_q) for a query string over the DEFAULT
-    materialized index: shard-filter partition pruning first, then the
-    token equi-join."""
-    from aruna_spark.search.bm25 import bm25_scores, shard_filter, validate_query
+    versioned index: manifest-level shard pruning first (the pinned
+    manifest's ``shard=N`` paths for the query tokens' shards — exact,
+    driver-side, no storage listing), then the token equi-join."""
+    from aruna_spark.search.bm25 import bm25_scores, validate_query
+    from aruna_spark.search.incremental import (
+        read_aux,
+        read_pruned,
+        token_shards,
+    )
 
     toks = validate_query(query)
-    postings, dl, stats = postings_store(spark, sf_dir)
-    pruned = postings.filter(shard_filter(toks))
-    return bm25_scores(pruned, toks, dl=dl, stats=stats)
+    table = postings_table(spark, sf_dir)
+    version = table.latest_version()
+    pruned = read_pruned(spark, table, token_shards(spark, toks), version)
+    dl, stats = read_aux(spark, table, version)
+    return bm25_scores(pruned.drop("shard"), toks, dl=dl, stats=stats)
 
 
 def merged_postings_store(

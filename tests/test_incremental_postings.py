@@ -129,6 +129,51 @@ def test_upsert_implied_subjects_never_duplicate(spark, sf_dir, tmp_path):
     assert _postings_set(latest) == _postings_set(build_postings(fields))
 
 
+def test_upsert_then_query_old_and_new_versions(spark, sf_dir, tmp_path):
+    """VERDICT r4 Next #2 end-to-end: an upsert batch commits
+    incrementally, and the SAME query machinery the default search path
+    uses (token_shards → read_pruned → read_aux → bm25_scores) returns
+    the updated hits at the new version while a reader pinned to the old
+    version still gets the old hits."""
+    from aruna_spark.search.bm25 import bm25_scores
+    from aruna_spark.search.incremental import read_aux, token_shards
+
+    fields, _, _ = _split_fields(spark, sf_dir)
+    table = init_postings_table(
+        spark, build_postings(fields), str(tmp_path / "idx")
+    )
+
+    def hits(version):
+        toks = ["zephyrqux"]
+        pruned = read_pruned(
+            spark, table, token_shards(spark, toks), version
+        )
+        dl, stats = read_aux(spark, table, version)
+        scored = bm25_scores(pruned, toks, dl=dl, stats=stats)
+        return {r.subject for r in scored.collect()}
+
+    assert hits(0) == set()
+    new_doc = spark.createDataFrame(
+        [("urn:test:doc:new", "https://g/new", "name", "zephyrqux", 1)],
+        "subject string, graph_iri string, field string, "
+        "token string, tf bigint",
+    )
+    v1 = upsert_postings(
+        table, spark, new_doc, new_doc.select("subject").distinct()
+    )
+    assert hits(v1) == {"urn:test:doc:new"}
+    assert hits(0) == set()  # pinned old version: unchanged
+    # delete the doc again: v2 drops the hit, v1 still serves it
+    v2 = upsert_postings(
+        table,
+        spark,
+        new_doc.limit(0),
+        new_doc.select("subject").distinct(),
+    )
+    assert hits(v2) == set()
+    assert hits(v1) == {"urn:test:doc:new"}
+
+
 def test_upsert_optimistic_conflict(spark, sf_dir, tmp_path):
     import pytest
 

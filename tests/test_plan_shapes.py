@@ -99,12 +99,23 @@ def test_default_sparql_path_prunes_predicate_partitions(spark, sf_dir):
 
 
 def test_default_search_path_prunes_token_shards(spark, sf_dir):
-    """The DEFAULT registered search_* path must read the materialized
-    token-shard postings index with shard PartitionFilters — not rebuild
-    postings per query (VERDICT r2 perf-weak item a)."""
-    plan = _plan(spark, "search_bm25_topk", sf_dir)
-    assert "PartitionFilters: [" in plan
-    assert "shard" in plan.split("PartitionFilters:", 1)[1][:400]
+    """The DEFAULT registered search_* path must read ONLY the query
+    tokens' shard leaves of the pinned versioned-postings manifest —
+    manifest-level pruning, stronger than scan-time PartitionFilters:
+    the non-matching 200+ shards never even enter the file index
+    (VERDICT r2 perf-weak item a; r4 Next #2 versioned substrate)."""
+    from aruna_spark.queries.search import QUERY_TEXT
+    from aruna_spark.search.bm25 import tokenize
+    from aruna_spark.search.incremental import _SHARD_RE, token_shards
+
+    fn, _ = REGISTRY["search_bm25_topk"]
+    df = fn(spark, sf_dir)
+    expected = token_shards(spark, tokenize(QUERY_TEXT))
+    postings_files = [f for f in df.inputFiles() if "shard=" in f]
+    assert postings_files, "query must read the shard-leaf postings"
+    seen = {int(_SHARD_RE.search(f).group(1)) for f in postings_files}
+    assert seen <= expected, f"read shards {seen - expected} beyond the query's"
+    assert len(seen) <= len(tokenize(QUERY_TEXT))
 
 
 def test_trained_ivf_never_trains_on_query_path(spark, sf_dir, monkeypatch):
