@@ -90,13 +90,89 @@ def test_min_query_validation():
 def test_tokenizer_tantivy_default_analyzer():
     """Tantivy default analyzer parity: lowercase + split on
     non-alphanumerics + drop >40-char tokens (search_enrichment.rs:3-8
-    implies Tantivy's default `en` pipeline)."""
+    implies Tantivy's default `en` pipeline). The token class is
+    Unicode alphanumeric (VERDICT r4 Next #3) — accented and CJK text
+    tokenizes as the reference's Tantivy SimpleTokenizer does."""
     from aruna_spark.search.bm25 import tokenize
 
     assert tokenize("Spark, merge-window!") == ["spark", "merge", "window"]
     assert tokenize("Data") == ["data"]
     assert tokenize("a" * 41 + " ok") == ["ok"]  # RemoveLongFilter(40)
     assert validate_query("Spark,") == ["spark"]
+    # Unicode golden: Tantivy tokenizes 'Müller' as 'müller', not 'm'+'ller'
+    assert tokenize("Müller-Straße 12") == ["müller", "straße", "12"]
+    assert tokenize("日本語のテキスト data") == ["日本語のテキスト", "data"]
+    assert tokenize("café Crème naïve") == ["café", "crème", "naïve"]
+    # documented normalizations (engine-parity folds)
+    assert tokenize("İstanbul") == ["istanbul"]  # U+0307 stripped
+    assert tokenize("ΣΟΦΙΑΣ") == ["σοφιασ"]  # final sigma folded
+
+
+def test_bm25_unicode_fields_golden(spark):
+    """End-to-end golden over multilingual name/description fields: the
+    Unicode analyzer indexes accented and CJK text as whole tokens, so
+    a 'Müller' or CJK query finds its document (it could not under the
+    old ASCII token class — 'Müller' shattered into 'm'+'ller')."""
+    from aruna_spark.search.bm25 import bm25_scores, build_postings, tokenize
+
+    fields = spark.createDataFrame(
+        [
+            ("s1", "g1", "name", "Müller Datensatz"),
+            ("s1", "g1", "description", "Ein naïver Datensatz über Bäche"),
+            ("s2", "g2", "name", "日本語コーパス"),
+            ("s2", "g2", "description", "日本語のテキスト資料"),
+            ("s3", "g3", "name", "plain ascii data"),
+        ],
+        "subject string, graph_iri string, field string, text string",
+    )
+    postings = build_postings(fields)
+
+    def hit_subjects(q):
+        scored = bm25_scores(postings, tokenize(q))
+        return {r.subject for r in scored.collect()}
+
+    assert hit_subjects("Müller") == {"s1"}
+    assert hit_subjects("müller") == {"s1"}  # lowercased at both ends
+    assert hit_subjects("日本語コーパス") == {"s2"}
+    assert hit_subjects("Bäche") == {"s1"}
+    assert hit_subjects("data") == {"s3"}
+
+
+def test_tokenizer_cross_engine_parity(spark):
+    """The three pipelines — Spark (Java regex), the DuckDB oracle
+    (RE2), and the driver-side Python tokenizer — must split hostile
+    Unicode byte-identically: accents, CJK, Greek final sigma, Turkish
+    İ, combining marks, fullwidth forms, non-ASCII digits, emoji."""
+    import duckdb
+
+    from aruna_spark.search.bm25 import (
+        duck_tokenize_sql,
+        tokenize,
+        tokenize_expr,
+    )
+
+    cases = [
+        "Müller GmbH", "café Crème", "naïve résumé", "日本語のテキスト data",
+        "Ελληνικά και Data", "кириллица текст", "İstanbul DİŞ",
+        "straße GROSS", "ΟΔΥΣΣΕΥΣ ΤΕΛΟΣ", "ΣΟΦΙΑΣ", "ñandú año", "ab́c",
+        "ﬁle ﬂow", "½ pi², x⁸", "٣٤ ١٢", "emoji 😀 split",
+        "ＦＵＬＬｗｉｄｔｈ１２３", "Ⅻ ⅻ roman", "aḃc ȧḃċ", "ᾛᾙ",
+        "Ǳǲǳ TEST", "Ꭰ Ꮃ cherokee",
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], "t string")
+    srows = {
+        r.t: list(r.toks)
+        for r in sdf.select(
+            "t", tokenize_expr("t").alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        duck = con.execute(
+            f"SELECT {duck_tokenize_sql('?')}", [c]
+        ).fetchone()[0]
+        assert srows[c] == list(duck), f"spark!=duck for {c!r}"
+        assert srows[c] == tokenize(c), f"spark!=python for {c!r}"
 
 
 def test_tokenizer_spark_duckdb_parity(spark):
