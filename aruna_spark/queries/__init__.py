@@ -30,39 +30,54 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle: round 4 leads with the families that sat outside
-# the r3 window (stream/textstats/crdt/rel/listing/s3/staging/
-# multimodal/registry/...), while exact-name entries keep >=1 query per
-# flagship family (sparql/search/similarity/dedup/usage/rocrate) inside
-# the window — deliberately the queries whose implementation changed
-# this round (tokenizer, materialized ANN index, prefix index).
+# window on a cycle. Round 5 (VERDICT r4 Next #4) leads with the four
+# queries never driver-checked, then the families that sat OUTSIDE the
+# r4 window (search/dedup/similarity/usage/rocrate/registry-tail/
+# singletons — all of whose hard signal is r2-or-older), including
+# every query whose implementation changed this round (search-plane
+# rewrites, Unicode tokenizer, versioned postings substrate, staging
+# envelope); exact-name flagships keep one query per r4-green family
+# in the window. sparql bulk carries the freshest outside-signal (r3
+# driver-green) so it takes the fewest slots — four core exacts — and
+# rotates back fully in r6.
 PRIORITY_PREFIXES = (
-    "stream_",
-    "textstats_",
-    "crdt_",
-    # flagship representatives, pinned early in case the window shrinks
-    "sparql_fts_score",
-    "search_bm25_topk",
-    "similarity_ivf_trained_topk",
-    "dedup_ngram_jaccard",
-    "usage_counters_by_group",
-    "rocrate_export_page",
-    # families never driver-checked under the r3 ordering
-    "rel_",
-    "listing_",
-    "s3_",
-    "staging_",
-    "autoindex_",
-    "multimodal_",
-    "drs_",
-    "backlinks_",
-    "registry_",
-    "corpus_",
+    # never driver-checked before r5 (exact names, front of the window)
+    "corpus_approx_distinct",
+    "corpus_rollup_stats",
+    "registry_snapshot_asof",
+    "similarity_neardup_scaled",
+    # single-query families last checked r2/selfcheck
     "perm_",
     "graph_",
     "archive_",
     "ingest_",
     "distributed_",
+    # full families outside the r4 window / changed this round
+    "search_",
+    "dedup_",
+    "similarity_",
+    "staging_",
+    "usage_",
+    "rocrate_",
+    "corpus_",
+    # registry tail not covered in r4 (r4 checked replay/merge/recent)
+    "registry_path_claims",
+    "registry_doc_count",
+    "registry_listing_created",
+    # sparql core representatives (bulk rotates back in r6)
+    "sparql_fts_bgp_mix",
+    "sparql_bgp_filter",
+    "sparql_group_agg",
+    "sparql_optional",
+    # one flagship per r4-green family
+    "stream_lww_registry",
+    "textstats_profile",
+    "crdt_orset_replay",
+    "rel_region_revenue",
+    "listing_versions",
+    "s3_multipart_complete",
+    "multimodal_png_roundtrip",
+    "backlinks_grouped",
 )
 
 
