@@ -63,12 +63,9 @@ PRIORITY_PREFIXES = (
     # registry tail not covered in r4 (r4 checked replay/merge/recent)
     "registry_path_claims",
     "registry_doc_count",
-    "registry_listing_created",
     # sparql core representatives (bulk rotates back in r6)
     "sparql_fts_bgp_mix",
     "sparql_bgp_filter",
-    "sparql_group_agg",
-    "sparql_optional",
     # one flagship per r4-green family
     "stream_lww_registry",
     "textstats_profile",

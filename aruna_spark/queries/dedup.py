@@ -152,8 +152,10 @@ def lsh_candidate_pairs(sets: DataFrame) -> DataFrame:
     )
 
 
-def _duck_minhash_sql() -> str:
-    """DuckDB replication of the exact same LSH pipeline."""
+def _duck_lsh_ctes(src: str) -> str:
+    """The tokenized→shingled→sigs→bands→cand CTE chain reading the
+    ``(doc_id, text)`` relation ``src`` — shared by the full-corpus and
+    exact-collapsed LSH oracles."""
     sh_expr = duck_shingles_sql("toks", 3)
     sig_items = ", ".join(duck_minhash_item_sql(i) for i in range(NUM_HASHES))
     band_rows = " UNION ALL ".join(
@@ -166,8 +168,7 @@ def _duck_minhash_sql() -> str:
         for b in range(BANDS)
     )
     return f"""
-    WITH corpus AS ({CORPUS_SQL}),
-    tokenized AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    tokenized AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
     shingled AS (
       SELECT doc_id, list_distinct({sh_expr}) AS sh FROM tokenized
       WHERE {sh_expr} IS NOT NULL
@@ -179,6 +180,14 @@ def _duck_minhash_sql() -> str:
       FROM bands x JOIN bands y
         ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
     )
+    """
+
+
+def _duck_minhash_sql() -> str:
+    """DuckDB replication of the exact same LSH pipeline."""
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {_duck_lsh_ctes('corpus')}
     SELECT c.doc_a, c.doc_b,
            (1000 * len(list_distinct(list_filter(a.sh, s -> list_contains(b.sh, s)))))
              // len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_permille
@@ -188,6 +197,26 @@ def _duck_minhash_sql() -> str:
     WHERE (1000 * len(list_distinct(list_filter(a.sh, s -> list_contains(b.sh, s)))))
           // len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_PERMILLE}
     """
+
+
+def _verified_pairs(sets: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs against the string
+    shingle sets: (doc_a, doc_b, jaccard_permille >= threshold)."""
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "1000 * size(array_intersect(sh_a, sh_b))"
+                " div size(array_union(sh_a, sh_b))"
+            ).alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= JACCARD_PERMILLE)
+    )
 
 
 @register("dedup_minhash_pairs", oracle=_duck_minhash_sql())
@@ -208,24 +237,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aruna_spark.store import shingle_store
 
     sets = shingle_store(spark, sf_dir)
-    cand = lsh_candidate_pairs(sets)
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(
-                "1000 * size(array_intersect(sh_a, sh_b))"
-                " div size(array_union(sh_a, sh_b))"
-            ).alias("jaccard_permille"),
-        )
-        .filter(F.col("jaccard_permille") >= JACCARD_PERMILLE)
-    )
+    return _verified_pairs(sets, lsh_candidate_pairs(sets))
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -480,22 +492,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aruna_spark.store import shingle_store
 
     sets = shingle_store(spark, sf_dir)
-    cand = lsh_candidate_pairs(sets)
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(
-            F.expr(
-                "1000 * size(array_intersect(sh_a, sh_b))"
-                " div size(array_union(sh_a, sh_b))"
-            )
-            >= JACCARD_PERMILLE
-        )
+        _verified_pairs(sets, lsh_candidate_pairs(sets))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
+    labels = _min_label_components(pairs)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        _ids_csv(F.collect_list("n")).alias("member_ids"),
+    ).select(
+        F.col("label").alias("cluster_rep"), "n_members", "member_ids"
+    )
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: returns
+    ``(n, label)`` where label = min doc_id of n's connected component.
+    Rounds = component diameter (near-dup clusters are star-like, so
+    1-2); each round is a join + map-side-combinable min — the label
+    table is O(docs that HAVE a duplicate), never O(corpus)."""
     edges = pairs.select(
         F.col("doc_a").alias("n"), F.col("doc_b").alias("m")
     ).unionByName(
@@ -528,15 +544,242 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if not changed:
             break
-    return labels.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list("n")),
-                lambda x: x.cast("string"),
-            ),
-        ).alias("member_ids"),
-    ).select(
-        F.col("label").alias("cluster_rep"), "n_members", "member_ids"
+    return labels
+
+
+# ------------------------------------ exact-collapse-scaled variants
+# The sf1 rehearsal (SCALE.md) measured the banded family growing
+# 3.3-5.5x for 10x data: replicated corpora put k identical texts in
+# every band bucket, and within-bucket candidate generation is O(k^2)
+# per group — quadratic in the very duplicates the pipeline exists to
+# remove. The production composition (C4/RefinedWeb-style) collapses
+# EXACT duplicates first (one cheap hash groupBy), runs the near-dup
+# machinery over unique representatives only, and carries copy counts
+# as weights. Candidate work then scales with unique content, not raw
+# volume — the corpus-scaled dial VERDICT r4 Next #7 asked for.
+
+UNIQ_SQL = """
+    SELECT MIN(doc_id) AS doc_id, MIN(text) AS text,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+"""
+
+_JACC = (
+    "(1000 * len(list_distinct(list_filter(a.sh, s -> list_contains(b.sh, s)))))"
+    " // len(list_distinct(list_concat(a.sh, b.sh)))"
+)
+
+
+def unique_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, n_copies): the planted corpus collapsed to one
+    representative (min doc_id) per exact content hash — the exact-dedup
+    stage run FIRST, so every downstream near-dup operator works over
+    unique content only."""
+    return (
+        corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("fp")
+    )
+
+
+@register(
+    "dedup_minhash_scaled",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    uniq AS ({UNIQ_SQL}),
+    {_duck_lsh_ctes('uniq')}
+    SELECT c.doc_a, c.doc_b,
+           {_JACC} AS jaccard_permille,
+           ra.n_copies AS copies_a, rb.n_copies AS copies_b
+    FROM cand c
+    JOIN shingled a ON a.doc_id = c.doc_a
+    JOIN shingled b ON b.doc_id = c.doc_b
+    JOIN uniq ra ON ra.doc_id = c.doc_a
+    JOIN uniq rb ON rb.doc_id = c.doc_b
+    WHERE {_JACC} >= {JACCARD_PERMILLE}
+    """,
+)
+def dedup_minhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over exact-collapsed representatives.
+
+    Same banding/verify chain as :func:`dedup_minhash_pairs`, but the
+    input is :func:`unique_reps` — identical texts never enter a band
+    bucket together, so bucket occupancy (and candidate work) tracks
+    UNIQUE content. Each output pair carries both sides' copy counts;
+    expanding to raw doc pairs is a join against the exact-dedup group
+    table, not more LSH work. The shingle sets still come from the
+    maintained ``store.shingle_store`` (semi-joined to representatives).
+    """
+    from aruna_spark.store import shingle_store
+
+    reps = unique_reps(spark, sf_dir).select("doc_id", "n_copies")
+    sets = shingle_store(spark, sf_dir).join(
+        reps.select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = _verified_pairs(sets, lsh_candidate_pairs(sets))
+    ca = reps.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_copies").alias("copies_a")
+    )
+    cb = reps.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_copies").alias("copies_b")
+    )
+    return pairs.join(ca, "doc_a").join(cb, "doc_b").select(
+        "doc_a", "doc_b", "jaccard_permille", "copies_a", "copies_b"
+    )
+
+
+@register(
+    "dedup_clusters_scaled",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+    uniq AS ({UNIQ_SQL}),
+    {_duck_lsh_ctes('uniq')},
+    pairs AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN shingled a ON a.doc_id = c.doc_a
+      JOIN shingled b ON b.doc_id = c.doc_b
+      WHERE {_JACC} >= {JACCARD_PERMILLE}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (SELECT n, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n)
+    SELECT label AS cluster_rep,
+           COUNT(*) AS n_members,
+           string_agg(n, ',' ORDER BY n) AS member_ids,
+           CAST(SUM(u.n_copies) AS BIGINT) AS n_total_docs
+    FROM comp JOIN uniq u ON u.doc_id = comp.n
+    GROUP BY label
+    """,
+)
+def dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over exact-collapsed representatives: min-label
+    connected components on the representative near-dup graph, weighted
+    by copy counts (``n_total_docs`` = raw documents the cluster would
+    remove-or-keep). The label table is O(unique docs with a near-dup),
+    the edge list O(representative pairs) — both orders of magnitude
+    smaller than the raw-corpus graph on a replicated corpus."""
+    from aruna_spark.store import shingle_store
+
+    reps = unique_reps(spark, sf_dir).select("doc_id", "n_copies")
+    sets = shingle_store(spark, sf_dir).join(
+        reps.select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = (
+        _verified_pairs(sets, lsh_candidate_pairs(sets))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    labels = _min_label_components(pairs)
+    return (
+        labels.join(reps.withColumnRenamed("doc_id", "n"), "n")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            _ids_csv(F.collect_list("n")).alias("member_ids"),
+            F.sum("n_copies").alias("n_total_docs"),
+        )
+        .select(
+            F.col("label").alias("cluster_rep"),
+            "n_members",
+            "member_ids",
+            "n_total_docs",
+        )
+    )
+
+
+SIMHASH_BLOCK_DIV = 65536  # keep the upper 16 of 32 bits as the block key
+
+
+@register(
+    "dedup_simhash_scaled",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    uniq AS ({UNIQ_SQL}),
+    toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM uniq
+    ),
+    hashed AS (SELECT doc_id, {DUCK_HASH64.format(x='tok')} AS h FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+             CAST(SUM(CASE WHEN (h // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                           THEN 1 ELSE -1 END) AS BIGINT) AS vote
+      FROM hashed CROSS JOIN UNNEST(range(0, {SIMHASH_BITS})) AS t(j)
+      GROUP BY doc_id, j
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote >= 0 THEN CAST(power(2, j) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT simhash // {SIMHASH_BLOCK_DIV} AS block,
+           COUNT(*) AS n_reps,
+           MIN(s.doc_id) AS keeper_doc_id,
+           string_agg(s.doc_id, ',' ORDER BY s.doc_id) AS rep_ids,
+           CAST(SUM(u.n_copies) AS BIGINT) AS n_total_docs
+    FROM sim s JOIN uniq u ON u.doc_id = s.doc_id
+    GROUP BY simhash // {SIMHASH_BLOCK_DIV}
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash blocking over exact-collapsed representatives, bucketed
+    on the UPPER 16 of 32 bits — the classic hamming-block relaxation
+    (near-dups whose low bits drift still share a block) and the
+    corpus-scaled dial: block count is 2^bits, so bits tracks
+    log2(n_unique / target occupancy) as the corpus grows, exactly the
+    BITS dial ``similarity_neardup_scaled`` demonstrates for embedding
+    LSH. Weighted by copy counts like the other scaled variants."""
+    reps = unique_reps(spark, sf_dir)
+    toks = reps.select(
+        "doc_id",
+        F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok"),
+    )
+    from aruna_spark.ops.text import hash64
+
+    hashed = toks.select("doc_id", hash64(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        "h",
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(
+            F.when(
+                F.expr("(h div CAST(power(2, j) AS BIGINT)) % 2 = 1"), 1
+            ).otherwise(-1)
+        ).alias("vote")
+    )
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") >= 0, F.expr("CAST(power(2, j) AS BIGINT)")
+            ).otherwise(0)
+        ).alias("simhash")
+    )
+    return (
+        sim.join(reps.select("doc_id", "n_copies"), "doc_id")
+        .groupBy(
+            F.expr(f"simhash div {SIMHASH_BLOCK_DIV}").alias("block")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            _ids_csv(F.collect_list("doc_id")).alias("rep_ids"),
+            F.sum("n_copies").alias("n_total_docs"),
+        )
+        .filter(F.col("n_reps") >= 2)
     )

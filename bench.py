@@ -27,6 +27,17 @@ from aruna_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# ``python bench.py --sf1`` re-measures the FULL registry at the
+# synthetic sf1 (10x sf0.1, scripts/make_sf1.py) and writes
+# BENCH_FULL_SF1.json — the committed scale-rehearsal artifact (VERDICT
+# r4 Next #10): growth ratios vs BENCH_FULL.json are the per-query
+# scaling signal, re-measured every round instead of living in SCALE.md
+# prose. The driver's plain invocation is unchanged.
+SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    str(Path(__file__).resolve().parent / ".localdata" / "sf1"),
+)
+
 # Round-2-comparable headline subset: one per operator family. The bench
 # now TIMES every registered query; this list only scopes the
 # ``headline_total`` figure reported alongside for r2 comparison.
@@ -85,6 +96,15 @@ HEADLINE = [
 
 
 def main() -> None:
+    global SF_DIR
+    full_name = "BENCH_FULL.json"
+    if "--sf1" in sys.argv:
+        if not os.path.isdir(SF1_DIR):
+            sys.exit(
+                f"{SF1_DIR} missing — generate with scripts/make_sf1.py"
+            )
+        SF_DIR = SF1_DIR
+        full_name = "BENCH_FULL_SF1.json"
     load_all()
     spark = get_spark("aruna-bench")
     # Full registry, registration order (flagship families first — same
@@ -156,7 +176,7 @@ def main() -> None:
         "ingest_docs_per_sec": docs_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path = Path(__file__).resolve().parent / full_name
     full_path.write_text(
         json.dumps({**payload, "queries": times}, indent=1, sort_keys=True)
         + "\n",
