@@ -170,7 +170,16 @@ def rocrate_export_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("graph_iri").isin(doc_graphs)
         | F.col("graph_iri").startswith("https://w3id.org/aruna/coll")
     )
-    ents = (
+    return rocrate_page(
+        crate_entities(scoped), _PAGE_LIMIT, offset=_PAGE_OFFSET
+    )
+
+
+def crate_entities(scoped: DataFrame) -> DataFrame:
+    """A crate's data entities: its subjects plus every IRI it
+    references (document, parent collection, conformsTo profile) —
+    distinct per graph."""
+    return (
         scoped.select("graph_iri", F.col("subject").alias("entity"))
         .union(
             scoped.filter(F.col("object_kind") == "iri").select(
@@ -179,18 +188,46 @@ def rocrate_export_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def rocrate_page(
+    ents: DataFrame,
+    limit: int,
+    offset: int = 0,
+    after_cursor: DataFrame | None = None,
+    consumed: int = 0,
+) -> DataFrame:
+    """One ``MetadataRoCratePage`` (core/src/metadata.rs:657-664) over a
+    per-graph ``(graph_iri, entity)`` relation — the paging contract of
+    ``handle.rs:1853-1905`` / ``api/src/routes/metadata.rs:950-978``:
+    first request pages by ``offset``; resumption passes the previous
+    page's ``next_cursor`` as ``after_cursor`` ``(graph_iri, cursor)``
+    rows — a keyset predicate, so later pages filter-then-rank the
+    remainder instead of re-ranking (and discarding) everything before
+    the cursor. Graphs absent from ``after_cursor`` are finished and do
+    not reappear. ``consumed`` is the entity count already returned per
+    surviving graph (uniform across them: a graph survives only by
+    filling every prior page), used for the ``next_offset`` envelope.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("graph_iri").orderBy("entity")
-    ranked = ents.withColumn("rn", F.row_number().over(w) - F.lit(1))
     totals = ents.groupBy("graph_iri").agg(
         F.count(F.lit(1)).alias("total_data_entities")
     )
-    page = (
-        ranked.filter(
-            (F.col("rn") >= _PAGE_OFFSET)
-            & (F.col("rn") < _PAGE_OFFSET + _PAGE_LIMIT)
+    scoped = ents
+    base = offset
+    if after_cursor is not None:
+        scoped = (
+            ents.join(F.broadcast(after_cursor), "graph_iri")
+            .filter(F.col("entity") > F.col("cursor"))
+            .drop("cursor")
         )
+        base = consumed
+    w = Window.partitionBy("graph_iri").orderBy("entity")
+    ranked = scoped.withColumn("rn", F.row_number().over(w) - F.lit(1))
+    lo = offset if after_cursor is None else 0
+    page = (
+        ranked.filter((F.col("rn") >= lo) & (F.col("rn") < lo + limit))
         .groupBy("graph_iri")
         .agg(
             F.count(F.lit(1)).alias("returned_data_entities"),
@@ -200,7 +237,7 @@ def rocrate_export_page(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("entity").alias("last_entity"),
         )
     )
-    more = F.lit(_PAGE_OFFSET) + F.col("returned_data_entities") < F.col(
+    more = F.lit(base) + F.col("returned_data_entities") < F.col(
         "total_data_entities"
     )
     return (
@@ -212,7 +249,7 @@ def rocrate_export_page(spark: SparkSession, sf_dir: str) -> DataFrame:
             "page_entities",
             F.when(
                 more,
-                (F.lit(_PAGE_OFFSET) + F.col("returned_data_entities")).cast(
+                (F.lit(base) + F.col("returned_data_entities")).cast(
                     "bigint"
                 ),
             ).alias("next_offset"),
