@@ -58,15 +58,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # functions like unix_micros reject. DuckDB reads the same column as a
     # naive TIMESTAMP and extracts epochs as-if-UTC; with the session zone
     # pinned UTC above, casting NTZ -> LTZ keeps identical wall-clock
-    # values and becomes epoch-compatible. Only top-level columns are
-    # inspected: the driver's tables are flat, and nested NTZ fields
-    # (struct/array) would need a recursive schema walk (ADVICE r3).
-    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    if ntz_cols:
-        df = df.withColumns(
-            {c: F.col(c).cast("timestamp") for c in ntz_cols}
-        )
+    # values and becomes epoch-compatible. The schema is walked
+    # recursively (ADVICE r4 low #2): NTZ fields nested inside
+    # struct/array/map are rewritten via a struct-compatible cast, not
+    # just top-level columns.
+    casts = {}
+    for field in df.schema.fields:
+        new_type, changed = _swap_ntz(field.dataType)
+        if changed:
+            casts[field.name] = F.col(field.name).cast(new_type)
+    if casts:
+        df = df.withColumns(casts)
     return df
+
+
+def _swap_ntz(dt):
+    """(type with every TIMESTAMP_NTZ replaced by TIMESTAMP, changed?)
+    — recursive over struct/array/map so nested naive timestamps get
+    the same as-if-UTC treatment as flat columns."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType(), True
+    if isinstance(dt, T.StructType):
+        fields, changed = [], False
+        for f in dt.fields:
+            nd, ch = _swap_ntz(f.dataType)
+            changed = changed or ch
+            fields.append(T.StructField(f.name, nd, f.nullable, f.metadata))
+        return T.StructType(fields), changed
+    if isinstance(dt, T.ArrayType):
+        nd, ch = _swap_ntz(dt.elementType)
+        return T.ArrayType(nd, dt.containsNull), ch
+    if isinstance(dt, T.MapType):
+        kd, ck = _swap_ntz(dt.keyType)
+        vd, cv = _swap_ntz(dt.valueType)
+        return T.MapType(kd, vd, dt.valueContainsNull), ck or cv
+    return dt, False
 
 
 def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
