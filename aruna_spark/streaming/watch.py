@@ -131,7 +131,16 @@ def dashboard_epochs(events: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
     window per burst; a window containing ≥1 dashboard-relevant event
     bumps the epoch, and subscribers see the running epoch value. Batch
     form = cumulative sum over window starts; the stream publishes the
-    same bump per trigger."""
+    same bump per trigger.
+
+    The running sum is a two-level distributed prefix scan, NOT a global
+    ``Window.orderBy`` (which would move every debounce window through
+    one partition — the `WindowExec: No Partition Defined` class,
+    VERDICT r4): windows cum-sum WITHIN their hour bucket (partitioned
+    window), and each bucket's exclusive offset comes from a driver-side
+    scan over the per-bucket bump totals — one row per hour of corpus
+    history (10 years ≈ 88k rows), broadcast-joined back. Same shape as
+    Spark's own zipWithIndex two-pass."""
     per_window = events.groupBy(F.window("ts", debounce).alias("w")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(
@@ -139,15 +148,33 @@ def dashboard_epochs(events: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
         ).alias("n_relevant"),
     )
     bump = (F.col("n_relevant") > 0).cast("int")
-    cum = Window.orderBy(F.col("w.start")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    bucketed = per_window.withColumn(
+        "bucket", F.date_trunc("hour", F.col("w.start"))
+    ).withColumn("bump", bump)
+    totals = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("bump").alias("n_bumps"))
+        .orderBy("bucket")
+        .collect()
     )
-    return per_window.select(
+    offset_rows, acc = [], 0
+    for r in totals:
+        offset_rows.append((r.bucket, acc))
+        acc += int(r.n_bumps)
+    offsets = bucketed.sparkSession.createDataFrame(
+        offset_rows, "bucket timestamp, epoch_offset bigint"
+    )
+    cum = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("w.start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.join(F.broadcast(offsets), "bucket").select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
         "n_events",
         "n_relevant",
         bump.cast("boolean").alias("bumped"),
-        F.sum(bump).over(cum).alias("epoch"),
+        (F.col("epoch_offset") + F.sum("bump").over(cum)).alias("epoch"),
     )
 
 

@@ -161,6 +161,34 @@ def test_search_plane_has_no_global_window(spark, sf_dir, name):
     assert "TakeOrderedAndProject" in plan
 
 
+def _unpartitioned_specs(plan: str) -> list[str]:
+    """windowspecdefinition(...) snippets whose first argument already
+    carries a sort direction — i.e. no partition columns precede the
+    order spec (scripts/window_audit.py runs this over the whole
+    registry)."""
+    import re
+
+    out = []
+    for m in re.finditer(
+        r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)", plan
+    ):
+        first = m.group(1).split(",")[0].strip()
+        if " ASC" in first or " DESC" in first:
+            out.append(m.group(1)[:120])
+    return out
+
+
+def test_dashboard_epoch_prefix_scan_is_partitioned(spark, sf_dir):
+    """The dashboard epoch running sum is a two-level prefix scan: a
+    window PARTITIONED by hour bucket plus a broadcast-joined bucket
+    offset — never a global Window.orderBy over every debounce window
+    (the last `No Partition Defined` plan in the registry, r5)."""
+    plan = _plan(spark, "stream_dashboard_epoch", sf_dir)
+    assert _unpartitioned_specs(plan) == []
+    assert "Window" in plan  # the within-bucket scan stays a window
+    assert "BroadcastExchange" in plan  # bucket offsets ride broadcast
+
+
 def test_lsh_topk_reads_stored_bucket_table(spark, sf_dir):
     """The LSH query path must scan the materialized bucket table and
     the precomputed-norm vectors layout — not re-bucket the corpus with
