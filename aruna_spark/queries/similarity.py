@@ -826,3 +826,308 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "score_q", "rnk")
     )
+
+
+# ------------------------------------------------- ivf-pq (asymmetric ADC)
+# Product quantization over the trained-IVF lists: the classic memory
+# dial for billion-vector ANN (Jegou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+# method). Each 64-dim vector stores as PQ_M=4 one-byte codes (one per
+# 16-dim subspace) instead of 256 bytes of floats; a query scores a
+# candidate with PQ_M table lookups (asymmetric distance, ADC) instead
+# of a 64-mult dot product. Codebooks train per-subspace with the same
+# deterministic fixed-point Lloyd's iteration as the coarse quantizer
+# (integer sums are order-independent under distributed reduction), so
+# the DuckDB oracle replicates training, code assignment, AND the final
+# ADC ranking exactly.
+#
+# Scale (100 TB): codes for 10^9 vectors fit in 4 GB (vs 256 GB raw) —
+# lists stay in page cache; ADC work per candidate is O(M) lookups on a
+# broadcast-riding LUT of M*K ints per query. Training cost is the same
+# Lloyd shape as the coarse quantizer: corpus-sized map + (m, code, pos)
+# partial-aggregated shuffle with M*K*SUBDIM groups.
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 8  # codes per subspace
+PQ_ITERS = 2
+
+_SUB_D2 = (
+    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+def _pq_subs(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): fixed-point 16-int subvectors, one row per
+    subspace — the per-subspace training/encoding relation."""
+    return (
+        emb.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), mm -> "
+                    f"named_struct('m', mm, 'sv', "
+                    f"slice(qe, mm * {PQ_SUBDIM} + 1, {PQ_SUBDIM})))"
+                )
+            ).alias("e"),
+        )
+        .select("vec_id", "e.m", "e.sv")
+    )
+
+
+def _pq_cb_df(spark: SparkSession, cb: dict) -> DataFrame:
+    rows = [(m, c, v) for (m, c), v in sorted(cb.items())]
+    return spark.createDataFrame(rows, "m int, code int, cv array<bigint>")
+
+
+def _pq_assign(subs: DataFrame, cb_df: DataFrame) -> DataFrame:
+    """Nearest code per (vec_id, m): exact integer subspace d2, ties ->
+    lower code. min(struct(d2, code)) is the distributed argmin — no
+    window, map-side-combinable."""
+    return (
+        subs.join(F.broadcast(cb_df), "m")
+        .withColumn("d2", F.expr(_SUB_D2))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct("d2", "code")).alias("best"),
+            F.first("sv").alias("sv"),  # constant within the group
+        )
+        .select("vec_id", "m", "sv", F.col("best.code").alias("code"))
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS
+) -> dict[tuple[int, int], list[int]]:
+    """Deterministic per-subspace Lloyd's k-means over quantized ints.
+
+    Init: the k smallest vec_ids' subvectors (code = rank order), same
+    rule as the coarse quantizer. Each iteration assigns every
+    (vec_id, m) row to its nearest code and recomputes centroids as
+    exact per-dimension floor(sum/count); a code that loses all members
+    KEEPS its previous centroid (so all M*K codes always exist and the
+    ADC LUT is dense) — the oracle replicates both rules.
+    """
+    spark = emb.sparkSession
+    subs = _pq_subs(emb)
+    init = (
+        emb.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    cb: dict[tuple[int, int], list[int]] = {}
+    for c, r in enumerate(init):
+        for m in range(PQ_M):
+            cb[(m, c)] = [int(x) for x in r.qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
+    for _ in range(iters):
+        assigned = _pq_assign(subs, _pq_cb_df(spark, cb))
+        sums = (
+            assigned.select(
+                "m", "code", F.posexplode("sv").alias("pos", "val")
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new: dict[tuple[int, int], list[int]] = {}
+        for row in sums:
+            new.setdefault((row.m, row.code), [0] * PQ_SUBDIM)[row.pos] = int(
+                row.s
+            ) // int(row.n)
+        for key, cv in cb.items():
+            new.setdefault(key, cv)
+        cb = new
+    return cb
+
+
+def _pq_lut_sql(v: str, cb: dict) -> str:
+    """Spark SQL: the query's ADC lookup table — lut[m+1][c+1] = exact
+    integer d2 between ``v``'s m-th subvector and codebook entry (m, c).
+    Codebook entries ride as literals (M*K*SUBDIM = 512 ints)."""
+    rows = []
+    for m in range(PQ_M):
+        sub = f"slice({v}, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        entries = []
+        for c in range(PQ_K):
+            lit = f"array({', '.join(str(x) for x in cb[(m, c)])})"
+            entries.append(
+                f"aggregate(zip_with({sub}, {lit}, "
+                "(x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+        rows.append("array(" + ", ".join(entries) + ")")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def _d_pq_ctes(k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """DuckDB CTE chain replicating :func:`train_pq_codebooks` +
+    :func:`_pq_assign` exactly (per-subspace unrolled Lloyd rounds,
+    keep-previous-on-empty)."""
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+    ).format(n=PQ_SUBDIM + 1)
+    parts = [
+        f"""subs AS (
+      SELECT q.vec_id, CAST(r.m AS INTEGER) AS m,
+             list_slice(q.qe, CAST(r.m AS INTEGER) * {PQ_SUBDIM} + 1,
+                        (CAST(r.m AS INTEGER) + 1) * {PQ_SUBDIM}) AS sv
+      FROM qcorpus q CROSS JOIN range(0, {PQ_M}) AS r(m)
+    ),
+    pqcent0 AS (
+      SELECT s.m, CAST(i.rn - 1 AS INTEGER) AS code, s.sv AS cv
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM (SELECT vec_id FROM qcorpus ORDER BY vec_id LIMIT {k})) i
+      JOIN subs s ON s.vec_id = i.vec_id
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""pqassign{t} AS (
+      SELECT vec_id, m, sv, code FROM (
+        SELECT s.vec_id, s.m, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.code) AS rn
+        FROM subs s JOIN pqcent{t - 1} c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    pqsum{t} AS (
+      SELECT m, code, pos,
+             CAST(floor(CAST(CAST(SUM(val) AS BIGINT) AS DOUBLE)
+                        / COUNT(*)) AS BIGINT) AS cv_d
+      FROM (SELECT m, code, UNNEST(sv) AS val,
+                   UNNEST(range(1, {PQ_SUBDIM + 1})) AS pos
+            FROM pqassign{t})
+      GROUP BY m, code, pos
+    ),
+    pqcent{t} AS (
+      SELECT m, code, list(cv_d ORDER BY pos) AS cv FROM (
+        SELECT m, code, pos, cv_d FROM pqsum{t}
+      ) GROUP BY m, code
+      UNION ALL
+      SELECT p.m, p.code, p.cv FROM pqcent{t - 1} p
+      WHERE NOT EXISTS (SELECT 1 FROM pqsum{t} s2
+                        WHERE s2.m = p.m AND s2.code = p.code)
+    )""")
+    parts.append(f"""pqcodes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.code) AS rn
+        FROM subs s JOIN pqcent{iters} c ON c.m = s.m
+      ) WHERE rn = 1
+    )""")
+    return ",\n    ".join(parts)
+
+
+_D_PQ_SUB_D2 = (
+    "list_sum(list_transform(range(1, {n}), "
+    "i -> (v.qe[i] - c.cv[i]) * (v.qe[i] - c.cv[i])))"
+).format(n=DIM + 1)
+
+_D_PQ_FINAL = f"""
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_D_PQ_SUB_D2}, c.cell) AS rn
+        FROM qcorpus v CROSS JOIN cent{{T}} c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_D_PQ_SUB_D2}, c.cell) AS rn
+        FROM qcorpus v CROSS JOIN cent{{T}} c
+        WHERE v.vec_id % {QUERY_MOD} = 0
+      ) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             CAST(SUM(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+                  i -> (qs.sv[i] - cb.cv[i]) * (qs.sv[i] - cb.cv[i]))))
+                  AS BIGINT) AS adc_d2
+      FROM cand
+      JOIN pqcodes kc ON kc.vec_id = cand.vec_id
+      JOIN pqcent{{I}} cb ON cb.m = kc.m AND cb.code = kc.code
+      JOIN subs qs ON qs.vec_id = cand.query_id AND qs.m = kc.m
+      GROUP BY cand.query_id, cand.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, adc_d2, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_ivf_pq_topk",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    {_d_kmeans_ctes()},
+    {_d_pq_ctes()},
+    {_D_PQ_FINAL.replace('{T}', str(KMEANS_ITERS)).replace('{I}', str(PQ_ITERS))}
+    """,
+)
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN served from the STORED index (``store.pq_store``):
+    trained coarse cells prune the candidate lists, and candidates are
+    ranked by asymmetric PQ distance — PQ_M lookups into the query's
+    precomputed LUT instead of a full dot product.
+
+    The query path never trains and never touches raw corpus vectors:
+    it reads the stored coarse centroids + PQ codebooks (tiny JSON),
+    derives each query's nprobe cells and its M*K-int LUT as literal
+    expressions, and broadcast-joins the probes against the
+    cell-partitioned CODES table (4 codes/vector, the only per-vector
+    state scanned). Ranking is ascending exact-integer ADC distance,
+    tie -> lower vec_id. The DuckDB oracle replicates coarse training,
+    PQ training, code assignment, and the ADC ranking end-to-end.
+    """
+    from aruna_spark.store import pq_store
+
+    cents, cb, codes = pq_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("qe", F.expr(_QE_SPARK))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(_nearest_cells_sql("qe", cents, N_PROBE))
+            ).alias("cell"),
+            F.expr(_pq_lut_sql("qe", cb)).alias("lut"),
+        )
+    )
+    scored = (
+        codes.alias("k")
+        .join(
+            F.broadcast(queries).alias("p"),
+            (F.col("k.cell") == F.col("p.cell"))
+            & (F.col("k.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("k.vec_id").alias("vec_id"),
+            F.expr(
+                "aggregate(zip_with(codes, lut, "
+                "(c, l) -> element_at(l, c + 1)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rnk")
+    )

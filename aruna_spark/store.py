@@ -353,6 +353,68 @@ def ivf_fixed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(dest, "assigned"))
 
 
+def pq_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[int, list[int]], dict[tuple[int, int], list[int]], "DataFrame"]:
+    """The IVF-PQ index as a MAINTAINED artifact: per-subspace PQ
+    codebooks train once at build time over the trained-IVF corpus, and
+    every vector stores as ``(vec_id, codes array<int>)`` partitioned by
+    its coarse ``cell`` — PQ_M ints of per-vector state instead of the
+    raw vector (the memory dial that keeps 10^9-vector lists in cache).
+
+    Returns ``(coarse_centroids, pq_codebooks, codes)``; the query path
+    (``queries.similarity.similarity_ivf_pq_topk``) reads only these —
+    never raw corpus vectors, never a trainer."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from aruna_spark.queries.similarity import (
+        _pq_assign,
+        _pq_cb_df,
+        _pq_subs,
+        train_pq_codebooks,
+    )
+
+    def build(tmp: str) -> None:
+        _, assigned = ivf_trained_store(spark, sf_dir)
+        cb = train_pq_codebooks(assigned)
+        with open(
+            os.path.join(tmp, "codebooks.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(
+                {f"{m},{c}": v for (m, c), v in sorted(cb.items())}, f
+            )
+        codes = (
+            _pq_assign(_pq_subs(assigned), _pq_cb_df(spark, cb))
+            .groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "array_sort(collect_list(struct(m, code)))"
+                ).alias("mc")
+            )
+            .select(
+                "vec_id", F.expr("transform(mc, s -> s.code)").alias("codes")
+            )
+            .join(assigned.select("vec_id", "cell"), "vec_id")
+        )
+        codes.repartition("cell").write.partitionBy("cell").parquet(
+            os.path.join(tmp, "codes")
+        )
+
+    dest = _ensure("ivf_pq", sf_dir, build, src_name="embeddings.parquet")
+    with open(
+        os.path.join(dest, "codebooks.json"), encoding="utf-8"
+    ) as f:
+        cb = {
+            (int(k.split(",")[0]), int(k.split(",")[1])): v
+            for k, v in json.load(f).items()
+        }
+    cents, _ = ivf_trained_store(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(dest, "codes"))
+    return cents, cb, codes
+
+
 # ------------------------------------------------------------ dedup store
 def shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, sh, shh)`` — the distinct 3-token shingle set of every

@@ -139,6 +139,32 @@ def test_trained_ivf_never_trains_on_query_path(spark, sf_dir, monkeypatch):
     assert "ivf_trained" in plan
 
 
+def test_ivf_pq_never_trains_and_reads_codes_only(spark, sf_dir, monkeypatch):
+    """The IVF-PQ query must serve from the STORED codes + codebooks:
+    with a warm store, neither the coarse k-means nor the PQ trainer may
+    run, and the candidate scan must read the codes table (4 ints per
+    vector), not raw corpus vectors."""
+    from aruna_spark import store
+    from aruna_spark.queries import similarity
+
+    store.pq_store(spark, sf_dir)  # warm the index artifact
+
+    def boom(*a, **k):
+        raise AssertionError("training ran on the query path")
+
+    monkeypatch.setattr(similarity, "train_pq_codebooks", boom)
+    monkeypatch.setattr(similarity, "train_ivf_centroids", boom)
+    fn, _ = REGISTRY["similarity_ivf_pq_topk"]
+    df = fn(spark, sf_dir)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_pq" in plan
+    # the big-side scan is the codes layout; raw embeddings appear only
+    # in the broadcast-side query build (LUT + probe derivation)
+    code_files = [f for f in df.inputFiles() if "ivf_pq" in f]
+    assert code_files and all("cell=" in f for f in code_files)
+
+
 @pytest.mark.parametrize(
     "name",
     [
