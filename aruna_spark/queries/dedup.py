@@ -116,8 +116,9 @@ def shingle_sets(c: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sets: DataFrame) -> DataFrame:
-    """Banded LSH: minhash signature → band keys → self-join per band."""
+def band_keys(sets: DataFrame) -> DataFrame:
+    """(doc_id, b, k): the banded minhash keys — the LSH index relation
+    (materializable; see ``store.rep_lsh_store``)."""
     sigs = sets.select(
         "doc_id", minhash_signature(F.col("sh"), NUM_HASHES).alias("sig")
     )
@@ -136,9 +137,13 @@ def lsh_candidate_pairs(sets: DataFrame) -> DataFrame:
         )
         for b in range(BANDS)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+
+
+def band_join(bands: DataFrame) -> DataFrame:
+    """Self-join the band-key relation into distinct candidate pairs."""
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -150,6 +155,11 @@ def lsh_candidate_pairs(sets: DataFrame) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(sets: DataFrame) -> DataFrame:
+    """Banded LSH: minhash signature → band keys → self-join per band."""
+    return band_join(band_keys(sets))
 
 
 def _duck_lsh_ctes(src: str) -> str:
@@ -613,15 +623,15 @@ def dedup_minhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNIQUE content. Each output pair carries both sides' copy counts;
     expanding to raw doc pairs is a join against the exact-dedup group
     table, not more LSH work. The shingle sets still come from the
-    maintained ``store.shingle_store`` (semi-joined to representatives).
+    collapse, shingle sets, and band keys are all read from the
+    maintained ``store.rep_lsh_store`` — the query self-joins the
+    narrow stored band index and touches shingle arrays only to verify
+    candidates.
     """
-    from aruna_spark.store import shingle_store
+    from aruna_spark.store import rep_lsh_store
 
-    reps = unique_reps(spark, sf_dir).select("doc_id", "n_copies")
-    sets = shingle_store(spark, sf_dir).join(
-        reps.select("doc_id"), "doc_id", "left_semi"
-    )
-    pairs = _verified_pairs(sets, lsh_candidate_pairs(sets))
+    reps, sets, bands = rep_lsh_store(spark, sf_dir)
+    pairs = _verified_pairs(sets, band_join(bands))
     ca = reps.select(
         F.col("doc_id").alias("doc_a"), F.col("n_copies").alias("copies_a")
     )
@@ -669,15 +679,13 @@ def dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     by copy counts (``n_total_docs`` = raw documents the cluster would
     remove-or-keep). The label table is O(unique docs with a near-dup),
     the edge list O(representative pairs) — both orders of magnitude
-    smaller than the raw-corpus graph on a replicated corpus."""
-    from aruna_spark.store import shingle_store
+    smaller than the raw-corpus graph on a replicated corpus. Collapse,
+    sets, and band keys read from ``store.rep_lsh_store``."""
+    from aruna_spark.store import rep_lsh_store
 
-    reps = unique_reps(spark, sf_dir).select("doc_id", "n_copies")
-    sets = shingle_store(spark, sf_dir).join(
-        reps.select("doc_id"), "doc_id", "left_semi"
-    )
+    reps, sets, bands = rep_lsh_store(spark, sf_dir)
     pairs = (
-        _verified_pairs(sets, lsh_candidate_pairs(sets))
+        _verified_pairs(sets, band_join(bands))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
@@ -742,8 +750,11 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scaled dial: block count is 2^bits, so bits tracks
     log2(n_unique / target occupancy) as the corpus grows, exactly the
     BITS dial ``similarity_neardup_scaled`` demonstrates for embedding
-    LSH. Weighted by copy counts like the other scaled variants."""
-    reps = unique_reps(spark, sf_dir)
+    LSH. Weighted by copy counts like the other scaled variants; the
+    collapse is read from ``store.rep_lsh_store``."""
+    from aruna_spark.store import rep_lsh_store
+
+    reps, _, _ = rep_lsh_store(spark, sf_dir)
     toks = reps.select(
         "doc_id",
         F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok"),

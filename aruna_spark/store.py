@@ -416,6 +416,45 @@ def pq_store(
 
 
 # ------------------------------------------------------------ dedup store
+def rep_lsh_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple["DataFrame", "DataFrame", "DataFrame"]:
+    """The exact-collapsed near-dup index as a MAINTAINED artifact:
+    ``(reps, sets, bands)`` where reps = (doc_id, n_copies) one row per
+    unique content, sets = the representatives' shingle sets, and bands
+    = the banded minhash keys sorted by (b, k) for join locality.
+
+    The scaled dedup variants previously recomputed the exact collapse,
+    the store semi-join, and all signatures per query — at sf1 that was
+    a full 65k-row wide-array scan for a 5.5k-row working set (the 4.9x
+    sf1 growth in BENCH_FULL_SF1 r5). With the collapse and banding
+    materialized, a query self-joins the narrow band index and touches
+    shingle arrays only to verify candidates. At 100 TB this is the
+    production composition: exact-dedup output and its LSH index are
+    pipeline artifacts maintained per ingest batch, not per query."""
+    from aruna_spark.queries.dedup import band_keys, unique_reps
+
+    def build(tmp: str) -> None:
+        reps = unique_reps(spark, sf_dir)
+        reps.select("doc_id", "text", "n_copies").coalesce(1).write.parquet(
+            os.path.join(tmp, "reps")
+        )
+        sets = shingle_store(spark, sf_dir).join(
+            reps.select("doc_id"), "doc_id", "left_semi"
+        )
+        sets.write.parquet(os.path.join(tmp, "sets"))
+        band_keys(sets).repartition(4, "b").sortWithinPartitions(
+            "b", "k"
+        ).write.parquet(os.path.join(tmp, "bands"))
+
+    dest = _ensure("rep_lsh", sf_dir, build)
+    return (
+        spark.read.parquet(os.path.join(dest, "reps")),
+        spark.read.parquet(os.path.join(dest, "sets")),
+        spark.read.parquet(os.path.join(dest, "bands")),
+    )
+
+
 def shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, sh, shh)`` — the distinct 3-token shingle set of every
     doc in the planted dedup corpus (strings + xxhash64'd longs),
