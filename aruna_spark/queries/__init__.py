@@ -66,8 +66,10 @@ PRIORITY_PREFIXES = (
     # sparql core representatives (bulk rotates back in r6)
     "sparql_fts_bgp_mix",
     "sparql_bgp_filter",
-    # one flagship per r4-green family
-    "stream_lww_registry",
+    # one flagship per r4-green family (dashboard epoch replaces LWW as
+    # the streaming representative in r5: its prefix-scan rewrite needs
+    # hard-signal coverage; LWW was driver-green in r4)
+    "stream_dashboard_epoch",
     "textstats_profile",
     "crdt_orset_replay",
     "rel_region_revenue",

@@ -301,9 +301,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from aruna_spark.store import ngram_prefix_store, shingle_store
 
-    t = JACCARD_PERMILLE  # permille
     sets = shingle_store(spark, sf_dir)
     prefix = ngram_prefix_store(spark, sf_dir)
+    return _ppjoin_pairs(sets, prefix)
+
+
+def _ppjoin_pairs(
+    sets: DataFrame, prefix: DataFrame, t: int = JACCARD_PERMILLE
+) -> DataFrame:
+    """The PPJoin candidate + two-step verify chain over a stored
+    prefix index and its shingle sets (see :func:`dedup_ngram_jaccard`
+    for the lossless-filter reasoning)."""
     x = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"),
@@ -362,7 +370,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "1000 * size(array_intersect(shh_a, shh_b))"
                 " div size(array_union(shh_a, shh_b))"
             )
-            >= JACCARD_PERMILLE
+            >= t
         )
         .select("doc_a", "doc_b")
     )
@@ -379,7 +387,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div size(array_union(sh_a, sh_b))"
             ).alias("jaccard_permille"),
         )
-        .filter(F.col("jaccard_permille") >= JACCARD_PERMILLE)
+        .filter(F.col("jaccard_permille") >= t)
     )
 
 
@@ -793,4 +801,62 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_copies").alias("n_total_docs"),
         )
         .filter(F.col("n_reps") >= 2)
+    )
+
+
+@register(
+    "dedup_ngram_scaled",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    uniq AS ({UNIQ_SQL}),
+    tokenized AS (SELECT doc_id, string_split(text, ' ') AS toks FROM uniq),
+    shingled AS (
+      SELECT doc_id, list_distinct({duck_shingles_sql('toks', 3)}) AS sh
+      FROM tokenized WHERE {duck_shingles_sql('toks', 3)} IS NOT NULL
+    ),
+    sized AS (SELECT doc_id, len(sh) AS n, UNNEST(sh) AS tok FROM shingled),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS inter
+      FROM sized a JOIN sized b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             (1000 * inter) // (na + nb - inter) AS jaccard_permille
+      FROM shared
+      WHERE (1000 * inter) // (na + nb - inter) >= {JACCARD_PERMILLE}
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard_permille,
+           ra.n_copies AS copies_a, rb.n_copies AS copies_b
+    FROM pairs p
+    JOIN uniq ra ON ra.doc_id = p.doc_a
+    JOIN uniq rb ON rb.doc_id = p.doc_b
+    """,
+)
+def dedup_ngram_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard (PPJoin) over exact-collapsed
+    representatives: the lossless near-dup join composed AFTER the
+    exact-dedup stage, like the other ``_scaled`` variants. The prefix
+    index is built over unique content (``store.ngram_prefix_store``
+    with ``collapsed=True``) so document frequencies — and therefore
+    prefix sizes and the candidate join — track unique text; replicated
+    corpora never inflate the join. Output pairs carry both sides' copy
+    counts. The full-corpus ``dedup_ngram_jaccard`` keeps the
+    raw-corpus contract; this is the production pipeline shape (the
+    sf1 rehearsal's largest remaining cost, 18.8 s -> collapsed)."""
+    from aruna_spark.store import ngram_prefix_store, rep_lsh_store
+
+    reps, sets, _ = rep_lsh_store(spark, sf_dir)
+    prefix = ngram_prefix_store(spark, sf_dir, collapsed=True)
+    pairs = _ppjoin_pairs(sets, prefix)
+    ca = reps.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_copies").alias("copies_a")
+    )
+    cb = reps.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_copies").alias("copies_b")
+    )
+    return pairs.join(ca, "doc_a").join(cb, "doc_b").select(
+        "doc_a", "doc_b", "jaccard_permille", "copies_a", "copies_b"
     )

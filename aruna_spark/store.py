@@ -482,7 +482,9 @@ def shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(dest, "sets"))
 
 
-def ngram_prefix_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_prefix_store(
+    spark: SparkSession, sf_dir: str, collapsed: bool = False
+) -> DataFrame:
     """``(doc_id, n, tok, rn)`` — the PPJoin prefix index for the exact
     ngram-Jaccard join (VERDICT r3 perf-weak #2): per-doc shingle count
     ``n`` plus each doc's rarest-first prefix tokens (the first
@@ -491,14 +493,22 @@ def ngram_prefix_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's positional filter needs it). The token df table and the
     ranked window run once at build; the query path is just the prefix
     self-join + verify. Sorted by tok for min/max row-group skipping on
-    the join key."""
+    the join key.
+
+    ``collapsed=True`` builds the index over the exact-collapsed
+    representatives (``rep_lsh_store``'s sets) instead of the raw
+    corpus — document frequencies then count unique content, and the
+    prefix join scales with it (the scaled-variant composition)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from aruna_spark.queries.dedup import JACCARD_PERMILLE
 
     def build(tmp: str) -> None:
-        sets = shingle_store(spark, sf_dir)
+        if collapsed:
+            _, sets, _ = rep_lsh_store(spark, sf_dir)
+        else:
+            sets = shingle_store(spark, sf_dir)
         sized = sets.select("doc_id", F.size("sh").alias("n"), "sh")
         toks = sized.select("doc_id", "n", F.explode("sh").alias("tok"))
         dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -520,5 +530,6 @@ def ngram_prefix_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(tmp, "prefix")
         )
 
-    dest = _ensure("ngram_prefix", sf_dir, build)
+    kind = "rep_ngram_prefix" if collapsed else "ngram_prefix"
+    dest = _ensure(kind, sf_dir, build)
     return spark.read.parquet(os.path.join(dest, "prefix"))
