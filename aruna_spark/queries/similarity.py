@@ -1131,3 +1131,104 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "adc_d2", "rnk")
     )
+
+
+@register(
+    "similarity_neardup_collapsed",
+    oracle=f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, {_PERTURB_DUCK}
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    uniq AS (
+      SELECT MIN(vec_id) AS vec_id, embedding,
+             COUNT(*) AS n_copies
+      FROM planted GROUP BY embedding
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, n_copies,
+             {_d_dot('embedding', 'embedding')} AS norm2
+      FROM uniq
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, n_copies, norm2,
+             {_d_bucket12('embedding')} AS bucket
+      FROM corpus
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(floor({_d_dot('a.embedding', 'b.embedding')}
+                      / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) AS score_q,
+           a.n_copies AS copies_a, b.n_copies AS copies_b
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE CAST(floor({_d_dot('a.embedding', 'b.embedding')}
+               / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT)
+          >= {NEARDUP_SCORE_Q}
+    """,
+)
+def similarity_neardup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over EXACT-COLLAPSED vectors: byte-identical
+    embeddings (the dominant duplication mode in scraped corpora —
+    replicated rows, mirrored shards) collapse to one representative
+    (min vec_id) BEFORE bucketing, carrying copy counts. Same 12-bit
+    bucket + quantized-cosine verify as ``similarity_neardup_scaled``;
+    the verify term that grew with copies^2 per bucket (SCALE.md r5 —
+    make_sf1 replicates embeddings 10x, so every bucket held every copy
+    of its members) now grows with unique vectors only. The same
+    composition every ``dedup_*_scaled`` variant applies to text."""
+    base = load_table(spark, sf_dir, "embeddings")
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK).alias("embedding"),
+    )
+    uniq = (
+        base.select("vec_id", "embedding")
+        .unionByName(planted)
+        .groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    emb = uniq.select(
+        "vec_id",
+        "embedding",
+        "n_copies",
+        _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    bucketed = emb.withColumn("bucket", _bucket12("embedding"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm2").alias("norm2_a"),
+        F.col("n_copies").alias("copies_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm2").alias("norm2_b"),
+        F.col("n_copies").alias("copies_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            _score_q(
+                _dot(F.col("emb_a"), F.col("emb_b")),
+                F.col("norm2_a"),
+                F.col("norm2_b"),
+            ).alias("score_q"),
+            "copies_a",
+            "copies_b",
+        )
+        .filter(F.col("score_q") >= NEARDUP_SCORE_Q)
+    )
