@@ -78,6 +78,32 @@ _reg(
     """,
 )
 
+# -- BGP subject star -> single-scan property-table plan (SURVEY §4a) --------
+# Four constant-predicate patterns on one subject variable: the compiler's
+# star rewrite turns the k-1 subject self-joins into ONE predicate-pruned
+# scan + ONE groupBy(subject) + explodes (tests/test_plan_shapes.py pins
+# the single-scan plan). Collections carry schema:name but none of the
+# other three predicates, so inner-star semantics exclude them.
+_reg(
+    "sparql_star_describe",
+    """
+    SELECT ?s ?name ?size ?lang ?kw WHERE {
+      ?s schema:name ?name ;
+         schema:contentSize ?size ;
+         schema:inLanguage ?lang ;
+         schema:keywords ?kw .
+    }
+    """,
+    f"""
+    SELECT {DOC} AS s,
+           'doc-' || doc_id AS name,
+           CAST(n_chars AS VARCHAR) AS size,
+           lang,
+           split_part(text, ' ', 1) AS kw
+    FROM documents
+    """,
+)
+
 # -- OPTIONAL / left outer join (api.rs:2049-2060) ---------------------------
 _reg(
     "sparql_optional",

@@ -336,7 +336,8 @@ class Compiler:
             fts, regular = [], []
             for tp in p.patterns:
                 (fts if self._is_fts(tp) else regular).append(tp)
-            rels = [self._triple_pattern(tp, graph) for tp in regular]
+            rels, leftovers = self._star_rels(regular, graph)
+            rels.extend(self._triple_pattern(tp, graph) for tp in leftovers)
             if fts:
                 rels.extend(self._fts_patterns(fts))
             return reduce(self._join, rels)
@@ -457,6 +458,92 @@ class Compiler:
                        rel.variables, rel.native)
         ce = self._expr(e, rel)
         return Rel(rel.df.filter(ce.to_bool()), rel.variables, rel.native)
+
+    # ------------------------------------------------- star-pattern scan
+    # SURVEY §4(a): a BGP *star* — one subject variable carrying k >= 3
+    # patterns with constant IRI predicates and distinct, unshared
+    # object variables — is the dominant SPARQL shape over per-document
+    # metadata (describe one entity's properties). Compiled naively it
+    # is k-1 self-joins of the triples table on the subject key; here it
+    # becomes ONE predicate-pruned scan (predicate IN (...) prunes the
+    # predicate-partitioned store to k partitions) + ONE
+    # groupBy(subject) + sequential explodes. Multiplicity matches the
+    # join form exactly: a subject with |l_i| objects per predicate
+    # yields the same prod(|l_i|) cartesian rows, and the
+    # all-lists-non-empty filter is inner-join semantics. At 100 TB
+    # this turns k shuffle-joins into one shuffle.
+    def _star_rels(self, patterns, graph):
+        """Partition BGP patterns into star-scan Rels + leftovers."""
+        by_subj: dict[str, list] = {}
+        leftovers = []
+        for tp in patterns:
+            if (
+                isinstance(tp.s, A.Var)
+                and isinstance(tp.p, A.Iri)
+                and isinstance(tp.o, A.Var)
+                and tp.o.name != tp.s.name
+            ):
+                by_subj.setdefault(tp.s.name, []).append(tp)
+            else:
+                leftovers.append(tp)
+        rels = []
+        for sname, tps in by_subj.items():
+            ovars = [tp.o.name for tp in tps]
+            graph_ok = not (
+                isinstance(graph, A.Var)
+                and graph.name in {sname, *ovars}
+            )
+            if (
+                len(tps) >= 3
+                and len(set(ovars)) == len(ovars)
+                and sname not in ovars
+                and graph_ok
+            ):
+                rels.append(self._star_scan(sname, tps, graph))
+            else:
+                leftovers.extend(tps)
+        return rels, leftovers
+
+    def _star_scan(self, subj_var: str, tps, graph) -> Rel:
+        df = self.triples
+        if isinstance(graph, A.Iri):
+            df = df.filter(F.col("graph_iri") == graph.value)
+        preds = sorted({tp.p.value for tp in tps})
+        df = df.filter(F.col("predicate").isin(*preds))
+        obj = term(
+            F.col("object_kind"),
+            F.col("object_value"),
+            F.col("object_datatype"),
+            F.col("object_lang"),
+        )
+        keys = ["subject"]
+        if isinstance(graph, A.Var):
+            keys.append("graph_iri")
+        g = df.groupBy(*keys).agg(
+            *[
+                F.collect_list(
+                    F.when(F.col("predicate") == tp.p.value, obj)
+                ).alias(f"__l{i}")
+                for i, tp in enumerate(tps)
+            ]
+        )
+        g = g.filter(
+            reduce(
+                lambda a, b: a & b,
+                [F.size(F.col(f"__l{i}")) > 0 for i in range(len(tps))],
+            )
+        )
+        for i in range(len(tps)):
+            g = g.withColumn(f"__o{i}", F.explode(F.col(f"__l{i}")))
+        out = [node_term(F.col("subject")).alias(subj_var)]
+        variables = {subj_var}
+        if isinstance(graph, A.Var):
+            out.append(iri_term(F.col("graph_iri")).alias(graph.name))
+            variables.add(graph.name)
+        for i, tp in enumerate(tps):
+            out.append(F.col(f"__o{i}").alias(tp.o.name))
+            variables.add(tp.o.name)
+        return Rel(g.select(*out), frozenset(variables))
 
     def _triple_pattern(self, tp: A.TriplePattern, graph) -> Rel:
         # property paths first: rewrite to joins/unions/closures
