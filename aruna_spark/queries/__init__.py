@@ -63,9 +63,11 @@ PRIORITY_PREFIXES = (
     # registry tail not covered in r4 (r4 checked replay/merge/recent)
     "registry_path_claims",
     "registry_doc_count",
-    # sparql core representatives (bulk rotates back in r6)
+    # sparql core representatives (bulk rotates back in r6); bgp_filter
+    # + star_describe cover the new r5 star-scan compile path
     "sparql_fts_bgp_mix",
     "sparql_bgp_filter",
+    "sparql_star_describe",
     # one flagship per r4-green family (dashboard epoch replaces LWW as
     # the streaming representative in r5: its prefix-scan rewrite needs
     # hard-signal coverage; LWW was driver-green in r4)

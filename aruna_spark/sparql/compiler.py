@@ -473,22 +473,33 @@ class Compiler:
     # all-lists-non-empty filter is inner-join semantics. At 100 TB
     # this turns k shuffle-joins into one shuffle.
     def _star_rels(self, patterns, graph):
-        """Partition BGP patterns into star-scan Rels + leftovers."""
+        """Partition BGP patterns into star-scan Rels + leftovers.
+
+        A star pattern is either ``?s <p> ?o`` (distinct, unshared
+        object variable — explodes its object list) or ``?s <p> <o>`` /
+        ``?s <p> "lit"`` (constant object — a same-scan existence
+        collect whose explode reproduces the join form's multiplicity
+        exactly, so no set-semantics assumption on the store is
+        needed)."""
         by_subj: dict[str, list] = {}
         leftovers = []
         for tp in patterns:
             if (
                 isinstance(tp.s, A.Var)
                 and isinstance(tp.p, A.Iri)
-                and isinstance(tp.o, A.Var)
-                and tp.o.name != tp.s.name
+                and (
+                    (isinstance(tp.o, A.Var) and tp.o.name != tp.s.name)
+                    or isinstance(tp.o, (A.Iri, A.Literal))
+                )
             ):
                 by_subj.setdefault(tp.s.name, []).append(tp)
             else:
                 leftovers.append(tp)
         rels = []
         for sname, tps in by_subj.items():
-            ovars = [tp.o.name for tp in tps]
+            ovars = [
+                tp.o.name for tp in tps if isinstance(tp.o, A.Var)
+            ]
             graph_ok = not (
                 isinstance(graph, A.Var)
                 and graph.name in {sname, *ovars}
@@ -516,14 +527,38 @@ class Compiler:
             F.col("object_datatype"),
             F.col("object_lang"),
         )
+
+        def collected(tp):
+            """What pattern i collects per matching row: the object term
+            for a variable object, TRUE for a constant object (its
+            explode then carries only the row multiplicity)."""
+            pred_hit = F.col("predicate") == tp.p.value
+            if isinstance(tp.o, A.Var):
+                return F.when(pred_hit, obj)
+            if isinstance(tp.o, A.Iri):
+                hit = (
+                    pred_hit
+                    & (F.col("object_kind") == "iri")
+                    & (F.col("object_value") == tp.o.value)
+                )
+            else:  # A.Literal — value + datatype + lang, as in bind()
+                hit = (
+                    pred_hit
+                    & (F.col("object_kind") == "literal")
+                    & (F.col("object_value") == tp.o.value)
+                    & F.col("object_datatype").eqNullSafe(
+                        F.lit(tp.o.datatype)
+                    )
+                    & F.col("object_lang").eqNullSafe(F.lit(tp.o.lang))
+                )
+            return F.when(hit, F.lit(True))
+
         keys = ["subject"]
         if isinstance(graph, A.Var):
             keys.append("graph_iri")
         g = df.groupBy(*keys).agg(
             *[
-                F.collect_list(
-                    F.when(F.col("predicate") == tp.p.value, obj)
-                ).alias(f"__l{i}")
+                F.collect_list(collected(tp)).alias(f"__l{i}")
                 for i, tp in enumerate(tps)
             ]
         )
@@ -541,8 +576,9 @@ class Compiler:
             out.append(iri_term(F.col("graph_iri")).alias(graph.name))
             variables.add(graph.name)
         for i, tp in enumerate(tps):
-            out.append(F.col(f"__o{i}").alias(tp.o.name))
-            variables.add(tp.o.name)
+            if isinstance(tp.o, A.Var):
+                out.append(F.col(f"__o{i}").alias(tp.o.name))
+                variables.add(tp.o.name)
         return Rel(g.select(*out), frozenset(variables))
 
     def _triple_pattern(self, tp: A.TriplePattern, graph) -> Rel:

@@ -139,14 +139,18 @@ def test_trained_ivf_never_trains_on_query_path(spark, sf_dir, monkeypatch):
     assert "ivf_trained" in plan
 
 
-def test_bgp_star_compiles_to_single_scan(spark, sf_dir):
-    """SURVEY §4(a) property-table rewrite: a 4-pattern subject star
-    must plan as ONE predicate-pruned triples scan + one aggregation —
+@pytest.mark.parametrize(
+    "name", ["sparql_star_describe", "sparql_bgp_filter"]
+)
+def test_bgp_star_compiles_to_single_scan(spark, sf_dir, name):
+    """SURVEY §4(a) property-table rewrite: a subject star (>=3
+    constant-predicate patterns, variable OR constant objects) must
+    plan as ONE predicate-pruned triples scan + one aggregation —
     never k-1 subject self-joins (at 100 TB each join is a shuffle of
     the whole store)."""
     import re
 
-    plan = _plan(spark, "sparql_star_describe", sf_dir)
+    plan = _plan(spark, name, sf_dir)
     assert plan.count("Scan parquet") == 1
     assert not re.search(
         r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan
