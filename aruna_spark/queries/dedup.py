@@ -237,17 +237,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band-signature) buckets; the Jaccard verify then re-joins the
     shingle sets by doc_id. Output: (doc_a, doc_b, jaccard_permille ≥ 500).
 
-    Execution shape: the shingle sets come precomputed from the
-    materialized ``store.shingle_store`` layout (the r3 per-query
-    persist+repartition recompute was the bench regression on this
-    query); the three downstream branches (bands + both verify sides)
-    re-read the stored parquet, which is cheaper than recomputing the
-    hashing and needs no executor cache residency.
+    Execution shape: candidates self-join the materialized band-key
+    index (``store.lsh_band_store`` — r5; signatures no longer recompute
+    per query), and the verify re-reads the stored shingle sets
+    (``store.shingle_store``) only for candidate doc_ids.
     """
-    from aruna_spark.store import shingle_store
+    from aruna_spark.store import lsh_band_store, shingle_store
 
     sets = shingle_store(spark, sf_dir)
-    return _verified_pairs(sets, lsh_candidate_pairs(sets))
+    return _verified_pairs(sets, band_join(lsh_band_store(spark, sf_dir)))
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -504,14 +502,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes the min neighbor label, localCheckpoint-ed like the SPARQL
     closure; rounds = component diameter (near-dup clusters are
     star-like, so 1-2 rounds). The label table is O(duplicated docs),
-    never O(corpus). Shingle sets come from the materialized
-    ``store.shingle_store`` layout.
+    never O(corpus). Candidates come from the materialized band index
+    (``store.lsh_band_store``), verify from the stored shingle sets.
     """
-    from aruna_spark.store import shingle_store
+    from aruna_spark.store import lsh_band_store, shingle_store
 
     sets = shingle_store(spark, sf_dir)
     pairs = (
-        _verified_pairs(sets, lsh_candidate_pairs(sets))
+        _verified_pairs(sets, band_join(lsh_band_store(spark, sf_dir)))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

@@ -455,6 +455,27 @@ def rep_lsh_store(
     )
 
 
+def lsh_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-corpus banded minhash key relation ``(doc_id, b, k)``,
+    sorted by (b, k) for join locality — same maintained-artifact
+    treatment as ``rep_lsh_store`` gives the collapsed corpus. The
+    un-collapsed near-dup queries (``dedup_minhash_pairs``,
+    ``dedup_clusters``) previously recomputed all signatures from the
+    wide shingle arrays per query; they now self-join this narrow index
+    and read shingle sets only to verify candidates."""
+    from aruna_spark.queries.dedup import band_keys
+
+    def build(tmp: str) -> None:
+        band_keys(shingle_store(spark, sf_dir)).repartition(
+            4, "b"
+        ).sortWithinPartitions("b", "k").write.parquet(
+            os.path.join(tmp, "bands")
+        )
+
+    dest = _ensure("lsh_bands", sf_dir, build)
+    return spark.read.parquet(os.path.join(dest, "bands"))
+
+
 def shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, sh, shh)`` — the distinct 3-token shingle set of every
     doc in the planted dedup corpus (strings + xxhash64'd longs),
