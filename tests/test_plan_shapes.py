@@ -252,6 +252,16 @@ def test_trained_ivf_dynamic_partition_pruning(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_minhash_pairs_reads_stored_band_index(spark, sf_dir):
+    """The raw near-dup query must self-join the materialized band-key
+    index — never recompute minhash signatures from the wide shingle
+    arrays per query. (dedup_clusters shares the chain but its
+    localCheckpoint truncates the visible plan.)"""
+    plan = _plan(spark, "dedup_minhash_pairs", sf_dir)
+    assert ".cache/lsh_bands" in plan
+    assert "xxhash64" not in plan  # minhashing happens at build only
+
+
 def test_ngram_jaccard_reads_stored_prefix_index(spark, sf_dir):
     """The exact set-similarity join must consume the materialized
     PPJoin prefix index and the shingle store (with column pruning:
