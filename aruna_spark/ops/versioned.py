@@ -88,6 +88,17 @@ class VersionedTable:
         self.log_dir = os.path.join(path, "_log")
         self.protocol = protocol or LOCAL_PROTOCOL
 
+    @staticmethod
+    def next_version(latest: int | None) -> int:
+        """The version a writer who validated snapshot ``latest`` must
+        claim. Correctness-critical and therefore defined ONCE: the
+        claim must arbitrate exactly the version derived from the
+        snapshot the writer read (see :meth:`_commit_manifest`); every
+        committer (commit(), the incremental-postings writers) routes
+        through this rule so a future change cannot silently diverge
+        between them."""
+        return 0 if latest is None else latest + 1
+
     # -- log inspection ------------------------------------------------------
     def versions(self) -> list[int]:
         try:
@@ -178,11 +189,15 @@ class VersionedTable:
         # an append based on a stale file list would silently drop the
         # intervening commit's files)
         return self._commit_manifest(
-            new_files, mode, 0 if latest is None else latest + 1
+            new_files, mode, self.next_version(latest)
         )
 
     def _commit_manifest(
-        self, files: list[str], mode: str, version: int
+        self,
+        files: list[str],
+        mode: str,
+        version: int,
+        extra: dict | None = None,
     ) -> int:
         """Atomically claim ``version`` for an explicit file list (files
         must already be written under the table directory). The primitive
@@ -193,13 +208,20 @@ class VersionedTable:
         and validated (latest + 1) — the claim arbitrates that exact
         version, so any concurrent commit makes this raise
         :class:`CommitConflict` and the caller retries against the
-        winner's snapshot."""
+        winner's snapshot.
+
+        ``extra`` merges additional writer-owned keys into the manifest
+        (e.g. the postings index's per-version sidecar paths). Like data
+        files, anything referenced there must be written to a UNIQUE
+        path before the claim — the manifest is the only arbiter of
+        which attempt's artifacts belong to the version."""
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {
             "version": version,
             "mode": mode,
             "files": files,
             "committed_at": time.time(),
+            **(extra or {}),
         }
         target = os.path.join(self.log_dir, f"{version}.json")
         try:

@@ -401,7 +401,7 @@ def _ppjoin_pairs(
     hashed AS (SELECT doc_id, {DUCK_HASH64.format(x='tok')} AS h FROM toks),
     bits AS (
       SELECT doc_id, j,
-             CAST(SUM(CASE WHEN (h // CAST(power(2, j) AS BIGINT)) % 2 = 1
+             CAST(SUM(CASE WHEN (h & CAST(power(2, j) AS BIGINT)) <> 0
                            THEN 1 ELSE -1 END) AS BIGINT) AS vote
       FROM hashed CROSS JOIN UNNEST(range(0, {SIMHASH_BITS})) AS t(j)
       GROUP BY doc_id, j
@@ -434,10 +434,14 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = hashed.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"), "h"
     )
+    # bit j via two's-complement AND — identical in Spark and DuckDB
+    # for NEGATIVE xxhash64 values too (a div/mod bit test is never 1
+    # for a negative dividend in either engine, which would collapse
+    # ~half the tokens to an all-zero vote pattern)
     votes = bits.groupBy("doc_id", "j").agg(
         F.sum(
             F.when(
-                F.expr("(h div CAST(power(2, j) AS BIGINT)) % 2 = 1"), 1
+                F.expr("(h & CAST(power(2, j) AS BIGINT)) <> 0"), 1
             ).otherwise(-1)
         ).alias("vote")
     )
@@ -728,7 +732,7 @@ SIMHASH_BLOCK_DIV = 65536  # keep the upper 16 of 32 bits as the block key
     hashed AS (SELECT doc_id, {DUCK_HASH64.format(x='tok')} AS h FROM toks),
     bits AS (
       SELECT doc_id, j,
-             CAST(SUM(CASE WHEN (h // CAST(power(2, j) AS BIGINT)) % 2 = 1
+             CAST(SUM(CASE WHEN (h & CAST(power(2, j) AS BIGINT)) <> 0
                            THEN 1 ELSE -1 END) AS BIGINT) AS vote
       FROM hashed CROSS JOIN UNNEST(range(0, {SIMHASH_BITS})) AS t(j)
       GROUP BY doc_id, j
@@ -773,10 +777,14 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
         "h",
     )
+    # bit j via two's-complement AND — identical in Spark and DuckDB
+    # for NEGATIVE xxhash64 values too (a div/mod bit test is never 1
+    # for a negative dividend in either engine, which would collapse
+    # ~half the tokens to an all-zero vote pattern)
     votes = bits.groupBy("doc_id", "j").agg(
         F.sum(
             F.when(
-                F.expr("(h div CAST(power(2, j) AS BIGINT)) % 2 = 1"), 1
+                F.expr("(h & CAST(power(2, j) AS BIGINT)) <> 0"), 1
             ).otherwise(-1)
         ).alias("vote")
     )

@@ -57,34 +57,41 @@ def _with_shard(postings: DataFrame) -> DataFrame:
     )
 
 
-def _write_aux(table: VersionedTable, version: int, dl: DataFrame) -> None:
-    """Materialize the per-version scoring sidecars (per-field doc
-    lengths + corpus stats) under ``_aux/<version>/``, written BEFORE
-    the manifest claim — same immutability invariant as data files: a
-    losing writer leaves only unreferenced aux dirs, never a version
-    whose sidecars are missing or stale.
+def _write_aux(table: VersionedTable, dl: DataFrame) -> str:
+    """Materialize the scoring sidecars (per-field doc lengths + corpus
+    stats) for one commit ATTEMPT under a UNIQUE ``_aux/<uuid>/`` dir,
+    written BEFORE the manifest claim. The winning attempt's dir is
+    recorded in its manifest (``aux`` key) — the same immutability rule
+    as data files. Keying the dir by attempt (not by version number)
+    means two racing writers can never overwrite each other's sidecars:
+    the loser leaves only an unreferenced dir for the orphan sweep.
 
-    Stats are recomputed from the (small) dl relation per commit — one
-    scan per BATCH, never per query. The algebraic refinement for very
+    ``dl`` is written first and stats are derived from the WRITTEN
+    parquet, so the corpus-scale doc-length aggregation executes once
+    per commit, not once per sidecar. The algebraic refinement for very
     large corpora (store per-field (n, sum_dl) and roll deltas forward)
-    drops even that scan; dl is ≤4 rows/doc, so the scan is cheap far
-    past this sandbox's scale."""
-    base = os.path.join(table.path, _AUX, str(version))
-    dl.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(base, "dl")
-    )
-    build_field_stats(dl).coalesce(1).write.mode("overwrite").parquet(
+    drops even the dl re-scan; dl is ≤4 rows/doc, so that scan is cheap
+    far past this sandbox's scale."""
+    aux_rel = f"{_AUX}/{uuid.uuid4().hex}"
+    base = os.path.join(table.path, aux_rel)
+    dl_path = os.path.join(base, "dl")
+    dl.coalesce(1).write.parquet(dl_path)
+    written_dl = dl.sparkSession.read.parquet(dl_path)
+    build_field_stats(written_dl).coalesce(1).write.parquet(
         os.path.join(base, "stats")
     )
+    return aux_rel
 
 
 def read_aux(
     spark: SparkSession, table: VersionedTable, version: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """The pinned version's (dl, stats) scoring sidecars."""
+    """The pinned version's (dl, stats) scoring sidecars, resolved
+    through the version's manifest (``aux`` key) — never by guessing a
+    path from the version number."""
     if version is None:
         version = table.latest_version()
-    base = os.path.join(table.path, _AUX, str(version))
+    base = os.path.join(table.path, table._manifest(version)["aux"])
     return (
         spark.read.parquet(os.path.join(base, "dl")),
         spark.read.parquet(os.path.join(base, "stats")),
@@ -138,9 +145,13 @@ def init_postings_table(
         f"{part}/{d}" for d in os.listdir(out) if d.startswith("shard=")
     )
     latest = table.latest_version()
-    next_version = 0 if latest is None else latest + 1
-    _write_aux(table, next_version, build_doc_lengths(postings))
-    table._commit_manifest(leaves, "overwrite", next_version)
+    aux_rel = _write_aux(table, build_doc_lengths(postings))
+    table._commit_manifest(
+        leaves,
+        "overwrite",
+        VersionedTable.next_version(latest),
+        extra={"aux": aux_rel},
+    )
     return table
 
 
@@ -220,7 +231,6 @@ def upsert_postings(
         if s not in affected
         for f in fs
     ]
-    next_version = 0 if latest is None else latest + 1
     # maintain the scoring sidecars incrementally: dropped subjects' dl
     # rows out, new docs' dl rows in; stats re-aggregated from the small
     # dl relation (see _write_aux)
@@ -228,9 +238,12 @@ def upsert_postings(
     new_dl = old_dl.join(
         F.broadcast(drop_subjects), "subject", "left_anti"
     ).unionByName(build_doc_lengths(new_postings))
-    _write_aux(table, next_version, new_dl)
+    aux_rel = _write_aux(table, new_dl)
     return table._commit_manifest(
-        sorted(carried) + new_leaves, "overwrite", next_version
+        sorted(carried) + new_leaves,
+        "overwrite",
+        VersionedTable.next_version(latest),
+        extra={"aux": aux_rel},
     )
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Bump when any materialized layout changes shape (postings schema,
 # partitioning, sort) so stale caches rebuild instead of mis-reading.
-LAYOUT_VERSION = "v5-unicode-tok"
+LAYOUT_VERSION = "v6-aux-manifest"
 
 
 def _repo_root() -> str:

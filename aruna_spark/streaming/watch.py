@@ -16,7 +16,13 @@ Reference semantics:
 Every function here takes ANY DataFrame — batch or streaming — and
 returns pure transformations, so the oracle-checked batch queries and
 the Structured Streaming pipeline share one implementation. Event
-"paths" are ``users/{user_id}/{event_type}``.
+"paths" are ``users/{user_id}/{event_type}``. One documented exception:
+:func:`dashboard_epochs` is the batch/backfill form of the epoch
+counter (a cumulative scan over all history — window functions are not
+defined on unbounded streams); the live-stream form is the per-trigger
+``foreachBatch`` running counter exercised in
+``tests/test_streaming.py``, and the function raises on a streaming
+input rather than failing later at execution.
 
 Scale: watch tables are small → stream-static broadcast join; the
 debounce window and LWW are standard watermarked stateful aggs whose
@@ -129,18 +135,33 @@ DASHBOARD_KINDS = ("signup", "purchase", "error")
 def dashboard_epochs(events: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
     """Dashboard epoch counter (dashboard.rs:6-39): one tumbling debounce
     window per burst; a window containing ≥1 dashboard-relevant event
-    bumps the epoch, and subscribers see the running epoch value. Batch
-    form = cumulative sum over window starts; the stream publishes the
-    same bump per trigger.
+    bumps the epoch, and subscribers see the running epoch value. This is
+    the batch/backfill form (cumulative sum over window starts); the
+    live-stream form is the per-trigger ``foreachBatch`` running counter
+    (see module docstring).
 
-    The running sum is a two-level distributed prefix scan, NOT a global
-    ``Window.orderBy`` (which would move every debounce window through
-    one partition — the `WindowExec: No Partition Defined` class,
-    VERDICT r4): windows cum-sum WITHIN their hour bucket (partitioned
-    window), and each bucket's exclusive offset comes from a driver-side
-    scan over the per-bucket bump totals — one row per hour of corpus
-    history (10 years ≈ 88k rows), broadcast-joined back. Same shape as
-    Spark's own zipWithIndex two-pass."""
+    The running sum is a THREE-level distributed prefix scan — a pure,
+    lazy plan with NO global ``Window.orderBy`` (that would move every
+    debounce window through one partition — the `WindowExec: No
+    Partition Defined` class, VERDICT r4) and NO driver-side collect:
+
+    1. month offsets: a strictly-earlier theta self-join over the
+       per-month bump totals (one row per month of corpus history —
+       a ≤thousands-row broadcast nested loop forever);
+    2. hour offsets: partitioned cumulative window over hours WITHIN
+       each month (≤744 rows per partition);
+    3. epoch: partitioned cumulative window over debounce windows
+       WITHIN each hour (≤1800 rows per partition).
+
+    Same shape as the classic two-pass zipWithIndex scan, with the
+    top-level pass expressed as a (bounded) join instead of a collect,
+    so construction stays lazy and nothing executes twice."""
+    if events.isStreaming:
+        raise ValueError(
+            "dashboard_epochs is the batch/backfill epoch scan; on a "
+            "stream, publish the running epoch with the foreachBatch "
+            "counter (tests/test_streaming.py)"
+        )
     per_window = events.groupBy(F.window("ts", debounce).alias("w")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(
@@ -151,25 +172,36 @@ def dashboard_epochs(events: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
     bucketed = per_window.withColumn(
         "bucket", F.date_trunc("hour", F.col("w.start"))
     ).withColumn("bump", bump)
-    totals = (
-        bucketed.groupBy("bucket")
-        .agg(F.sum("bump").alias("n_bumps"))
-        .orderBy("bucket")
-        .collect()
+    hours = bucketed.groupBy(
+        F.date_trunc("month", F.col("bucket")).alias("mon"), "bucket"
+    ).agg(F.sum("bump").alias("n_bumps"))
+    months = hours.groupBy("mon").agg(F.sum("n_bumps").alias("mon_bumps"))
+    earlier = months.select(
+        F.col("mon").alias("mon2"), F.col("mon_bumps").alias("mb2")
     )
-    offset_rows, acc = [], 0
-    for r in totals:
-        offset_rows.append((r.bucket, acc))
-        acc += int(r.n_bumps)
-    offsets = bucketed.sparkSession.createDataFrame(
-        offset_rows, "bucket timestamp, epoch_offset bigint"
+    mon_off = (
+        months.join(F.broadcast(earlier), F.col("mon2") < F.col("mon"), "left")
+        .groupBy("mon")
+        .agg(F.coalesce(F.sum("mb2"), F.lit(0)).alias("mon_off"))
+    )
+    hour_cum = (
+        Window.partitionBy("mon")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hour_off = hours.join(F.broadcast(mon_off), "mon").select(
+        "bucket",
+        (
+            F.col("mon_off")
+            + F.coalesce(F.sum("n_bumps").over(hour_cum), F.lit(0))
+        ).alias("epoch_offset"),
     )
     cum = (
         Window.partitionBy("bucket")
         .orderBy(F.col("w.start"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return bucketed.join(F.broadcast(offsets), "bucket").select(
+    return bucketed.join(F.broadcast(hour_off), "bucket").select(
         F.unix_micros(F.col("w.start")).alias("window_start_us"),
         "n_events",
         "n_relevant",

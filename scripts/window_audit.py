@@ -20,19 +20,62 @@ from aruna_spark.queries import REGISTRY, load_all
 from aruna_spark.session import get_spark
 
 
+def _spec_args(plan: str, start: int) -> str:
+    """The balanced argument text of the call opening at ``plan[start]``
+    (which must be '(')."""
+    depth = 0
+    for i in range(start, len(plan)):
+        c = plan[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return plan[start + 1 : i]
+    return plan[start + 1 :]
+
+
+def _split_top(args: str) -> list[str]:
+    """Split at top-level commas only — a first sort expression like
+    ``coalesce(a#1, b#2) ASC`` must stay one argument (a naive
+    ``split(',')`` truncates it before its direction marker and the
+    audit silently passes the exact class it exists to flag)."""
+    parts, depth, cur = [], 0, []
+    for c in args:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
 def unpartitioned_specs(plan: str) -> list[str]:
     """Return windowspecdefinition(...) snippets with no partition cols.
 
     A spec renders as ``windowspecdefinition(part1#1, part2#2, ord#3 ASC
     NULLS FIRST, specifiedwindowframe(...))`` — partition columns come
-    first WITHOUT sort direction; an unpartitioned spec's first argument
-    carries ASC/DESC immediately.
+    first WITHOUT sort direction; an unpartitioned spec's first
+    (paren-balanced) argument carries ASC/DESC at its top level.
     """
     out = []
-    for m in re.finditer(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)", plan):
-        args = m.group(1)
-        first = args.split(",")[0].strip()
-        if " ASC" in first or " DESC" in first:
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        args = _spec_args(plan, m.end() - 1)
+        parts = _split_top(args)
+        if not parts:
+            continue
+        first = parts[0]
+        # direction markers appear OUTSIDE any nested call parens
+        stripped = re.sub(r"\([^()]*\)", "", first)
+        while "(" in stripped:
+            stripped = re.sub(r"\([^()]*\)", "", stripped)
+        if " ASC" in stripped or " DESC" in stripped:
             out.append(args[:120])
     return out
 

@@ -109,3 +109,39 @@ def test_clusters_contain_planted_pairs_and_are_disjoint(spark, sf_dir):
     assert planted
     for m in planted:
         assert by_member[m] == by_member[m - 1_000_000]
+
+
+def test_simhash_bit_test_true_for_negative_hashes(spark):
+    """The simhash bit extraction must read REAL bits for negative
+    xxhash64 values (two's-complement AND). The previous div/mod form
+    was never 1 for a negative dividend in Spark or DuckDB — ~half of
+    all tokens voted -1 on every bit, degenerating the blocking — and
+    the oracle comparison could not catch it because both engines
+    agreed on the degenerate value."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    hs = [-6, -1, 5, -(2**62), 2**40 + 7, -9223372036854775808]
+    rows = [(h, j) for h in hs for j in range(32)]
+    df = spark.createDataFrame(rows, "h long, j int").select(
+        "h",
+        "j",
+        F.expr("(h & CAST(power(2, j) AS BIGINT)) <> 0").alias("bit"),
+    )
+    got = {(r.h, r.j): r.bit for r in df.collect()}
+    # Python reference: bit j of the 64-bit two's complement of h
+    for h in hs:
+        for j in range(32):
+            assert got[(h, j)] == bool((h >> j) & 1), (h, j)
+    # DuckDB (the oracle dialect) agrees cell-for-cell
+    duck = duckdb.connect().execute(
+        "SELECT h, j, (h & CAST(power(2, j) AS BIGINT)) <> 0 "
+        "FROM (SELECT UNNEST(?::BIGINT[]) AS h) "
+        "CROSS JOIN (SELECT UNNEST(range(0, 32)) AS j)",
+        [hs],
+    ).fetchall()
+    for h, j, bit in duck:
+        assert bool(bit) == bool((h >> j) & 1), (h, j)
+    # sanity: a negative hash contributes at least one set bit
+    assert any(got[(-6, j)] for j in range(32))

@@ -192,3 +192,64 @@ def test_upsert_optimistic_conflict(spark, sf_dir, tmp_path):
             table, spark, build_postings(changed),
             changed.select("subject").distinct(), expected_version=0,
         )
+
+
+def test_losing_writer_cannot_clobber_winners_sidecars(
+    spark, sf_dir, tmp_path
+):
+    """Two writers race for the same version: the loser raises
+    CommitConflict at the claim AND the committed version's scoring
+    sidecars (dl/stats) remain the winner's — aux artifacts are keyed
+    per attempt and resolved through the manifest, so a loser's write
+    can never overwrite them (it leaves only an unreferenced dir)."""
+    import pytest
+
+    from aruna_spark.ops.versioned import CommitConflict
+    from aruna_spark.search.incremental import read_aux
+
+    fields, base, changed = _split_fields(spark, sf_dir)
+    # split the changed slice into two disjoint batches, one per writer
+    c1 = changed.filter(
+        F.regexp_extract("subject", r"(\d+)$", 1).cast("long") % 2 == 0
+    )
+    c2 = changed.join(
+        c1.select("subject").distinct(), "subject", "left_anti"
+    )
+    table = init_postings_table(
+        spark, build_postings(base), str(tmp_path / "idx")
+    )
+    # writer 1 commits v1
+    assert (
+        upsert_postings(
+            table, spark, build_postings(c1), c1.select("subject").distinct()
+        )
+        == 1
+    )
+    dl_v1 = {
+        (r.subject, r.field): r.dl
+        for r in read_aux(spark, table, 1)[0].collect()
+    }
+    # writer 2 validated the SAME snapshot (v0) — simulate the race by
+    # pinning its view of the log to v0 so it passes the conflict check,
+    # writes its data + aux, and loses the v1 claim
+    real_latest = table.latest_version
+    table.latest_version = lambda: 0
+    try:
+        with pytest.raises(CommitConflict):
+            upsert_postings(
+                table,
+                spark,
+                build_postings(c2),
+                c2.select("subject").distinct(),
+            )
+    finally:
+        table.latest_version = real_latest
+    # v1's sidecars are still the winner's, byte-for-byte
+    dl_after = {
+        (r.subject, r.field): r.dl
+        for r in read_aux(spark, table, 1)[0].collect()
+    }
+    assert dl_after == dl_v1
+    # and none of writer 2's subjects leaked into v1's dl
+    w2_subjects = {r.subject for r in c2.select("subject").distinct().collect()}
+    assert not {s for s, _ in dl_after} & w2_subjects

@@ -278,3 +278,38 @@ def test_ngram_jaccard_reads_stored_prefix_index(spark, sf_dir):
     scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*shingles", plan)
     assert any("shh" in s and "sh#" not in s for s in scans), scans
     assert any("sh#" in s and "shh" not in s for s in scans), scans
+
+
+def test_window_audit_parser_handles_nested_call_sort_keys():
+    """The audit's spec parser must split windowspecdefinition args at
+    TOP-LEVEL commas: a global window whose first sort expression is a
+    multi-argument call (e.g. coalesce(a#1, b#2) ASC) is exactly the
+    class the audit exists to flag, and a naive split(',') truncates it
+    before its direction marker and silently passes it."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from window_audit import unpartitioned_specs
+
+    # unpartitioned, nested-call sort key -> MUST be flagged
+    p1 = (
+        "Window [row_number() windowspecdefinition(coalesce(a#1, b#2) "
+        "ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS rn#9]"
+    )
+    assert unpartitioned_specs(p1), "nested-call global window missed"
+    # partitioned (partition col first, then the same sort key) -> clean
+    p2 = (
+        "Window [row_number() windowspecdefinition(grp#7, "
+        "coalesce(a#1, b#2) ASC NULLS FIRST, specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), currentrow$())) AS rn#9]"
+    )
+    assert not unpartitioned_specs(p2), "partitioned window misflagged"
+    # plain unpartitioned spec still flagged
+    p3 = (
+        "windowspecdefinition(score#3 DESC NULLS LAST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$()))"
+    )
+    assert unpartitioned_specs(p3)

@@ -280,3 +280,40 @@ def test_stream_exactly_once_inbox_delivery(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dashboard_epochs_is_lazy_and_batch_only(spark, sf_dir):
+    """dashboard_epochs builds a pure lazy plan: constructing it must
+    not execute anything driver-side (no collect — the r5 review
+    finding), and a streaming input raises immediately instead of
+    failing later inside writeStream."""
+    import pytest
+    from pyspark.sql import DataFrame
+
+    from aruna_spark.catalog import load_table
+    from aruna_spark.streaming.watch import dashboard_epochs
+
+    events = load_table(spark, sf_dir, "events")
+    real_collect = DataFrame.collect
+
+    def boom(self):
+        raise AssertionError("collect() during plan construction")
+
+    DataFrame.collect = boom
+    try:
+        plan = dashboard_epochs(events)
+    finally:
+        DataFrame.collect = real_collect
+    # the lazy plan still computes the running epoch correctly
+    rows = plan.orderBy("window_start_us").limit(2000).collect()
+    epoch = 0
+    for r in rows:
+        if r.bumped:
+            epoch += 1
+        assert r.epoch == epoch
+    # streaming input: explicit, early error (window functions are not
+    # defined on unbounded streams; the live form is foreachBatch)
+    schema = "ts timestamp, event_type string, user_id long, event_id long"
+    stream = spark.readStream.schema(schema).parquet(sf_dir)
+    with pytest.raises(ValueError, match="foreachBatch"):
+        dashboard_epochs(stream)
