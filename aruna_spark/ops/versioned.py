@@ -231,3 +231,88 @@ class VersionedTable:
                 f"version {version} was committed concurrently"
             ) from None
         return version
+
+    # -- maintenance (compaction / retention / orphan sweep) -----------------
+    # The reference gets these for free from its storage engine: fjall
+    # LSM keyspaces (storage/src/storage.rs:18-41) merge small segments
+    # and drop obsolete ones inside the engine. A manifest-log table
+    # must do the same maintenance explicitly — the standard lakehouse
+    # triple (Delta/Iceberg OPTIMIZE, version expiry, VACUUM):
+    #
+    # - compact():         many small files -> few, as a NEW version
+    #                      (readers of old versions are unaffected);
+    # - expire_versions(): drop old manifests, bounding time travel;
+    # - vacuum():          delete files referenced by NO remaining
+    #                      manifest and older than a retention window.
+    #
+    # Safety order matters: vacuum never deletes anything a surviving
+    # manifest references, and the retention window protects in-flight
+    # writers (they write data files BEFORE claiming — a fresh orphan
+    # may be a commit about to happen, so only age-expired orphans go).
+
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the latest snapshot's (possibly many, possibly small)
+        files into one fresh part as a new version — the OPTIMIZE /
+        SSTable-merge analog for append-heavy tables. Optimistic like
+        any commit: a concurrent writer makes this raise
+        :class:`CommitConflict` (retry; compaction is idempotent
+        work-wise since it derives purely from the snapshot)."""
+        latest = self.latest_version()
+        return self.commit(
+            self.read(spark, latest), "overwrite", expected_version=latest
+        )
+
+    def expire_versions(self, keep_last: int = 1) -> list[int]:
+        """Delete all but the newest ``keep_last`` manifests, bounding
+        the time-travel horizon (Delta's logRetentionDuration analog).
+        Data files are NOT touched — :meth:`vacuum` reclaims whatever
+        the surviving manifests no longer reference."""
+        if keep_last < 1:
+            raise ValueError("must keep at least the latest version")
+        expired = self.versions()[:-keep_last]
+        for v in expired:
+            os.remove(os.path.join(self.log_dir, f"{v}.json"))
+        return expired
+
+    def _referenced_roots(self) -> list[str]:
+        roots = []
+        for v in self.versions():
+            m = self._manifest(v)
+            roots.extend(m["files"])
+            if "aux" in m:
+                roots.append(m["aux"])
+        return roots
+
+    def vacuum(self, retention_s: float = 7 * 86400.0) -> list[str]:
+        """Delete files under the table that no surviving manifest
+        references (loser attempts' data/aux, expired versions' files)
+        and that are older than ``retention_s`` — the orphan-file sweep.
+        The retention window is the in-flight-writer guard: a writer
+        stages data files before its claim, so young unreferenced files
+        may belong to a commit in progress. Returns deleted paths."""
+        roots = self._referenced_roots()
+        cutoff = time.time() - retention_s
+        deleted = []
+        for dirpath, _dirnames, filenames in os.walk(self.path):
+            rel_dir = os.path.relpath(dirpath, self.path)
+            if rel_dir == "_log" or rel_dir.startswith("_log" + os.sep):
+                continue
+            for fn in filenames:
+                rel = fn if rel_dir == "." else f"{rel_dir}/{fn}"
+                if any(
+                    rel == r or rel.startswith(r + "/") for r in roots
+                ):
+                    continue
+                full = os.path.join(dirpath, fn)
+                if os.path.getmtime(full) <= cutoff:
+                    os.remove(full)
+                    deleted.append(rel)
+        # drop directories emptied by the sweep (leaves first; rmdir
+        # refuses non-empty dirs, so this can never delete data)
+        for dirpath, _dirnames, _filenames in os.walk(self.path, topdown=False):
+            if dirpath != self.path:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return deleted

@@ -129,3 +129,115 @@ def test_missing_version_raises(spark, tmp_path):
     t.commit(_df(spark, 1))
     with pytest.raises(NoSuchVersion):
         t.read(spark, version=7)
+
+
+def test_compact_merges_appends_into_one_part(spark, tmp_path):
+    """compact() rewrites an append-accumulated file list as one fresh
+    part in a NEW version; old versions still read (time travel intact
+    until expire_versions)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    for v in (2, 3, 4):
+        t.commit(_df(spark, v), mode="append")
+    assert len(t.files(3)) == 4
+    cv = t.compact(spark)
+    assert cv == 4
+    assert len(t.files(cv)) == 1
+    assert sorted(r.v for r in t.read(spark).collect()) == [1, 2, 3, 4]
+    # pre-compaction snapshot unaffected
+    assert sorted(r.v for r in t.read(spark, 1).collect()) == [1, 2]
+
+
+def test_compact_conflicts_against_concurrent_writer(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    real_latest = t.latest_version
+    # compactor snapshots v0; a writer lands v1 before the claim
+    t.latest_version = lambda: 0
+    t.commit(_df(spark, 2), mode="append")  # claims v1 (uses pinned 0)
+    t.latest_version = real_latest
+    t.latest_version = lambda: 0  # compactor still believes v0
+    try:
+        with pytest.raises(CommitConflict):
+            t.compact(spark)
+    finally:
+        t.latest_version = real_latest
+
+
+def test_expire_then_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    """The lakehouse lifecycle: expire old manifests, vacuum orphans.
+    vacuum(0) deletes exactly the files no surviving manifest
+    references — expired versions' parts and failed attempts' staging
+    files — and never anything the latest manifest lists."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    t.commit(_df(spark, 2), mode="overwrite")  # v0's part now unreferenced by v1
+    # a failed commit attempt: data staged, claim never made
+    orphan = t._write_data(_df(spark, 99))[0]
+    live = set(t.files(1))
+    assert t.expire_versions(keep_last=1) == [0]
+    deleted = t.vacuum(retention_s=0.0)
+    assert deleted, "expired v0 part + orphan must be swept"
+    assert not any(d.startswith(tuple(live)) for d in deleted)
+    assert not os.path.exists(os.path.join(t.path, orphan))
+    # latest still reads after the sweep
+    assert sorted(r.v for r in t.read(spark).collect()) == [2]
+    with pytest.raises(NoSuchVersion):
+        t.read(spark, 0)
+
+
+def test_vacuum_retention_protects_inflight_writers(spark, tmp_path):
+    """Young unreferenced files may be a commit in progress (data is
+    staged BEFORE the claim) — vacuum must leave them until they age
+    past the retention window."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    staged = t._write_data(_df(spark, 7))[0]  # in-flight writer
+    assert t.vacuum(retention_s=3600.0) == []
+    assert os.path.exists(os.path.join(t.path, staged))
+    # the writer can still complete its commit
+    t._commit_manifest([*t.files(0), staged], "append", 1)
+    assert sorted(r.v for r in t.read(spark).collect()) == [1, 7]
+
+
+def test_postings_table_expire_vacuum_keeps_queries_green(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end on the maintained search index: upsert, expire the
+    old version, vacuum — the latest version (including its manifest-
+    referenced aux sidecars) survives and still serves reads."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.ingest.doc_triples import load_triples
+    from aruna_spark.search.bm25 import build_field_literals, build_postings
+    from aruna_spark.search.incremental import (
+        init_postings_table,
+        read_aux,
+        upsert_postings,
+    )
+
+    fields = build_field_literals(load_triples(spark, sf_dir))
+    changed = fields.filter(
+        F.regexp_extract("subject", r"(\d+)$", 1).cast("long") % 7 == 3
+    )
+    base = fields.join(
+        changed.select("subject").distinct(), "subject", "left_anti"
+    )
+    table = init_postings_table(
+        spark, build_postings(base), str(tmp_path / "idx")
+    )
+    upsert_postings(
+        table, spark, build_postings(changed),
+        changed.select("subject").distinct(),
+    )
+    n_before = table.read(spark).count()
+    dl_before = read_aux(spark, table, 1)[0].count()
+    table.expire_versions(keep_last=1)
+    deleted = table.vacuum(retention_s=0.0)
+    assert deleted, "v0's rewritten shards and aux must be reclaimed"
+    assert table.read(spark).count() == n_before
+    assert read_aux(spark, table, 1)[0].count() == dl_before
