@@ -253,3 +253,60 @@ def test_losing_writer_cannot_clobber_winners_sidecars(
     # and none of writer 2's subjects leaked into v1's dl
     w2_subjects = {r.subject for r in c2.select("subject").distinct().collect()}
     assert not {s for s, _ in dl_after} & w2_subjects
+
+
+def test_stream_feeds_maintained_index_per_microbatch(
+    spark, sf_dir, tmp_path
+):
+    """The write path of the reference enriches the persistent search
+    index per document write (search_enrichment.rs; handle.rs flush) —
+    the Structured-Streaming analog: a file stream of document field
+    writes drives upsert_postings from foreachBatch, one optimistic
+    commit per micro-batch, against the SAME versioned table the query
+    path reads. After the stream drains, the index equals a one-shot
+    full rebuild, and every intermediate version remains time-travel
+    readable."""
+    fields, base, changed = _split_fields(spark, sf_dir)
+    b1 = changed.filter(
+        F.regexp_extract("subject", r"(\d+)$", 1).cast("long") % 2 == 0
+    )
+    b2 = changed.join(
+        b1.select("subject").distinct(), "subject", "left_anti"
+    )
+    table = init_postings_table(
+        spark, build_postings(base), str(tmp_path / "idx")
+    )
+    v0_postings = _postings_set(table.read(spark, 0))
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    stream_dir = str(tmp_path / "writes")
+    b1.coalesce(1).write.mode("append").parquet(stream_dir)
+    b2.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    def enrich(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        upsert_postings(
+            table,
+            spark,
+            build_postings(batch_df),
+            batch_df.select("subject").distinct(),
+        )
+
+    schema = spark.read.parquet(stream_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert table.latest_version() == 2  # one commit per micro-batch
+    assert _postings_set(table.read(spark)) == _postings_set(
+        build_postings(fields)
+    )
+    # time travel across the maintenance history is intact
+    assert _postings_set(table.read(spark, 0)) == v0_postings
+    assert len(_postings_set(table.read(spark, 1))) > len(v0_postings)
