@@ -116,6 +116,33 @@ def shingle_sets(c: DataFrame) -> DataFrame:
     )
 
 
+def prefix_index(sets: DataFrame, t: int = JACCARD_PERMILLE) -> DataFrame:
+    """``(doc_id, n, tok, rn)`` — the rarest-first PPJoin prefix index
+    of a ``(doc_id, sh)`` shingle-set relation: per-doc set size ``n``
+    plus each doc's first ``n - ceil(t*n) + 1`` tokens under ascending
+    document frequency (the lossless prefix filter) with their
+    rarest-first rank ``rn`` (the positional filter's input). Runs at
+    index BUILD time (``store.ngram_prefix_store`` materializes it);
+    the query path only self-joins the result."""
+    from pyspark.sql import Window
+
+    sized = sets.select("doc_id", F.size("sh").alias("n"), "sh")
+    toks = sized.select("doc_id", "n", F.explode("sh").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")
+    )
+    return (
+        toks.join(dfreq, "tok")
+        .withColumn("rn", rn)
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(t) / 1000.0) + 1
+        )
+        .select("doc_id", "n", "tok", "rn")
+    )
+
+
 def band_keys(sets: DataFrame) -> DataFrame:
     """(doc_id, b, k): the banded minhash keys — the LSH index relation
     (materializable; see ``store.rep_lsh_store``)."""

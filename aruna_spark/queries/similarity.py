@@ -832,24 +832,38 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization over the trained-IVF lists: the classic memory
 # dial for billion-vector ANN (Jegou, Douze, Schmid, "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011 — public
-# method). Each 64-dim vector stores as PQ_M=4 one-byte codes (one per
-# 16-dim subspace) instead of 256 bytes of floats; a query scores a
-# candidate with PQ_M table lookups (asymmetric distance, ADC) instead
-# of a 64-mult dot product. Codebooks train per-subspace with the same
-# deterministic fixed-point Lloyd's iteration as the coarse quantizer
-# (integer sums are order-independent under distributed reduction), so
-# the DuckDB oracle replicates training, code assignment, AND the final
-# ADC ranking exactly.
+# method). Each 64-dim vector stores as PQ_M=8 nibble codes (one per
+# 8-dim subspace, 32 bits total) instead of 256 bytes of floats; a
+# query scores a candidate with PQ_M table lookups (asymmetric
+# distance, ADC) instead of a 64-mult dot product, then EXACTLY
+# re-ranks the top PQ_REFINE ADC candidates on their raw vectors (the
+# standard FAISS-style refine stage — point lookups into the
+# full-vector sidecar for <=R rows per query). Codebooks train
+# per-subspace with the same deterministic fixed-point Lloyd's
+# iteration as the coarse quantizer (integer sums are order-independent
+# under distributed reduction), so the DuckDB oracle replicates
+# training, code assignment, ADC shortlisting, AND the exact re-rank
+# end-to-end.
+#
+# The recall audit (scripts/recall_audit.py) is what sized this: the
+# first cut (M=4, K=8 -> 12 bits/vector, no refine) measured recall@10
+# = 0.06 at sf0.1 — quantization so coarse the ADC order was nearly
+# random within the probed cells. 32-bit codes + exact refine of the
+# top-10k shortlist brings it to the nprobe ceiling shared with the
+# other IVF variants (the coarse probe, not PQ, is then the recall
+# bound — the nprobe dial).
 #
 # Scale (100 TB): codes for 10^9 vectors fit in 4 GB (vs 256 GB raw) —
 # lists stay in page cache; ADC work per candidate is O(M) lookups on a
-# broadcast-riding LUT of M*K ints per query. Training cost is the same
-# Lloyd shape as the coarse quantizer: corpus-sized map + (m, code, pos)
+# broadcast-riding LUT of M*K ints per query; the refine reads raw
+# vectors for only R rows per query. Training cost is the same Lloyd
+# shape as the coarse quantizer: corpus-sized map + (m, code, pos)
 # partial-aggregated shuffle with M*K*SUBDIM groups.
-PQ_M = 4  # subspaces
+PQ_M = 8  # subspaces
 PQ_SUBDIM = DIM // PQ_M
-PQ_K = 8  # codes per subspace
+PQ_K = 16  # codes per subspace
 PQ_ITERS = 2
+PQ_REFINE = 10 * TOP_K  # ADC shortlist size fed to the exact re-rank
 
 _SUB_D2 = (
     "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
@@ -1060,12 +1074,25 @@ _D_PQ_FINAL = f"""
       JOIN subs qs ON qs.vec_id = cand.query_id AND qs.m = kc.m
       GROUP BY cand.query_id, cand.vec_id
     ),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, vec_id) AS adc_rnk
+        FROM scored
+      ) WHERE adc_rnk <= {PQ_REFINE}
+    ),
+    refined AS (
+      SELECT s.query_id, s.vec_id, {_D_SCORE} AS score_q
+      FROM shortlist s
+      JOIN corpus c ON c.vec_id = s.vec_id
+      JOIN corpus q ON q.vec_id = s.query_id
+    ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adc_d2, vec_id) AS rnk
-      FROM scored
+                                   ORDER BY score_q DESC, vec_id) AS rnk
+      FROM refined
     )
-    SELECT query_id, vec_id, adc_d2, rnk FROM ranked WHERE rnk <= {TOP_K}
+    SELECT query_id, vec_id, score_q, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
@@ -1080,20 +1107,23 @@ _D_PQ_FINAL = f"""
 )
 def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN served from the STORED index (``store.pq_store``):
-    trained coarse cells prune the candidate lists, and candidates are
-    ranked by asymmetric PQ distance — PQ_M lookups into the query's
-    precomputed LUT instead of a full dot product.
+    trained coarse cells prune the candidate lists, candidates are
+    shortlisted by asymmetric PQ distance — PQ_M lookups into the
+    query's precomputed LUT instead of a full dot product — and the
+    top PQ_REFINE of the shortlist are exactly re-ranked on their raw
+    vectors (FAISS-style refine; see the module comment for the recall
+    measurement that sized this).
 
-    The query path never trains and never touches raw corpus vectors:
-    it reads the stored coarse centroids + PQ codebooks (tiny JSON),
-    derives each query's nprobe cells and its M*K-int LUT as literal
-    expressions, and broadcast-joins the probes against the
-    cell-partitioned CODES table (4 codes/vector, the only per-vector
-    state scanned). Ranking is ascending exact-integer ADC distance,
-    tie -> lower vec_id. The DuckDB oracle replicates coarse training,
-    PQ training, code assignment, and the ADC ranking end-to-end.
+    The query path never trains: it reads the stored coarse centroids +
+    PQ codebooks (tiny JSON), derives each query's nprobe cells and its
+    M*K-int LUT as literal expressions, broadcast-joins the probes
+    against the cell-partitioned CODES table (PQ_M smallints/vector,
+    the only per-vector state the SCAN touches), and point-joins raw
+    vectors for just the <=PQ_REFINE shortlist rows per query. The
+    DuckDB oracle replicates coarse training, PQ training, code
+    assignment, ADC shortlisting, and the exact re-rank end-to-end.
     """
-    from aruna_spark.store import pq_store
+    from aruna_spark.store import pq_store, vectors_store
 
     cents, cb, codes = pq_store(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1125,11 +1155,38 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_d2"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    adc_w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    shortlist = (
+        scored.withColumn("adc_rnk", F.row_number().over(adc_w))
+        .filter(F.col("adc_rnk") <= PQ_REFINE)
+        .select("query_id", "vec_id")
+    )
+    # exact refine: raw vectors for the shortlist only (point lookups
+    # into the precomputed-norm sidecar), then the bruteforce ranking
+    v = vectors_store(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    refined = (
+        shortlist.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _score_q(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_norm2"),
+                F.col("norm2"),
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        refined.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "vec_id", "adc_d2", "rnk")
+        .select("query_id", "vec_id", "score_q", "rnk")
     )
 
 

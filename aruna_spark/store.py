@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Bump when any materialized layout changes shape (postings schema,
 # partitioning, sort) so stale caches rebuild instead of mis-reading.
-LAYOUT_VERSION = "v6-aux-manifest"
+LAYOUT_VERSION = "v7-pq-refine"
 
 
 def _repo_root() -> str:
@@ -520,34 +520,14 @@ def ngram_prefix_store(
     representatives (``rep_lsh_store``'s sets) instead of the raw
     corpus — document frequencies then count unique content, and the
     prefix join scales with it (the scaled-variant composition)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from aruna_spark.queries.dedup import JACCARD_PERMILLE
+    from aruna_spark.queries.dedup import prefix_index
 
     def build(tmp: str) -> None:
         if collapsed:
             _, sets, _ = rep_lsh_store(spark, sf_dir)
         else:
             sets = shingle_store(spark, sf_dir)
-        sized = sets.select("doc_id", F.size("sh").alias("n"), "sh")
-        toks = sized.select("doc_id", "n", F.explode("sh").alias("tok"))
-        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        rn = F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "tok")
-        )
-        prefix = (
-            toks.join(dfreq, "tok")
-            .withColumn("rn", rn)
-            .filter(
-                F.col("rn")
-                <= F.col("n")
-                - F.ceil(F.col("n") * F.lit(JACCARD_PERMILLE) / 1000.0)
-                + 1
-            )
-            .select("doc_id", "n", "tok", "rn")
-        )
-        prefix.sortWithinPartitions("tok").write.parquet(
+        prefix_index(sets).sortWithinPartitions("tok").write.parquet(
             os.path.join(tmp, "prefix")
         )
 

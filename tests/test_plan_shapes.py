@@ -161,8 +161,10 @@ def test_bgp_star_compiles_to_single_scan(spark, sf_dir, name):
 def test_ivf_pq_never_trains_and_reads_codes_only(spark, sf_dir, monkeypatch):
     """The IVF-PQ query must serve from the STORED codes + codebooks:
     with a warm store, neither the coarse k-means nor the PQ trainer may
-    run, and the candidate scan must read the codes table (4 ints per
-    vector), not raw corpus vectors."""
+    run, and the candidate SCAN must read the codes table (PQ_M small
+    ints per vector). Raw vectors are touched only by the refine stage's
+    point-joins on the <=PQ_REFINE shortlist rows per query (and the
+    broadcast-side query build)."""
     from aruna_spark import store
     from aruna_spark.queries import similarity
 
