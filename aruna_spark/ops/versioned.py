@@ -250,14 +250,32 @@ class VersionedTable:
     # writers (they write data files BEFORE claiming — a fresh orphan
     # may be a commit about to happen, so only age-expired orphans go).
 
+    _META_KEYS = frozenset({"version", "mode", "files", "committed_at"})
+
     def compact(self, spark: SparkSession) -> int:
         """Rewrite the latest snapshot's (possibly many, possibly small)
         files into one fresh part as a new version — the OPTIMIZE /
-        SSTable-merge analog for append-heavy tables. Optimistic like
-        any commit: a concurrent writer makes this raise
+        SSTable-merge analog for append-heavy PLAIN tables. Optimistic
+        like any commit: a concurrent writer makes this raise
         :class:`CommitConflict` (retry; compaction is idempotent
-        work-wise since it derives purely from the snapshot)."""
+        work-wise since it derives purely from the snapshot).
+
+        REFUSES layout-bearing tables: a manifest carrying writer-owned
+        extra keys (e.g. the postings index's ``aux`` sidecars) or a
+        path-encoded layout (``shard=N`` leaves) cannot be rewritten as
+        one generic part without silently breaking its readers — those
+        tables compact through their layout-aware maintainer
+        (``search.incremental.compact_postings``)."""
         latest = self.latest_version()
+        manifest = self._manifest(latest) if latest is not None else {}
+        extra = set(manifest) - self._META_KEYS
+        layered = any("=" in os.path.basename(f) for f in manifest.get("files", []))
+        if extra or layered:
+            raise ValueError(
+                "table carries a writer-owned layout "
+                f"(extra manifest keys {sorted(extra)!r}, partitioned "
+                f"leaves={layered}); use its layout-aware compactor"
+            )
         return self.commit(
             self.read(spark, latest), "overwrite", expected_version=latest
         )
@@ -275,12 +293,23 @@ class VersionedTable:
         return expired
 
     def _referenced_roots(self) -> list[str]:
+        """Every path a surviving manifest references: the ``files``
+        list plus EVERY writer-owned extra key's string (or list-of-
+        string) value — the manifest is the only arbiter of which
+        artifacts belong to a version (see :meth:`_commit_manifest`),
+        so the sweep must honor keys it has never heard of (a second
+        sidecar kind added later must not be vacuumed as orphans)."""
         roots = []
         for v in self.versions():
             m = self._manifest(v)
             roots.extend(m["files"])
-            if "aux" in m:
-                roots.append(m["aux"])
+            for key, val in m.items():
+                if key in self._META_KEYS:
+                    continue
+                if isinstance(val, str):
+                    roots.append(val)
+                elif isinstance(val, list):
+                    roots.extend(x for x in val if isinstance(x, str))
         return roots
 
     def vacuum(self, retention_s: float = 7 * 86400.0) -> list[str]:
@@ -308,9 +337,28 @@ class VersionedTable:
                     os.remove(full)
                     deleted.append(rel)
         # drop directories emptied by the sweep (leaves first; rmdir
-        # refuses non-empty dirs, so this can never delete data)
+        # refuses non-empty dirs, so this can never delete data). The
+        # same retention guard applies: an in-flight writer's staging
+        # dirs are TRANSIENTLY empty (parquet creates _temporary/ before
+        # the first task file lands), so only age-expired empties go —
+        # and referenced roots never go, even empty. Ages are snapshotted
+        # BEFORE any removal: rmdir of an (aged, orphaned) child bumps
+        # the parent's mtime, which must not restart the parent's clock.
+        sweep = []
         for dirpath, _dirnames, _filenames in os.walk(self.path, topdown=False):
-            if dirpath != self.path:
+            if dirpath == self.path:
+                continue
+            rel = os.path.relpath(dirpath, self.path)
+            if rel == "_log" or rel.startswith("_log" + os.sep):
+                continue
+            if any(rel == r or r.startswith(rel + "/") for r in roots):
+                continue
+            try:
+                sweep.append((dirpath, os.path.getmtime(dirpath)))
+            except OSError:
+                pass
+        for dirpath, mtime in sweep:  # walk order is already leaves-first
+            if mtime <= cutoff:
                 try:
                     os.rmdir(dirpath)
                 except OSError:

@@ -849,9 +849,10 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first cut (M=4, K=8 -> 12 bits/vector, no refine) measured recall@10
 # = 0.06 at sf0.1 — quantization so coarse the ADC order was nearly
 # random within the probed cells. 32-bit codes + exact refine of the
-# top-10k shortlist brings it to the nprobe ceiling shared with the
-# other IVF variants (the coarse probe, not PQ, is then the recall
-# bound — the nprobe dial).
+# top-PQ_REFINE (= 10*k = 100) ADC shortlist measures 0.360 — 87% of
+# trained-IVF's 0.415 on identical probes; the residual gap is ADC
+# shortlist misses, dialed by PQ_REFINE, while the ceiling itself is
+# the coarse nprobe dial (SCALE.md 'Measured recall').
 #
 # Scale (100 TB): codes for 10^9 vectors fit in 4 GB (vs 256 GB raw) —
 # lists stay in page cache; ADC work per candidate is O(M) lookups on a
@@ -959,7 +960,7 @@ def train_pq_codebooks(
 def _pq_lut_sql(v: str, cb: dict) -> str:
     """Spark SQL: the query's ADC lookup table — lut[m+1][c+1] = exact
     integer d2 between ``v``'s m-th subvector and codebook entry (m, c).
-    Codebook entries ride as literals (M*K*SUBDIM = 512 ints)."""
+    Codebook entries ride as literals (M*K*SUBDIM ints — 1024 at the current 8x16x8 constants)."""
     rows = []
     for m in range(PQ_M):
         sub = f"slice({v}, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"

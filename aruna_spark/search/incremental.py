@@ -265,3 +265,34 @@ def read_pruned(
     return spark.read.parquet(
         *[os.path.join(table.path, f) for f in files]
     )
+
+
+def compact_postings(table: VersionedTable, spark: SparkSession) -> int:
+    """Layout-aware OPTIMIZE for the postings index (the generic
+    :meth:`VersionedTable.compact` refuses layout-bearing tables):
+    rewrites the latest snapshot's shard leaves — which accumulate one
+    file set per upsert touching them — into ONE fresh part of one file
+    per shard, preserving the ``shard=N`` path encoding the manifest
+    prunes on, and carrying the scoring sidecars forward BY REFERENCE
+    (compaction does not change the corpus, so the committed ``aux``
+    dir is reused, not rewritten). Optimistic like any commit."""
+    latest = table.latest_version()
+    old = table.read(spark, version=latest)
+    part = f"part-{uuid.uuid4().hex}"
+    out = os.path.join(table.path, part)
+    (
+        _with_shard(old)
+        .repartition("shard")
+        .sortWithinPartitions("token", "subject")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    leaves = sorted(
+        f"{part}/{d}" for d in os.listdir(out) if d.startswith("shard=")
+    )
+    return table._commit_manifest(
+        leaves,
+        "overwrite",
+        VersionedTable.next_version(latest),
+        extra={"aux": table._manifest(latest)["aux"]},
+    )

@@ -363,8 +363,10 @@ def pq_store(
     raw vector (the memory dial that keeps 10^9-vector lists in cache).
 
     Returns ``(coarse_centroids, pq_codebooks, codes)``; the query path
-    (``queries.similarity.similarity_ivf_pq_topk``) reads only these —
-    never raw corpus vectors, never a trainer."""
+    (``queries.similarity.similarity_ivf_pq_topk``) SCANS only these —
+    never a trainer — and touches raw vectors solely through the refine
+    stage's point-joins on its <=PQ_REFINE shortlist rows per query
+    (``vectors_store``)."""
     import json
 
     from pyspark.sql import functions as F

@@ -54,9 +54,11 @@ def topk_recall(spark, sf_dir, approx_name: str, truth):
     ties the query's k-th true score."""
     kth = truth.groupBy("query_id").agg(F.min("score_q").alias("kth"))
     approx = REGISTRY[approx_name][0](spark, sf_dir)
-    # exact-membership hits + score-tie hits (tie tolerance needs the
-    # cosine score; IVF-PQ ranks by ADC distance instead, so it gets
-    # plain membership recall — the strictest reading)
+    # exact-membership hits + score-tie hits. Tie tolerance applies to
+    # any variant exposing the exact cosine score_q (all current ones,
+    # including refined IVF-PQ); a variant ranking only by a proxy
+    # (e.g. raw ADC distance) would fall back to plain membership
+    # recall — the strictest reading.
     member = approx.join(
         truth.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
     )

@@ -71,10 +71,15 @@ def unpartitioned_specs(plan: str) -> list[str]:
         if not parts:
             continue
         first = parts[0]
-        # direction markers appear OUTSIDE any nested call parens
-        stripped = re.sub(r"\([^()]*\)", "", first)
-        while "(" in stripped:
-            stripped = re.sub(r"\([^()]*\)", "", stripped)
+        # direction markers appear OUTSIDE any nested call parens;
+        # iterate to fixpoint (an UNBALANCED '(' from a truncated plan
+        # string never reduces — stop when a pass changes nothing)
+        stripped = first
+        while True:
+            reduced = re.sub(r"\([^()]*\)", "", stripped)
+            if reduced == stripped:
+                break
+            stripped = reduced
         if " ASC" in stripped or " DESC" in stripped:
             out.append(args[:120])
     return out

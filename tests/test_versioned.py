@@ -241,3 +241,110 @@ def test_postings_table_expire_vacuum_keeps_queries_green(
     assert deleted, "v0's rewritten shards and aux must be reclaimed"
     assert table.read(spark).count() == n_before
     assert read_aux(spark, table, 1)[0].count() == dl_before
+
+
+def test_compact_refuses_layout_bearing_tables(spark, tmp_path):
+    """Generic compact() must refuse a table whose manifest carries
+    writer-owned extra keys or partition-encoded leaves — rewriting it
+    as one plain part would drop the aux reference and the shard=N
+    pruning paths, silently breaking readers."""
+    t = VersionedTable(str(tmp_path / "t"))
+    files = t._write_data(_df(spark, 1))
+    t._commit_manifest(files, "overwrite", 0, extra={"aux": "_aux/x"})
+    with pytest.raises(ValueError, match="layout-aware"):
+        t.compact(spark)
+
+
+def test_vacuum_never_deletes_extra_key_artifacts(spark, tmp_path):
+    """The sweep honors EVERY writer-owned manifest key (the manifest
+    is the only arbiter of a version's artifacts), not a hard-coded
+    list — a future sidecar kind must survive vacuum."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    files = t._write_data(_df(spark, 1))
+    side = os.path.join(t.path, "_side", "abc")
+    os.makedirs(side)
+    with open(os.path.join(side, "blob.bin"), "wb") as f:
+        f.write(b"x")
+    t._commit_manifest(
+        files, "overwrite", 0, extra={"sidecar": "_side/abc"}
+    )
+    t.vacuum(retention_s=0.0)
+    assert os.path.exists(os.path.join(side, "blob.bin"))
+
+
+def test_vacuum_retention_protects_inflight_empty_dirs(spark, tmp_path):
+    """A writer's staging dirs are transiently EMPTY before the first
+    task file lands; the empty-dir sweep must apply the same retention
+    guard as the file sweep."""
+    import os
+    import time
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    staging = os.path.join(t.path, "part-inflight", "_temporary", "0")
+    os.makedirs(staging)
+    t.vacuum(retention_s=3600.0)
+    assert os.path.isdir(staging), "young empty staging dir swept"
+    # once aged past retention it goes
+    old = time.time() - 7200
+    for d in (
+        staging,
+        os.path.dirname(staging),
+        os.path.dirname(os.path.dirname(staging)),
+    ):
+        os.utime(d, (old, old))
+    t.vacuum(retention_s=3600.0)
+    assert not os.path.exists(os.path.dirname(os.path.dirname(staging)))
+
+
+def test_compact_postings_preserves_layout_and_sidecars(
+    spark, sf_dir, tmp_path
+):
+    """The layout-aware postings compactor merges each shard's
+    accumulated files into one, keeps the shard=N manifest paths the
+    query prunes on, carries aux by reference, and changes no data."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.ingest.doc_triples import load_triples
+    from aruna_spark.search.bm25 import build_field_literals, build_postings
+    from aruna_spark.search.incremental import (
+        _SHARD_RE,
+        compact_postings,
+        read_aux,
+        upsert_postings,
+    )
+
+    fields = build_field_literals(load_triples(spark, sf_dir))
+    changed = fields.filter(
+        F.regexp_extract("subject", r"(\d+)$", 1).cast("long") % 7 == 3
+    )
+    base = fields.join(
+        changed.select("subject").distinct(), "subject", "left_anti"
+    )
+    from aruna_spark.search.incremental import init_postings_table
+
+    table = init_postings_table(
+        spark, build_postings(base), str(tmp_path / "idx")
+    )
+    upsert_postings(
+        table, spark, build_postings(changed),
+        changed.select("subject").distinct(),
+    )
+    before = table.read(spark)
+    n_before, dl_before = before.count(), read_aux(spark, table, 1)[0].count()
+    aux_before = table._manifest(1)["aux"]
+    v = compact_postings(table, spark)
+    assert v == 2
+    files = table.files(2)
+    assert all(_SHARD_RE.search(f) for f in files)
+    # one part dir only after compaction
+    assert len({f.split("/")[0] for f in files}) == 1
+    # aux carried by reference, data identical
+    assert table._manifest(2)["aux"] == aux_before
+    assert table.read(spark).count() == n_before
+    assert read_aux(spark, table, 2)[0].count() == dl_before
+    # generic compact still refuses this table
+    with pytest.raises(ValueError, match="layout-aware"):
+        table.compact(spark)
