@@ -16,4 +16,14 @@ from aruna_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["Engine", "get_spark", "__version__"]
+
+
+def __getattr__(name):
+    # lazy: importing the facade pulls the query planes; keep bare
+    # `import aruna_spark` light for workers unpickling shipped UDFs
+    if name == "Engine":
+        from aruna_spark.api import Engine
+
+        return Engine
+    raise AttributeError(name)

@@ -1,0 +1,205 @@
+"""One user-facing handle over the engine's query planes.
+
+The reference exposes its capabilities as a handful of API route
+families (SURVEY §3): the realm-wide SPARQL endpoint
+(``api/src/routes/metadata.rs:108``), the paginated full-text search
+routes (``routes/search.rs:271`` / ``metadata.rs:106``), the
+S3-compatible catalog listing (``s3/s3_service.rs:1317``), plus
+RO-Crate export (``metadata.rs:950``) and JSON-LD ingest. A user of the
+reference talks to THOSE, not to the operator internals — so this
+module is the switch-over surface: :class:`Engine` binds one
+``(spark, data dir)`` pair and exposes each route family as a method,
+composed from the same governed building blocks the oracle-checked
+registry queries use (``SparqlEngine`` with its limits/cache/scope
+envelope, the maintained BM25 index + signed keyset cursors, the
+ListObjectsV2 delimiter/continuation semantics, the round-trip-exact
+JSON-LD codec).
+
+The route-shaped glue here is deliberately thin; everything
+semantics-bearing lives in (and is tested through) the modules it
+delegates to. ``tests/test_api.py`` drives each route end-to-end,
+including the cursor walk invariants the reference's route tests pin
+(``api/src/routes/metadata.rs:3943-4600``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.search.cursor import (
+    NodeKey,
+    SearchCursor,
+    SearchWatermark,
+    query_fingerprint,
+)
+
+DEFAULT_PAGE = 25  # search_cursor.rs:13
+MAX_PAGE = 100  # search_cursor.rs:14
+
+
+@dataclass
+class SearchPage:
+    """One served search page: hit rows (already bounded to the page
+    envelope) + the signed continuation cursor (None on the last
+    page)."""
+
+    hits: list
+    next_cursor: str | None
+
+
+class Engine:
+    """The switch-over facade: reference route families as methods.
+
+    ``visible_graphs`` (optional one-column ``graph_iri`` DataFrame) is
+    the caller's authorization scope, enforced by the SPARQL plane
+    exactly as :class:`~aruna_spark.sparql.engine.SparqlEngine`
+    documents. ``node_key`` signs search cursors; a fresh deterministic
+    key is derived when omitted (single-node deployment — the
+    reference's node identity is its iroh keypair)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        visible_graphs: DataFrame | None = None,
+        node_key: NodeKey | None = None,
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.visible_graphs = visible_graphs
+        self.node_key = node_key or NodeKey.from_seed(0)
+        self._sparql_engine = None
+
+    # ---------------------------------------------------------- SPARQL route
+    @property
+    def sparql_engine(self):
+        if self._sparql_engine is None:
+            from aruna_spark.sparql.engine import SparqlEngine
+            from aruna_spark.store import triples_store
+
+            self._sparql_engine = SparqlEngine(
+                self.spark,
+                triples_store(self.spark, self.sf_dir),
+                visible_graphs=self.visible_graphs,
+            )
+        return self._sparql_engine
+
+    def sparql(self, text: str, **kwargs) -> list:
+        """POST /metadata/sparql/query: run under the full governance
+        envelope (64 KiB query / 10 k rows / 8 MiB result / deadline
+        with job-group cancellation / scope-keyed cache) and return the
+        collected rows, as the route does."""
+        return self.sparql_engine.execute(text, **kwargs)
+
+    def sparql_df(self, text: str) -> DataFrame:
+        """The lazy form: compile only (row cap in the plan), for
+        callers composing further Spark transformations."""
+        return self.sparql_engine.query(text)
+
+    # ---------------------------------------------------------- search route
+    def search(
+        self,
+        query: str,
+        page_size: int | None = None,
+        cursor: str | None = None,
+    ) -> SearchPage:
+        """GET /search: one page of BM25 hits in the quantized-score
+        merge order, with a SIGNED keyset continuation cursor.
+
+        Page N+1 resumes via the keyset predicate on the
+        ``(score_q desc, graph_iri, subject)`` sort key — tie-bucket
+        non-skipping included (search_cursor.rs:740-782). A cursor is
+        rejected on tamper, unknown signer, or a query/fingerprint
+        mismatch, exactly like the route
+        (``metadata.rs:3943-4600`` harness semantics)."""
+        from aruna_spark.search.bm25 import keyset_after, validate_query
+        from aruna_spark.store import bm25_scored
+
+        validate_query(query)
+        size = min(int(page_size or DEFAULT_PAGE), MAX_PAGE)
+        if size < 1:
+            raise ValueError("page size must be positive")
+        fingerprint = query_fingerprint(query)
+        scored = bm25_scored(self.spark, self.sf_dir, query)
+        if cursor is not None:
+            c = SearchCursor.decode(cursor, [self.node_key])
+            c.require_fingerprint(fingerprint)
+            wm = self.spark.createDataFrame(
+                [
+                    (
+                        c.watermark.score_q,
+                        c.watermark.graph_iri,
+                        c.watermark.subject_iri,
+                    )
+                ],
+                "w_score_q long, w_graph string, w_subject string",
+            )
+            scored = keyset_after(scored, wm)
+        hits = (
+            scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
+            .limit(size)
+            .collect()  # the page envelope (<=100 rows) — route-bounded
+        )
+        next_cursor = None
+        if len(hits) == size:
+            last = hits[-1]
+            next_cursor = SearchCursor.new_signed(
+                fingerprint,
+                SearchWatermark(
+                    int(last.score_q), last.graph_iri, last.subject
+                ),
+                resume=[],
+                signer=self.node_key,
+            ).encode()
+        return SearchPage(hits=hits, next_cursor=next_cursor)
+
+    # --------------------------------------------------------- listing route
+    def list_objects(
+        self,
+        prefix: str = "",
+        delimiter: str | None = None,
+        start_after: str = "",
+        after_common_prefix: str = "",
+        max_keys: int = 1000,
+    ) -> DataFrame:
+        """S3 ListObjectsV2 over the catalog's latest object versions:
+        prefix/start_after pushdown, delimiter common-prefix roll-up,
+        (last_key, last_common_prefix) continuation semantics
+        (``list_objects_v2.rs:60-74``). Returns the page relation
+        ``(entry, kind, n_keys, total_size)``; the caller's
+        continuation token is the last row's entry per kind."""
+        from aruna_spark.ops.listing import list_objects_v2
+        from aruna_spark.sources.objects import load_object_versions
+
+        latest = load_object_versions(self.spark, self.sf_dir).filter(
+            F.col("is_latest")
+        )
+        return list_objects_v2(
+            latest,
+            prefix=prefix,
+            delimiter=delimiter,
+            start_after=start_after,
+            after_common_prefix=after_common_prefix,
+            max_keys=max_keys,
+        )
+
+    # ------------------------------------------------------ ingest / export
+    def ingest_jsonld(self, docs: DataFrame) -> DataFrame:
+        """JSON-LD documents -> RDF triples (the reference's write-path
+        projection, typing rules included)."""
+        from aruna_spark.ingest.jsonld import ingest_jsonld
+
+        return ingest_jsonld(docs)
+
+    def export_rocrate(self, triples: DataFrame | None = None) -> DataFrame:
+        """Per-graph RO-Crate JSON-LD export (round-trip-exact with
+        :meth:`ingest_jsonld`); defaults to the engine's triples."""
+        from aruna_spark.ingest.jsonld import export_rocrate
+        from aruna_spark.store import triples_store
+
+        if triples is None:
+            triples = triples_store(self.spark, self.sf_dir)
+        return export_rocrate(triples)

@@ -1,0 +1,120 @@
+"""End-to-end drives of the :class:`aruna_spark.api.Engine` facade —
+the reference-route-shaped switch-over surface (SURVEY §3). Route glue
+only; plane semantics are tested in their own suites. The search-walk
+checks mirror the reference's route-level cursor harness
+(``api/src/routes/metadata.rs:3943-4600``): two-page walk with no
+skip/no dup, tampered cursor rejected, cursor bound to its query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aruna_spark.api import DEFAULT_PAGE, Engine
+from aruna_spark.search.cursor import SearchCursorError
+
+QUERY = "doc"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def test_sparql_route_matches_lazy_form(engine):
+    text = """
+    SELECT ?s ?name WHERE {
+      ?s <http://schema.org/name> ?name .
+    } ORDER BY ?s LIMIT 10
+    """
+    rows = engine.sparql(text)  # route form: governed, flat values
+    lazy = engine.sparql_df(text).collect()  # lazy form: term structs
+    assert len(rows) == 10
+    assert [tuple(r) for r in rows] == [
+        tuple(term.value if term is not None else None for term in r)
+        for r in lazy
+    ]
+
+
+def test_search_two_page_walk_no_skip_no_dup(engine, spark, sf_dir):
+    from aruna_spark.store import bm25_scored
+
+    p1 = engine.search(QUERY)
+    assert len(p1.hits) == DEFAULT_PAGE and p1.next_cursor
+    p2 = engine.search(QUERY, cursor=p1.next_cursor)
+    keys = lambda page: [
+        (r.score_q, r.graph_iri, r.subject) for r in page.hits
+    ]
+    walked = keys(p1) + keys(p2)
+    # exactly the top-2*PAGE of the scored relation in merge order —
+    # nothing skipped at the page boundary (tie-bucket invariant),
+    # nothing duplicated
+    want = [
+        (r.score_q, r.graph_iri, r.subject)
+        for r in bm25_scored(spark, sf_dir, QUERY)
+        .orderBy(F.desc("score_q"), "graph_iri", "subject")
+        .limit(2 * DEFAULT_PAGE)
+        .collect()
+    ]
+    assert walked == want
+    assert len(set(walked)) == len(walked)
+
+
+def test_search_cursor_tamper_and_mismatch_rejected(engine):
+    p1 = engine.search(QUERY)
+    # bit-flip near the middle of the encoded cursor -> reject
+    raw = p1.next_cursor
+    flipped = raw[: len(raw) // 2] + (
+        "A" if raw[len(raw) // 2] != "A" else "B"
+    ) + raw[len(raw) // 2 + 1 :]
+    with pytest.raises(SearchCursorError):
+        engine.search(QUERY, cursor=flipped)
+    # a valid cursor replayed against a DIFFERENT query -> fingerprint
+    # mismatch
+    with pytest.raises(SearchCursorError):
+        engine.search("name", cursor=p1.next_cursor)
+
+
+def test_search_validates_query(engine):
+    with pytest.raises(ValueError):
+        engine.search("x")  # below min chars
+    with pytest.raises(ValueError):
+        engine.search("!!")  # no indexable tokens
+
+
+def test_list_objects_matches_registered_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = engine.list_objects(
+        prefix="data/", delimiter="/", max_keys=20
+    ).collect()
+    want = REGISTRY["listing_v2_root"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ingest_export_roundtrip(engine, spark):
+    from aruna_spark.ingest.jsonld import GRAPH_NS
+
+    doc = (
+        '{"@id": "urn:x:1", "@type": "http://schema.org/Dataset", '
+        '"name": "hello"}'
+    )
+    docs = spark.createDataFrame(
+        [("urn:g:1", doc)], "document_id string, jsonld string"
+    )
+    triples = engine.ingest_jsonld(docs)
+    assert triples.count() >= 2  # @type + name
+    crate = engine.export_rocrate(triples)
+    back = engine.ingest_jsonld(
+        crate.select(
+            F.regexp_replace(
+                "graph_iri", f"^{GRAPH_NS}", ""
+            ).alias("document_id"),
+            F.col("jsonld"),
+        )
+    )
+    a = {tuple(r) for r in triples.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
