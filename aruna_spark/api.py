@@ -186,6 +186,37 @@ class Engine:
             max_keys=max_keys,
         )
 
+    # ------------------------------------------------- smaller route family
+    def backlinks(self, target: str) -> DataFrame:
+        """references_metadata (api.rs:1300-1404): subjects pointing at
+        ``target`` via any IRI-valued property, name-enriched."""
+        from aruna_spark.ingest.doc_triples import load_triples
+        from aruna_spark.queries.backlinks import references_of
+
+        return references_of(load_triples(self.spark, self.sf_dir), target)
+
+    def drs_object(self, object_id: str):
+        """GET /ga4gh/drs/v1/objects/{id} (drs.rs:52-61): resolve one
+        content-address W3ID to its DrsObjectResponse row, or None when
+        the blob is unknown (the route's 404)."""
+        from aruna_spark.queries.drs import (
+            W3ID_DATA_PREFIX,
+            blob_index,
+            drs_response,
+        )
+        from aruna_spark.sources.objects import load_object_versions
+
+        if not object_id.startswith(W3ID_DATA_PREFIX):
+            raise ValueError(
+                f"DRS object id must start with {W3ID_DATA_PREFIX}"
+            )
+        blob_hash = object_id[len(W3ID_DATA_PREFIX) :]
+        requested = blob_index(
+            load_object_versions(self.spark, self.sf_dir)
+        ).filter(F.col("blob_hash") == blob_hash)
+        rows = drs_response(requested).collect()
+        return rows[0] if rows else None
+
     # ------------------------------------------------------ ingest / export
     def ingest_jsonld(self, docs: DataFrame) -> DataFrame:
         """JSON-LD documents -> RDF triples (the reference's write-path

@@ -47,6 +47,20 @@ def backlinks_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def references_of(triples: DataFrame, target: str) -> DataFrame:
+    """references_metadata for one target IRI (api.rs:1300-1404): who
+    points at ``target``, enriched with names — the parameterized form
+    the facade route serves; the registered demo query pins it at a
+    fixed TARGET for the oracle."""
+    refs = triples.filter(
+        (F.col("object_kind") == "iri") & (F.col("object_value") == target)
+    ).select("subject")
+    names = triples.filter(F.col("predicate") == SCHEMA + "name").select(
+        "subject", F.col("object_value").alias("name")
+    )
+    return refs.join(names, "subject").orderBy("subject")
+
+
 @register(
     "backlinks_references",
     oracle=f"""
@@ -61,11 +75,4 @@ def backlinks_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def backlinks_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     """references_metadata: who points at TARGET, enriched with names."""
-    t = load_triples(spark, sf_dir)
-    refs = t.filter(
-        (F.col("object_kind") == "iri") & (F.col("object_value") == TARGET)
-    ).select("subject")
-    names = t.filter(F.col("predicate") == SCHEMA + "name").select(
-        "subject", F.col("object_value").alias("name")
-    )
-    return refs.join(names, "subject").orderBy("subject")
+    return references_of(load_triples(spark, sf_dir), TARGET)

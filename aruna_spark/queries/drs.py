@@ -27,6 +27,38 @@ OBJECTS_ROUTE = "/ga4gh/drs/v1/objects/"  # drs.rs:57-60
 DOWNLOAD_ROUTE = "/ga4gh/drs/v1/download?object_id="  # drs.rs:437-441
 
 
+def blob_index(versions: DataFrame) -> DataFrame:
+    """Content-address index: one row per blob hash with its committed
+    size, canonical (lexicographically-first) location, and the
+    content-addressed fan-in."""
+    return versions.groupBy("blob_hash").agg(
+        F.min("size").alias("blob_size"),
+        F.min(F.concat(F.col("bucket"), F.lit("/"), F.col("key"))).alias(
+            "canonical_location"
+        ),
+        F.count(F.lit(1)).alias("n_locations"),
+    )
+
+
+def drs_response(requested: DataFrame) -> DataFrame:
+    """Blob-index rows -> DrsObjectResponse relation (drs.rs:406-460):
+    the id/self/name/access projection shared by the registered demo
+    batch and the facade's single-object route."""
+    cid = F.concat(F.lit(W3ID_DATA_PREFIX), F.col("blob_hash"))
+    return requested.select(
+        cid.alias("id"),
+        F.concat(F.lit(OBJECTS_ROUTE), cid).alias("self_uri"),
+        F.concat(F.lit("content-"), F.substring("blob_hash", 1, 12)).alias(
+            "name"
+        ),
+        F.col("blob_size").cast("long").alias("size"),
+        F.col("blob_hash").alias("checksum_md5"),
+        "canonical_location",
+        "n_locations",
+        F.concat(F.lit(DOWNLOAD_ROUTE), cid).alias("access_url"),
+    ).orderBy("id")
+
+
 @register(
     "drs_object_lookup",
     oracle=f"""
@@ -61,25 +93,5 @@ def drs_object_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     address commits to the content (drs.rs:450: ``location.blob_size``);
     ``canonical_location`` is the lexicographically-first stored copy
     and ``n_locations`` the content-addressed fan-in."""
-    versions = load_object_versions(spark, sf_dir)
-    blobs = versions.groupBy("blob_hash").agg(
-        F.min("size").alias("blob_size"),
-        F.min(F.concat(F.col("bucket"), F.lit("/"), F.col("key"))).alias(
-            "canonical_location"
-        ),
-        F.count(F.lit(1)).alias("n_locations"),
-    )
-    requested = blobs.filter(F.substring("blob_hash", 1, 1) == "a")
-    cid = F.concat(F.lit(W3ID_DATA_PREFIX), F.col("blob_hash"))
-    return requested.select(
-        cid.alias("id"),
-        F.concat(F.lit(OBJECTS_ROUTE), cid).alias("self_uri"),
-        F.concat(F.lit("content-"), F.substring("blob_hash", 1, 12)).alias(
-            "name"
-        ),
-        F.col("blob_size").cast("long").alias("size"),
-        F.col("blob_hash").alias("checksum_md5"),
-        "canonical_location",
-        "n_locations",
-        F.concat(F.lit(DOWNLOAD_ROUTE), cid).alias("access_url"),
-    ).orderBy("id")
+    blobs = blob_index(load_object_versions(spark, sf_dir))
+    return drs_response(blobs.filter(F.substring("blob_hash", 1, 1) == "a"))

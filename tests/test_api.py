@@ -118,3 +118,28 @@ def test_ingest_export_roundtrip(engine, spark):
     a = {tuple(r) for r in triples.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_backlinks_route_matches_registered_demo(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.backlinks import TARGET
+
+    load_all()
+    got = engine.backlinks(TARGET).collect()
+    want = REGISTRY["backlinks_references"][0](spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_drs_object_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.drs import W3ID_DATA_PREFIX
+
+    load_all()
+    batch = REGISTRY["drs_object_lookup"][0](spark, sf_dir).collect()
+    assert batch
+    one = engine.drs_object(batch[0].id)
+    assert tuple(one) == tuple(batch[0])
+    # unknown blob -> the route's 404 (None)
+    assert engine.drs_object(W3ID_DATA_PREFIX + "nope") is None
+    with pytest.raises(ValueError):
+        engine.drs_object("urn:not-a-drs-id")
