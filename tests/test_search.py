@@ -282,3 +282,45 @@ def test_materialized_postings_prune_and_match(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters: [" in plan
     assert a == b
+
+
+def test_keyset_walk_property_random_ties(spark):
+    """Property form of the tie-bucket invariant: for RANDOM scored
+    relations (tiny score/graph domains force heavy ties at every page
+    boundary) and every page size, the keyset walk visits exactly the
+    full relation in merge order — no skip, no dup (the
+    search_cursor.rs:740-782 contract, generalized)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.sampled_from(["g0", "g1"]),
+        st.integers(0, 25),
+        st.sampled_from([100, 100, 100, 90, 80]),  # heavy tie mass
+    )
+
+    @given(raw=st.sets(row, min_size=0, max_size=18), page=st.integers(1, 5))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(raw, page):
+        rows = [(g, f"s{i:02d}", q) for g, i, q in raw]
+        scored = spark.createDataFrame(
+            rows or [("g", "s", 0)],
+            "graph_iri string, subject string, score_q long",
+        )
+        if not rows:
+            scored = scored.limit(0)
+        seen = _walk_pages(spark, scored, page_size=page)
+        want = [
+            (g, s)
+            for q, g, s in sorted(
+                ((q, g, s) for g, s, q in rows),
+                key=lambda t: (-t[0], t[1], t[2]),
+            )
+        ]
+        assert seen == want
+
+    prop()
