@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.search.cursor import (
+    MAX_PAGINATION_DEPTH,
     NodeKey,
     SearchCursor,
     SearchWatermark,
@@ -114,7 +115,10 @@ class Engine:
         non-skipping included (search_cursor.rs:740-782). A cursor is
         rejected on tamper, unknown signer, or a query/fingerprint
         mismatch, exactly like the route
-        (``metadata.rs:3943-4600`` harness semantics)."""
+        (``metadata.rs:3943-4600`` harness semantics). Pagination depth
+        caps at 1,000 hits (search_cursor.rs:15, rs:386-397): the
+        cursor's resume entry carries the consumed count, and the walk
+        truncates — no next cursor — at the cap."""
         from aruna_spark.search.bm25 import keyset_after, validate_query
         from aruna_spark.store import bm25_scored
 
@@ -124,9 +128,11 @@ class Engine:
             raise ValueError("page size must be positive")
         fingerprint = query_fingerprint(query)
         scored = bm25_scored(self.spark, self.sf_dir, query)
+        consumed = 0
         if cursor is not None:
             c = SearchCursor.decode(cursor, [self.node_key])
             c.require_fingerprint(fingerprint)
+            consumed = c.resume_positions().get(self.node_key.node_id, 0)
             wm = self.spark.createDataFrame(
                 [
                     (
@@ -138,20 +144,24 @@ class Engine:
                 "w_score_q long, w_graph string, w_subject string",
             )
             scored = keyset_after(scored, wm)
+        size = min(size, MAX_PAGINATION_DEPTH - consumed)
+        if size <= 0:
+            return SearchPage(hits=[], next_cursor=None)  # depth cap
         hits = (
             scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
             .limit(size)
             .collect()  # the page envelope (<=100 rows) — route-bounded
         )
+        consumed += len(hits)
         next_cursor = None
-        if len(hits) == size:
+        if len(hits) == size and consumed < MAX_PAGINATION_DEPTH:
             last = hits[-1]
             next_cursor = SearchCursor.new_signed(
                 fingerprint,
                 SearchWatermark(
                     int(last.score_q), last.graph_iri, last.subject
                 ),
-                resume=[],
+                resume=[(self.node_key.node_id, consumed)],
                 signer=self.node_key,
             ).encode()
         return SearchPage(hits=hits, next_cursor=next_cursor)

@@ -143,3 +143,49 @@ def test_drs_object_route(engine, spark, sf_dir):
     assert engine.drs_object(W3ID_DATA_PREFIX + "nope") is None
     with pytest.raises(ValueError):
         engine.drs_object("urn:not-a-drs-id")
+
+
+def test_search_depth_cap_truncates_walk(engine, spark, sf_dir, monkeypatch):
+    """The walk truncates at MAX_PAGINATION_DEPTH consumed hits
+    (search_cursor.rs:15, rs:386-397): the page straddling the cap is
+    cut to it and carries no next cursor. Exercised with the real cap
+    by replaying a deep cursor, and end-to-end with a lowered cap."""
+    import aruna_spark.api as api
+    from aruna_spark.search.cursor import (
+        MAX_PAGINATION_DEPTH,
+        SearchCursor,
+        SearchWatermark,
+        query_fingerprint,
+    )
+
+    # a (signed, legitimate) cursor one hit short of the real cap:
+    # the next page must serve exactly 1 hit and stop
+    fp = query_fingerprint(QUERY)
+    deep = SearchCursor.new_signed(
+        fp,
+        SearchWatermark(2**62, "", ""),  # watermark above every hit
+        resume=[(engine.node_key.node_id, MAX_PAGINATION_DEPTH - 1)],
+        signer=engine.node_key,
+    ).encode()
+    page = engine.search(QUERY, cursor=deep)
+    assert len(page.hits) == 1 and page.next_cursor is None
+    # at the cap exactly: empty page, no cursor
+    at_cap = SearchCursor.new_signed(
+        fp,
+        SearchWatermark(2**62, "", ""),
+        resume=[(engine.node_key.node_id, MAX_PAGINATION_DEPTH)],
+        signer=engine.node_key,
+    ).encode()
+    page = engine.search(QUERY, cursor=at_cap)
+    assert page.hits == [] and page.next_cursor is None
+    # end-to-end with a lowered cap: the full walk stops at the cap
+    monkeypatch.setattr(api, "MAX_PAGINATION_DEPTH", 40)
+    walked, cur = [], None
+    while True:
+        p = engine.search(QUERY, page_size=25, cursor=cur)
+        walked.extend(p.hits)
+        cur = p.next_cursor
+        if cur is None:
+            break
+    assert len(walked) == 40
+    assert len({(r.graph_iri, r.subject) for r in walked}) == 40
