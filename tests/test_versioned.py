@@ -178,7 +178,10 @@ def test_expire_then_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     orphan = t._write_data(_df(spark, 99))[0]
     live = set(t.files(1))
     assert t.expire_versions(keep_last=1) == [0]
-    deleted = t.vacuum(retention_s=0.0)
+    # negative retention: everything counts as aged — the 0.0 form can
+    # race sub-second file mtimes against vacuum's clock read under
+    # full-suite load (observed flake)
+    deleted = t.vacuum(retention_s=-5.0)
     assert deleted, "expired v0 part + orphan must be swept"
     assert not any(d.startswith(tuple(live)) for d in deleted)
     assert not os.path.exists(os.path.join(t.path, orphan))
@@ -237,7 +240,7 @@ def test_postings_table_expire_vacuum_keeps_queries_green(
     n_before = table.read(spark).count()
     dl_before = read_aux(spark, table, 1)[0].count()
     table.expire_versions(keep_last=1)
-    deleted = table.vacuum(retention_s=0.0)
+    deleted = table.vacuum(retention_s=-5.0)
     assert deleted, "v0's rewritten shards and aux must be reclaimed"
     assert table.read(spark).count() == n_before
     assert read_aux(spark, table, 1)[0].count() == dl_before
