@@ -197,6 +197,17 @@ class Engine:
         )
 
     # ------------------------------------------------- smaller route family
+    def unified_search(self, query: str) -> DataFrame:
+        """The unified 4-section search (documents FTS-scored, buckets/
+        groups/users substring-matched, each section independently
+        limited — the reference's concurrent fan-out endpoint). Returns
+        the (section, rank, key, display, score_q) relation."""
+        from aruna_spark.queries.search import unified_sections
+        from aruna_spark.search.bm25 import validate_query
+
+        validate_query(query)
+        return unified_sections(self.spark, self.sf_dir, query)
+
     def backlinks(self, target: str) -> DataFrame:
         """references_metadata (api.rs:1300-1404): subjects pointing at
         ``target`` via any IRI-valued property, name-enriched."""

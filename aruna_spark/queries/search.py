@@ -224,6 +224,80 @@ UNIFIED_QUERY = "data"
 SECTION_LIMIT = 10
 
 
+def unified_sections(
+    spark: SparkSession, sf_dir: str, q: str
+) -> DataFrame:
+    """One request fans out to four sections — documents (FTS-scored),
+    buckets, groups, users (substring) — each independently limited to
+    10, returned as one (section, rank, key, display, score_q) relation.
+    The four section queries are independent DataFrames (Spark runs
+    their stages concurrently under one action), matching the
+    reference's concurrent fan-out. Section ranks are assigned with
+    :func:`bounded_rank` over each ≤10-row envelope — TakeOrdered +
+    single-row fold, never an unpartitioned row_number window. The
+    parameterized form the facade's route serves; the registered demo
+    query pins ``q`` for the oracle."""
+    from aruna_spark.ops.pagination import bounded_rank
+
+    q = q.lower()
+    scored = _scored(spark, sf_dir, q)
+    docs_sec = bounded_rank(
+        scored.orderBy(F.desc("score_q"), "graph_iri", "subject").limit(
+            SECTION_LIMIT
+        ),
+        [-F.col("score_q"), F.col("graph_iri"), F.col("subject")],
+    ).select(
+        F.lit("documents").alias("section"),
+        "rank",
+        F.col("subject").alias("key"),
+        F.col("subject").alias("display"),
+        "score_q",
+    )
+    d = load_table(spark, sf_dir, "documents")
+
+    def _substr_sec(name: str, col):
+        base = (
+            d.select(col.alias("v"))
+            .distinct()
+            .filter(F.lower(F.col("v")).contains(q))
+            .orderBy("v")
+            .limit(SECTION_LIMIT)
+        )
+        return bounded_rank(base, [F.col("v")]).select(
+            F.lit(name).alias("section"),
+            "rank",
+            F.col("v").alias("key"),
+            F.col("v").alias("display"),
+            F.lit(None).cast("long").alias("score_q"),
+        )
+
+    buckets_sec = _substr_sec(
+        "buckets", F.concat(F.lit("data/"), F.col("source"))
+    )
+    groups_sec = _substr_sec(
+        "groups", F.concat(F.lit("group-"), F.col("source"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.lower(F.col("c_name")).contains(q))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(SECTION_LIMIT)
+    )
+    users_sec = bounded_rank(cust, [F.col("c_custkey")]).select(
+        F.lit("users").alias("section"),
+        "rank",
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("c_name").alias("display"),
+        F.lit(None).cast("long").alias("score_q"),
+    )
+    return (
+        docs_sec.unionByName(buckets_sec)
+        .unionByName(groups_sec)
+        .unionByName(users_sec)
+    )
+
+
 @register(
     "search_unified",
     oracle=f"""
@@ -261,72 +335,8 @@ SECTION_LIMIT = 10
     """,
 )
 def search_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One request fans out to four sections — documents (FTS-scored),
-    buckets, groups, users (substring) — each independently limited to
-    10, returned as one (section, rank, key, display, score_q) relation.
-    The four section queries are independent DataFrames (Spark runs
-    their stages concurrently under one action), matching the
-    reference's concurrent fan-out. Section ranks are assigned with
-    :func:`bounded_rank` over each ≤10-row envelope — TakeOrdered +
-    single-row fold, never an unpartitioned row_number window."""
-    from aruna_spark.ops.pagination import bounded_rank
-
-    scored = _scored(spark, sf_dir, UNIFIED_QUERY)
-    docs_sec = bounded_rank(
-        scored.orderBy(F.desc("score_q"), "graph_iri", "subject").limit(
-            SECTION_LIMIT
-        ),
-        [-F.col("score_q"), F.col("graph_iri"), F.col("subject")],
-    ).select(
-        F.lit("documents").alias("section"),
-        "rank",
-        F.col("subject").alias("key"),
-        F.col("subject").alias("display"),
-        "score_q",
-    )
-    d = load_table(spark, sf_dir, "documents")
-
-    def _substr_sec(name: str, col):
-        base = (
-            d.select(col.alias("v"))
-            .distinct()
-            .filter(F.lower(F.col("v")).contains(UNIFIED_QUERY))
-            .orderBy("v")
-            .limit(SECTION_LIMIT)
-        )
-        return bounded_rank(base, [F.col("v")]).select(
-            F.lit(name).alias("section"),
-            "rank",
-            F.col("v").alias("key"),
-            F.col("v").alias("display"),
-            F.lit(None).cast("long").alias("score_q"),
-        )
-
-    buckets_sec = _substr_sec(
-        "buckets", F.concat(F.lit("data/"), F.col("source"))
-    )
-    groups_sec = _substr_sec(
-        "groups", F.concat(F.lit("group-"), F.col("source"))
-    )
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.lower(F.col("c_name")).contains(UNIFIED_QUERY))
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-        .limit(SECTION_LIMIT)
-    )
-    users_sec = bounded_rank(cust, [F.col("c_custkey")]).select(
-        F.lit("users").alias("section"),
-        "rank",
-        F.col("c_custkey").cast("string").alias("key"),
-        F.col("c_name").alias("display"),
-        F.lit(None).cast("long").alias("score_q"),
-    )
-    return (
-        docs_sec.unionByName(buckets_sec)
-        .unionByName(groups_sec)
-        .unionByName(users_sec)
-    )
+    """The registered demo form of :func:`unified_sections`."""
+    return unified_sections(spark, sf_dir, UNIFIED_QUERY)
 
 
 def _title_snippet_sql(tokens: list[str]) -> tuple[str, str]:

@@ -189,3 +189,18 @@ def test_search_depth_cap_truncates_walk(engine, spark, sf_dir, monkeypatch):
             break
     assert len(walked) == 40
     assert len({(r.graph_iri, r.subject) for r in walked}) == 40
+
+
+def test_unified_search_route_matches_registered_demo(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.search import UNIFIED_QUERY
+
+    load_all()
+    got = engine.unified_search(UNIFIED_QUERY).collect()
+    want = REGISTRY["search_unified"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # a different query produces a (valid) different section relation
+    other = engine.unified_search("collection").collect()
+    assert {r.section for r in other} <= {
+        "documents", "buckets", "groups", "users"
+    }
