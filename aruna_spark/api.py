@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.search.cursor import (
+    DEFAULT_PAGE_SIZE,
+    MAX_PAGE_SIZE,
     MAX_PAGINATION_DEPTH,
     NodeKey,
     SearchCursor,
@@ -37,15 +39,18 @@ from aruna_spark.search.cursor import (
     query_fingerprint,
 )
 
-DEFAULT_PAGE = 25  # search_cursor.rs:13
-MAX_PAGE = 100  # search_cursor.rs:14
+# route aliases for the shared cursor-plane constants (search_cursor.rs:13-14)
+DEFAULT_PAGE = DEFAULT_PAGE_SIZE
+MAX_PAGE = MAX_PAGE_SIZE
 
 
 @dataclass
-class SearchPage:
+class SearchResultPage:
     """One served search page: hit rows (already bounded to the page
-    envelope) + the signed continuation cursor (None on the last
-    page)."""
+    envelope) + the signed continuation cursor (None on the last page).
+    Distinct from :class:`aruna_spark.search.cursor.SearchPage` (the
+    multi-node merge-plane page) — this is the single-relation route
+    envelope."""
 
     hits: list
     next_cursor: str | None
@@ -55,11 +60,22 @@ class Engine:
     """The switch-over facade: reference route families as methods.
 
     ``visible_graphs`` (optional one-column ``graph_iri`` DataFrame) is
-    the caller's authorization scope, enforced by the SPARQL plane
+    the caller's authorization scope: the SPARQL plane enforces it
     exactly as :class:`~aruna_spark.sparql.engine.SparqlEngine`
-    documents. ``node_key`` signs search cursors; a fresh deterministic
-    key is derived when omitted (single-node deployment — the
-    reference's node identity is its iroh keypair)."""
+    documents, and the GRAPH-keyed routes (``search``,
+    ``unified_search``'s documents section, ``backlinks``) semi-join
+    their graph/triple relations against it. The object-plane routes
+    (``list_objects``, ``drs_object``) are NOT graph-scoped — in the
+    reference they sit behind the S3/DRS authorization plane (bucket
+    policies), which is part of the excluded control plane.
+
+    ``node_key`` signs search cursors; when omitted a FRESH RANDOM key
+    is generated for this engine instance (the reference's node
+    identity is its iroh keypair). A fixed or publicly-derivable key
+    would let clients forge cursors — including resetting the
+    depth-cap resume count — so never default to a constant seed;
+    multi-instance deployments that must honor each other's cursors
+    pass a shared provisioned key."""
 
     def __init__(
         self,
@@ -68,11 +84,26 @@ class Engine:
         visible_graphs: DataFrame | None = None,
         node_key: NodeKey | None = None,
     ):
+        import os
+
         self.spark = spark
         self.sf_dir = sf_dir
         self.visible_graphs = visible_graphs
-        self.node_key = node_key or NodeKey.from_seed(0)
+        self.node_key = node_key or NodeKey(os.urandom(32))
         self._sparql_engine = None
+
+    def _scoped_by_graph(self, df: DataFrame) -> DataFrame:
+        """Gate a relation carrying ``graph_iri`` by the caller's
+        visibility scope (left-semi against the small per-caller scope
+        table — it broadcasts; the reference's lazy visibility filter,
+        handle.rs:4657-4700)."""
+        if self.visible_graphs is None:
+            return df
+        return df.join(
+            F.broadcast(self.visible_graphs.select("graph_iri").distinct()),
+            "graph_iri",
+            "left_semi",
+        )
 
     # ---------------------------------------------------------- SPARQL route
     @property
@@ -81,10 +112,19 @@ class Engine:
             from aruna_spark.sparql.engine import SparqlEngine
             from aruna_spark.store import triples_store
 
+            from aruna_spark.store import bm25_scored
+
+            # the facade's triples ARE the full store, so fts: patterns
+            # must resolve against the materialized shard-pruned index,
+            # never a per-query postings rebuild (engine.py:291-297);
+            # scope still applies: the resolver's hits are graph-gated
             self._sparql_engine = SparqlEngine(
                 self.spark,
                 triples_store(self.spark, self.sf_dir),
                 visible_graphs=self.visible_graphs,
+                fts_resolver=lambda q: self._scoped_by_graph(
+                    bm25_scored(self.spark, self.sf_dir, q)
+                ).select("subject", "score_q"),
             )
         return self._sparql_engine
 
@@ -106,7 +146,7 @@ class Engine:
         query: str,
         page_size: int | None = None,
         cursor: str | None = None,
-    ) -> SearchPage:
+    ) -> SearchResultPage:
         """GET /search: one page of BM25 hits in the quantized-score
         merge order, with a SIGNED keyset continuation cursor.
 
@@ -119,15 +159,19 @@ class Engine:
         caps at 1,000 hits (search_cursor.rs:15, rs:386-397): the
         cursor's resume entry carries the consumed count, and the walk
         truncates — no next cursor — at the cap."""
-        from aruna_spark.search.bm25 import keyset_after, validate_query
+        from aruna_spark.search.bm25 import keyset_after
         from aruna_spark.store import bm25_scored
 
-        validate_query(query)
-        size = min(int(page_size or DEFAULT_PAGE), MAX_PAGE)
+        size = DEFAULT_PAGE if page_size is None else int(page_size)
         if size < 1:
             raise ValueError("page size must be positive")
+        size = min(size, MAX_PAGE)
         fingerprint = query_fingerprint(query)
-        scored = bm25_scored(self.spark, self.sf_dir, query)
+        # bm25_scored validates the query (min chars / tokenizable);
+        # the scored relation is gated by the caller's graph scope
+        scored = self._scoped_by_graph(
+            bm25_scored(self.spark, self.sf_dir, query)
+        )
         consumed = 0
         if cursor is not None:
             c = SearchCursor.decode(cursor, [self.node_key])
@@ -146,7 +190,7 @@ class Engine:
             scored = keyset_after(scored, wm)
         size = min(size, MAX_PAGINATION_DEPTH - consumed)
         if size <= 0:
-            return SearchPage(hits=[], next_cursor=None)  # depth cap
+            return SearchResultPage(hits=[], next_cursor=None)  # depth cap
         hits = (
             scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
             .limit(size)
@@ -164,7 +208,7 @@ class Engine:
                 resume=[(self.node_key.node_id, consumed)],
                 signer=self.node_key,
             ).encode()
-        return SearchPage(hits=hits, next_cursor=next_cursor)
+        return SearchResultPage(hits=hits, next_cursor=next_cursor)
 
     # --------------------------------------------------------- listing route
     def list_objects(
@@ -203,9 +247,13 @@ class Engine:
         limited — the reference's concurrent fan-out endpoint). Returns
         the (section, rank, key, display, score_q) relation."""
         from aruna_spark.queries.search import unified_sections
-        from aruna_spark.search.bm25 import validate_query
 
-        validate_query(query)
+        if self.visible_graphs is not None:
+            raise NotImplementedError(
+                "unified_search is realm-wide; per-caller graph scoping "
+                "applies only to its documents section — use search() "
+                "for a scoped walk"
+            )
         return unified_sections(self.spark, self.sf_dir, query)
 
     def backlinks(self, target: str) -> DataFrame:
@@ -214,7 +262,10 @@ class Engine:
         from aruna_spark.ingest.doc_triples import load_triples
         from aruna_spark.queries.backlinks import references_of
 
-        return references_of(load_triples(self.spark, self.sf_dir), target)
+        return references_of(
+            self._scoped_by_graph(load_triples(self.spark, self.sf_dir)),
+            target,
+        )
 
     def drs_object(self, object_id: str):
         """GET /ga4gh/drs/v1/objects/{id} (drs.rs:52-61): resolve one

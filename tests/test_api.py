@@ -204,3 +204,52 @@ def test_unified_search_route_matches_registered_demo(engine, spark, sf_dir):
     assert {r.section for r in other} <= {
         "documents", "buckets", "groups", "users"
     }
+
+
+def test_search_page_size_zero_rejected(engine):
+    with pytest.raises(ValueError, match="positive"):
+        engine.search(QUERY, page_size=0)
+
+
+def test_graph_scope_gates_search_and_backlinks(spark, sf_dir):
+    from aruna_spark.api import Engine
+    from aruna_spark.queries.backlinks import TARGET
+
+    wide = Engine(spark, sf_dir)
+    all_hits = wide.search(QUERY, page_size=100).hits
+    graphs = sorted({r.graph_iri for r in all_hits})
+    assert len(graphs) >= 2, "need multiple graphs to test scoping"
+    allowed = spark.createDataFrame(
+        [(graphs[0],)], "graph_iri string"
+    )
+    scoped = Engine(spark, sf_dir, visible_graphs=allowed)
+    got = scoped.search(QUERY, page_size=100).hits
+    assert got and {r.graph_iri for r in got} == {graphs[0]}
+    # backlinks likewise never leaves the scope (empty scope -> empty)
+    none = Engine(
+        spark,
+        sf_dir,
+        visible_graphs=spark.createDataFrame(
+            [("urn:nope",)], "graph_iri string"
+        ),
+    )
+    assert none.backlinks(TARGET).count() == 0
+    # unified_search refuses a scoped engine instead of leaking
+    with pytest.raises(NotImplementedError):
+        scoped.unified_search(QUERY)
+
+
+def test_default_node_keys_are_not_forgeable_across_engines(
+    spark, sf_dir
+):
+    """Two default-constructed engines must NOT honor each other's
+    cursors: the default signing key is random per instance, so a
+    publicly-derivable key cannot forge cursors (e.g. resetting the
+    depth-cap resume count)."""
+    from aruna_spark.api import Engine
+
+    a = Engine(spark, sf_dir)
+    b = Engine(spark, sf_dir)
+    p1 = a.search(QUERY)
+    with pytest.raises(SearchCursorError):
+        b.search(QUERY, cursor=p1.next_cursor)
