@@ -246,10 +246,20 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the query path joins bucket ids + the precomputed-norm vectors
     layout (``store.vectors_store``) — no per-query re-bucketing.
     """
+    return lsh_topk_tables(spark, sf_dir, TABLES)
+
+
+def lsh_topk_tables(
+    spark: SparkSession, sf_dir: str, n_tables: int
+) -> DataFrame:
+    """The multi-table LSH top-k with the TABLES dial exposed: probe
+    only the first ``n_tables`` stored tables. The registered query
+    pins ``TABLES``; the recall audit measures the compounding
+    1-(1-P1)^T curve across table counts."""
     from aruna_spark.store import lsh_store, vectors_store
 
     emb = vectors_store(spark, sf_dir)
-    bucketed = lsh_store(spark, sf_dir)
+    bucketed = lsh_store(spark, sf_dir).filter(F.col("tbl") < n_tables)
     probes = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         "tbl",

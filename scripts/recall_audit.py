@@ -166,6 +166,34 @@ def main() -> None:
         print(f"{name:<25} recall@k={r:.4f}  queries={n_q}"
               f"  ({time.time() - t0:.1f}s)")
 
+    # the TABLES dial, measured: recall compounds 1-(1-P1)^T across
+    # independent tables while scan cost grows linearly in T
+    from aruna_spark.queries.similarity import TABLES, lsh_topk_tables
+
+    kth = truth_topk.groupBy("query_id").agg(F.min("score_q").alias("kth"))
+    k = truth_topk.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    n_q = truth_topk.select("query_id").distinct().count()
+    curve = {}
+    for t in range(1, TABLES + 1):
+        approx = lsh_topk_tables(spark, sf_dir, t)
+        member = approx.join(
+            truth_topk.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_semi",
+        )
+        tie = (
+            approx.join(member, ["query_id", "vec_id"], "left_anti")
+            .join(F.broadcast(kth), "query_id")
+            .filter(F.col("score_q") >= F.col("kth"))
+        )
+        hits = member.count() + tie.count()
+        curve[t] = round(hits / (k * n_q), 4)
+    out["lsh_tables_dial"] = {
+        "recall_at_k_by_tables": curve,
+        "truth": "brute-force cosine top-k",
+    }
+    print(f"lsh TABLES dial            {curve}")
+
     truth_nd = neardup_truth(spark, sf_dir).cache()
     truth_nd.count()
     # (the exact-collapsed variant pairs REPRESENTATIVE ids, a different
