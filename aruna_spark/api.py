@@ -256,6 +256,52 @@ class Engine:
             )
         return unified_sections(self.spark, self.sf_dir, query)
 
+    def metadata_listing(
+        self,
+        order: str = "recent",
+        limit: int | None = None,
+        anonymous: bool = False,
+    ) -> DataFrame:
+        """The metadata listing route (api.rs:345-489): the registry
+        projection in one of its two orders, with the reference's limit
+        rules applied (default 50, clamp 1,000 — 100 for anonymous
+        callers, non-positive rejected)."""
+        from aruna_spark.ops.listing import resolve_listing_limit
+        from aruna_spark.queries.registry import _registry
+
+        n = resolve_listing_limit(limit, anonymous=anonymous)
+        reg = _registry(self.spark, self.sf_dir)
+        if order == "recent":
+            reg = reg.orderBy(F.desc("updated_at_us"), F.desc("user_id"))
+        elif order == "created":
+            reg = reg.orderBy("user_id")
+        else:
+            raise ValueError(f"unknown listing order {order!r}")
+        return reg.limit(n)
+
+    def path_lookup(self, path: str):
+        """The path lookup route (api.rs:489-632): resolve one path to
+        its deterministic claim winner (+ ordered conflicts), or None
+        when nothing claims it. Claims are filtered BY PATH before the
+        ranking window — a point lookup, never a realm-wide rank."""
+        from aruna_spark.queries.registry import claim_winners, demo_claims
+
+        rows = claim_winners(
+            demo_claims(self.spark, self.sf_dir).filter(
+                F.col("path") == path
+            )
+        ).collect()
+        return rows[0] if rows else None
+
+    def usage_counters(self, by_group: bool = True) -> DataFrame:
+        """The usage-counter plane (six counters): per-group rows or the
+        global roll-up — the same relation the rebuild job full-scans."""
+        from aruna_spark.queries import REGISTRY, load_all
+
+        load_all()
+        name = "usage_counters_by_group" if by_group else "usage_counters_global"
+        return REGISTRY[name][0](self.spark, self.sf_dir)
+
     def backlinks(self, target: str) -> DataFrame:
         """references_metadata (api.rs:1300-1404): subjects pointing at
         ``target`` via any IRI-valued property, name-enriched."""

@@ -204,14 +204,26 @@ def registry_path_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic path-claim winner: min (digest, doc_id) per path;
     losers kept as ordered conflicts (path_claim.rs:41-75). The digest
     order makes the winner independent of claim arrival order."""
+    return claim_winners(demo_claims(spark, sf_dir))
+
+
+def demo_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic (path, doc_id, digest) claims relation the demo
+    query and the facade's path lookup share."""
     docs = load_table(spark, sf_dir, "documents")
-    claims = docs.select(
+    return docs.select(
         F.concat(F.lit("p/"), (F.col("doc_id") % 50).cast("string")).alias(
             "path"
         ),
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("digest"),
     )
+
+
+def claim_winners(claims: DataFrame) -> DataFrame:
+    """Winner + ordered conflicts per path over ANY claims relation.
+    Point lookups filter claims BY PATH first (the scale-right shape —
+    the window then ranks one path's claimants, not the realm)."""
     w = Window.partitionBy("path").orderBy("digest", "doc_id")
     ranked = claims.withColumn("rn", F.row_number().over(w))
     return ranked.groupBy("path").agg(

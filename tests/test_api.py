@@ -253,3 +253,42 @@ def test_default_node_keys_are_not_forgeable_across_engines(
     p1 = a.search(QUERY)
     with pytest.raises(SearchCursorError):
         b.search(QUERY, cursor=p1.next_cursor)
+
+
+def test_metadata_listing_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = engine.metadata_listing(order="recent", limit=50).collect()
+    want = REGISTRY["registry_listing_recent"][0](spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # limit rules: anonymous clamp + invalid rejection
+    assert len(engine.metadata_listing(limit=5000, anonymous=True).collect()) <= 100
+    with pytest.raises(ValueError):
+        engine.metadata_listing(limit=0)
+    with pytest.raises(ValueError):
+        engine.metadata_listing(order="sideways")
+
+
+def test_path_lookup_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    all_claims = {
+        r.path: r
+        for r in REGISTRY["registry_path_claims"][0](spark, sf_dir).collect()
+    }
+    some_path = sorted(all_claims)[0]
+    got = engine.path_lookup(some_path)
+    assert tuple(got) == tuple(all_claims[some_path])
+    assert engine.path_lookup("p/never-claimed") is None
+
+
+def test_usage_counters_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = engine.usage_counters(by_group=True).collect()
+    want = REGISTRY["usage_counters_by_group"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert engine.usage_counters(by_group=False).count() == 1
