@@ -110,21 +110,28 @@ class Engine:
     def sparql_engine(self):
         if self._sparql_engine is None:
             from aruna_spark.sparql.engine import SparqlEngine
-            from aruna_spark.store import triples_store
+            from aruna_spark.store import bm25_scored, triples_store
 
-            from aruna_spark.store import bm25_scored
-
-            # the facade's triples ARE the full store, so fts: patterns
-            # must resolve against the materialized shard-pruned index,
-            # never a per-query postings rebuild (engine.py:291-297);
-            # scope still applies: the resolver's hits are graph-gated
+            # the facade's triples ARE the full store, so an UNSCOPED
+            # engine resolves fts: patterns against the materialized
+            # shard-pruned index, never a per-query postings rebuild
+            # (engine.py:291-297). A SCOPED engine keeps the engine's
+            # default DERIVED resolver: the stored index's BM25 stats
+            # (IDF, doc lengths) are corpus-global, so scores computed
+            # from it would observably reflect INVISIBLE documents'
+            # statistics even after graph-gating the hits; the derived
+            # resolver scores only the visible slice, which is the
+            # scoped semantics the engine documents.
+            fts = None
+            if self.visible_graphs is None:
+                fts = lambda q: bm25_scored(  # noqa: E731
+                    self.spark, self.sf_dir, q
+                ).select("subject", "score_q")
             self._sparql_engine = SparqlEngine(
                 self.spark,
                 triples_store(self.spark, self.sf_dir),
                 visible_graphs=self.visible_graphs,
-                fts_resolver=lambda q: self._scoped_by_graph(
-                    bm25_scored(self.spark, self.sf_dir, q)
-                ).select("subject", "score_q"),
+                fts_resolver=fts,
             )
         return self._sparql_engine
 
@@ -240,21 +247,163 @@ class Engine:
             max_keys=max_keys,
         )
 
+    # ------------------------------------------------- object-plane routes
+    # The reference dispatches the whole S3 family through one service
+    # (api/src/s3/s3_service.rs:1521,2203,2491); these routes are that
+    # dispatch surface over the oracle-checked object-plane logic. They
+    # are NOT graph-scoped — in the reference they sit behind the
+    # S3 authorization plane (bucket policies), part of the excluded
+    # control plane (same note as list_objects/drs_object).
+
+    def _versions(self) -> DataFrame:
+        from aruna_spark.sources.objects import load_object_versions
+
+        return load_object_versions(self.spark, self.sf_dir)
+
+    def put_object(
+        self, key: str, size: int, blob_hash: str, bucket: str = "corpus"
+    ):
+        """PutObject (put_object.rs state machine as set algebra): apply
+        one put to the versions table and return the NEW head version
+        record — version_idx assigned past the key's prior max, etag
+        derived, ``deduplicated`` set when the blob_hash was already
+        stored (CheckHashLookup hit -> no new blob)."""
+        from aruna_spark.queries.s3_suite import put_objects
+
+        puts = self.spark.createDataFrame(
+            [(bucket, key, int(size), blob_hash)],
+            "bucket string, key string, size long, blob_hash string",
+        )
+        rows = (
+            put_objects(self._versions(), puts)
+            .filter(
+                (F.col("bucket") == bucket)
+                & (F.col("key") == key)
+                & F.col("is_latest")
+            )
+            .collect()
+        )
+        return rows[0]
+
+    def _resolve_one(
+        self,
+        bucket: str,
+        key: str,
+        version_id: str | None,
+        if_match: str | None,
+        if_none_match: str | None,
+        range_start: int | None,
+        range_end: int | None,
+        range_suffix: int | None,
+    ):
+        from aruna_spark.queries.s3_suite import resolve_requests
+
+        if range_suffix is not None and range_start is not None:
+            raise ValueError("range is StartEnd or Suffix, not both")
+        if range_start is not None and range_end is None:
+            raise ValueError("StartEnd range needs range_end")
+        req = self.spark.createDataFrame(
+            [
+                (
+                    bucket,
+                    key,
+                    version_id,
+                    if_match,
+                    if_none_match,
+                    range_start,
+                    range_end,
+                    range_suffix,
+                )
+            ],
+            "bucket string, key string, want_version_id string, "
+            "if_match string, if_none_match string, range_start long, "
+            "range_end long, range_suffix long",
+        )
+        return resolve_requests(self._versions(), req).collect()[0]
+
+    def get_object(
+        self,
+        key: str,
+        bucket: str = "corpus",
+        version_id: str | None = None,
+        if_match: str | None = None,
+        if_none_match: str | None = None,
+        range_start: int | None = None,
+        range_end: int | None = None,
+        range_suffix: int | None = None,
+    ):
+        """GetObject (get_object.rs:85-160): latest or explicit version,
+        If-Match / If-None-Match conditionals, StartEnd / Suffix byte
+        ranges. Returns the resolution row — ``status`` carries the S3
+        semantics (200/206/304/412/416/404)."""
+        return self._resolve_one(
+            bucket,
+            key,
+            version_id,
+            if_match,
+            if_none_match,
+            range_start,
+            range_end,
+            range_suffix,
+        )
+
+    def head_object(
+        self,
+        key: str,
+        bucket: str = "corpus",
+        version_id: str | None = None,
+        if_match: str | None = None,
+        if_none_match: str | None = None,
+    ):
+        """HeadObject: GetObject's resolution minus the body — no range
+        parameters, and the row carries no content_range."""
+        row = self._resolve_one(
+            bucket, key, version_id, if_match, if_none_match, None, None, None
+        )
+        d = row.asDict()
+        d.pop("content_range", None)
+        return d
+
+    def complete_multipart(self, parts: DataFrame) -> DataFrame:
+        """CompleteMultipartUpload over a ``(upload_id, part_number,
+        part_size, part_etag)`` manifest: the multipart etag fold +
+        part-contiguity validation (s3_service.rs:2203)."""
+        from aruna_spark.queries.s3_suite import complete_multipart
+
+        return complete_multipart(parts)
+
+    def list_object_versions(
+        self, prefix: str = "", max_keys: int = 1000
+    ) -> DataFrame:
+        """ListObjectVersions: every version under the prefix, latest
+        first per key (s3_service.rs ListObjectVersions dispatch)."""
+        return (
+            self._versions()
+            .filter(F.col("key").startswith(prefix))
+            .orderBy("key", F.desc("version_idx"))
+            .select("key", "version_id", "is_latest", "size", "etag")
+            .limit(int(max_keys))
+        )
+
     # ------------------------------------------------- smaller route family
     def unified_search(self, query: str) -> DataFrame:
         """The unified 4-section search (documents FTS-scored, buckets/
         groups/users substring-matched, each section independently
         limited — the reference's concurrent fan-out endpoint). Returns
-        the (section, rank, key, display, score_q) relation."""
+        the (section, rank, key, display, score_q) relation.
+
+        A scoped engine serves the DOCUMENTS section under the caller's
+        graph visibility (the same semi-join :meth:`search` applies)
+        while buckets/groups/users stay realm-wide — exactly how the
+        reference runs every section under the caller's authorization
+        with the documents section on the authorized search path
+        (``api/src/routes/search.rs:271-330``)."""
         from aruna_spark.queries.search import unified_sections
 
-        if self.visible_graphs is not None:
-            raise NotImplementedError(
-                "unified_search is realm-wide; per-caller graph scoping "
-                "applies only to its documents section — use search() "
-                "for a scoped walk"
-            )
-        return unified_sections(self.spark, self.sf_dir, query)
+        scope = (
+            None if self.visible_graphs is None else self._scoped_by_graph
+        )
+        return unified_sections(self.spark, self.sf_dir, query, scope=scope)
 
     def metadata_listing(
         self,
@@ -274,7 +423,9 @@ class Engine:
         if order == "recent":
             reg = reg.orderBy(F.desc("updated_at_us"), F.desc("user_id"))
         elif order == "created":
-            reg = reg.orderBy("user_id")
+            # first-event time per entity (the registry's created_at_us)
+            # — the reference's ULID-creation order, not an id proxy
+            reg = reg.orderBy("created_at_us", "user_id")
         else:
             raise ValueError(f"unknown listing order {order!r}")
         return reg.limit(n)
@@ -334,6 +485,76 @@ class Engine:
         ).filter(F.col("blob_hash") == blob_hash)
         rows = drs_response(requested).collect()
         return rows[0] if rows else None
+
+    # ------------------------------------------------------ streaming plane
+    # The reference's watch API (core/src/structs/notification_watch.rs;
+    # delivery tests operations/tests/resource_watch_delivery.rs):
+    # subscribe with a path glob + event-kind mask, receive matched
+    # events, track unread counts. Every route delegates to the same
+    # transformation functions the Structured Streaming pipeline and the
+    # oracle-checked stream_* queries use (streaming/watch.py), and each
+    # accepts an optional ``events`` relation — batch OR streaming (the
+    # glob/mask match is a stream-static broadcast join, identical on
+    # either) — defaulting to the engine's batch events table.
+
+    def _events(self) -> DataFrame:
+        from aruna_spark.catalog import load_table
+
+        return load_table(self.spark, self.sf_dir, "events")
+
+    def watch(
+        self,
+        path_glob: str,
+        kinds: list[str],
+        watch_id: str = "w_sub",
+        events: DataFrame | None = None,
+    ) -> DataFrame:
+        """Subscribe one watch: the matched-events relation for a path
+        glob + kind mask (notification_watch.rs:80-121 match rules,
+        globset dialect)."""
+        from aruna_spark.ops.globs import glob_to_regex
+        from aruna_spark.streaming.watch import match_watches
+
+        watches = self.spark.createDataFrame(
+            [(watch_id, glob_to_regex(path_glob), list(kinds))],
+            "watch_id string, pattern string, kinds array<string>",
+        )
+        return match_watches(
+            self._events() if events is None else events, watches
+        )
+
+    def watch_summary(self, events: DataFrame | None = None) -> DataFrame:
+        """Per-watch match summary over the default subscription set —
+        the relation ``stream_watch_matches`` oracle-checks."""
+        from aruna_spark.streaming.watch import (
+            match_summary,
+            match_watches,
+            watches_df,
+        )
+
+        return match_summary(
+            match_watches(
+                self._events() if events is None else events,
+                watches_df(self.spark),
+            )
+        )
+
+    def unread(self, events: DataFrame | None = None) -> DataFrame:
+        """Outbox→inbox unread counts per watch over the default
+        subscription set — the relation ``stream_unread_counts``
+        oracle-checks."""
+        from aruna_spark.streaming.watch import (
+            match_watches,
+            unread_counts,
+            watches_df,
+        )
+
+        return unread_counts(
+            match_watches(
+                self._events() if events is None else events,
+                watches_df(self.spark),
+            )
+        )
 
     # ------------------------------------------------------ ingest / export
     def ingest_jsonld(self, docs: DataFrame) -> DataFrame:

@@ -41,7 +41,8 @@ NODES = 3
 # ---------------------------------------------------- event-log → registry
 _D_REGISTRY = """
     reg AS (
-      SELECT user_id, last_event_id, updated_at_us, last_event_type, n_events
+      SELECT user_id, last_event_id, updated_at_us, created_at_us,
+             last_event_type, n_events
       FROM (
         SELECT user_id, event_id AS last_event_id,
                event_type AS last_event_type,
@@ -49,7 +50,8 @@ _D_REGISTRY = """
                                   ORDER BY epoch_us(ts) DESC, event_id DESC)
                  AS rn,
                COUNT(*) OVER (PARTITION BY user_id) AS n_events,
-               MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS updated_at_us
+               MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS updated_at_us,
+               MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS created_at_us
         FROM events
       ) WHERE rn = 1
     )
@@ -79,11 +81,15 @@ def _registry_of(ev: DataFrame) -> DataFrame:
         .withColumn(
             "updated_at_us", F.max("ts_us").over(Window.partitionBy("user_id"))
         )
+        .withColumn(
+            "created_at_us", F.min("ts_us").over(Window.partitionBy("user_id"))
+        )
         .filter(F.col("__rn") == 1)
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
             "updated_at_us",
+            "created_at_us",
             F.col("event_type").alias("last_event_type"),
             "n_events",
         )
@@ -145,6 +151,9 @@ def registry_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "updated_at_us": F.greatest(
                 F.col("tgt.updated_at_us"), F.col("src.updated_at_us")
             ),
+            "created_at_us": F.least(
+                F.col("tgt.created_at_us"), F.col("src.created_at_us")
+            ),
             "n_events": F.col("tgt.n_events") + F.col("src.n_events"),
         },
     )
@@ -170,12 +179,19 @@ def registry_listing_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "registry_listing_created",
     oracle=f"""
     WITH {_D_REGISTRY}
-    SELECT * FROM reg ORDER BY user_id LIMIT {LISTING_LIMIT}
+    SELECT * FROM reg
+    ORDER BY created_at_us, user_id LIMIT {LISTING_LIMIT}
     """,
 )
 def registry_listing_created(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Created order: ascending id (ULID-creation order analog)."""
-    return _registry(spark, sf_dir).orderBy("user_id").limit(LISTING_LIMIT)
+    """Created order: ascending first-event time, tie ascending id —
+    the reference sorts on creation time (ULIDs encode it); the registry
+    derives ``created_at_us`` as each entity's earliest event."""
+    return (
+        _registry(spark, sf_dir)
+        .orderBy("created_at_us", "user_id")
+        .limit(LISTING_LIMIT)
+    )
 
 
 # -------------------------------------------------------------- path claims

@@ -258,80 +258,99 @@ _D_REQS = """
 """
 
 
-def resolve_objects(versions: DataFrame, reqs: DataFrame) -> DataFrame:
-    """GetObject/HeadObject resolution (get_object.rs:85-160).
+# the explicit request-parameter columns resolve_requests consumes; any
+# other request column (e.g. the demo mix's ``kind``) passes through
+REQ_PARAM_COLS = (
+    "want_version_id",
+    "if_match",
+    "if_none_match",
+    "range_start",
+    "range_end",
+    "range_suffix",
+)
 
-    Joins requests to the versions table (explicit version or latest
-    head), evaluates conditional requests against the resolved etag, and
-    resolves byte ranges against the resolved size. ``status`` follows
-    S3: 200, 206 partial, 304 not-modified, 412 precondition-failed,
-    416 unsatisfiable-range, 404 no-such-key/version."""
-    latest = versions.filter(F.col("is_latest"))
-    v0 = versions.filter(F.col("version_id") == "v0")
-    want_v0 = F.col("kind") == 1
+
+def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
+    """GetObject/HeadObject resolution over EXPLICIT request parameters
+    (get_object.rs:85-160).
+
+    ``reqs`` carries (bucket, key) plus the nullable parameter columns
+    in :data:`REQ_PARAM_COLS`: an explicit ``want_version_id`` (else the
+    latest head resolves), ``if_match`` / ``if_none_match`` etags, and a
+    byte range as either ``range_start``/``range_end`` (StartEnd,
+    inclusive, end clamped to size-1) or ``range_suffix`` (last N
+    bytes). ``status`` follows S3: 200, 206 partial, 304 not-modified,
+    412 precondition-failed, 416 unsatisfiable-range, 404
+    no-such-key/version. Non-parameter request columns pass through.
+
+    This is the single resolution path: the oracle-checked demo mix
+    (:func:`resolve_objects`) compiles its kind codes down to these
+    parameters, and the :class:`~aruna_spark.api.Engine` object routes
+    build one-row request batches — both broadcast the (small) request
+    side against the bucket-partitioned versions table."""
+    latest = versions.filter(F.col("is_latest")).select(
+        "bucket",
+        "key",
+        F.col("version_id").alias("__l_vid"),
+        F.col("size").alias("__l_size"),
+        F.col("etag").alias("__l_etag"),
+    )
+    explicit = versions.select(
+        "bucket",
+        "key",
+        F.col("version_id").alias("want_version_id"),
+        F.col("version_id").alias("__v_vid"),
+        F.col("size").alias("__v_size"),
+        F.col("etag").alias("__v_etag"),
+    )
+    want = F.col("want_version_id").isNotNull()
     resolved = (
-        reqs.join(
-            latest.select(
-                "bucket",
-                "key",
-                F.col("version_id").alias("latest_vid"),
-                F.col("size").alias("latest_size"),
-                F.col("etag").alias("latest_etag"),
-            ),
-            ["bucket", "key"],
-            "left",
+        reqs.join(latest, ["bucket", "key"], "left")
+        .join(explicit, ["bucket", "key", "want_version_id"], "left")
+        .withColumn(
+            "__vid", F.when(want, F.col("__v_vid")).otherwise(F.col("__l_vid"))
         )
-        .join(
-            v0.select(
-                "bucket",
-                "key",
-                F.col("version_id").alias("v0_vid"),
-                F.col("size").alias("v0_size"),
-                F.col("etag").alias("v0_etag"),
-            ),
-            ["bucket", "key"],
-            "left",
+        .withColumn(
+            "size", F.when(want, F.col("__v_size")).otherwise(F.col("__l_size"))
         )
-        .select(
-            "bucket",
-            "key",
-            "kind",
-            F.when(want_v0, F.col("v0_vid"))
-            .otherwise(F.col("latest_vid"))
-            .alias("resolved_version_id"),
-            F.when(want_v0, F.col("v0_size"))
-            .otherwise(F.col("latest_size"))
-            .alias("size"),
-            F.when(want_v0, F.col("v0_etag"))
-            .otherwise(F.col("latest_etag"))
-            .alias("etag"),
-            F.col("latest_etag"),
+        .withColumn(
+            "__etag",
+            F.when(want, F.col("__v_etag")).otherwise(F.col("__l_etag")),
         )
     )
     # conditional evaluation + range resolution, all CASE algebra
-    start = F.lit(10)
-    end = F.least(F.lit(99), F.col("size") - 1)  # inclusive end
-    sfx = F.lit(16)
+    start = F.col("range_start")
+    end = F.least(F.col("range_end"), F.col("size") - 1)  # inclusive end
+    has_se = F.col("range_start").isNotNull()
+    has_sfx = F.col("range_suffix").isNotNull()
     range_ok_se = (F.col("size") > start) & (end >= start)
     range_ok_sfx = F.col("size") > 0
-    sfx_start = F.greatest(F.col("size") - sfx, F.lit(0))
+    sfx_start = F.greatest(F.col("size") - F.col("range_suffix"), F.lit(0))
     status = (
-        F.when(F.col("etag").isNull(), F.lit(404))
-        .when((F.col("kind") == 3), F.lit(412))  # wrong If-Match
-        .when((F.col("kind") == 4), F.lit(304))  # If-None-Match hit
-        .when((F.col("kind") == 5) & ~range_ok_se, F.lit(416))
-        .when((F.col("kind") == 6) & ~range_ok_sfx, F.lit(416))
-        .when(F.col("kind").isin(5, 6), F.lit(206))
+        F.when(F.col("__etag").isNull(), F.lit(404))
+        .when(
+            F.col("if_match").isNotNull()
+            & (F.col("if_match") != F.col("__etag")),
+            F.lit(412),
+        )
+        .when(
+            F.col("if_none_match").isNotNull()
+            & (F.col("if_none_match") == F.col("__etag")),
+            F.lit(304),
+        )
+        .when(has_se & ~range_ok_se, F.lit(416))
+        .when(has_sfx & ~range_ok_sfx, F.lit(416))
+        .when(has_se | has_sfx, F.lit(206))
         .otherwise(F.lit(200))
     )
     content_length = (
-        F.when(F.col("kind") == 5, end - start + 1)
-        .when(F.col("kind") == 6, F.col("size") - sfx_start)
+        F.when(has_se, end - start + 1)
+        .when(has_sfx, F.col("size") - sfx_start)
         .otherwise(F.col("size"))
     )
     content_range = (
         F.when(
-            F.col("kind") == 5,
+            has_se,
             F.concat(
                 F.lit("bytes "),
                 start.cast("string"),
@@ -342,7 +361,7 @@ def resolve_objects(versions: DataFrame, reqs: DataFrame) -> DataFrame:
             ),
         )
         .when(
-            F.col("kind") == 6,
+            has_sfx,
             F.concat(
                 F.lit("bytes "),
                 sfx_start.cast("string"),
@@ -355,16 +374,40 @@ def resolve_objects(versions: DataFrame, reqs: DataFrame) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
     )
     body = status.isin(200, 206)
+    passthrough = [c for c in reqs.columns if c not in REQ_PARAM_COLS]
     return resolved.select(
-        "bucket",
-        "key",
-        "kind",
-        "resolved_version_id",
+        *passthrough,
+        F.col("__vid").alias("resolved_version_id"),
         status.alias("status"),
-        F.when(body, F.col("etag")).alias("etag"),
+        F.when(body, F.col("__etag")).alias("etag"),
         F.when(body, content_length).cast("long").alias("content_length"),
         F.when(status == 206, content_range).alias("content_range"),
     )
+
+
+def resolve_objects(versions: DataFrame, reqs: DataFrame) -> DataFrame:
+    """The demo request mix: compile each ``kind`` code down to the
+    explicit parameters and resolve through :func:`resolve_requests` —
+    the oracle checks THIS path, so the generalized resolver the facade
+    routes use is covered by the same gate."""
+    cond_etag = versions.filter(F.col("is_latest")).select(
+        "bucket", "key", F.col("etag").alias("__cond_etag")
+    )
+    k = F.col("kind")
+    reqs2 = reqs.join(cond_etag, ["bucket", "key"], "left").select(
+        "bucket",
+        "key",
+        "kind",
+        F.when(k == 1, F.lit("v0")).alias("want_version_id"),
+        F.when(k == 2, F.col("__cond_etag"))
+        .when(k == 3, F.lit("etag-mismatch"))
+        .alias("if_match"),
+        F.when(k == 4, F.col("__cond_etag")).alias("if_none_match"),
+        F.when(k == 5, F.lit(10)).cast("long").alias("range_start"),
+        F.when(k == 5, F.lit(99)).cast("long").alias("range_end"),
+        F.when(k == 6, F.lit(16)).cast("long").alias("range_suffix"),
+    )
+    return resolve_requests(versions, reqs2)
 
 
 def _duck_resolve(select_cols: str) -> str:
@@ -495,6 +538,14 @@ def s3_multipart_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("part_size"),
         F.md5(F.col("text")).alias("part_etag"),
     )
+    return complete_multipart(parts)
+
+
+def complete_multipart(parts: DataFrame) -> DataFrame:
+    """Fold a ``(upload_id, part_number, part_size, part_etag)`` part
+    manifest into the assembled-object relation — the aggregation
+    :func:`s3_multipart_complete` oracle-checks, exposed for the
+    facade's multipart route."""
     return parts.groupBy("upload_id").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("part_size").cast("long").alias("total_size"),

@@ -225,7 +225,7 @@ SECTION_LIMIT = 10
 
 
 def unified_sections(
-    spark: SparkSession, sf_dir: str, q: str
+    spark: SparkSession, sf_dir: str, q: str, scope=None
 ) -> DataFrame:
     """One request fans out to four sections — documents (FTS-scored),
     buckets, groups, users (substring) — each independently limited to
@@ -236,11 +236,19 @@ def unified_sections(
     :func:`bounded_rank` over each ≤10-row envelope — TakeOrdered +
     single-row fold, never an unpartitioned row_number window. The
     parameterized form the facade's route serves; the registered demo
-    query pins ``q`` for the oracle."""
+    query pins ``q`` for the oracle.
+
+    ``scope`` (optional ``DataFrame -> DataFrame``) gates the DOCUMENTS
+    section's scored relation by the caller's authorization before the
+    top-k cut — the reference runs that section through the same
+    authorized search path as the search route while buckets/groups/
+    users stay realm-wide (``api/src/routes/search.rs:271-330``)."""
     from aruna_spark.ops.pagination import bounded_rank
 
     q = q.lower()
     scored = _scored(spark, sf_dir, q)
+    if scope is not None:
+        scored = scope(scored)
     docs_sec = bounded_rank(
         scored.orderBy(F.desc("score_q"), "graph_iri", "subject").limit(
             SECTION_LIMIT

@@ -59,13 +59,9 @@ def _matched(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_watch_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watch interest matching (glob + kind mask) summarized per watch."""
-    m = _matched(spark, sf_dir)
-    return m.groupBy("watch_id").agg(
-        F.count(F.lit(1)).alias("n_matched"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.min(F.unix_micros("ts")).alias("first_ts_us"),
-        F.max(F.unix_micros("ts")).alias("last_ts_us"),
-    )
+    from aruna_spark.streaming.watch import match_summary
+
+    return match_summary(_matched(spark, sf_dir))
 
 
 @register(

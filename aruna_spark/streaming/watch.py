@@ -80,6 +80,19 @@ def match_watches(events: DataFrame, watches: DataFrame) -> DataFrame:
     )
 
 
+def match_summary(matched: DataFrame) -> DataFrame:
+    """Per-watch roll-up of a matched-events relation: match count,
+    distinct users, first/last event micros — the summary the
+    ``stream_watch_matches`` oracle checks and the facade's
+    ``watch_summary`` route serves."""
+    return matched.groupBy("watch_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(F.unix_micros("ts")).alias("first_ts_us"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+
+
 def debounce_windows(matched: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
     """Coalesce bursts per watch into tumbling debounce windows: one
     publish per (watch, window) regardless of how many events land in

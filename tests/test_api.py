@@ -234,9 +234,45 @@ def test_graph_scope_gates_search_and_backlinks(spark, sf_dir):
         ),
     )
     assert none.backlinks(TARGET).count() == 0
-    # unified_search refuses a scoped engine instead of leaking
-    with pytest.raises(NotImplementedError):
-        scoped.unified_search(QUERY)
+
+
+def test_scoped_unified_search_scopes_documents_section(spark, sf_dir):
+    """A scoped engine SERVES unified search (the reference runs every
+    section under the caller's auth, search.rs:271-330): the documents
+    section equals the scoped search()'s top slice — same semi-join —
+    and leaks nothing outside the scope; buckets/groups/users stay
+    realm-wide."""
+    from aruna_spark.api import Engine
+    from aruna_spark.queries.search import SECTION_LIMIT, UNIFIED_QUERY
+
+    wide = Engine(spark, sf_dir)
+    graphs = sorted(
+        {r.graph_iri for r in wide.search(UNIFIED_QUERY, page_size=100).hits}
+    )
+    assert len(graphs) >= 2, "need multiple graphs to test scoping"
+    allowed = spark.createDataFrame([(g,) for g in graphs[:2]], "graph_iri string")
+    scoped = Engine(spark, sf_dir, visible_graphs=allowed)
+
+    rows = scoped.unified_search(UNIFIED_QUERY).collect()
+    docs = sorted(
+        (r for r in rows if r.section == "documents"), key=lambda r: r.rank
+    )
+    want = scoped.search(UNIFIED_QUERY, page_size=SECTION_LIMIT).hits
+    assert [(d.key, d.score_q) for d in docs] == [
+        (h.subject, h.score_q) for h in want
+    ]
+    # nothing outside the visible graphs leaks into the documents section
+    visible_subjects = {
+        h.subject
+        for h in scoped.search(UNIFIED_QUERY, page_size=100).hits
+    }
+    assert {d.key for d in docs} <= visible_subjects
+    # the realm-wide sections are unchanged by the scope
+    wide_rows = wide.unified_search(UNIFIED_QUERY).collect()
+    for sec in ("buckets", "groups", "users"):
+        assert sorted(
+            tuple(r) for r in rows if r.section == sec
+        ) == sorted(tuple(r) for r in wide_rows if r.section == sec)
 
 
 def test_default_node_keys_are_not_forgeable_across_engines(
@@ -292,3 +328,116 @@ def test_usage_counters_route(engine, spark, sf_dir):
     want = REGISTRY["usage_counters_by_group"][0](spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert engine.usage_counters(by_group=False).count() == 1
+
+
+# ---------------------------------------------------- object-plane routes
+def _some_object(engine):
+    return (
+        engine._versions()
+        .filter(F.col("is_latest"))
+        .orderBy("key")
+        .limit(1)
+        .collect()[0]
+    )
+
+
+def test_put_object_route(engine):
+    prior = _some_object(engine)
+    # new content at an existing key -> next version_idx, not deduplicated
+    row = engine.put_object(prior.key, 123, "brand-new-blob-hash")
+    assert row.version_idx == prior.version_idx + 1
+    assert row.is_latest and not row.deduplicated
+    # same CONTENT at a fresh key -> version v0, deduplicated
+    dup = engine.put_object("data/fresh/key.txt", 123, prior.blob_hash)
+    assert dup.version_idx == 0 and dup.deduplicated
+
+
+def test_get_head_object_routes(engine):
+    obj = _some_object(engine)
+    got = engine.get_object(obj.key)
+    assert (got.status, got.etag, got.content_length) == (
+        200,
+        obj.etag,
+        obj.size,
+    )
+    # explicit version
+    v0 = engine.get_object(obj.key, version_id="v0")
+    assert v0.status == 200 and v0.resolved_version_id == "v0"
+    # conditionals
+    assert engine.get_object(obj.key, if_match="wrong").status == 412
+    assert engine.get_object(obj.key, if_none_match=obj.etag).status == 304
+    # ranges
+    rng = engine.get_object(obj.key, range_start=0, range_end=9)
+    assert rng.status == 206 and rng.content_length == 10
+    assert rng.content_range == f"bytes 0-9/{obj.size}"
+    sfx = engine.get_object(obj.key, range_suffix=4)
+    assert sfx.status == 206 and sfx.content_length == min(4, obj.size)
+    # missing key -> 404
+    assert engine.get_object("data/not/there.txt").status == 404
+    # HEAD: same resolution, no content_range key
+    head = engine.head_object(obj.key)
+    assert head["status"] == 200 and head["etag"] == obj.etag
+    assert "content_range" not in head
+    with pytest.raises(ValueError):
+        engine.get_object(obj.key, range_start=0)  # StartEnd needs end
+    with pytest.raises(ValueError):
+        engine.get_object(obj.key, range_start=0, range_end=1, range_suffix=2)
+
+
+def test_complete_multipart_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    # the registered demo's part manifest fed through the route equals
+    # the registered relation (same fold)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = docs.select(
+        F.concat(F.lit("up-"), (F.col("doc_id") % 25).cast("string")).alias(
+            "upload_id"
+        ),
+        ((F.col("doc_id") / 25).cast("long") + 1).alias("part_number"),
+        F.col("n_chars").alias("part_size"),
+        F.md5(F.col("text")).alias("part_etag"),
+    )
+    got = engine.complete_multipart(parts).collect()
+    want = REGISTRY["s3_multipart_complete"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # a gapped manifest fails contiguity
+    gapped = spark.createDataFrame(
+        [("up-x", 1, 10, "aa"), ("up-x", 3, 10, "bb")],
+        "upload_id string, part_number long, part_size long, part_etag string",
+    )
+    row = engine.complete_multipart(gapped).collect()[0]
+    assert not row.is_contiguous
+
+
+def test_list_object_versions_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = engine.list_object_versions(prefix="data/src3/", max_keys=50).collect()
+    want = REGISTRY["listing_versions"][0](spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# ------------------------------------------------------ streaming routes
+def test_watch_routes_match_registered_queries(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = engine.watch_summary().collect()
+    want = REGISTRY["stream_watch_matches"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    got = engine.unread().collect()
+    want = REGISTRY["stream_unread_counts"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_watch_subscribe_matches_glob_and_mask(engine):
+    m = engine.watch("users/*/click", ["click"], watch_id="w_t")
+    rows = m.select("watch_id", "event_type", "path").collect()
+    assert rows and all(r.watch_id == "w_t" for r in rows)
+    assert {r.event_type for r in rows} == {"click"}
+    # the kind mask prunes even when the glob matches
+    none = engine.watch("users/*/click", ["view"], watch_id="w_t2")
+    assert none.count() == 0
