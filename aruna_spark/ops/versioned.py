@@ -77,6 +77,61 @@ class LocalExclusiveCreate(CommitProtocol):
             f.write(payload)
 
 
+class ConditionalPutStore:
+    """The arbiter interface a conditional-put protocol claims against:
+    one atomic ``put_if_absent``. S3 exposes it as ``PutObject`` with
+    ``If-None-Match: *`` (412 on the loser), GCS as
+    ``x-goog-if-generation-match: 0`` — public object-store semantics."""
+
+    def put_if_absent(self, key: str, body: str) -> bool:
+        """Atomically create ``key``; False if any writer already did."""
+        raise NotImplementedError
+
+
+class InMemoryObjectStore(ConditionalPutStore):
+    """Fake object store for tests: ``put_if_absent`` is atomic under a
+    process lock, modeling the store-side compare-and-set exactly
+    (first writer lands, every later writer of the same key loses)."""
+
+    def __init__(self):
+        import threading
+
+        self._objects: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, key: str, body: str) -> bool:
+        with self._lock:
+            if key in self._objects:
+                return False
+            self._objects[key] = body
+            return True
+
+    def get(self, key: str) -> str:
+        return self._objects[key]
+
+
+class ConditionalPut(CommitProtocol):
+    """Object-store claim: the manifest KEY in the store is the version
+    arbiter (compare-and-set via ``put_if_absent``); the local manifest
+    file is the winner-only materialization for the read path. This is
+    the SCALE.md 'Object-store commit safety' drop-in — same contract as
+    :class:`LocalExclusiveCreate`, different atomic primitive — proving
+    the :class:`CommitProtocol` seam is sufficient (a second
+    implementation, exercised by the contested-commit test in
+    ``tests/test_versioned.py``)."""
+
+    def __init__(self, store: ConditionalPutStore):
+        self.store = store
+
+    def claim(self, target: str, payload: str) -> None:
+        if not self.store.put_if_absent(target, payload):
+            raise FileExistsError(target)
+        # only the arbiter's winner reaches this write, so the local
+        # materialization can never race another claimant of the key
+        with open(target, "w", encoding="utf-8") as f:
+            f.write(payload)
+
+
 LOCAL_PROTOCOL = LocalExclusiveCreate()
 
 
@@ -180,6 +235,13 @@ class VersionedTable:
             raise CommitConflict(
                 f"expected version {expected_version}, log is at {latest}"
             )
+        if mode == "append" and latest is not None:
+            # same layout guard as compact(): a generic append carries the
+            # previous FILE list forward but would silently DROP
+            # writer-owned extra keys (the postings 'aux' sidecars) and
+            # break path-encoded pruning — those tables append through
+            # their layout-aware maintainer (upsert_postings)
+            self._guard_plain_layout(self._manifest(latest), "append to")
         new_files = self._write_data(df)
         if mode == "append" and latest is not None:
             new_files = self._manifest(latest)["files"] + new_files
@@ -252,6 +314,22 @@ class VersionedTable:
 
     _META_KEYS = frozenset({"version", "mode", "files", "committed_at"})
 
+    def _guard_plain_layout(self, manifest: dict, op: str) -> None:
+        """Refuse generic rewrites of layout-bearing tables: extra
+        manifest keys (writer-owned sidecars) or path-encoded layouts
+        (``shard=N`` leaves) have layout-aware maintainers; a generic
+        ``op`` would silently break their readers."""
+        extra = set(manifest) - self._META_KEYS
+        layered = any(
+            "=" in os.path.basename(f) for f in manifest.get("files", [])
+        )
+        if extra or layered:
+            raise ValueError(
+                f"refusing to {op} a table carrying a writer-owned layout "
+                f"(extra manifest keys {sorted(extra)!r}, partitioned "
+                f"leaves={layered}); use its layout-aware maintainer"
+            )
+
     def compact(self, spark: SparkSession) -> int:
         """Rewrite the latest snapshot's (possibly many, possibly small)
         files into one fresh part as a new version — the OPTIMIZE /
@@ -268,14 +346,7 @@ class VersionedTable:
         (``search.incremental.compact_postings``)."""
         latest = self.latest_version()
         manifest = self._manifest(latest) if latest is not None else {}
-        extra = set(manifest) - self._META_KEYS
-        layered = any("=" in os.path.basename(f) for f in manifest.get("files", []))
-        if extra or layered:
-            raise ValueError(
-                "table carries a writer-owned layout "
-                f"(extra manifest keys {sorted(extra)!r}, partitioned "
-                f"leaves={layered}); use its layout-aware compactor"
-            )
+        self._guard_plain_layout(manifest, "compact")
         return self.commit(
             self.read(spark, latest), "overwrite", expected_version=latest
         )

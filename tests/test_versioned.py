@@ -351,3 +351,79 @@ def test_compact_postings_preserves_layout_and_sidecars(
     # generic compact still refuses this table
     with pytest.raises(ValueError, match="layout-aware"):
         table.compact(spark)
+
+
+def test_conditional_put_protocol_contested_commit(spark, tmp_path):
+    """The second CommitProtocol implementation (object-store
+    conditional put against a fake arbiter) honors the seam's contract:
+    two writers racing the SAME version — exactly one claim lands in
+    the store, the loser surfaces CommitConflict, and the loser's retry
+    against the winner's refreshed snapshot commits the next version
+    with the winner's rows visible."""
+    import threading
+
+    from aruna_spark.ops.versioned import ConditionalPut, InMemoryObjectStore
+
+    store = InMemoryObjectStore()
+    t = VersionedTable(str(tmp_path / "t"), protocol=ConditionalPut(store))
+    t.commit(_df(spark, 1))
+
+    # both writers validate the same snapshot (version 0), stage their
+    # data, then claim version 1 concurrently through the arbiter
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def writer(name: str, val: int):
+        w = VersionedTable(t.path, protocol=ConditionalPut(store))
+        files = w._write_data(_df(spark, val))
+        barrier.wait()
+        try:
+            results[name] = w._commit_manifest(files, "append", 1)
+        except CommitConflict as e:
+            results[name] = e
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 10)),
+        threading.Thread(target=writer, args=("b", 20)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    outcomes = sorted(results.values(), key=lambda r: isinstance(r, int))
+    assert isinstance(outcomes[0], CommitConflict)
+    assert outcomes[1] == 1
+    # the arbiter's winner IS the materialized manifest (store == disk)
+    import json
+    import os
+
+    key = os.path.join(t.log_dir, "1.json")
+    assert json.loads(store.get(key)) == t._manifest(1)
+    winner_val = 10 if results["a"] == 1 else 20
+    assert sorted(r.v for r in t.read(spark, 1).collect()) == [winner_val]
+    # loser retries against the refreshed snapshot: next version, winner
+    # snapshot visible underneath
+    loser_val = 30
+    v = t.commit(
+        _df(spark, loser_val), mode="append",
+        expected_version=t.latest_version(),
+    )
+    assert v == 2
+    assert sorted(r.v for r in t.read(spark, v).collect()) == sorted(
+        [winner_val, loser_val]
+    )
+
+
+def test_append_refuses_layout_bearing_manifest(spark, tmp_path):
+    """ADVICE r5: generic commit(mode='append') must refuse a table
+    whose latest manifest carries writer-owned extra keys — carrying
+    the file list forward while silently dropping the 'aux' sidecar
+    reference would break read_aux and expose the sidecar to vacuum."""
+    t = VersionedTable(str(tmp_path / "t"))
+    files = t._write_data(_df(spark, 1))
+    t._commit_manifest(files, "overwrite", 0, extra={"aux": "_aux/x"})
+    with pytest.raises(ValueError, match="layout-aware"):
+        t.commit(_df(spark, 2), mode="append")
+    # overwrite (explicit full replacement) is still allowed
+    v = t.commit(_df(spark, 3), mode="overwrite")
+    assert sorted(r.v for r in t.read(spark, v).collect()) == [3]
