@@ -30,55 +30,66 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 5 (VERDICT r4 Next #4) leads with the four
-# queries never driver-checked, then the families that sat OUTSIDE the
-# r4 window (search/dedup/similarity/usage/rocrate/registry-tail/
-# singletons — all of whose hard signal is r2-or-older), including
-# every query whose implementation changed this round (search-plane
-# rewrites, Unicode tokenizer, versioned postings substrate, staging
-# envelope); exact-name flagships keep one query per r4-green family
-# in the window. sparql bulk carries the freshest outside-signal (r3
-# driver-green) so it takes the fewest slots — four core exacts — and
-# rotates back fully in r6.
+# window on a cycle. Round 6 (VERDICT r5 Next #7) leads with every
+# query whose implementation or schema CHANGED this round (the folded
+# collapsed near-dup plan, the registry created_at_us column, the
+# generalized S3 resolver, the extracted watch summary, the scoped
+# unified search), then rotates in the 68-query backlog the r5 window
+# did not cover — the full sparql algebra family (freshest hard signal
+# r3), relational, the streaming rest, multimodal, crdt. The backlog's
+# tail that still misses the ~50 cut (listing_v2, backlinks, drs,
+# autoindex, textstats pairs — all unchanged this round and green at
+# their last driver check) rotates to the FRONT in r7.
 PRIORITY_PREFIXES = (
-    # never driver-checked before r5 (exact names, front of the window)
-    "corpus_approx_distinct",
-    "corpus_rollup_stats",
-    "registry_snapshot_asof",
+    # changed this round (exact names, front of the window)
     "similarity_neardup_scaled",
-    # single-query families last checked r2/selfcheck
-    "perm_",
-    "graph_",
-    "archive_",
-    "ingest_",
-    "distributed_",
-    # full families outside the r4 window / changed this round
-    "search_",
-    "dedup_",
-    "similarity_",
-    "staging_",
-    "usage_",
-    "rocrate_",
-    "corpus_",
-    # registry tail not covered in r4 (r4 checked replay/merge/recent)
-    "registry_path_claims",
-    "registry_doc_count",
-    # sparql core representatives (bulk rotates back in r6); bgp_filter
-    # + star_describe cover the new r5 star-scan compile path
-    "sparql_fts_bgp_mix",
-    "sparql_bgp_filter",
-    "sparql_star_describe",
-    # one flagship per r4-green family (dashboard epoch replaces LWW as
-    # the streaming representative in r5: its prefix-scan rewrite needs
-    # hard-signal coverage; LWW was driver-green in r4)
-    "stream_dashboard_epoch",
-    "textstats_profile",
-    "crdt_orset_replay",
-    "rel_region_revenue",
-    "listing_versions",
+    "registry_event_replay",
+    "registry_incremental_merge",
+    "registry_listing_recent",
+    "registry_listing_created",
+    "s3_put_upsert",
+    "s3_get_object",
+    "s3_head_object",
     "s3_multipart_complete",
-    "multimodal_png_roundtrip",
-    "backlinks_grouped",
+    "stream_watch_matches",
+    "search_unified",
+    # the r5-unchecked backlog, oldest hard signal first: sparql algebra
+    "sparql_optional",
+    "sparql_union",
+    "sparql_group_agg",
+    "sparql_order_limit",
+    "sparql_not_exists",
+    "sparql_minus",
+    "sparql_values_bind",
+    "sparql_distinct",
+    "sparql_having",
+    "sparql_group_concat",
+    "sparql_path_plus",
+    "sparql_path_seq_closure",
+    "sparql_nested_slice",
+    "sparql_ask",
+    "sparql_graph_scoped",
+    "sparql_lateral_topk_per_group",
+    "sparql_fts_score",
+    "sparql_distributed_ask",
+    "sparql_sum_sample",
+    "sparql_offset_page",
+    "sparql_path_inverse",
+    "sparql_path_star",
+    "sparql_path_negated",
+    "sparql_filter_builtins",
+    "sparql_graph_var",
+    "sparql_reduced",
+    "sparql_string_funcs",
+    "sparql_path_zero_or_one",
+    "sparql_arith_if",
+    # relational family (r5-unchecked)
+    "rel_",
+    # streaming rest (r5-unchecked; watch_matches already leads)
+    "stream_",
+    # multimodal + crdt representative (r5-unchecked)
+    "multimodal_",
+    "crdt_clock_relation",
 )
 
 
