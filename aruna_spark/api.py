@@ -556,7 +556,72 @@ class Engine:
             )
         )
 
+    def dashboard_epochs(self, events: DataFrame | None = None) -> DataFrame:
+        """Dashboard epoch watch (dashboard.rs:6-39): the running epoch
+        per debounce window — batch/backfill form (the live-stream form
+        is the foreachBatch counter, tests/test_streaming.py)."""
+        from aruna_spark.streaming.watch import dashboard_epochs
+
+        return dashboard_epochs(
+            self._events() if events is None else events
+        )
+
+    # --------------------------------------------------- staging connectors
+    def staging_list(
+        self,
+        source_path: str,
+        offset: int = 0,
+        limit: int = 100,
+        recursive: bool = False,
+        files_only: bool = False,
+    ) -> DataFrame:
+        """ListStagingSource (list_source.rs:24-29) over the catalog's
+        latest object keys: one level (dirs rolled up) or the recursive
+        walk, with the offset/limit page envelope."""
+        from aruna_spark.ops.staging import list_source_level
+
+        keys = (
+            self._versions()
+            .filter(F.col("is_latest"))
+            .select("key", "size")
+        )
+        return list_source_level(
+            keys,
+            source_path,
+            offset=offset,
+            limit=limit,
+            recursive=recursive,
+            files_only=files_only,
+        )
+
+    # --------------------------------------------------------- quota plane
+    def quota_check(
+        self, incoming_bytes: int, quota_bytes: int | None = None
+    ) -> DataFrame:
+        """The quota gate (usage_stats.rs:268-436), parameterized by the
+        incoming write size: per-group projected usage vs ceiling with
+        the route's allow/deny verdict."""
+        from aruna_spark.queries.usage import QUOTA_BYTES, _counters_by_group
+
+        ceiling = QUOTA_BYTES if quota_bytes is None else int(quota_bytes)
+        projected = F.col("stored_bytes") + F.lit(int(incoming_bytes))
+        return _counters_by_group(self.spark, self.sf_dir).select(
+            "group_id",
+            "stored_bytes",
+            projected.alias("projected_bytes"),
+            F.lit(ceiling).cast("long").alias("quota_bytes"),
+            (projected <= ceiling).alias("allowed"),
+        )
+
     # ------------------------------------------------------ ingest / export
+    def import_archive(self, crates: DataFrame) -> DataFrame:
+        """Archive (.eln) import: ``(document_id, jsonld, targets_json)``
+        crates → triples with archive-local IRIs rewritten to their w3id
+        targets (the reference's import IRI-rewrite pass)."""
+        from aruna_spark.ingest.archive import import_crates
+
+        return import_crates(crates)
+
     def ingest_jsonld(self, docs: DataFrame) -> DataFrame:
         """JSON-LD documents -> RDF triples (the reference's write-path
         projection, typing rules included)."""

@@ -441,3 +441,98 @@ def test_watch_subscribe_matches_glob_and_mask(engine):
     # the kind mask prunes even when the glob matches
     none = engine.watch("users/*/click", ["view"], watch_id="w_t2")
     assert none.count() == 0
+
+
+# -------------------------------------------------- remaining route glue
+def test_staging_list_route_matches_registered_demo(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = engine.staging_list("data/src1", offset=0, limit=15).collect()
+    want = REGISTRY["staging_list_level"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_quota_check_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.usage import INCOMING_BYTES
+
+    load_all()
+    got = engine.quota_check(INCOMING_BYTES).collect()
+    want = REGISTRY["usage_quota_gate"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # a zero-byte write against an absurd ceiling is always allowed;
+    # an over-ceiling write is always denied
+    assert all(r.allowed for r in engine.quota_check(0, quota_bytes=2**62).collect())
+    assert not any(r.allowed for r in engine.quota_check(2**61, quota_bytes=1).collect())
+
+
+def test_import_archive_route_matches_registered_demo(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    # drive the route with the same crate batch the demo derives
+    from aruna_spark.ingest.doc_triples import load_triples
+    from aruna_spark.ingest.jsonld import GRAPH_NS, export_rocrate
+
+    graphs = [f"{GRAPH_NS}{i}" for i in range(20)]
+    crates = export_rocrate(
+        load_triples(spark, sf_dir).filter(F.col("graph_iri").isin(graphs))
+    )
+    old_id = F.regexp_extract("graph_iri", r"/([0-9]+)$", 1)
+    got = engine.import_archive(
+        crates.select(
+            F.concat(F.lit("imp"), old_id).alias("document_id"),
+            "jsonld",
+            F.concat(
+                F.lit('{"urn:aruna:doc:'),
+                old_id,
+                F.lit('":"urn:aruna:doc:imp'),
+                old_id,
+                F.lit('"}'),
+            ).alias("targets_json"),
+        )
+    ).collect()
+    want = REGISTRY["archive_import_rewrite"][0](spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_dashboard_epochs_route_matches_registered_demo(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+
+    load_all()
+    got = engine.dashboard_epochs().collect()
+    want = REGISTRY["stream_dashboard_epoch"][0](spark, sf_dir).collect()
+    # the registered query projects the same columns from the same scan
+    assert sorted(
+        (r.window_start_us, r.n_events, r.n_relevant, r.epoch) for r in got
+    ) == sorted(
+        (r.window_start_us, r.n_events, r.n_relevant, r.epoch) for r in want
+    )
+
+
+def test_scoped_facade_fts_scores_are_scope_derived(spark, sf_dir):
+    """ADVICE r5: a scoped engine must NOT inject the corpus-global BM25
+    resolver — its IDF/doc-length stats would observably reflect
+    invisible documents. The scoped facade's fts: scores must equal a
+    scoped SparqlEngine with the default DERIVED resolver (scores from
+    the visible slice only)."""
+    from aruna_spark.api import Engine
+    from aruna_spark.sparql.engine import SparqlEngine
+    from aruna_spark.store import triples_store
+
+    wide = Engine(spark, sf_dir)
+    graphs = sorted({r.graph_iri for r in wide.search(QUERY, page_size=100).hits})
+    allowed = spark.createDataFrame(
+        [(g,) for g in graphs[: len(graphs) // 2]], "graph_iri string"
+    )
+    q = """
+    SELECT ?s ?score WHERE {
+      ?s fts:match "doc" ; fts:score ?score .
+    } ORDER BY DESC(?score) ?s LIMIT 20
+    """
+    got = Engine(spark, sf_dir, visible_graphs=allowed).sparql(q)
+    want = SparqlEngine(
+        spark, triples_store(spark, sf_dir), visible_graphs=allowed
+    ).execute(q)
+    assert got == want and got
