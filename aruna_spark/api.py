@@ -319,7 +319,13 @@ class Engine:
             "if_match string, if_none_match string, range_start long, "
             "range_end long, range_suffix long",
         )
-        return resolve_requests(self._versions(), req).collect()[0]
+        # point lookup: prune the versions scan to the requested key
+        # (pushed to the parquet reader) — resolution only needs that
+        # key's version history, and a 404 is an empty pruned scan
+        mine = self._versions().filter(
+            (F.col("bucket") == bucket) & (F.col("key") == key)
+        )
+        return resolve_requests(mine, req).collect()[0]
 
     def get_object(
         self,
