@@ -349,3 +349,159 @@ def rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("value")).cast("double").alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# as-of join: for each purchase, the user's latest click at-or-before it —
+# the classic time-series attribution join Spark has no native operator
+# for. Implemented as the UNION + RUNNING-LAST pattern: tag both sides,
+# sort per user by (ts, side, event_id), and carry the last non-null
+# build-side payload forward — ONE shuffle on the join key, no
+# inequality join (a naive t1.ts <= t2.ts theta join is a nested-loop
+# cross product at any scale). Tie rules are exact and oracle-matched:
+# a click at the same timestamp as the purchase matches (<=, build rows
+# sort before probe rows at equal ts), and among equal-ts clicks the
+# largest event_id wins.
+#
+# Scale (100 TB): one shuffle partitions by user; the window is
+# per-user running state (no unpartitioned window), so skew follows the
+# per-user event volume — the same bound as any per-entity fold. The
+# oracle derives the answer independently via a LATERAL top-1 probe.
+# --------------------------------------------------------------------------
+@register(
+    "rel_asof_latest_click",
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           l.c_eid AS click_id, l.c_ts_us AS click_ts_us,
+           epoch_us(p.ts) - l.c_ts_us AS gap_us
+    FROM purchases p
+    LEFT JOIN LATERAL (
+      SELECT c.event_id AS c_eid, epoch_us(c.ts) AS c_ts_us
+      FROM clicks c
+      WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) l ON TRUE
+    """,
+)
+def rel_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    build = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        "event_id",
+        F.col("event_id").alias("c_eid"),
+        F.col("ts").alias("c_ts"),
+    )
+    probe = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("long").alias("c_eid"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = build.unionByName(probe)
+    return (
+        u.withColumn("click_id", F.last("c_eid", ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "click_id",
+            F.unix_micros("click_ts").alias("click_ts_us"),
+            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# range (interval) join: per purchase, the same user's clicks inside the
+# trailing 10-minute window — bucketed so it NEVER becomes an
+# inequality nested loop. Both sides bucket time at the window width;
+# each probe joins candidate buckets {b-1, b} (width == range, so two
+# buckets cover the interval exactly), then the exact predicate filters
+# in micros. Candidates per probe are bounded by two buckets of one
+# user's clicks; at 100 TB this is the standard interval-bucket band
+# join (equi-join on (user, bucket) -> hash join + partial agg), while
+# the oracle runs DuckDB's native inequality (IE) join independently.
+# --------------------------------------------------------------------------
+RANGE_WINDOW_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "rel_range_window_join",
+    oracle=f"""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           COUNT(c.event_id) AS n_clicks,
+           CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,4))), 0) AS DOUBLE)
+             AS click_value
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - {RANGE_WINDOW_US}
+     AND epoch_us(c.ts) < epoch_us(p.ts)
+    GROUP BY 1, 2, 3
+    """,
+)
+def rel_range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = RANGE_WINDOW_US
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("c_us"),
+        F.col("value").alias("c_value"),
+        # integer div: exact at epoch scale (double division can round
+        # across a bucket boundary)
+        F.expr(f"unix_micros(ts) div {w}").alias("bucket"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"ts_us div {w}") - 1,
+                F.expr(f"ts_us div {w}"),
+            )
+        ),
+    )
+    matched = (
+        probes.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_us") >= F.col("ts_us") - w)
+            & (F.col("c_us") < F.col("ts_us"))
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("c_value").cast(DEC)).cast("double").alias(
+                "click_value"
+            ),
+        )
+    )
+    return purchases.join(matched, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        "ts_us",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
+    )

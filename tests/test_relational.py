@@ -42,3 +42,67 @@ def test_keyset_pages_disjoint_and_ordered(spark, sf_dir):
         if cursor is None:
             break
     assert len(seen) == 30
+
+
+def test_asof_join_tie_rules_and_no_prior(spark, sf_dir):
+    """The as-of join's documented tie rules on the real corpus: every
+    match is the user's latest click at-or-before the purchase (gap >= 0),
+    at most one row per purchase, and purchases with no prior click keep
+    a null match (left semantics)."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.catalog import load_table
+
+    fn, _ = REGISTRY["rel_asof_latest_click"]
+    out = fn(spark, sf_dir).cache()
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert out.count() == purchases  # one row per purchase, none dropped
+    matched = out.filter(F.col("click_id").isNotNull())
+    assert matched.filter(F.col("gap_us") < 0).count() == 0
+    # a purchase earlier than its user's first click matches nothing
+    first_click = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_c_us"))
+    )
+    early = out.join(first_click, "user_id", "left").filter(
+        F.col("first_c_us").isNull() | (F.col("ts_us") < F.col("first_c_us"))
+    )
+    assert early.filter(F.col("click_id").isNotNull()).count() == 0
+    out.unpersist()
+
+
+def test_range_window_join_counts_match_brute_force(spark, sf_dir):
+    """The bucketed band join equals the naive inequality join on a
+    sampled slice (the bucket decomposition is lossless)."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.catalog import load_table
+    from aruna_spark.queries.relational import RANGE_WINDOW_US
+
+    fn, _ = REGISTRY["rel_range_window_join"]
+    out = fn(spark, sf_dir)
+    sample = out.filter(F.col("purchase_id") % 17 == 0).cache()
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    brute = (
+        sample.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_us") >= F.col("ts_us") - RANGE_WINDOW_US)
+            & (F.col("c_us") < F.col("ts_us")),
+            "left",
+        )
+        .groupBy("purchase_id", "n_clicks")
+        .agg(F.count("c_us").alias("brute_n"))
+    )
+    assert brute.filter(F.col("n_clicks") != F.col("brute_n")).count() == 0
+    sample.unpersist()
