@@ -315,3 +315,16 @@ def test_window_audit_parser_handles_nested_call_sort_keys():
         "currentrow$()))"
     )
     assert unpartitioned_specs(p3)
+
+
+@pytest.mark.parametrize(
+    "name", ["rel_asof_latest_click", "rel_range_window_join"]
+)
+def test_temporal_joins_never_nested_loop(spark, sf_dir, name):
+    """The whole point of the as-of union-window and the interval-bucket
+    band join: the naive inequality formulations plan as nested loops.
+    These must stay hash/sort joins with no Python in the path."""
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
