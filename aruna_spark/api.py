@@ -65,7 +65,9 @@ class Engine:
     documents, and the GRAPH-keyed routes (``search``,
     ``unified_search``'s documents section, ``backlinks``) semi-join
     their graph/triple relations against it. The object-plane routes
-    (``list_objects``, ``drs_object``) are NOT graph-scoped — in the
+    (``list_objects``, ``list_object_versions``, ``put_object``,
+    ``get_object``, ``head_object``, ``complete_multipart``,
+    ``staging_list``, ``drs_object``) are NOT graph-scoped — in the
     reference they sit behind the S3/DRS authorization plane (bucket
     policies), which is part of the excluded control plane.
 
