@@ -387,10 +387,20 @@ def rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_attribution(load_table(spark, sf_dir, "events"))
+
+
+def asof_attribution(
+    events: DataFrame,
+    build_type: str = "click",
+    probe_type: str = "purchase",
+) -> DataFrame:
+    """The as-of core over any events-shaped relation ``(event_id, ts,
+    user_id, event_type)`` — exposed for the property test, which pins
+    it against a pure-Python model on randomized event sets."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
-    build = events.filter(F.col("event_type") == "click").select(
+    build = events.filter(F.col("event_type") == build_type).select(
         "user_id",
         "ts",
         F.lit(0).alias("is_probe"),
@@ -398,7 +408,7 @@ def rel_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("c_eid"),
         F.col("ts").alias("c_ts"),
     )
-    probe = events.filter(F.col("event_type") == "purchase").select(
+    probe = events.filter(F.col("event_type") == probe_type).select(
         "user_id",
         "ts",
         F.lit(1).alias("is_probe"),
@@ -460,9 +470,20 @@ RANGE_WINDOW_US = 600_000_000  # 10 minutes
     """,
 )
 def rel_range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    w = RANGE_WINDOW_US
-    clicks = events.filter(F.col("event_type") == "click").select(
+    return range_window_attribution(load_table(spark, sf_dir, "events"))
+
+
+def range_window_attribution(
+    events: DataFrame,
+    window_us: int = RANGE_WINDOW_US,
+    build_type: str = "click",
+    probe_type: str = "purchase",
+) -> DataFrame:
+    """The interval-bucket band-join core over any events-shaped
+    relation — exposed for the property test (the bucket decomposition
+    must be lossless for ANY window width and timestamp pattern)."""
+    w = int(window_us)
+    clicks = events.filter(F.col("event_type") == build_type).select(
         F.col("user_id"),
         F.unix_micros("ts").alias("c_us"),
         F.col("value").alias("c_value"),
@@ -470,7 +491,7 @@ def rel_range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # across a bucket boundary)
         F.expr(f"unix_micros(ts) div {w}").alias("bucket"),
     )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
+    purchases = events.filter(F.col("event_type") == probe_type).select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
