@@ -43,6 +43,9 @@ def register(name: str, oracle: str | None = None):
 PRIORITY_PREFIXES = (
     # changed this round (exact names, front of the window)
     "similarity_neardup_scaled",
+    "similarity_ivf_scaled_topk",
+    "rel_asof_latest_click",
+    "rel_range_window_join",
     "registry_event_replay",
     "registry_incremental_merge",
     "registry_listing_recent",

@@ -519,12 +519,14 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
-def _centroid_vec(c: int, dim: int = DIM) -> list[int]:
+def _centroid_vec(c: int, dim: int = DIM, salt: str = "c") -> list[int]:
     """Deterministic ±1 centroid directions from md5 parity (no RNG, no
     training pass — a fixed coarse quantizer; a production IVF would
     k-means these, the query plan is identical)."""
     return [
-        1 if int(hashlib.md5(f"c{c}:{d}".encode()).hexdigest(), 16) % 2 == 1
+        1
+        if int(hashlib.md5(f"{salt}{c}:{d}".encode()).hexdigest(), 16) % 2
+        == 1
         else -1
         for d in range(dim)
     ]
@@ -532,25 +534,40 @@ def _centroid_vec(c: int, dim: int = DIM) -> list[int]:
 
 CENTROIDS = [_centroid_vec(c) for c in range(N_CENTROIDS)]
 
+# The corpus-scaled cell count, demonstrated (the IVF analog of the
+# neardup family's 12-bit BITS dial): production IVF sizes cells ~
+# sqrt(n) so per-cell list length stays flat as the corpus grows; at a
+# FIXED cell count the probed lists grow linearly with the corpus
+# (measured: similarity_ivf_topk 5.6x at sf1). This family keeps the
+# probed FRACTION identical (16 of 64 = 2 of 8 = 1/4) while cutting
+# per-cell occupancy 8x — finer cells also buy recall at the same scan
+# fraction (see the measured curves in SCALE.md). Its own salt keeps
+# the hyperplane family independent of the 8-cell quantizer's.
+N_CENTROIDS_SCALED = 64
+N_PROBE_SCALED = 16
+CENTROIDS_SCALED = [
+    _centroid_vec(c, salt="sc") for c in range(N_CENTROIDS_SCALED)
+]
 
-def _assign_sql_spark(v: str, n_probe: int) -> str:
+
+def _assign_sql_spark(v: str, n_probe: int, cents=None) -> str:
     """SQL expr: array of the n_probe centroid ids nearest to vector
     ``v`` by dot product (desc, tie → lower id)."""
     scores = ", ".join(
         f"named_struct('d', -({_dot_sql(v, 'array(' + ', '.join(str(x) for x in c) + ')')}), 'c', {i})"
-        for i, c in enumerate(CENTROIDS)
+        for i, c in enumerate(cents if cents is not None else CENTROIDS)
     )
     return (
         f"transform(slice(array_sort(array({scores})), 1, {n_probe}), s -> s.c)"
     )
 
 
-def _d_assign(v: str, n_probe: int) -> str:
+def _d_assign(v: str, n_probe: int, cents=None) -> str:
     """DuckDB: same nearest-centroid list via list_sort of (d, c) structs."""
     scores = ", ".join(
         "{'d': -(" + _d_dot(v, "[" + ", ".join(str(x) for x in c) + "]")
         + f"), 'c': {i}}}"
-        for i, c in enumerate(CENTROIDS)
+        for i, c in enumerate(cents if cents is not None else CENTROIDS)
     )
     return (
         f"list_transform(list_sort([{scores}])[1:{n_probe}], s -> s.c)"
@@ -625,6 +642,96 @@ def ivf_topk_nprobe(
             F.explode(F.expr(_assign_sql_spark("embedding", n_probe))).alias(
                 "cell"
             ),
+        )
+    )
+    scored = (
+        assigned.alias("a")
+        .join(
+            F.broadcast(probes).alias("p"),
+            (F.col("a.cell") == F.col("p.cell"))
+            & (F.col("a.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("vec_id"),
+            _score_q(
+                _dot(F.col("p.q_emb"), F.col("a.embedding")),
+                F.col("p.q_norm2"),
+                F.col("a.norm2"),
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "score_q", "rnk")
+    )
+
+
+
+# ------------------------------------------ corpus-scaled ivf (64 cells)
+@register(
+    "similarity_ivf_scaled_topk",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    assigned AS (
+      SELECT vec_id, {_d_assign('embedding', 1, CENTROIDS_SCALED)}[1] AS cell
+      FROM corpus
+    ),
+    probes AS (
+      SELECT c.vec_id AS query_id,
+             UNNEST({_d_assign('c.embedding', N_PROBE_SCALED,
+                               CENTROIDS_SCALED)}) AS cell
+      FROM corpus c WHERE c.vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_D_SCORE} AS score_q
+      FROM cand
+      JOIN corpus q ON q.vec_id = cand.query_id
+      JOIN corpus c ON c.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, score_q, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_ivf_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the CORPUS-SCALED cell count (64 cells, nprobe 16 — the
+    same 1/4 probed fraction as the registered 8-cell default): the
+    production "cells ~ sqrt(n)" sizing rule as a registered,
+    oracle-checked query, exactly like the 12-bit bucket demonstrates
+    the neardup BITS dial. Finer cells hold 8x fewer vectors each, so
+    the probed lists stay flat as the corpus grows (the 8-cell fixed
+    quantizer measured 5.6x at sf1 because its lists grow with the
+    corpus), and granularity buys recall at an unchanged scan fraction.
+    Served from the STORED cell-partitioned lists
+    (``store.ivf_scaled_store``); same probe-join/rank tail as
+    ``similarity_ivf_topk``."""
+    from aruna_spark.store import ivf_scaled_store
+
+    assigned = ivf_scaled_store(spark, sf_dir)
+    probes = (
+        assigned.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+            F.explode(
+                F.expr(
+                    _assign_sql_spark(
+                        "embedding", N_PROBE_SCALED, CENTROIDS_SCALED
+                    )
+                )
+            ).alias("cell"),
         )
     )
     scored = (

@@ -353,6 +353,40 @@ def ivf_fixed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(dest, "assigned"))
 
 
+def ivf_scaled_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scaled fixed-quantizer IVF lists: same layout as
+    :func:`ivf_fixed_store` but 64 cells (cells ~ sqrt(n) — the
+    production sizing rule, demonstrated; see the dial comment in
+    ``queries/similarity.py``)."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.catalog import load_table
+    from aruna_spark.queries.similarity import (
+        CENTROIDS_SCALED,
+        _assign_sql_spark,
+        _with_norm,
+    )
+
+    def build(tmp: str) -> None:
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        assigned = emb.select(
+            "vec_id",
+            "embedding",
+            "norm2",
+            F.expr(_assign_sql_spark("embedding", 1, CENTROIDS_SCALED))[
+                0
+            ].alias("cell"),
+        )
+        assigned.repartition("cell").write.partitionBy("cell").parquet(
+            os.path.join(tmp, "assigned")
+        )
+
+    dest = _ensure(
+        "ivf_scaled", sf_dir, build, src_name="embeddings.parquet"
+    )
+    return spark.read.parquet(os.path.join(dest, "assigned"))
+
+
 def pq_store(
     spark: SparkSession, sf_dir: str
 ) -> tuple[dict[int, list[int]], dict[tuple[int, int], list[int]], "DataFrame"]:
