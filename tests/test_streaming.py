@@ -317,3 +317,34 @@ def test_dashboard_epochs_is_lazy_and_batch_only(spark, sf_dir):
     stream = spark.readStream.schema(schema).parquet(sf_dir)
     with pytest.raises(ValueError, match="foreachBatch"):
         dashboard_epochs(stream)
+
+
+def test_facade_watch_route_on_a_real_stream(spark, sf_dir, events_stream_dir):
+    """The facade's watch() accepts a STREAMING events relation (the
+    glob+mask match is a stream-static broadcast join): drive the route
+    end-to-end through writeStream and compare against its own batch
+    output — the subscribe surface works identically on either."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.api import Engine
+
+    engine = Engine(spark, sf_dir)
+    stream = _read_stream(spark, events_stream_dir)
+    matched = engine.watch("users/*/click", ["click"], events=stream)
+    assert matched.isStreaming
+    counts = matched.groupBy("watch_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("event_id").alias("last")
+    )
+    _run_to_memory(counts, "facade_watch_stream")
+    got = {
+        (r.watch_id, r.n, r.last)
+        for r in spark.sql("SELECT * FROM facade_watch_stream").collect()
+    }
+    batch = engine.watch("users/*/click", ["click"])
+    want = {
+        (r.watch_id, r.n, r.last)
+        for r in batch.groupBy("watch_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("last"))
+        .collect()
+    }
+    assert got == want and got
