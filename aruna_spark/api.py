@@ -276,8 +276,16 @@ class Engine:
             [(bucket, key, int(size), blob_hash)],
             "bucket string, key string, size long, blob_hash string",
         )
+        # point shape: the version-history side prunes to the touched
+        # key; the content-address dedup check stays GLOBAL (a blob put
+        # under any key dedups) — put_objects semi-prunes it to the
+        # batch's hashes internally
+        versions = self._versions()
+        mine = versions.filter(
+            (F.col("bucket") == bucket) & (F.col("key") == key)
+        )
         rows = (
-            put_objects(self._versions(), puts)
+            put_objects(mine, puts, stored_hashes=versions)
             .filter(
                 (F.col("bucket") == bucket)
                 & (F.col("key") == key)

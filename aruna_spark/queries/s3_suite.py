@@ -83,18 +83,42 @@ _D_PUTS = """
 """
 
 
-def put_objects(versions: DataFrame, puts: DataFrame) -> DataFrame:
+def put_objects(
+    versions: DataFrame, puts: DataFrame, stored_hashes: DataFrame | None = None
+) -> DataFrame:
     """Apply a put batch to the versions table → new versions table.
 
     Returns the union of prior versions and the new version records, with
     ``is_latest`` recomputed (the head-pointer flip, put_object.rs
     WriteBlobHead) and ``deduplicated`` marking puts whose blob_hash was
     already stored (CheckHashLookup hit → CleanupDuplicate: version
-    record written, no new blob)."""
-    prior_max = versions.groupBy("bucket", "key").agg(
-        F.max("version_idx").alias("prior_max")
+    record written, no new blob).
+
+    Scale shape: the put batch is small, so it BROADCASTS — prior-max
+    reads only the touched keys' histories (semi-join prune before the
+    groupBy) and the content-address check consults only the batch's
+    hashes (semi-join prune before the membership join), never a full
+    distinct over the blob index. ``stored_hashes`` (optional,
+    one-column ``blob_hash``) overrides the membership relation — the
+    facade's single-put route passes the GLOBAL catalog's hashes while
+    pruning ``versions`` to the touched key."""
+    touched_keys = puts.select("bucket", "key").distinct()
+    prior_max = (
+        versions.join(F.broadcast(touched_keys), ["bucket", "key"], "left_semi")
+        .groupBy("bucket", "key")
+        .agg(F.max("version_idx").alias("prior_max"))
     )
-    stored = versions.select("blob_hash").distinct()
+    if stored_hashes is None:
+        stored_hashes = versions
+    stored = (
+        stored_hashes.join(
+            F.broadcast(puts.select("blob_hash").distinct()),
+            "blob_hash",
+            "left_semi",
+        )
+        .select("blob_hash")
+        .distinct()
+    )
     new_vers = (
         puts.join(prior_max, ["bucket", "key"], "left")
         .join(
@@ -286,8 +310,18 @@ def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
     This is the single resolution path: the oracle-checked demo mix
     (:func:`resolve_objects`) compiles its kind codes down to these
     parameters, and the :class:`~aruna_spark.api.Engine` object routes
-    build one-row request batches — both broadcast the (small) request
-    side against the bucket-partitioned versions table."""
+    build one-row request batches. Scale shape: the request batch is
+    small, so its KEYS broadcast-semi-prune the versions relation first
+    (a point-lookup slice of the bucket-partitioned table); the outer
+    resolution joins then run against that pruned slice, whose size is
+    bounded by the batch's keys' version histories — never a shuffle of
+    the full catalog, and a missing key (404) is simply absent from the
+    slice."""
+    versions = versions.join(
+        F.broadcast(reqs.select("bucket", "key").distinct()),
+        ["bucket", "key"],
+        "left_semi",
+    )
     latest = versions.filter(F.col("is_latest")).select(
         "bucket",
         "key",
