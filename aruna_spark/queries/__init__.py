@@ -46,6 +46,7 @@ PRIORITY_PREFIXES = (
     "similarity_ivf_scaled_topk",
     "rel_asof_latest_click",
     "rel_range_window_join",
+    "rel_sessionize",
     "registry_event_replay",
     "registry_incremental_merge",
     "registry_listing_recent",

@@ -526,3 +526,77 @@ def range_window_attribution(
         F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
         F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# sessionization: the standard event-pipeline fold — per user, a new
+# session starts when the gap since the previous event exceeds the
+# timeout; events carry a stable session id (user, session ordinal) and
+# sessions roll up to (start, end, duration, events, value). Both the
+# gap flag (lag) and the ordinal (running sum of flags) are windows
+# PARTITIONED BY user — per-entity state, never an unpartitioned
+# window; the rollup is one groupBy. Distinct from the watch plane's
+# debounce_sessions (session WINDOWS for publish coalescing): this
+# assigns durable ids and per-session aggregates, the training-data
+# pipeline's sessionize step.
+# --------------------------------------------------------------------------
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@register(
+    "rel_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > {SESSION_GAP_US} OR
+                  lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, CAST(SUM(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(order)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_session")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )

@@ -106,3 +106,41 @@ def test_range_window_join_counts_match_brute_force(spark, sf_dir):
     )
     assert brute.filter(F.col("n_clicks") != F.col("brute_n")).count() == 0
     sample.unpersist()
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    """Sessions partition each user's events exactly, are time-ordered,
+    and respect the gap rule: consecutive sessions of a user are
+    separated by MORE than the timeout, while a session's span implies
+    every internal gap was within it."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.catalog import load_table
+    from aruna_spark.queries.relational import SESSION_GAP_US
+
+    fn, _ = REGISTRY["rel_sessionize"]
+    out = fn(spark, sf_dir).cache()
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").count()
+    sums = out.groupBy("user_id").agg(F.sum("n_events").alias("s"))
+    assert (
+        per_user.join(sums, "user_id")
+        .filter(F.col("count") != F.col("s"))
+        .count()
+        == 0
+    )
+    # consecutive sessions: next start strictly beyond end + gap
+    a = out.select("user_id", "session_no", "start_us", "end_us")
+    b = a.select(
+        "user_id",
+        (F.col("session_no") - 1).alias("session_no"),
+        F.col("start_us").alias("next_start"),
+    )
+    joined = a.join(b, ["user_id", "session_no"])
+    assert (
+        joined.filter(
+            F.col("next_start") <= F.col("end_us") + SESSION_GAP_US
+        ).count()
+        == 0
+    )
+    out.unpersist()
