@@ -47,6 +47,7 @@ PRIORITY_PREFIXES = (
     "rel_asof_latest_click",
     "rel_range_window_join",
     "rel_sessionize",
+    "sample_",
     "registry_event_replay",
     "registry_incremental_merge",
     "registry_listing_recent",
@@ -130,6 +131,7 @@ def load_all() -> None:
         registry,
         relational,
         s3_suite,
+        sampling,
         search,
         staging_suite,
         similarity,

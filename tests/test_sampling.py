@@ -1,0 +1,69 @@
+"""Determinism properties of the sampling plane — the reason these are
+hash-based rather than df.sample/randomSplit: membership must depend on
+the id ALONE, never on row order, partition layout, or what other rows
+exist."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.queries import REGISTRY, load_all
+from aruna_spark.queries.sampling import stratified_sample, with_split
+
+load_all()
+
+
+def test_split_membership_survives_repartition_and_subsetting(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r.doc_id, r.split)
+        for r in with_split(docs).select("doc_id", "split").collect()
+    }
+    # layout change: different partitioning, same assignment
+    shuffled = docs.repartition(7, "lang")
+    again = {
+        (r.doc_id, r.split)
+        for r in with_split(shuffled).select("doc_id", "split").collect()
+    }
+    assert again == base
+    # subsetting: removing rows never moves surviving rows' splits
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {
+        (r.doc_id, r.split)
+        for r in with_split(subset).select("doc_id", "split").collect()
+    }
+    assert sub == {(d, s) for d, s in base if d % 3 == 0}
+    # all three splits are populated at this corpus size
+    assert {s for _, s in base} == {"train", "val", "test"}
+
+
+def test_stratified_sample_is_joinable(spark, sf_dir):
+    """kept(subset) == subset ∩ kept(all): features computed on the full
+    corpus join back to the sample exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept_all = {r.doc_id for r in stratified_sample(docs).select("doc_id").collect()}
+    subset = docs.filter(F.col("lang") == "en")
+    kept_sub = {
+        r.doc_id for r in stratified_sample(subset).select("doc_id").collect()
+    }
+    want = {
+        r.doc_id
+        for r in subset.select("doc_id").collect()
+        if r.doc_id in kept_all
+    }
+    assert kept_sub == want and kept_sub
+
+
+def test_stratified_rates_land_near_targets(spark, sf_dir):
+    """Individual strata are tiny at sf0.01 (tens of docs — a 25-doc
+    stratum can legitimately keep 24), so the uniformity check pools
+    all even and all odd strata."""
+    rows = REGISTRY["sample_stratified_summary"][0](spark, sf_dir).collect()
+    pooled = {0: [0, 0], 1: [0, 0]}
+    for r in rows:
+        p = pooled[int(r.source.replace("src", "")) % 2]
+        p[0] += r.n_kept
+        p[1] += r.n_total
+    assert abs(pooled[0][0] / pooled[0][1] - 0.25) < 0.1
+    assert abs(pooled[1][0] / pooled[1][1] - 0.75) < 0.1
