@@ -157,6 +157,18 @@ class Parser:
             raise SparqlSyntaxError(f"expected {val!r}, got {self.peek()[1]!r}")
         self.next()
 
+    def _int_literal(self, clause: str) -> int:
+        """Consume a non-negative integer token; anything else is a
+        syntax error (the route's 400), never a raw ValueError (found by
+        the parser fuzz: ``LIMIT`` followed by a keyword crashed)."""
+        tok = self.next()[1]
+        try:
+            return int(tok)
+        except ValueError:
+            raise SparqlSyntaxError(
+                f"{clause} expects an integer, got {tok!r}"
+            ) from None
+
     def fresh_var(self) -> str:
         self._bnode_n += 1
         return f"__anon{self._bnode_n}"
@@ -299,10 +311,10 @@ class Parser:
         for _ in range(2):
             if self.at_kw("LIMIT"):
                 self.next()
-                limit = int(self.next()[1])
+                limit = self._int_literal("LIMIT")
             elif self.at_kw("OFFSET"):
                 self.next()
-                offset = int(self.next()[1])
+                offset = self._int_literal("OFFSET")
         if self.at_kw("VALUES"):
             self.next()
             pattern = Join(pattern, self._values_block())

@@ -55,7 +55,7 @@ def _assert_clean(text: str) -> None:
     i=st.integers(min_value=0, max_value=80),
     j=st.integers(min_value=0, max_value=80),
 )
-@settings(max_examples=120, deadline=None,
+@settings(max_examples=250, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_mutated_valid_queries_never_crash(base, i, j):
     lo, hi = sorted((min(i, len(base)), min(j, len(base))))
@@ -65,14 +65,14 @@ def test_mutated_valid_queries_never_crash(base, i, j):
 
 
 @given(tokens=st.lists(_sparql_tokens, min_size=0, max_size=25))
-@settings(max_examples=120, deadline=None,
+@settings(max_examples=250, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_token_soup_never_crashes(tokens):
     _assert_clean(" ".join(tokens))
 
 
 @given(text=st.text(max_size=60))
-@settings(max_examples=120, deadline=None,
+@settings(max_examples=250, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_unicode_junk_never_crashes(text):
     _assert_clean(text)
