@@ -48,6 +48,7 @@ PRIORITY_PREFIXES = (
     "rel_range_window_join",
     "rel_sessionize",
     "sample_",
+    "decontam_",
     "registry_event_replay",
     "registry_incremental_merge",
     "registry_listing_recent",
@@ -122,6 +123,7 @@ def load_all() -> None:
     from aruna_spark.queries import (  # noqa: F401
         backlinks,
         crdt_suite,
+        decontam,
         drs,
         dedup,
         ingest_suite,

@@ -1,0 +1,114 @@
+"""Benchmark decontamination — the training-data pipeline's n-gram
+overlap check.
+
+Before training, any document sharing an n-gram with a held-out
+evaluation/benchmark set must be flagged (the standard contamination
+rule: an n-gram seen in the benchmark makes the training doc suspect).
+The benchmark here is a deterministic slice (``doc_id % 97 == 0``,
+~1 %); grams are the SAME 3-token shingles the dedup plane uses
+(:mod:`aruna_spark.ops.text`), hashed to the portable 60-bit hash so
+the flagging join shuffles narrow ints, never strings.
+
+Scale (100 TB): the benchmark gram set is small by construction
+(benchmarks are thousands of documents, not billions) — it BROADCASTS,
+so flagging is one narrow map + broadcast semi-join over the training
+scan, followed by a distinct on doc ids. No shuffle of the corpus-side
+grams. The oracle independently derives the same answer joining RAW
+gram strings (different mechanism, same membership — stronger check
+than mirroring the hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.ops.text import duck_shingles_sql, hash64, shingles, ws_tokens
+from aruna_spark.queries import register
+
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 is the held-out benchmark
+GRAM_K = 3
+
+
+def _grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gh): one row per k-gram occurrence, portable-hashed.
+    Docs shorter than k tokens contribute nothing (null shingle array
+    explodes to zero rows — DuckDB's UNNEST(NULL) matches)."""
+    return docs.select(
+        "doc_id",
+        F.explode(shingles(ws_tokens(F.col("text")), GRAM_K)).alias("g"),
+    ).select("doc_id", hash64(F.col("g")).alias("gh"))
+
+
+def flag_contaminated(docs: DataFrame) -> DataFrame:
+    """Training doc ids sharing >=1 benchmark k-gram (one column,
+    ``doc_id``)."""
+    grams = _grams(docs)
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gh")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             {duck_shingles_sql('toks', GRAM_K)} AS s
+      FROM toked
+    ),
+    bench AS (
+      SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    flagged AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, UNNEST(s) AS g FROM sh
+            WHERE doc_id % {BENCH_MOD} <> 0) t
+      JOIN bench b ON t.g = b.g
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END)
+                AS BIGINT) AS flagged_id_checksum
+    FROM documents d
+    LEFT JOIN flagged f ON f.doc_id = d.doc_id
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+    GROUP BY d.lang
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang contamination summary: training docs, flagged count,
+    and the flagged-set id checksum (exact membership, not just
+    counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = flag_contaminated(docs).withColumn("__f", F.lit(1))
+    return (
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("__f").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(
+                F.when(F.col("__f").isNotNull(), F.col("doc_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("flagged_id_checksum"),
+        )
+    )
