@@ -126,8 +126,23 @@ def _object_rows(value) -> list[tuple[str, str, str | None, str | None]]:
 
 def project_document(document_id, jsonld: str) -> list[tuple]:
     """One JSON-LD document (a single entity or a list of entities) →
-    triples rows; enforces the reference's validation rules."""
-    doc = json.loads(jsonld)
+    triples rows; enforces the reference's validation rules. Every
+    rejection — including malformed JSON — raises :class:`JsonLdError`
+    NAMING the document, so a bad document in a batch surfaces as the
+    route's client error, not an anonymous executor crash."""
+    try:
+        doc = json.loads(jsonld)
+    except (json.JSONDecodeError, TypeError) as e:
+        raise JsonLdError(
+            f"document {document_id!r}: malformed JSON ({e})"
+        ) from None
+    try:
+        return _project_entities(document_id, doc)
+    except JsonLdError as e:
+        raise JsonLdError(f"document {document_id!r}: {e}") from None
+
+
+def _project_entities(document_id, doc) -> list[tuple]:
     if isinstance(doc, dict) and "@graph" in doc:
         raise JsonLdError("@graph is not allowed")
     entities = doc if isinstance(doc, list) else [doc]

@@ -216,3 +216,17 @@ def test_rocrate_page_cursor_walk_no_skip_no_dup(spark, sf_dir):
     assert consumed >= 2 * limit, "corpus too small to cross boundaries"
     for g, exp in expected.items():
         assert seen[g] == exp, f"skip/dup in {g}"
+
+
+def test_malformed_document_raises_named_client_error(spark):
+    """A bad document in an ingest batch must surface as JsonLdError
+    NAMING the document (the route's 400), never an anonymous executor
+    crash (found by probing the batch path with broken JSON)."""
+    import pytest
+
+    from aruna_spark.ingest.jsonld import JsonLdError, project_document
+
+    with pytest.raises(JsonLdError, match="'g2'.*malformed JSON"):
+        project_document("g2", "{broken")
+    with pytest.raises(JsonLdError, match="'g3'.*@type"):
+        project_document("g3", '{"@id": "urn:x", "name": "n"}')
