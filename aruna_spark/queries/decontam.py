@@ -6,8 +6,11 @@ evaluation/benchmark set must be flagged (the standard contamination
 rule: an n-gram seen in the benchmark makes the training doc suspect).
 The benchmark here is a deterministic slice (``doc_id % 97 == 0``,
 ~1 %); grams are the SAME 3-token shingles the dedup plane uses
-(:mod:`aruna_spark.ops.text`), hashed to the portable 60-bit hash so
-the flagging join shuffles narrow ints, never strings.
+(:mod:`aruna_spark.ops.text`), hashed with NATIVE ``xxhash64`` so the
+flagging join shuffles narrow ints, never strings — unlike the dedup
+signatures, the hash here needs no DuckDB portability because the
+oracle derives membership independently from RAW gram strings (md5
+hashing every gram occurrence was this query's entire hot path).
 
 Scale (100 TB): the benchmark gram set is small by construction
 (benchmarks are thousands of documents, not billions) — it BROADCASTS,
@@ -24,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
-from aruna_spark.ops.text import duck_shingles_sql, hash64, shingles, ws_tokens
+from aruna_spark.ops.text import duck_shingles_sql, shingles, ws_tokens
 from aruna_spark.queries import register
 
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 is the held-out benchmark
@@ -32,13 +35,13 @@ GRAM_K = 3
 
 
 def _grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, gh): one row per k-gram occurrence, portable-hashed.
+    """(doc_id, gh): one row per k-gram occurrence, xxhash64'd.
     Docs shorter than k tokens contribute nothing (null shingle array
     explodes to zero rows — DuckDB's UNNEST(NULL) matches)."""
     return docs.select(
         "doc_id",
         F.explode(shingles(ws_tokens(F.col("text")), GRAM_K)).alias("g"),
-    ).select("doc_id", hash64(F.col("g")).alias("gh"))
+    ).select("doc_id", F.xxhash64(F.col("g")).alias("gh"))
 
 
 def flag_contaminated(docs: DataFrame) -> DataFrame:
