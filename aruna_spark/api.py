@@ -235,11 +235,11 @@ class Engine:
         ``(entry, kind, n_keys, total_size)``; the caller's
         continuation token is the last row's entry per kind."""
         from aruna_spark.ops.listing import list_objects_v2
-        from aruna_spark.sources.objects import load_object_versions
+        from aruna_spark.sources.objects import live_latest, load_object_versions
 
-        latest = load_object_versions(self.spark, self.sf_dir).filter(
-            F.col("is_latest")
-        )
+        # deleted heads are hidden (list_objects_v2.rs:454,510 skip
+        # BlobVersionState::Deleted)
+        latest = live_latest(load_object_versions(self.spark, self.sf_dir))
         return list_objects_v2(
             latest,
             prefix=prefix,
@@ -389,17 +389,56 @@ class Engine:
         return complete_multipart(parts)
 
     def list_object_versions(
-        self, prefix: str = "", max_keys: int = 1000
+        self,
+        prefix: str = "",
+        key_marker: str | None = None,
+        version_idx_marker: int | None = None,
+        max_keys: int = 1000,
     ) -> DataFrame:
-        """ListObjectVersions: every version under the prefix, latest
-        first per key (s3_service.rs ListObjectVersions dispatch)."""
-        return (
-            self._versions()
-            .filter(F.col("key").startswith(prefix))
-            .orderBy("key", F.desc("version_idx"))
-            .select("key", "version_id", "is_latest", "size", "etag")
-            .limit(int(max_keys))
+        """ListObjectVersions: every version under the prefix — delete
+        markers included as DeleteMarker items — latest first per key,
+        with (key_marker, version_id_marker) keyset continuation
+        (list_object_versions.rs:60-61,88-89)."""
+        from aruna_spark.ops.listing import list_object_versions
+
+        return list_object_versions(
+            self._versions(),
+            prefix=prefix,
+            key_marker=key_marker,
+            version_idx_marker=version_idx_marker,
+            max_keys=int(max_keys),
         )
+
+    def delete_object(
+        self,
+        key: str,
+        bucket: str = "corpus",
+        version_id: str | None = None,
+    ):
+        """DeleteObject (delete_object.rs): unversioned → append a
+        delete marker as the key's new latest (write_tombstone);
+        versioned → remove that version permanently
+        (delete_target_version), 404 when it does not exist. Returns
+        the result row ``(version_id, delete_marker, status)``."""
+        from aruna_spark.queries.s3_lifecycle import delete_results
+
+        dels = self.spark.createDataFrame(
+            [(bucket, key, version_id)],
+            "bucket string, key string, want_version_id string",
+        )
+        # point shape: the result only needs this key's history
+        mine = self._versions().filter(
+            (F.col("bucket") == bucket) & (F.col("key") == key)
+        )
+        return delete_results(mine, dels).collect()[0]
+
+    def delete_objects(self, deletes: DataFrame) -> DataFrame:
+        """Batch DeleteObjects (delete_objects.rs; S3 caps the batch at
+        1,000 keys): one result row per request, marker appends and
+        versioned removals resolved against the catalog."""
+        from aruna_spark.queries.s3_lifecycle import delete_results
+
+        return delete_results(self._versions(), deletes)
 
     # ------------------------------------------------- smaller route family
     def unified_search(self, query: str) -> DataFrame:
@@ -595,12 +634,10 @@ class Engine:
         latest object keys: one level (dirs rolled up) or the recursive
         walk, with the offset/limit page envelope."""
         from aruna_spark.ops.staging import list_source_level
+        from aruna_spark.sources.objects import live_latest
 
-        keys = (
-            self._versions()
-            .filter(F.col("is_latest"))
-            .select("key", "size")
-        )
+        # live heads only — deleted keys are hidden like ListObjectsV2
+        keys = live_latest(self._versions()).select("key", "size")
         return list_source_level(
             keys,
             source_path,

@@ -113,8 +113,85 @@ def duck_list_objects_v2(
         """
     return f"""
     WITH objects AS ({objects_sql}),
-    latest AS (SELECT * FROM objects WHERE is_latest)
+    latest AS (SELECT * FROM objects WHERE is_latest AND NOT is_delete_marker)
     SELECT * FROM ({body}) ORDER BY entry LIMIT {max_keys}
+    """
+
+
+# ------------------------------------------ ListObjectVersions (keyset)
+
+VERSIONS_COLS = "key, version_id, is_latest, is_delete_marker, size, etag"
+
+
+def list_object_versions(
+    versions: DataFrame,
+    prefix: str = "",
+    key_marker: str | None = None,
+    version_idx_marker: int | None = None,
+    max_keys: int = MAX_KEYS_DEFAULT,
+) -> DataFrame:
+    """One ListObjectVersions page: ALL versions under the prefix —
+    delete markers included (``list_object_versions.rs``
+    ``ListObjectVersionsItem::DeleteMarker``) — in (key ASC,
+    version_idx DESC) order with keyset continuation.
+
+    The continuation token is (key_marker, version_id_marker) exactly
+    like ``list_object_versions.rs:60-61,88-89``: resume emits keys
+    strictly after the marker key, plus the marker key's remaining
+    versions strictly below the marker version. ``version_idx_marker``
+    is the marker version's integer index (the reference's marker is
+    the version ULID; ours is the 'vN' index — same keyset
+    discipline). A bare ``key_marker`` (no version marker) resumes at
+    the next key, the reference's common-prefix resume.
+
+    Scale: both marker predicates push down to the (bucket, key)-sorted
+    objects table scan — file skipping on the sort key, then a
+    per-partition top-k merge for the global order/limit. No driver
+    round-trips.
+    """
+    df = versions.filter(F.col("key").startswith(prefix))
+    if key_marker is not None:
+        if version_idx_marker is not None:
+            df = df.filter(
+                (F.col("key") > key_marker)
+                | (
+                    (F.col("key") == key_marker)
+                    & (F.col("version_idx") < version_idx_marker)
+                )
+            )
+        else:
+            df = df.filter(F.col("key") > key_marker)
+    return (
+        df.orderBy("key", F.desc("version_idx"))
+        .select(
+            "key", "version_id", "is_latest", "is_delete_marker", "size", "etag"
+        )
+        .limit(max_keys)
+    )
+
+
+def duck_list_object_versions(
+    objects_sql: str,
+    prefix: str = "",
+    key_marker: str | None = None,
+    version_idx_marker: int | None = None,
+    max_keys: int = MAX_KEYS_DEFAULT,
+) -> str:
+    """DuckDB replication of :func:`list_object_versions`."""
+    where = f"starts_with(key, '{prefix}')"
+    if key_marker is not None:
+        if version_idx_marker is not None:
+            where += (
+                f" AND (key > '{key_marker}' OR (key = '{key_marker}'"
+                f" AND version_idx < {version_idx_marker}))"
+            )
+        else:
+            where += f" AND key > '{key_marker}'"
+    return f"""
+    WITH objects AS ({objects_sql})
+    SELECT {VERSIONS_COLS}
+    FROM objects WHERE {where}
+    ORDER BY key, version_idx DESC LIMIT {max_keys}
     """
 
 

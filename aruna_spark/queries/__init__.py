@@ -132,6 +132,7 @@ def load_all() -> None:
         permissions,
         registry,
         relational,
+        s3_lifecycle,
         s3_suite,
         sampling,
         search,

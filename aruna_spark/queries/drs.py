@@ -30,7 +30,10 @@ DOWNLOAD_ROUTE = "/ga4gh/drs/v1/download?object_id="  # drs.rs:437-441
 def blob_index(versions: DataFrame) -> DataFrame:
     """Content-address index: one row per blob hash with its committed
     size, canonical (lexicographically-first) location, and the
-    content-addressed fan-in."""
+    content-addressed fan-in. Delete markers carry no blob
+    (blob.rs:846-850: ``blob_hash()`` is None for Deleted) so they are
+    not index rows."""
+    versions = versions.filter(~F.col("is_delete_marker"))
     return versions.groupBy("blob_hash").agg(
         F.min("size").alias("blob_size"),
         F.min(F.concat(F.col("bucket"), F.lit("/"), F.col("key"))).alias(
@@ -68,7 +71,7 @@ def drs_response(requested: DataFrame) -> DataFrame:
              MIN(size) AS blob_size,
              MIN(bucket || '/' || key) AS canonical_location,
              CAST(COUNT(*) AS BIGINT) AS n_locations
-      FROM objects GROUP BY blob_hash
+      FROM objects WHERE NOT is_delete_marker GROUP BY blob_hash
     ),
     requested AS (
       SELECT * FROM blobs WHERE substring(blob_hash, 1, 1) = 'a'

@@ -11,15 +11,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aruna_spark.ops.listing import duck_list_objects_v2, list_objects_v2
+from aruna_spark.ops.listing import (
+    duck_list_object_versions,
+    duck_list_objects_v2,
+    list_object_versions,
+    list_objects_v2,
+)
 from aruna_spark.queries import register
-from aruna_spark.sources.objects import OBJECTS_ORACLE_SQL, load_object_versions
+from aruna_spark.sources.objects import (
+    OBJECTS_ORACLE_SQL,
+    live_latest,
+    load_object_versions,
+)
 
 PAGE = 20
 
 
 def _latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_object_versions(spark, sf_dir).filter(F.col("is_latest"))
+    # deleted heads are hidden from ListObjectsV2
+    # (list_objects_v2.rs:454,510 skip BlobVersionState::Deleted)
+    return live_latest(load_object_versions(spark, sf_dir))
 
 
 # -- delimiter grouping at the bucket root -----------------------------------
@@ -87,19 +98,45 @@ def listing_v2_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- versions listing --------------------------------------------------------
 @register(
     "listing_versions",
-    oracle=f"""
-    WITH objects AS ({OBJECTS_ORACLE_SQL})
-    SELECT key, version_id, is_latest, size, etag
-    FROM objects WHERE starts_with(key, 'data/src3/')
-    ORDER BY key, version_idx DESC LIMIT 50
-    """,
+    oracle=duck_list_object_versions(
+        OBJECTS_ORACLE_SQL, prefix="data/src3/", max_keys=50
+    ),
 )
 def listing_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ListObjectVersions: all versions, latest first per key."""
-    return (
-        load_object_versions(spark, sf_dir)
-        .filter(F.col("key").startswith("data/src3/"))
-        .orderBy("key", F.desc("version_idx"))
-        .select("key", "version_id", "is_latest", "size", "etag")
-        .limit(50)
+    """ListObjectVersions page 1: all versions latest-first per key,
+    delete markers shown with their flag (DeleteMarker items,
+    list_object_versions.rs)."""
+    return list_object_versions(
+        load_object_versions(spark, sf_dir), prefix="data/src3/", max_keys=50
+    )
+
+
+# -- versions listing keyset continuation ------------------------------------
+# Resume mid-key: the marker names a key and a version index WITHIN it,
+# so the page re-enters that key's history strictly below the marker —
+# the (key_marker, version_id_marker) discipline of
+# list_object_versions.rs:60-61,88-89.
+_V_MARKER_KEY = "data/src3/de/doc-203.txt"  # 3 versions at sf0.01
+
+
+@register(
+    "listing_versions_page2",
+    oracle=duck_list_object_versions(
+        OBJECTS_ORACLE_SQL,
+        prefix="data/src3/",
+        key_marker=_V_MARKER_KEY,
+        version_idx_marker=2,
+        max_keys=50,
+    ),
+)
+def listing_versions_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListObjectVersions continuation: resume after
+    (key_marker, version_id_marker) — the marker key's lower versions
+    re-enter, everything at-or-above the marker is skipped."""
+    return list_object_versions(
+        load_object_versions(spark, sf_dir),
+        prefix="data/src3/",
+        key_marker=_V_MARKER_KEY,
+        version_idx_marker=2,
+        max_keys=50,
     )

@@ -43,7 +43,8 @@ _D_GRANTS = ", ".join(
     "perm_visible_summary",
     oracle=f"""
     WITH objects AS ({OBJECTS_ORACLE_SQL}),
-    latest AS (SELECT key FROM objects WHERE is_latest),
+    latest AS (SELECT key FROM objects
+               WHERE is_latest AND NOT is_delete_marker),
     grants(subject_id, pattern, effect) AS (VALUES {_D_GRANTS}),
     matched AS (
       SELECT l.key, g.subject_id, g.effect
@@ -63,11 +64,9 @@ _D_GRANTS = ", ".join(
 )
 def perm_visible_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-key summary per caller under the glob grants (DENY wins)."""
-    latest = (
-        load_object_versions(spark, sf_dir)
-        .filter(F.col("is_latest"))
-        .select("key")
-    )
+    from aruna_spark.sources.objects import live_latest
+
+    latest = live_latest(load_object_versions(spark, sf_dir)).select("key")
     vis = visible(latest, grants_df(spark))
     return vis.groupBy("subject_id").agg(
         F.count(F.lit(1)).alias("n_visible"),

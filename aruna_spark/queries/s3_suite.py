@@ -157,6 +157,7 @@ def put_objects(
         "size",
         "etag",
         "blob_hash",
+        "is_delete_marker",
         F.lit(False).alias("deduplicated"),
     ).unionByName(
         new_vers.select(
@@ -167,6 +168,7 @@ def put_objects(
             "size",
             "etag",
             "blob_hash",
+            F.lit(False).alias("is_delete_marker"),
             "deduplicated",
         )
     )
@@ -198,11 +200,11 @@ _D_AFTER_PUT = f"""
     ),
     unioned AS (
       SELECT bucket, key, version_idx, version_id, size, etag, blob_hash,
-             FALSE AS deduplicated
+             is_delete_marker, FALSE AS deduplicated
       FROM objects
       UNION ALL
       SELECT bucket, key, version_idx, version_id, size, etag, blob_hash,
-             deduplicated
+             FALSE AS is_delete_marker, deduplicated
       FROM new_vers
     )
     SELECT *,
@@ -217,7 +219,7 @@ _D_AFTER_PUT = f"""
     oracle=f"""
     WITH after AS ({_D_AFTER_PUT})
     SELECT bucket, key, version_idx, version_id, size, etag, blob_hash,
-           deduplicated, is_latest
+           is_delete_marker, deduplicated, is_latest
     FROM after
     WHERE key IN (SELECT key FROM ({_D_PUTS}))
     """,
@@ -225,7 +227,9 @@ _D_AFTER_PUT = f"""
 def s3_put_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Put batch applied to the catalog: new head versions, prior heads
     demoted, dedup flags on content-addressed hits — the full version
-    history of every touched key."""
+    history of every touched key. A put on a DELETED key revives it:
+    the new version lands past the marker and becomes the live head
+    (delete markers stay in the history, exactly like S3)."""
     versions = load_object_versions(spark, sf_dir)
     puts = _put_batch(spark, sf_dir)
     after = put_objects(versions, puts)
@@ -238,6 +242,7 @@ def s3_put_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size",
         "etag",
         "blob_hash",
+        "is_delete_marker",
         "deduplicated",
         "is_latest",
     )
@@ -328,6 +333,7 @@ def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
         F.col("version_id").alias("__l_vid"),
         F.col("size").alias("__l_size"),
         F.col("etag").alias("__l_etag"),
+        F.col("is_delete_marker").alias("__l_marker"),
     )
     explicit = versions.select(
         "bucket",
@@ -336,6 +342,7 @@ def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
         F.col("version_id").alias("__v_vid"),
         F.col("size").alias("__v_size"),
         F.col("etag").alias("__v_etag"),
+        F.col("is_delete_marker").alias("__v_marker"),
     )
     want = F.col("want_version_id").isNotNull()
     resolved = (
@@ -351,6 +358,15 @@ def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
             "__etag",
             F.when(want, F.col("__v_etag")).otherwise(F.col("__l_etag")),
         )
+        .withColumn(
+            "__marker",
+            F.coalesce(
+                F.when(want, F.col("__v_marker")).otherwise(
+                    F.col("__l_marker")
+                ),
+                F.lit(False),
+            ),
+        )
     )
     # conditional evaluation + range resolution, all CASE algebra
     start = F.col("range_start")
@@ -360,8 +376,12 @@ def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
     range_ok_se = (F.col("size") > start) & (end >= start)
     range_ok_sfx = F.col("size") > 0
     sfx_start = F.greatest(F.col("size") - F.col("range_suffix"), F.lit(0))
+    # a delete-marker head is a 404 (get_object.rs:344-347 NoSuchKey);
+    # an EXPLICIT version request naming a marker is the reference's
+    # GetObjectError::DeleteMarker — S3's 405 MethodNotAllowed
     status = (
-        F.when(F.col("__etag").isNull(), F.lit(404))
+        F.when(F.col("__marker") & want, F.lit(405))
+        .when(F.col("__etag").isNull(), F.lit(404))
         .when(
             F.col("if_match").isNotNull()
             & (F.col("if_match") != F.col("__etag")),
@@ -413,6 +433,9 @@ def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
         *passthrough,
         F.col("__vid").alias("resolved_version_id"),
         status.alias("status"),
+        # x-amz-delete-marker: surfaced on the 404/405 so the caller can
+        # distinguish "deleted" from "never existed"
+        F.col("__marker").alias("delete_marker"),
         F.when(body, F.col("__etag")).alias("etag"),
         F.when(body, content_length).cast("long").alias("content_length"),
         F.when(status == 206, content_range).alias("content_range"),
@@ -455,7 +478,10 @@ def _duck_resolve(select_cols: str) -> str:
              CASE WHEN r.kind = 1 THEN v.version_id ELSE l.version_id END
                AS resolved_version_id,
              CASE WHEN r.kind = 1 THEN v.size ELSE l.size END AS size,
-             CASE WHEN r.kind = 1 THEN v.etag ELSE l.etag END AS etag
+             CASE WHEN r.kind = 1 THEN v.etag ELSE l.etag END AS etag,
+             COALESCE(CASE WHEN r.kind = 1 THEN v.is_delete_marker
+                           ELSE l.is_delete_marker END, FALSE)
+               AS delete_marker
       FROM reqs r
       LEFT JOIN latest l ON l.bucket = r.bucket AND l.key = r.key
       LEFT JOIN v0 v ON v.bucket = r.bucket AND v.key = r.key
@@ -477,7 +503,7 @@ def _duck_resolve(select_cols: str) -> str:
       FROM resolved
     ),
     final AS (
-      SELECT bucket, key, kind, resolved_version_id, status,
+      SELECT bucket, key, kind, resolved_version_id, status, delete_marker,
              CASE WHEN status IN (200, 206) THEN etag END AS etag,
              CAST(CASE
                WHEN status NOT IN (200, 206) THEN NULL
@@ -500,8 +526,8 @@ def _duck_resolve(select_cols: str) -> str:
 @register(
     "s3_get_object",
     oracle=_duck_resolve(
-        "bucket, key, kind, resolved_version_id, status, etag, "
-        "content_length, content_range"
+        "bucket, key, kind, resolved_version_id, status, delete_marker, "
+        "etag, content_length, content_range"
     ),
 )
 def s3_get_object(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,7 +541,8 @@ def s3_get_object(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s3_head_object",
     oracle=_duck_resolve(
-        "bucket, key, kind, resolved_version_id, status, etag, content_length"
+        "bucket, key, kind, resolved_version_id, status, delete_marker, "
+        "etag, content_length"
     ),
 )
 def s3_head_object(spark: SparkSession, sf_dir: str) -> DataFrame:

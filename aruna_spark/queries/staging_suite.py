@@ -20,18 +20,23 @@ from aruna_spark.ops.staging import (
     render_autoindex_pages,
 )
 from aruna_spark.queries import register
-from aruna_spark.sources.objects import OBJECTS_ORACLE_SQL, load_object_versions
+from aruna_spark.sources.objects import (
+    OBJECTS_ORACLE_SQL,
+    live_latest,
+    load_object_versions,
+)
 
+# staging listings walk the LIVE heads — delete markers hide keys here
+# exactly as in ListObjectsV2
 _KEYS_SQL = f"""
-    SELECT key, size FROM ({OBJECTS_ORACLE_SQL}) WHERE is_latest
+    SELECT key, size FROM ({OBJECTS_ORACLE_SQL})
+    WHERE is_latest AND NOT is_delete_marker
 """
 
 
 def _keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_object_versions(spark, sf_dir)
-        .filter(F.col("is_latest"))
-        .select("key", "size")
+    return live_latest(load_object_versions(spark, sf_dir)).select(
+        "key", "size"
     )
 
 

@@ -37,12 +37,19 @@ QUOTA_BYTES = 300_000  # per-group ceiling
 
 
 def _with_group(df: DataFrame) -> DataFrame:
-    return df.withColumn("group_id", F.split_part(F.col("key"), F.lit("/"), F.lit(2)))
+    # usage accounts MATERIALIZED versions only: delete markers carry no
+    # blob and no size (delete_object.rs UpdateUsage debits the blob,
+    # never the tombstone). A deleted key's referenced_bytes goes to 0
+    # because none of its materialized rows is latest.
+    return df.filter(~F.col("is_delete_marker")).withColumn(
+        "group_id", F.split_part(F.col("key"), F.lit("/"), F.lit(2))
+    )
 
 
 _D_BASE = f"""
     objects AS ({OBJECTS_ORACLE_SQL}),
-    grouped AS (SELECT *, split_part(key, '/', 2) AS group_id FROM objects)
+    grouped AS (SELECT *, split_part(key, '/', 2) AS group_id FROM objects
+                WHERE NOT is_delete_marker)
 """
 
 _D_COUNTERS_BY_GROUP = f"""

@@ -332,9 +332,20 @@ def test_usage_counters_route(engine, spark, sf_dir):
 
 # ---------------------------------------------------- object-plane routes
 def _some_object(engine):
+    # a LIVE head (not a delete marker) so get/put expectations hold
     return (
         engine._versions()
-        .filter(F.col("is_latest"))
+        .filter(F.col("is_latest") & ~F.col("is_delete_marker"))
+        .orderBy("key")
+        .limit(1)
+        .collect()[0]
+    )
+
+
+def _some_deleted_key(engine):
+    return (
+        engine._versions()
+        .filter(F.col("is_latest") & F.col("is_delete_marker"))
         .orderBy("key")
         .limit(1)
         .collect()[0]
@@ -418,6 +429,64 @@ def test_list_object_versions_route(engine, spark, sf_dir):
     got = engine.list_object_versions(prefix="data/src3/", max_keys=50).collect()
     want = REGISTRY["listing_versions"][0](spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_list_object_versions_keyset_walk(engine):
+    """Paging the versions listing by (key_marker, version_id_marker)
+    covers everything exactly once in order — the keyset discipline of
+    list_object_versions.rs:60-61,88-89."""
+    full = engine.list_object_versions(
+        prefix="data/src3/", max_keys=10**6
+    ).collect()
+    walked, marker = [], None
+    while True:
+        page = engine.list_object_versions(
+            prefix="data/src3/",
+            key_marker=marker[0] if marker else None,
+            version_idx_marker=marker[1] if marker else None,
+            max_keys=7,
+        ).collect()
+        if not page:
+            break
+        walked.extend(page)
+        last = page[-1]
+        marker = (last.key, int(last.version_id[1:]))
+    assert [tuple(r) for r in walked] == [tuple(r) for r in full]
+
+
+def test_delete_object_routes(engine):
+    obj = _some_object(engine)
+    # unversioned delete -> NEW marker one past the current head
+    res = engine.delete_object(obj.key)
+    assert res.delete_marker and res.status == 204
+    assert int(res.version_id[1:]) == obj.version_idx + 1
+    # versioned delete of an existing version -> removed, not a marker
+    res = engine.delete_object(obj.key, version_id="v0")
+    assert res.status == 204 and not res.delete_marker
+    # versioned delete of a missing version -> NoSuchVersion
+    assert engine.delete_object(obj.key, version_id="v99").status == 404
+    # unversioned delete of an already-deleted key STACKS a marker
+    dead = _some_deleted_key(engine)
+    res = engine.delete_object(dead.key)
+    assert res.delete_marker and int(res.version_id[1:]) == dead.version_idx + 1
+    # versioned delete OF the marker itself reports delete_marker=true
+    res = engine.delete_object(dead.key, version_id=dead.version_id)
+    assert res.status == 204 and res.delete_marker
+
+
+def test_deleted_head_hidden_from_get_and_listing(engine):
+    dead = _some_deleted_key(engine)
+    # GET on a marker head is NoSuchKey, with the marker surfaced
+    got = engine.get_object(dead.key)
+    assert got.status == 404 and got.delete_marker
+    # an EXPLICIT version request naming the marker is 405
+    assert engine.get_object(dead.key, version_id=dead.version_id).status == 405
+    # ListObjectsV2 hides the key; ListObjectVersions shows the marker
+    prefix = dead.key.rsplit("/", 1)[0] + "/"
+    listed = engine.list_objects(prefix=prefix, max_keys=10**6).collect()
+    assert dead.key not in {r.entry for r in listed}
+    vers = engine.list_object_versions(prefix=dead.key, max_keys=10).collect()
+    assert any(r.is_delete_marker and r.is_latest for r in vers)
 
 
 # ------------------------------------------------------ streaming routes

@@ -71,11 +71,26 @@ def test_put_content_addressed_dedup(spark, sf_dir):
 
 
 def test_get_statuses(spark, sf_dir):
-    versions = load_object_versions(spark, sf_dir)
+    versions = load_object_versions(spark, sf_dir).cache()
     out = resolve_objects(versions, _request_batch(spark, sf_dir)).cache()
-    rows = {(r.kind, r.status) for r in out.collect()}
+    # keys whose head is a delete marker 404 regardless of kind
+    # (get_object.rs:344-347 NoSuchKey on a Deleted head)
+    marker_keys = {
+        r.key
+        for r in versions.filter(
+            F.col("is_latest") & F.col("is_delete_marker")
+        )
+        .select("key")
+        .collect()
+    }
+    rows = {(r.kind, r.status, r.key in marker_keys) for r in out.collect()}
     by_kind = {}
-    for k, s in rows:
+    for k, s, deleted in rows:
+        if deleted:
+            # unversioned request on a deleted key: always NoSuchKey
+            if k != 1:
+                assert s == 404, (k, s)
+            continue
         by_kind.setdefault(k, set()).add(s)
     if 0 in by_kind:
         assert by_kind[0] == {200}

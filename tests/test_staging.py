@@ -9,13 +9,14 @@ from aruna_spark.ops.staging import (
     parse_autoindex_pages,
     render_autoindex_pages,
 )
-from aruna_spark.sources.objects import load_object_versions
+from aruna_spark.sources.objects import live_latest, load_object_versions
 
 
 def _keys(spark, sf_dir):
+    # live heads only — delete-marker heads are hidden from staging
+    # listings just like ListObjectsV2
     return (
-        load_object_versions(spark, sf_dir)
-        .filter(F.col("is_latest"))
+        live_latest(load_object_versions(spark, sf_dir))
         .select("key", "size")
         .cache()
     )
