@@ -388,6 +388,122 @@ class Engine:
 
         return complete_multipart(parts)
 
+    # ------------------------------------------- multipart lifecycle
+    def _uploads(self) -> DataFrame:
+        from aruna_spark.queries.s3_multipart import load_uploads
+
+        return load_uploads(self.spark, self.sf_dir)
+
+    def _parts(self) -> DataFrame:
+        from aruna_spark.queries.s3_multipart import (
+            effective_parts,
+            load_part_events,
+        )
+
+        return effective_parts(load_part_events(self.spark, self.sf_dir))
+
+    def create_multipart_upload(self, key: str, bucket: str = "corpus"):
+        """CreateMultipartUpload (create_multipart_upload.rs): open an
+        upload record on the key — the id is minted past the current
+        sequence (the reference mints a ULID) and the upload is listable
+        but NEVER part of the object listings until complete."""
+        row = self._uploads().agg(F.max("created_seq").alias("mx")).collect()[0]
+        seq = (row.mx or 0) + 1
+        return {
+            "bucket": bucket,
+            "key": key,
+            "upload_id": f"mpu-{seq}",
+            "created_seq": seq,
+        }
+
+    def upload_part(self, upload_id: str, part_number: int, part_size: int):
+        """UploadPart (upload_part.rs): write one part; re-uploading an
+        existing part number REPLACES it (upload_part.rs:368 — the prior
+        part's blob is deleted), surfaced as ``replaced``."""
+        from aruna_spark.queries.s3_multipart import load_part_events
+
+        prior = (
+            load_part_events(self.spark, self.sf_dir)
+            .filter(
+                (F.col("upload_id") == upload_id)
+                & (F.col("part_number") == part_number)
+            )
+            .agg(F.max("seq").alias("mx"))
+            .collect()[0]
+        )
+        seq = (prior.mx or 0) + 1
+        import hashlib
+
+        etag = hashlib.md5(
+            f"{upload_id}:{part_number}:{seq}".encode()
+        ).hexdigest()
+        return {
+            "upload_id": upload_id,
+            "part_number": int(part_number),
+            "part_size": int(part_size),
+            "part_etag": etag,
+            "replaced": seq > 1,
+        }
+
+    def list_parts(
+        self,
+        upload_id: str,
+        part_number_marker: int | None = None,
+        max_parts: int = 1_000,
+    ):
+        """ListParts (list_parts.rs:186-198): one page of the upload's
+        effective parts after the marker, with the reference's
+        ``is_truncated`` / ``next_part_number_marker`` envelope."""
+        from aruna_spark.queries.s3_multipart import list_parts
+
+        rows = list_parts(
+            self._parts(),
+            upload_id,
+            part_number_marker=part_number_marker,
+            max_parts=int(max_parts) + 1,
+        ).collect()
+        truncated = len(rows) > max_parts
+        rows = rows[: int(max_parts)]
+        return {
+            "parts": rows,
+            "is_truncated": truncated,
+            "next_part_number_marker": (
+                rows[-1].part_number if truncated and rows else None
+            ),
+        }
+
+    def list_multipart_uploads(
+        self,
+        prefix: str = "",
+        key_marker: str | None = None,
+        upload_id_marker: str | None = None,
+        max_uploads: int = 1_000,
+    ) -> DataFrame:
+        """ListMultipartUploads (list_multipart_uploads.rs): in-progress
+        uploads under the prefix in (key, upload_id) order with keyset
+        continuation."""
+        from aruna_spark.queries.s3_multipart import list_multipart_uploads
+
+        return list_multipart_uploads(
+            self._uploads(),
+            prefix=prefix,
+            key_marker=key_marker,
+            upload_id_marker=upload_id_marker,
+            max_uploads=int(max_uploads),
+        )
+
+    def abort_multipart_upload(self, upload_id: str):
+        """AbortMultipartUpload (abort_multipart_upload.rs:150): 204 and
+        the upload + all its parts are gone; 404 NoSuchUpload for an
+        unknown id."""
+        from aruna_spark.queries.s3_multipart import abort_results
+
+        aborts = self.spark.createDataFrame(
+            [(upload_id,)], "upload_id string"
+        )
+        mine = self._uploads().filter(F.col("upload_id") == upload_id)
+        return abort_results(mine, aborts).collect()[0]
+
     def list_object_versions(
         self,
         prefix: str = "",
@@ -431,6 +547,51 @@ class Engine:
             (F.col("bucket") == bucket) & (F.col("key") == key)
         )
         return delete_results(mine, dels).collect()[0]
+
+    def copy_object(
+        self,
+        src_key: str,
+        dest_key: str,
+        src_bucket: str = "corpus",
+        dest_bucket: str = "corpus",
+        source_version_id: str | None = None,
+        if_match: str | None = None,
+        if_none_match: str | None = None,
+    ):
+        """CopyObject (copy_object.rs): server-side copy as a catalog
+        row insert — the destination's new version carries the SOURCE's
+        etag/blob (s3_copy.rs:75-86) and is always deduplicated.
+        x-amz-copy-source-if-match / if-none-match fail as 412
+        (copy_object.rs:84-110); a marker head is 404."""
+        from aruna_spark.queries.s3_lifecycle import copy_objects
+
+        cp = self.spark.createDataFrame(
+            [
+                (
+                    src_bucket,
+                    src_key,
+                    source_version_id,
+                    dest_bucket,
+                    dest_key,
+                    if_match,
+                    if_none_match,
+                )
+            ],
+            "src_bucket string, src_key string, want_version_id string, "
+            "dest_bucket string, dest_key string, if_match string, "
+            "if_none_match string",
+        )
+        # point shape: only the source + destination key histories
+        mine = self._versions().filter(
+            (
+                (F.col("bucket") == src_bucket) & (F.col("key") == src_key)
+            )
+            | (
+                (F.col("bucket") == dest_bucket)
+                & (F.col("key") == dest_key)
+            )
+        )
+        return copy_objects(mine, cp).collect()[0]
 
     def delete_objects(self, deletes: DataFrame) -> DataFrame:
         """Batch DeleteObjects (delete_objects.rs; S3 caps the batch at

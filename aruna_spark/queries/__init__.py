@@ -133,6 +133,7 @@ def load_all() -> None:
         registry,
         relational,
         s3_lifecycle,
+        s3_multipart,
         s3_suite,
         sampling,
         search,

@@ -1,5 +1,5 @@
-"""S3 object lifecycle: DeleteObject(s), delete markers, and the
-marker-aware after-state — set algebra over the versions table.
+"""S3 object lifecycle: DeleteObject(s), delete markers, CopyObject,
+and the marker-aware after-state — set algebra over the versions table.
 
 The reference implements delete as a transactional state machine
 (``operations/src/s3/delete_object.rs`` — 1,638 LoC; batch form
@@ -260,3 +260,279 @@ def s3_delete_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return after.join(
         F.broadcast(touched), ["bucket", "key"], "left_semi"
     ).select(*VERSION_COLS)
+
+
+# ====================================================== CopyObject
+# Server-side copy as catalog algebra (operations/src/s3/copy_object.rs,
+# 794 LoC; flows in aruna/tests/s3_copy.rs): resolve the copy source
+# exactly like GetObject (latest or explicit version; a marker head is
+# NoSuchKey, copy_object.rs drives GetObjectOperation), evaluate the
+# x-amz-copy-source-if-match / if-none-match conditions (both fail as
+# 412 PreconditionFailed, copy_object.rs:84-110), then insert ONE new
+# version row on the destination key carrying the SOURCE's bytes: blob
+# hash, size, and etag travel (s3_copy.rs:75-86 — copy etag == source
+# etag), so in a content-addressed catalog the copy is always
+# ``deduplicated`` — a row insert, never a byte move.
+
+
+def copy_objects(versions: DataFrame, copies: DataFrame) -> DataFrame:
+    """Per-copy result envelope: (dest_bucket, dest_key, status,
+    copy_source_version_id, dest_version_id, etag, deduplicated).
+
+    ``copies`` carries (src_bucket, src_key, want_version_id,
+    dest_bucket, dest_key, if_match, if_none_match). Status: 200 on
+    success, 404 for a missing source or marker HEAD, 405 for an
+    explicit version that IS a marker (GetObject parity), 412 for a
+    failed copy-source condition.
+
+    Scale shape: the copy batch is request-sized, so it broadcasts on
+    both joins (source resolve + dest prior-max); the catalog is
+    scanned, never shuffled, and per-key history recompute touches only
+    destination keys.
+    """
+    # prune the catalog to the batch's source keys FIRST (broadcast
+    # semi-join on the request-sized batch) so the left joins below are
+    # batch-sized on both sides — the catalog is never the join's
+    # shuffled side
+    src_keys = copies.select(
+        F.col("src_bucket").alias("bucket"), F.col("src_key").alias("key")
+    ).distinct()
+    src_vers = versions.join(
+        F.broadcast(src_keys), ["bucket", "key"], "left_semi"
+    )
+    latest = src_vers.filter(F.col("is_latest")).select(
+        F.col("bucket").alias("src_bucket"),
+        F.col("key").alias("src_key"),
+        F.col("version_id").alias("__l_vid"),
+        F.col("etag").alias("__l_etag"),
+        F.col("size").alias("__l_size"),
+        F.col("blob_hash").alias("__l_blob"),
+        F.col("is_delete_marker").alias("__l_marker"),
+    )
+    explicit = src_vers.select(
+        F.col("bucket").alias("src_bucket"),
+        F.col("key").alias("src_key"),
+        F.col("version_id").alias("want_version_id"),
+        F.col("version_id").alias("__v_vid"),
+        F.col("etag").alias("__v_etag"),
+        F.col("size").alias("__v_size"),
+        F.col("blob_hash").alias("__v_blob"),
+        F.col("is_delete_marker").alias("__v_marker"),
+    )
+    want = F.col("want_version_id").isNotNull()
+    resolved = (
+        copies.join(latest, ["src_bucket", "src_key"], "left")
+        .join(
+            explicit,
+            ["src_bucket", "src_key", "want_version_id"],
+            "left",
+        )
+        .withColumn(
+            "__vid", F.when(want, F.col("__v_vid")).otherwise(F.col("__l_vid"))
+        )
+        .withColumn(
+            "__etag",
+            F.when(want, F.col("__v_etag")).otherwise(F.col("__l_etag")),
+        )
+        .withColumn(
+            "__size",
+            F.when(want, F.col("__v_size")).otherwise(F.col("__l_size")),
+        )
+        .withColumn(
+            "__blob",
+            F.when(want, F.col("__v_blob")).otherwise(F.col("__l_blob")),
+        )
+        .withColumn(
+            "__marker",
+            F.coalesce(
+                F.when(want, F.col("__v_marker")).otherwise(
+                    F.col("__l_marker")
+                ),
+                F.lit(False),
+            ),
+        )
+    )
+    status = (
+        F.when(F.col("__marker") & want, F.lit(405))
+        .when(F.col("__marker") | F.col("__etag").isNull(), F.lit(404))
+        .when(
+            F.col("if_match").isNotNull()
+            & (F.col("if_match") != F.col("__etag")),
+            F.lit(412),
+        )
+        .when(
+            F.col("if_none_match").isNotNull()
+            & (F.col("if_none_match") == F.col("__etag")),
+            F.lit(412),
+        )
+        .otherwise(F.lit(200))
+    )
+    resolved = resolved.withColumn("status", status)
+    # destination version minting for the successful copies only
+    ok = resolved.filter(F.col("status") == 200)
+    dest_keys = ok.select(
+        F.col("dest_bucket").alias("bucket"), F.col("dest_key").alias("key")
+    ).distinct()
+    prior = (
+        versions.join(F.broadcast(dest_keys), ["bucket", "key"], "left_semi")
+        .groupBy("bucket", "key")
+        .agg(F.max("version_idx").alias("__pm"))
+        .select(
+            F.col("bucket").alias("dest_bucket"),
+            F.col("key").alias("dest_key"),
+            "__pm",
+        )
+    )
+    return (
+        resolved.join(F.broadcast(prior), ["dest_bucket", "dest_key"], "left")
+        .select(
+            "dest_bucket",
+            "dest_key",
+            "status",
+            F.when(F.col("status") == 200, F.col("__vid")).alias(
+                "copy_source_version_id"
+            ),
+            F.when(
+                F.col("status") == 200,
+                F.concat(
+                    F.lit("v"),
+                    (F.coalesce(F.col("__pm"), F.lit(-1)) + 1).cast("string"),
+                ),
+            ).alias("dest_version_id"),
+            # the copy's etag IS the source's (s3_copy.rs:75-86)
+            F.when(F.col("status") == 200, F.col("__etag")).alias("etag"),
+            # content-addressed catalog: the blob already exists
+            (F.col("status") == 200).alias("deduplicated"),
+        )
+    )
+
+
+# -- deterministic copy batch ------------------------------------------------
+# doc_id % 23 == 5 sources a copy to 'data/copies/doc-{id}.txt':
+#   doc_id % 4 == 0 -> plain latest-head copy
+#   doc_id % 4 == 1 -> explicit source version v0
+#   doc_id % 4 == 2 -> if_match pinned to the CORRECT latest etag (200)
+#   doc_id % 4 == 3 -> if_match 'wrong' (412)
+# Sources with doc_id % 13 == 3 have marker heads: their latest-copy
+# rows 404 (and their v0 rows still succeed — markers only hide heads).
+
+def _copy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 23 == 5
+    )
+    src_key = F.concat(
+        F.lit("data/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".txt"),
+    )
+    latest_etag = F.md5(
+        F.concat(src_key, F.lit(":"), (F.col("doc_id") % 3).cast("string"))
+    )
+    return docs.select(
+        F.lit("corpus").alias("src_bucket"),
+        src_key.alias("src_key"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("v0")).alias(
+            "want_version_id"
+        ),
+        F.lit("corpus").alias("dest_bucket"),
+        F.concat(
+            F.lit("data/copies/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("dest_key"),
+        F.when(F.col("doc_id") % 4 == 2, latest_etag)
+        .when(F.col("doc_id") % 4 == 3, F.lit("wrong"))
+        .alias("if_match"),
+        F.lit(None).cast("string").alias("if_none_match"),
+    )
+
+
+_D_COPIES = """
+    SELECT 'corpus' AS src_bucket,
+           'data/' || source || '/' || lang || '/doc-' || doc_id || '.txt'
+             AS src_key,
+           CASE WHEN doc_id % 4 = 1 THEN 'v0' END AS want_version_id,
+           'corpus' AS dest_bucket,
+           'data/copies/doc-' || doc_id || '.txt' AS dest_key,
+           CASE WHEN doc_id % 4 = 2 THEN
+                  md5('data/' || source || '/' || lang || '/doc-' || doc_id
+                      || '.txt' || ':' || (doc_id % 3))
+                WHEN doc_id % 4 = 3 THEN 'wrong' END AS if_match,
+           CAST(NULL AS VARCHAR) AS if_none_match
+    FROM documents WHERE doc_id % 23 = 5
+"""
+
+
+@register(
+    "s3_copy_object",
+    oracle=f"""
+    WITH objects AS ({OBJECTS_ORACLE_SQL}),
+    copies AS ({_D_COPIES}),
+    latest AS (
+      SELECT bucket AS src_bucket, key AS src_key,
+             version_id AS l_vid, etag AS l_etag,
+             is_delete_marker AS l_marker
+      FROM objects WHERE is_latest
+    ),
+    v0 AS (
+      SELECT bucket AS src_bucket, key AS src_key,
+             version_id AS want_version_id,
+             version_id AS v_vid, etag AS v_etag,
+             is_delete_marker AS v_marker
+      FROM objects
+    ),
+    resolved AS (
+      SELECT c.*,
+             CASE WHEN c.want_version_id IS NOT NULL THEN v.v_vid
+                  ELSE l.l_vid END AS vid,
+             CASE WHEN c.want_version_id IS NOT NULL THEN v.v_etag
+                  ELSE l.l_etag END AS setag,
+             COALESCE(CASE WHEN c.want_version_id IS NOT NULL THEN v.v_marker
+                           ELSE l.l_marker END, FALSE) AS marker
+      FROM copies c
+      LEFT JOIN latest l USING (src_bucket, src_key)
+      LEFT JOIN v0 v
+        ON v.src_bucket = c.src_bucket AND v.src_key = c.src_key
+       AND v.want_version_id = c.want_version_id
+    ),
+    statused AS (
+      SELECT *,
+             CASE WHEN marker AND want_version_id IS NOT NULL THEN 405
+                  WHEN marker OR setag IS NULL THEN 404
+                  WHEN if_match IS NOT NULL AND if_match <> setag THEN 412
+                  WHEN if_none_match IS NOT NULL AND if_none_match = setag
+                    THEN 412
+                  ELSE 200 END AS status
+      FROM resolved
+    ),
+    prior AS (
+      SELECT o.bucket AS dest_bucket, o.key AS dest_key,
+             MAX(o.version_idx) AS pm
+      FROM objects o
+      WHERE EXISTS (SELECT 1 FROM statused s
+                    WHERE s.status = 200 AND s.dest_bucket = o.bucket
+                      AND s.dest_key = o.key)
+      GROUP BY o.bucket, o.key
+    )
+    SELECT s.dest_bucket, s.dest_key, s.status,
+           CASE WHEN s.status = 200 THEN s.vid END AS copy_source_version_id,
+           CASE WHEN s.status = 200
+                THEN 'v' || (COALESCE(p.pm, -1) + 1) END AS dest_version_id,
+           CASE WHEN s.status = 200 THEN s.setag END AS etag,
+           s.status = 200 AS deduplicated
+    FROM statused s LEFT JOIN prior p USING (dest_bucket, dest_key)
+    """,
+)
+def s3_copy_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy batch resolved against the catalog: per-copy envelope with
+    the source version travelling (etag == source etag), marker heads
+    404ing, explicit marker versions 405ing, and failed copy-source
+    conditions 412ing. Every successful copy is a deduplicated row
+    insert (the blob already exists under the source)."""
+    versions = load_object_versions(spark, sf_dir)
+    copies = _copy_batch(spark, sf_dir)
+    return copy_objects(versions, copies)

@@ -422,6 +422,38 @@ def test_complete_multipart_route(engine, spark, sf_dir):
     assert not row.is_contiguous
 
 
+def test_multipart_lifecycle_routes(engine):
+    # an upload exists and is listable
+    ups = engine.list_multipart_uploads(prefix="data/", max_uploads=5).collect()
+    assert len(ups) == 5
+    uid = ups[0].upload_id
+    # ListParts pages with the reference's truncation envelope
+    page = engine.list_parts(uid, max_parts=2)
+    assert len(page["parts"]) == 2
+    if page["is_truncated"]:
+        assert page["next_part_number_marker"] == page["parts"][-1].part_number
+        nxt = engine.list_parts(
+            uid, part_number_marker=page["next_part_number_marker"], max_parts=100
+        )
+        assert all(
+            p.part_number > page["next_part_number_marker"]
+            for p in nxt["parts"]
+        )
+    # re-uploading an existing part number replaces it
+    p1 = page["parts"][0]
+    redo = engine.upload_part(uid, p1.part_number, 999)
+    assert redo["replaced"] and redo["part_etag"] != p1.part_etag
+    # a fresh part number does not replace
+    fresh = engine.upload_part(uid, 9999, 10)
+    assert not fresh["replaced"]
+    # create mints a new listable id past the current sequence
+    rec = engine.create_multipart_upload("data/new/thing.bin")
+    assert rec["upload_id"].startswith("mpu-")
+    # abort: known id 204, unknown 404
+    assert engine.abort_multipart_upload(uid).status == 204
+    assert engine.abort_multipart_upload("mpu-nope").status == 404
+
+
 def test_list_object_versions_route(engine, spark, sf_dir):
     from aruna_spark.queries import REGISTRY, load_all
 
@@ -472,6 +504,36 @@ def test_delete_object_routes(engine):
     # versioned delete OF the marker itself reports delete_marker=true
     res = engine.delete_object(dead.key, version_id=dead.version_id)
     assert res.status == 204 and res.delete_marker
+
+
+def test_copy_object_route(engine):
+    obj = _some_object(engine)
+    # plain copy: dest version minted, source etag travels, dedup'd
+    res = engine.copy_object(obj.key, "data/copies/api-test.txt")
+    assert res.status == 200 and res.etag == obj.etag and res.deduplicated
+    assert res.copy_source_version_id == obj.version_id
+    assert res.dest_version_id == "v0"  # fresh destination key
+    # copy onto an EXISTING key mints past its head
+    res2 = engine.copy_object(obj.key, obj.key)
+    assert res2.status == 200
+    assert res2.dest_version_id == f"v{obj.version_idx + 1}"
+    # explicit source version
+    v0 = engine.copy_object(
+        obj.key, "data/copies/api-v0.txt", source_version_id="v0"
+    )
+    assert v0.status == 200 and v0.copy_source_version_id == "v0"
+    # copy-source conditions fail as 412
+    assert (
+        engine.copy_object(obj.key, "d.txt", if_match="wrong").status == 412
+    )
+    assert (
+        engine.copy_object(obj.key, "d.txt", if_none_match=obj.etag).status
+        == 412
+    )
+    # marker head is 404; missing source is 404
+    dead = _some_deleted_key(engine)
+    assert engine.copy_object(dead.key, "d.txt").status == 404
+    assert engine.copy_object("data/not/there.txt", "d.txt").status == 404
 
 
 def test_deleted_head_hidden_from_get_and_listing(engine):
