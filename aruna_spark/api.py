@@ -772,6 +772,45 @@ class Engine:
             )
         )
 
+    def prune_inbox(
+        self,
+        direct_ttl_ms: int | None = None,
+        transient_ttl_ms: int | None = None,
+        per_user_cap: int | None = None,
+        events: DataFrame | None = None,
+    ) -> DataFrame:
+        """Inbox retention sweep (prune.rs): the per-row prune verdicts
+        — ``expired`` (created + class TTL, notification.rs:11-12),
+        ``capped`` (per-recipient transient cap walked newest-first,
+        prune.rs:244-255), ``pruned``. Defaults are the reference
+        constants (90 d / 30 d / 500)."""
+        from aruna_spark.streaming.watch import (
+            NOTIFICATION_DIRECT_TTL_MS,
+            NOTIFICATION_TRANSIENT_PER_USER_CAP,
+            NOTIFICATION_TRANSIENT_TTL_MS,
+            inbox_records,
+            prune_inbox,
+        )
+
+        return prune_inbox(
+            inbox_records(self._events() if events is None else events),
+            direct_ttl_ms=(
+                NOTIFICATION_DIRECT_TTL_MS
+                if direct_ttl_ms is None
+                else int(direct_ttl_ms)
+            ),
+            transient_ttl_ms=(
+                NOTIFICATION_TRANSIENT_TTL_MS
+                if transient_ttl_ms is None
+                else int(transient_ttl_ms)
+            ),
+            per_user_cap=(
+                NOTIFICATION_TRANSIENT_PER_USER_CAP
+                if per_user_cap is None
+                else int(per_user_cap)
+            ),
+        )
+
     def dashboard_epochs(self, events: DataFrame | None = None) -> DataFrame:
         """Dashboard epoch watch (dashboard.rs:6-39): the running epoch
         per debounce window — batch/backfill form (the live-stream form

@@ -302,3 +302,85 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_errors",
     )
+
+
+# ------------------------------------------------- inbox prune/retention
+# Knobs dialed to the corpus so every prune path fires at test scale
+# (the reference constants — 90 d / 30 d / cap 500, notification.rs:11-13
+# — stay the library defaults; events span 30 days, ≤86 rows per user):
+_P_DIRECT_TTL_MS = 20 * 24 * 60 * 60 * 1000  # direct expires past 20 d
+_P_TRANSIENT_TTL_MS = 10 * 24 * 60 * 60 * 1000  # transient past 10 d
+_P_CAP = 5  # newest 5 unexpired transients per recipient survive
+
+_D_INBOX = """
+    inbox AS (
+      SELECT user_id AS recipient, event_id AS notification_id,
+             CASE WHEN event_type IN ('click', 'view') THEN 'transient'
+                  ELSE 'direct' END AS class,
+             epoch_ms(ts) AS created_at_ms,
+             event_id % 4 = 0 AS read
+      FROM events
+    )
+"""
+
+
+@register(
+    "stream_inbox_prune",
+    oracle=f"""
+    WITH {_D_INBOX},
+    now_t AS (SELECT MAX(created_at_ms) + 1 AS now_ms FROM inbox),
+    flagged AS (
+      SELECT i.*,
+             i.created_at_ms
+               + CASE WHEN i.class = 'transient'
+                      THEN {_P_TRANSIENT_TTL_MS}
+                      ELSE {_P_DIRECT_TTL_MS} END <= n.now_ms AS expired
+      FROM inbox i CROSS JOIN now_t n
+    ),
+    walked AS (
+      SELECT *,
+             SUM(CASE WHEN class = 'transient' AND NOT expired
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY recipient
+                     ORDER BY created_at_ms DESC, notification_id ASC
+                     ROWS UNBOUNDED PRECEDING) AS tseen
+      FROM flagged
+    ),
+    decided AS (
+      SELECT *,
+             (class = 'transient' AND NOT expired AND tseen > {_P_CAP})
+               AS capped
+      FROM walked
+    )
+    SELECT class,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expired,
+           CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped,
+           CAST(SUM(CASE WHEN NOT expired AND NOT capped THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN NOT expired AND NOT capped AND NOT read
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unread_after
+    FROM decided GROUP BY class ORDER BY class
+    """,
+)
+def stream_inbox_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbox retention sweep (prune.rs): per-class expiry (created +
+    class TTL, read records expiring like unread) plus the per-recipient
+    transient cap walked newest-first (the inverted-timestamp key order
+    of notification.rs:232-238) — summarized before/after with the
+    surviving unread count, pinning unread-after-prune consistency."""
+    from aruna_spark.streaming.watch import (
+        inbox_records,
+        prune_inbox,
+        prune_summary,
+    )
+
+    verdicts = prune_inbox(
+        inbox_records(load_table(spark, sf_dir, "events")),
+        direct_ttl_ms=_P_DIRECT_TTL_MS,
+        transient_ttl_ms=_P_TRANSIENT_TTL_MS,
+        per_user_cap=_P_CAP,
+    )
+    return prune_summary(verdicts)

@@ -245,3 +245,110 @@ def unread_counts(matched: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_delivered"),
         F.sum(F.when(~F.col("read"), 1).otherwise(0)).alias("n_unread"),
     )
+
+
+# ---------------------------------------------------- inbox prune/retention
+# The reference prunes the notification inbox on a schedule
+# (operations/src/notifications/prune.rs): a record expires at
+# created_at_ms + its class TTL (core/src/structs/notification.rs:172-174;
+# Direct 90 d, Transient 30 d — notification.rs:11-12), read records
+# expiring exactly like unread ones (prune.rs read_records_expire_like_unread),
+# and beyond that each recipient keeps at most
+# NOTIFICATION_TRANSIENT_PER_USER_CAP unexpired Transient records
+# (prune.rs:244-255): the sweep walks the inbox keyspace, whose keys embed
+# an INVERTED timestamp (notification.rs:232-238 — ascending key order is
+# newest-first per recipient, ties broken by notification id ascending),
+# counting transients as it goes and deleting every one past the cap — so
+# the NEWEST ``cap`` unexpired transients survive.
+
+NOTIFICATION_DIRECT_TTL_MS = 90 * 24 * 60 * 60 * 1000  # notification.rs:11
+NOTIFICATION_TRANSIENT_TTL_MS = 30 * 24 * 60 * 60 * 1000  # notification.rs:12
+NOTIFICATION_TRANSIENT_PER_USER_CAP = 500  # notification.rs:13
+
+# pure content traffic is Transient; identity/registry/commerce events are
+# Direct — the same split DASHBOARD_KINDS draws for the epoch watch
+TRANSIENT_KINDS = ("click", "view")
+
+
+def inbox_records(events: DataFrame) -> DataFrame:
+    """The per-recipient notification inbox as a relation: (recipient,
+    notification_id, class, created_at_ms, read). Class derives from the
+    event kind (content traffic → transient), read receipts use the same
+    every-4th-id stand-in as :func:`unread_counts`."""
+    return events.select(
+        F.col("user_id").alias("recipient"),
+        F.col("event_id").alias("notification_id"),
+        F.when(F.col("event_type").isin(*TRANSIENT_KINDS), F.lit("transient"))
+        .otherwise(F.lit("direct"))
+        .alias("class"),
+        F.unix_millis("ts").alias("created_at_ms"),
+        (F.col("event_id") % 4 == 0).alias("read"),
+    )
+
+
+def prune_inbox(
+    inbox: DataFrame,
+    direct_ttl_ms: int = NOTIFICATION_DIRECT_TTL_MS,
+    transient_ttl_ms: int = NOTIFICATION_TRANSIENT_TTL_MS,
+    per_user_cap: int = NOTIFICATION_TRANSIENT_PER_USER_CAP,
+) -> DataFrame:
+    """The prune sweep's verdict on every inbox row: adds ``expired``,
+    ``capped``, ``pruned`` (prune.rs:236-255 semantics).
+
+    ``now`` is derived from the data (1 ms past the newest record) so
+    the relation is deterministic; expired rows do NOT advance the
+    per-recipient transient counter (the reference ``continue``s before
+    incrementing, prune.rs:236-243), and the counter walks newest-first
+    with notification-id-ascending ties — the inverted-timestamp key
+    order of notification.rs:232-238.
+
+    Scale shape: one broadcast 1-row join for ``now`` plus ONE window
+    partitioned by recipient — per-recipient state only, no global sort,
+    no driver collect; the sweep is a single pass exactly like the
+    reference's keyspace walk.
+    """
+    now = inbox.agg((F.max("created_at_ms") + 1).alias("__now_ms"))
+    ttl = F.when(
+        F.col("class") == "transient", F.lit(transient_ttl_ms)
+    ).otherwise(F.lit(direct_ttl_ms))
+    w = (
+        Window.partitionBy("recipient")
+        .orderBy(F.desc("created_at_ms"), F.asc("notification_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    live_transient = (F.col("class") == "transient") & ~F.col("expired")
+    return (
+        inbox.crossJoin(F.broadcast(now))
+        .withColumn(
+            "expired", F.col("created_at_ms") + ttl <= F.col("__now_ms")
+        )
+        .withColumn(
+            "__tseen", F.sum(live_transient.cast("int")).over(w)
+        )
+        .withColumn(
+            "capped", live_transient & (F.col("__tseen") > per_user_cap)
+        )
+        .withColumn("pruned", F.col("expired") | F.col("capped"))
+        .drop("__now_ms", "__tseen")
+    )
+
+
+def prune_summary(verdicts: DataFrame) -> DataFrame:
+    """Per-class roll-up of a prune sweep: before/expired/capped/after
+    cardinalities plus the unread count over the SURVIVORS — the
+    consistency the reference's unread scan sees after a prune
+    (unread.rs counts only live records)."""
+    survives = ~F.col("pruned")
+    return (
+        verdicts.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(F.col("expired").cast("int")).cast("long").alias("n_expired"),
+            F.sum(F.col("capped").cast("int")).cast("long").alias("n_capped"),
+            F.sum(survives.cast("int")).cast("long").alias("n_after"),
+            F.sum((survives & ~F.col("read")).cast("int"))
+            .cast("long")
+            .alias("n_unread_after"),
+        )
+        .orderBy("class")
+    )

@@ -642,6 +642,40 @@ def test_dashboard_epochs_route_matches_registered_demo(engine, spark, sf_dir):
     )
 
 
+def test_prune_inbox_route(engine):
+    from aruna_spark.streaming.watch import inbox_records
+
+    cap = 5
+    verdicts = engine.prune_inbox(
+        direct_ttl_ms=20 * 86_400_000,
+        transient_ttl_ms=10 * 86_400_000,
+        per_user_cap=cap,
+    )
+    rows = verdicts.collect()
+    assert any(r.expired for r in rows) and any(r.capped for r in rows)
+    # read records expire like unread (prune.rs read_records_expire_like_unread)
+    assert any(r.expired and r.read for r in rows)
+    survivors = [r for r in rows if not r.pruned]
+    # cap honored: ≤cap surviving transients per recipient, and they are
+    # the NEWEST unexpired ones (inverted-timestamp walk order)
+    by_user: dict[int, list] = {}
+    for r in survivors:
+        if r["class"] == "transient":
+            by_user.setdefault(r.recipient, []).append(r)
+    assert by_user and all(len(v) <= cap for v in by_user.values())
+    for r in rows:
+        if r.capped:
+            kept = by_user.get(r.recipient, [])
+            assert all(
+                (k.created_at_ms, -k.notification_id)
+                > (r.created_at_ms, -r.notification_id)
+                for k in kept
+            )
+    # defaults are the reference constants: 90 d / 30 d TTLs dwarf the
+    # 30-day corpus and cap 500 never fires -> nothing pruned
+    assert engine.prune_inbox().filter(F.col("pruned")).count() == 0
+
+
 def test_scoped_facade_fts_scores_are_scope_derived(spark, sf_dir):
     """ADVICE r5: a scoped engine must NOT inject the corpus-global BM25
     resolver — its IDF/doc-length stats would observably reflect
