@@ -269,8 +269,11 @@ class Engine:
         one put to the versions table and return the NEW head version
         record — version_idx assigned past the key's prior max, etag
         derived, ``deduplicated`` set when the blob_hash was already
-        stored (CheckHashLookup hit -> no new blob)."""
+        stored (CheckHashLookup hit -> no new blob). The response
+        carries the full one-pass checksum family
+        (blob/src/hash.rs:10-77): md5/sha256/sha1/crc32."""
         from aruna_spark.queries.s3_suite import put_objects
+        from aruna_spark.sources.objects import with_checksums
 
         puts = self.spark.createDataFrame(
             [(bucket, key, int(size), blob_hash)],
@@ -285,7 +288,7 @@ class Engine:
             (F.col("bucket") == bucket) & (F.col("key") == key)
         )
         rows = (
-            put_objects(mine, puts, stored_hashes=versions)
+            with_checksums(put_objects(mine, puts, stored_hashes=versions))
             .filter(
                 (F.col("bucket") == bucket)
                 & (F.col("key") == key)
@@ -699,7 +702,11 @@ class Engine:
         requested = blob_index(
             load_object_versions(self.spark, self.sf_dir)
         ).filter(F.col("blob_hash") == blob_hash)
-        rows = drs_response(requested).collect()
+        from aruna_spark.sources.objects import with_checksums
+
+        # the route's envelope carries the FULL one-pass family
+        # (hash.rs:10-77) — sha1/crc32 beyond the DRS-standard md5/sha256
+        rows = with_checksums(drs_response(requested)).collect()
         return rows[0] if rows else None
 
     # ------------------------------------------------------ streaming plane

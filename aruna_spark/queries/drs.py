@@ -47,6 +47,8 @@ def drs_response(requested: DataFrame) -> DataFrame:
     """Blob-index rows -> DrsObjectResponse relation (drs.rs:406-460):
     the id/self/name/access projection shared by the registered demo
     batch and the facade's single-object route."""
+    from aruna_spark.sources.objects import blob_content
+
     cid = F.concat(F.lit(W3ID_DATA_PREFIX), F.col("blob_hash"))
     return requested.select(
         cid.alias("id"),
@@ -56,6 +58,11 @@ def drs_response(requested: DataFrame) -> DataFrame:
         ),
         F.col("blob_size").cast("long").alias("size"),
         F.col("blob_hash").alias("checksum_md5"),
+        # the multi-checksum family is one pass over the content
+        # (blob/src/hash.rs:10-77); sha256 is the DRS-standard entry
+        F.sha2(blob_content(F.col("blob_size")), 256).alias(
+            "checksum_sha256"
+        ),
         "canonical_location",
         "n_locations",
         F.concat(F.lit(DOWNLOAD_ROUTE), cid).alias("access_url"),
@@ -81,6 +88,7 @@ def drs_response(requested: DataFrame) -> DataFrame:
            'content-' || substring(blob_hash, 1, 12) AS name,
            CAST(blob_size AS BIGINT) AS size,
            blob_hash AS checksum_md5,
+           sha256('blob:' || blob_size) AS checksum_sha256,
            canonical_location,
            n_locations,
            '{DOWNLOAD_ROUTE}' || '{W3ID_DATA_PREFIX}' || blob_hash

@@ -130,6 +130,46 @@ def load_object_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialized.unionByName(markers)
 
 
+# ------------------------------------------------- multi-checksum family
+# The reference hashes every blob ONCE, streaming the bytes through all
+# digests together — BLAKE3 + CRC32/CRC32C/CRC64-NVME + SHA1/SHA256/MD5
+# (blob/src/hash.rs:10-77). Re-expressed Spark-first: the checksums are
+# one narrow projection over the content column — a single pass, all
+# JVM-side built-ins inside one whole-stage-codegen span (no Python, no
+# second scan). CRC32C/CRC64-NVME have no JVM built-in and are omitted;
+# md5 doubles as the catalog's content address (``blob_hash``).
+
+CHECKSUM_COLS = (
+    "checksum_md5",
+    "checksum_sha256",
+    "checksum_sha1",
+    "checksum_crc32",
+)
+
+
+def blob_content(size: F.Column) -> F.Column:
+    """The modeled canonical content bytes of a blob (content is keyed
+    by size in this derivation — the same bytes ``blob_hash`` commits
+    to)."""
+    return F.concat(F.lit("blob:"), size.cast("string"))
+
+
+def with_checksums(df: DataFrame, size_col: str = "size") -> DataFrame:
+    """Add the full checksum family in ONE projection (hash.rs:10-77).
+    Rows without content (delete markers: NULL size) get NULL checksums,
+    matching ``blob_hash()`` being None for Deleted (blob.rs:846-850)."""
+    content = blob_content(F.col(size_col))
+    has = F.col(size_col).isNotNull()
+    return df.withColumns(
+        {
+            "checksum_md5": F.when(has, F.md5(content)),
+            "checksum_sha256": F.when(has, F.sha2(content, 256)),
+            "checksum_sha1": F.when(has, F.sha1(content)),
+            "checksum_crc32": F.when(has, F.crc32(content.cast("binary"))),
+        }
+    )
+
+
 def live_latest(versions: DataFrame) -> DataFrame:
     """The visible object heads: latest versions that are NOT delete
     markers — what ListObjectsV2, staging listings, and permission

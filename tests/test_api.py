@@ -138,7 +138,17 @@ def test_drs_object_route(engine, spark, sf_dir):
     batch = REGISTRY["drs_object_lookup"][0](spark, sf_dir).collect()
     assert batch
     one = engine.drs_object(batch[0].id)
-    assert tuple(one) == tuple(batch[0])
+    # the route envelope = the registered response + the rest of the
+    # one-pass checksum family (sha1/crc32 beyond DRS-standard md5/sha256)
+    want = batch[0].asDict()
+    got = one.asDict()
+    assert {k: got[k] for k in want} == want
+    import hashlib
+    import zlib
+
+    content = f"blob:{want['size']}".encode()
+    assert got["checksum_sha1"] == hashlib.sha1(content).hexdigest()
+    assert got["checksum_crc32"] == zlib.crc32(content)
     # unknown blob -> the route's 404 (None)
     assert engine.drs_object(W3ID_DATA_PREFIX + "nope") is None
     with pytest.raises(ValueError):

@@ -115,3 +115,37 @@ def test_versioned_get_resolves_v0(spark, sf_dir):
     out = resolve_objects(versions, _request_batch(spark, sf_dir))
     v1 = out.filter((F.col("kind") == 1) & (F.col("status") == 200))
     assert v1.filter(F.col("resolved_version_id") != "v0").count() == 0
+
+
+def test_checksum_family_one_pass_exact_values(spark, sf_dir):
+    """The multi-checksum projection (hash.rs:10-77) must agree with
+    independent Python digests over the same content bytes, and delete
+    markers (no content) must carry NULL checksums."""
+    import hashlib
+    import zlib
+
+    from aruna_spark.sources.objects import CHECKSUM_COLS, with_checksums
+
+    versions = with_checksums(load_object_versions(spark, sf_dir))
+    rows = versions.limit(500).collect()
+    assert any(r.is_delete_marker for r in rows) or True
+    checked = 0
+    for r in rows[:50]:
+        if r.is_delete_marker:
+            assert all(r[c] is None for c in CHECKSUM_COLS)
+            continue
+        content = f"blob:{r.size}".encode()
+        assert r.checksum_md5 == hashlib.md5(content).hexdigest()
+        assert r.checksum_md5 == r.blob_hash  # md5 IS the content address
+        assert r.checksum_sha256 == hashlib.sha256(content).hexdigest()
+        assert r.checksum_sha1 == hashlib.sha1(content).hexdigest()
+        assert r.checksum_crc32 == zlib.crc32(content)
+        checked += 1
+    assert checked > 10
+    # markers exist in the catalog and carry NULL family members
+    marker = versions.filter(F.col("is_delete_marker")).limit(1).collect()
+    assert marker and all(marker[0][c] is None for c in CHECKSUM_COLS)
+    # single pass: the family is one projection over one scan — no
+    # shuffle, no second scan of the versions relation
+    plan = versions._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
