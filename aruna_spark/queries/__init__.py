@@ -30,72 +30,66 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 6 (VERDICT r5 Next #7) leads with every
-# query whose implementation or schema CHANGED this round (the folded
-# collapsed near-dup plan, the registry created_at_us column, the
-# generalized S3 resolver, the extracted watch summary, the scoped
-# unified search), then rotates in the 68-query backlog the r5 window
-# did not cover — the full sparql algebra family (freshest hard signal
-# r3), relational, the streaming rest, multimodal, crdt. The backlog's
-# tail that still misses the ~50 cut (listing_v2, backlinks, drs,
-# autoindex, textstats pairs — all unchanged this round and green at
-# their last driver check) rotates to the FRONT in r7.
+# window on a cycle. Round 7 (VERDICT r6 Next #8) leads with every
+# query whose plan CHANGED this round — the delete-marker object plane
+# (new s3_delete_marker + marker-aware listing/staging/permission/usage
+# views and the S3 resolver), the new multipart lifecycle + CopyObject
+# + versions-keyset queries, the inbox prune, the checksum-bearing DRS
+# lookup, and the de-broadcast decontamination — then rotates in the
+# r6-unchecked backlog front-to-back: the families whose last DRIVER
+# check is oldest (backlinks/autoindex/textstats/corpus queued at this
+# tail since r6, then dedup/similarity/search). The remainder (search
+# enrichment, multimodal, crdt, ingest, rel/stream rest, sparql trio)
+# rotates to the FRONT in r8; every one of them was selfcheck-green in
+# the r6 review.
 PRIORITY_PREFIXES = (
-    # changed this round (exact names, front of the window)
-    "similarity_neardup_scaled",
-    "similarity_ivf_scaled_topk",
-    "rel_asof_latest_click",
-    "rel_range_window_join",
-    "rel_sessionize",
-    "sample_",
-    "decontam_",
-    "registry_event_replay",
-    "registry_incremental_merge",
-    "registry_listing_recent",
-    "registry_listing_created",
+    # changed this round (front of the window)
+    "s3_delete_marker",
+    "s3_copy_object",
+    "s3_list_parts_page",
+    "s3_upload_part_replace",
+    "s3_list_uploads_page",
+    "s3_abort_multipart",
+    "s3_multipart_complete",
     "s3_put_upsert",
     "s3_get_object",
     "s3_head_object",
-    "s3_multipart_complete",
-    "stream_watch_matches",
-    "search_unified",
-    # the r5-unchecked backlog, oldest hard signal first: sparql algebra
-    "sparql_optional",
-    "sparql_union",
-    "sparql_group_agg",
-    "sparql_order_limit",
-    "sparql_not_exists",
-    "sparql_minus",
-    "sparql_values_bind",
-    "sparql_distinct",
-    "sparql_having",
-    "sparql_group_concat",
-    "sparql_path_plus",
-    "sparql_path_seq_closure",
-    "sparql_nested_slice",
-    "sparql_ask",
-    "sparql_graph_scoped",
-    "sparql_lateral_topk_per_group",
-    "sparql_fts_score",
-    "sparql_distributed_ask",
-    "sparql_sum_sample",
-    "sparql_offset_page",
-    "sparql_path_inverse",
-    "sparql_path_star",
-    "sparql_path_negated",
-    "sparql_filter_builtins",
-    "sparql_graph_var",
-    "sparql_reduced",
-    "sparql_string_funcs",
-    "sparql_path_zero_or_one",
-    "sparql_arith_if",
-    # relational family (r5-unchecked)
-    "rel_",
-    # streaming rest (r5-unchecked; watch_matches already leads)
-    "stream_",
-    # multimodal + crdt representative (r5-unchecked)
+    "listing_",  # v2 root/leaf/flat + versions + versions_page2
+    "staging_list_",
+    "perm_visible_summary",
+    "usage_",
+    "stream_inbox_prune",
+    "drs_object_lookup",
+    "decontam_",
+    # r6-unchecked backlog, least-recently-driver-checked first
+    "backlinks_",
+    "autoindex_parse_entries",
+    "textstats_",
+    "corpus_",
+    "dedup_",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_topk",
+    "similarity_neardup_pairs",
+    "similarity_ivf_topk",
+    "similarity_ivf_trained_topk",
+    "similarity_ivf_pq_topk",
+    "search_bm25_topk",
+    "search_bm25_page2",
+    # tail: rotates to r8's front if past the ~50 cut
+    "search_",
     "multimodal_",
-    "crdt_clock_relation",
+    "crdt_",
+    "ingest_jsonld_typing",
+    "rocrate_",
+    "archive_import_rewrite",
+    "graph_snapshot_orphan_skip",
+    "rel_",
+    "stream_",
+    "registry_",
+    "distributed_select_merge",
+    "sparql_bgp_filter",
+    "sparql_star_describe",
+    "sparql_fts_bgp_mix",
 )
 
 
