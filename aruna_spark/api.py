@@ -818,6 +818,86 @@ class Engine:
             ),
         )
 
+    def list_notifications(
+        self,
+        recipient: int,
+        cursor: tuple[int, int] | None = None,
+        limit: int = 200,
+        events: DataFrame | None = None,
+    ):
+        """ListNotifications (list.rs): one newest-first page of the
+        recipient's inbox with the reference's cursor envelope — limit
+        clamped to 1..200 (list.rs:15,65), ``next_cursor`` = the last
+        row's (created_at_ms, notification_id) when truncated
+        (list.rs:126-138, fetch limit+1)."""
+        from aruna_spark.streaming.watch import (
+            LIST_NOTIFICATIONS_MAX_LIMIT,
+            inbox_records,
+            list_notifications,
+        )
+
+        limit = max(1, min(int(limit), LIST_NOTIFICATIONS_MAX_LIMIT))
+        rows = list_notifications(
+            inbox_records(self._events() if events is None else events),
+            recipient,
+            cursor=cursor,
+            limit=limit + 1,
+        ).collect()
+        truncated = len(rows) > limit
+        rows = rows[:limit]
+        return {
+            "records": rows,
+            "next_cursor": (
+                (rows[-1].created_at_ms, rows[-1].notification_id)
+                if truncated and rows
+                else None
+            ),
+        }
+
+    def mark_read(
+        self,
+        recipient: int,
+        ids: list[int] | None = None,
+        up_to_ms: int | None = None,
+        events: DataFrame | None = None,
+    ):
+        """MarkRead (mark_read.rs): mark the recipient's unread records
+        read by explicit ids (≤512, TooManyIds beyond — rs:18,73)
+        and/or a created_at horizon; empty request is a no-op (rs:234).
+        Returns {"marked": n}."""
+        from aruna_spark.streaming.watch import (
+            MARK_READ_MAX_IDS,
+            inbox_records,
+            mark_read,
+        )
+
+        ids = list(dict.fromkeys(ids or []))
+        if len(ids) > MARK_READ_MAX_IDS:
+            raise ValueError(
+                f"mark read id count exceeds cap {MARK_READ_MAX_IDS}"
+            )
+        if not ids and up_to_ms is None:
+            return {"marked": 0}
+        marks = self.spark.createDataFrame(
+            [(int(recipient), int(i), None) for i in ids]
+            + (
+                [(int(recipient), None, int(up_to_ms))]
+                if up_to_ms is not None
+                else []
+            ),
+            "recipient long, notification_id long, up_to_ms long",
+        )
+        inbox = inbox_records(
+            self._events() if events is None else events
+        ).filter(F.col("recipient") == int(recipient))
+        n = (
+            mark_read(inbox, marks)
+            .agg(F.sum(F.col("newly_marked").cast("int")).alias("n"))
+            .collect()[0]
+            .n
+        )
+        return {"marked": int(n or 0)}
+
     def dashboard_epochs(self, events: DataFrame | None = None) -> DataFrame:
         """Dashboard epoch watch (dashboard.rs:6-39): the running epoch
         per debounce window — batch/backfill form (the live-stream form

@@ -384,3 +384,146 @@ def stream_inbox_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user_cap=_P_CAP,
     )
     return prune_summary(verdicts)
+
+
+# --------------------------------------------- inbox list / mark-read
+_N_RECIPIENT = 7  # list pagination subject
+_N_HORIZON_RECIPIENT = 12  # mark-read-by-time subject
+_N_PAGE = 10
+_N_UP_TO_MS = 1_705_276_800_000  # epoch ms of 2024-01-15T00:00:00Z
+
+
+@register(
+    "stream_notifications_page",
+    oracle=f"""
+    WITH {_D_INBOX},
+    mine AS (SELECT * FROM inbox WHERE recipient = {_N_RECIPIENT}),
+    page1 AS (
+      SELECT * FROM mine
+      ORDER BY created_at_ms DESC, notification_id ASC LIMIT {_N_PAGE}
+    ),
+    cur AS (
+      SELECT created_at_ms AS c_ms, notification_id AS c_id FROM page1
+      ORDER BY created_at_ms ASC, notification_id DESC LIMIT 1
+    )
+    SELECT m.recipient, m.notification_id, m.class, m.created_at_ms, m.read
+    FROM mine m, cur c
+    WHERE m.created_at_ms < c.c_ms
+       OR (m.created_at_ms = c.c_ms AND m.notification_id > c.c_id)
+    ORDER BY m.created_at_ms DESC, m.notification_id ASC LIMIT {_N_PAGE}
+    """,
+)
+def stream_notifications_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListNotifications page 2 (list.rs): the recipient's inbox
+    newest-first (created DESC, id ASC — the inverted-timestamp key
+    order), resumed by the (created_at_ms, notification_id) keyset
+    cursor the first page ends on (notification_inbox_cursor,
+    list.rs:126-138). The oracle derives its cursor by the same walk."""
+    from aruna_spark.streaming.watch import inbox_records, list_notifications
+
+    inbox = inbox_records(load_table(spark, sf_dir, "events"))
+    page1 = list_notifications(inbox, _N_RECIPIENT, limit=_N_PAGE).collect()
+    cursor = (
+        (page1[-1].created_at_ms, page1[-1].notification_id)
+        if page1
+        else None
+    )
+    return list_notifications(
+        inbox, _N_RECIPIENT, cursor=cursor, limit=_N_PAGE
+    )
+
+
+# mark batch: explicit ids for recipient 7 (every 3rd notification id —
+# some already read, which must NOT re-mark), a time horizon for
+# recipient 12 (everything created up to 2024-01-15)
+_D_MARKS = f"""
+    SELECT recipient, notification_id, CAST(NULL AS BIGINT) AS up_to_ms
+    FROM inbox
+    WHERE recipient = {_N_RECIPIENT} AND notification_id % 3 = 0
+    UNION ALL
+    SELECT {_N_HORIZON_RECIPIENT}, CAST(NULL AS BIGINT), {_N_UP_TO_MS}
+"""
+
+
+@register(
+    "stream_mark_read",
+    oracle=f"""
+    WITH {_D_INBOX},
+    marks AS ({_D_MARKS}),
+    ids AS (
+      SELECT DISTINCT recipient, notification_id FROM marks
+      WHERE notification_id IS NOT NULL
+    ),
+    horizons AS (
+      SELECT recipient, MAX(up_to_ms) AS up_to_ms FROM marks
+      WHERE up_to_ms IS NOT NULL GROUP BY recipient
+    ),
+    applied AS (
+      SELECT i.*,
+             (NOT i.read) AND (
+               EXISTS (SELECT 1 FROM ids d
+                       WHERE d.recipient = i.recipient
+                         AND d.notification_id = i.notification_id)
+               OR COALESCE(i.created_at_ms <= (SELECT h.up_to_ms
+                                              FROM horizons h
+                                              WHERE h.recipient = i.recipient),
+                           FALSE)
+             ) AS newly_marked
+      FROM inbox i
+    )
+    SELECT recipient,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN NOT read THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unread_before,
+           CAST(SUM(CASE WHEN newly_marked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_marked,
+           CAST(SUM(CASE WHEN NOT read AND NOT newly_marked
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unread_after
+    FROM applied
+    WHERE recipient IN ({_N_RECIPIENT}, {_N_HORIZON_RECIPIENT})
+    GROUP BY recipient ORDER BY recipient
+    """,
+)
+def stream_mark_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MarkRead applied (mark_read.rs): explicit-id marks for one
+    recipient (already-read rows never re-mark, rs:175-178) and an
+    up_to_ms horizon for another — per-recipient marked counts and the
+    unread before/after parity."""
+    from aruna_spark.streaming.watch import inbox_records, mark_read
+
+    inbox = inbox_records(load_table(spark, sf_dir, "events"))
+    ids = inbox.filter(
+        (F.col("recipient") == _N_RECIPIENT)
+        & (F.col("notification_id") % 3 == 0)
+    ).select(
+        "recipient",
+        "notification_id",
+        F.lit(None).cast("long").alias("up_to_ms"),
+    )
+    horizon = spark.createDataFrame(
+        [(_N_HORIZON_RECIPIENT, None, _N_UP_TO_MS)],
+        "recipient long, notification_id long, up_to_ms long",
+    )
+    applied = mark_read(inbox, ids.unionByName(horizon))
+    return (
+        applied.filter(
+            F.col("recipient").isin(_N_RECIPIENT, _N_HORIZON_RECIPIENT)
+        )
+        .groupBy("recipient")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            # ``read`` was updated in place; before = after + marked
+            F.sum(
+                (F.col("newly_marked") | ~F.col("read")).cast("int")
+            )
+            .cast("long")
+            .alias("n_unread_before"),
+            F.sum(F.col("newly_marked").cast("int"))
+            .cast("long")
+            .alias("n_marked"),
+            F.sum((~F.col("read")).cast("int"))
+            .cast("long")
+            .alias("n_unread_after"),
+        )
+        .orderBy("recipient")
+    )

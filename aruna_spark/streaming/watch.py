@@ -352,3 +352,91 @@ def prune_summary(verdicts: DataFrame) -> DataFrame:
         )
         .orderBy("class")
     )
+
+
+# ------------------------------------------------ inbox list / mark-read
+# ListNotifications (operations/src/notifications/list.rs): one
+# recipient's inbox newest-first (the inverted-timestamp key order,
+# notification.rs:232-238 — created DESC, id ASC ties), limit clamped to
+# 1..200 (list.rs:15,65), keyset cursor = the last row's
+# (created_at_ms, notification_id) (notification_inbox_cursor,
+# list.rs:126-138: fetch limit+1, truncate, emit next_cursor).
+# MarkRead (operations/src/notifications/mark_read.rs): mark a
+# recipient's UNREAD records read by explicit id set (≤512 ids,
+# TooManyIds beyond — mark_read.rs:18,73) and/or by time horizon
+# (created_at_ms <= up_to_ms, mark_read.rs:175-177); already-read rows
+# never re-mark (rs:177), empty request is a no-op (rs:234).
+
+LIST_NOTIFICATIONS_MAX_LIMIT = 200  # list.rs:15
+MARK_READ_MAX_IDS = 512  # mark_read.rs:18
+
+
+def list_notifications(
+    inbox: DataFrame,
+    recipient: int,
+    cursor: tuple[int, int] | None = None,
+    limit: int = LIST_NOTIFICATIONS_MAX_LIMIT,
+) -> DataFrame:
+    """One ListNotifications page: the recipient's records strictly past
+    the cursor in walk order (created DESC, id ASC). The scan prunes to
+    the recipient's partition — at scale the inbox is bucketed by
+    recipient, so this is one partition's sorted slice, no shuffle."""
+    limit = max(1, min(int(limit), LIST_NOTIFICATIONS_MAX_LIMIT))
+    df = inbox.filter(F.col("recipient") == recipient)
+    if cursor is not None:
+        c_ms, c_id = cursor
+        df = df.filter(
+            (F.col("created_at_ms") < c_ms)
+            | (
+                (F.col("created_at_ms") == c_ms)
+                & (F.col("notification_id") > c_id)
+            )
+        )
+    return df.orderBy(
+        F.desc("created_at_ms"), F.asc("notification_id")
+    ).limit(limit)
+
+
+def mark_read(
+    inbox: DataFrame,
+    marks: DataFrame,
+) -> DataFrame:
+    """Apply a mark-read batch: ``marks`` carries (recipient,
+    notification_id nullable, up_to_ms nullable) — one row per explicit
+    id plus at most one horizon row per recipient. Returns the inbox
+    with ``read`` updated and ``newly_marked`` flagging rows this batch
+    marked (unread AND matched, mark_read.rs:175-178).
+
+    Scale shape: the mark batch is request-sized → both joins broadcast;
+    the inbox is scanned once, never shuffled.
+    """
+    ids = (
+        marks.filter(F.col("notification_id").isNotNull())
+        .select("recipient", "notification_id")
+        .distinct()
+        .withColumn("__by_id", F.lit(True))
+    )
+    horizons = (
+        marks.filter(F.col("up_to_ms").isNotNull())
+        .groupBy("recipient")
+        .agg(F.max("up_to_ms").alias("__up_to_ms"))
+    )
+    return (
+        inbox.join(
+            F.broadcast(ids), ["recipient", "notification_id"], "left"
+        )
+        .join(F.broadcast(horizons), ["recipient"], "left")
+        .withColumn(
+            "newly_marked",
+            ~F.col("read")
+            & (
+                F.coalesce(F.col("__by_id"), F.lit(False))
+                | F.coalesce(
+                    F.col("created_at_ms") <= F.col("__up_to_ms"),
+                    F.lit(False),
+                )
+            ),
+        )
+        .withColumn("read", F.col("read") | F.col("newly_marked"))
+        .drop("__by_id", "__up_to_ms")
+    )

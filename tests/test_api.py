@@ -686,6 +686,49 @@ def test_prune_inbox_route(engine):
     assert engine.prune_inbox().filter(F.col("pruned")).count() == 0
 
 
+def test_list_notifications_route(engine):
+    page = engine.list_notifications(7, limit=10)
+    assert len(page["records"]) == 10 and page["next_cursor"] is not None
+    # newest-first walk order, recipient-scoped
+    keys = [(r.created_at_ms, -r.notification_id) for r in page["records"]]
+    assert keys == sorted(keys, reverse=True)
+    assert all(r.recipient == 7 for r in page["records"])
+    # cursor resume: disjoint continuation strictly past the cursor
+    page2 = engine.list_notifications(7, cursor=page["next_cursor"], limit=10)
+    got1 = {r.notification_id for r in page["records"]}
+    got2 = {r.notification_id for r in page2["records"]}
+    assert got1.isdisjoint(got2) and len(got2) == 10
+    c_ms, c_id = page["next_cursor"]
+    assert all(
+        (r.created_at_ms, -r.notification_id) < (c_ms, -c_id)
+        for r in page2["records"]
+    )
+    # limit clamps to 1..200
+    assert len(engine.list_notifications(7, limit=0)["records"]) == 1
+
+
+def test_mark_read_route(engine):
+    page = engine.list_notifications(7, limit=50)["records"]
+    unread = [r.notification_id for r in page if not r.read]
+    read = [r.notification_id for r in page if r.read]
+    assert unread and read
+    # already-read ids never re-mark (mark_read.rs:175-178)
+    got = engine.mark_read(7, ids=unread[:5] + read[:3])
+    assert got["marked"] == 5
+    # duplicate ids dedup before the cap check (mark_read.rs:76-78)
+    assert engine.mark_read(7, ids=unread[:1] * 600)["marked"] == 1
+    # horizon form marks everything created at or before up_to_ms
+    hi = max(r.created_at_ms for r in page)
+    n_unread = sum(1 for r in page if not r.read)
+    full = engine.list_notifications(7, limit=200)["records"]
+    want = sum(1 for r in full if not r.read and r.created_at_ms <= hi)
+    assert engine.mark_read(7, up_to_ms=hi)["marked"] == want >= n_unread
+    # empty request is a no-op; oversized id set errors
+    assert engine.mark_read(7) == {"marked": 0}
+    with pytest.raises(ValueError):
+        engine.mark_read(7, ids=list(range(513)))
+
+
 def test_scoped_facade_fts_scores_are_scope_derived(spark, sf_dir):
     """ADVICE r5: a scoped engine must NOT inject the corpus-global BM25
     resolver — its IDF/doc-length stats would observably reflect
