@@ -507,6 +507,98 @@ class Engine:
         mine = self._uploads().filter(F.col("upload_id") == upload_id)
         return abort_results(mine, aborts).collect()[0]
 
+    def get_object_attributes(
+        self,
+        key: str,
+        bucket: str = "corpus",
+        version_id: str | None = None,
+        include_parts: bool = False,
+    ):
+        """GetObjectAttributes (get_object_attributes.rs): the metadata
+        envelope — etag/size/sha256/checksum_type and, when requested
+        and the object is composite, the sorted part list."""
+        import re as _re
+
+        from aruna_spark.queries.s3_suite import (
+            object_attributes,
+            object_parts,
+        )
+
+        m = _re.search(r"doc-(\d+)\.txt$", key)
+        doc_id = int(m.group(1)) if m else -1
+        req = self.spark.createDataFrame(
+            [(bucket, key, doc_id, version_id, bool(include_parts))],
+            "bucket string, key string, doc_id long, "
+            "want_version_id string, include_parts boolean",
+        )
+        mine = self._versions().filter(
+            (F.col("bucket") == bucket) & (F.col("key") == key)
+        )
+        row = object_attributes(mine, req).collect()[0]
+        parts = (
+            [
+                (p.part_number, p.part_size)
+                for p in object_parts(mine, req)
+                .orderBy("part_number")
+                .collect()
+            ]
+            if include_parts and row.n_parts
+            else []
+        )
+        return {"attributes": row, "parts": parts}
+
+    def upload_part_copy(
+        self,
+        upload_id: str,
+        part_number: int,
+        src_key: str,
+        src_bucket: str = "corpus",
+        source_version_id: str | None = None,
+        if_match: str | None = None,
+        if_none_match: str | None = None,
+        range_start: int | None = None,
+        range_end: int | None = None,
+    ):
+        """UploadPartCopy (upload_part_copy.rs): copy a byte range of an
+        existing object into an open upload as a part — copy-source
+        conditions fail 412 (incl. the if-none-match 304 remap), unknown
+        uploads 404, replace semantics surfaced as ``replaced``."""
+        from aruna_spark.queries.s3_multipart import (
+            load_part_events,
+            upload_part_copy,
+        )
+
+        copies = self.spark.createDataFrame(
+            [
+                (
+                    upload_id,
+                    int(part_number),
+                    src_bucket,
+                    src_key,
+                    source_version_id,
+                    if_match,
+                    if_none_match,
+                    range_start,
+                    range_end,
+                    None,
+                )
+            ],
+            "upload_id string, part_number int, bucket string, key string, "
+            "want_version_id string, if_match string, if_none_match string, "
+            "range_start long, range_end long, range_suffix long",
+        )
+        mine = self._versions().filter(
+            (F.col("bucket") == src_bucket) & (F.col("key") == src_key)
+        )
+        return upload_part_copy(
+            mine,
+            self._uploads().filter(F.col("upload_id") == upload_id),
+            load_part_events(self.spark, self.sf_dir).filter(
+                F.col("upload_id") == upload_id
+            ),
+            copies,
+        ).collect()[0]
+
     def list_object_versions(
         self,
         prefix: str = "",

@@ -41,6 +41,10 @@ from pyspark.sql.window import Window
 
 from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
+from aruna_spark.sources.objects import (
+    OBJECTS_ORACLE_SQL,
+    load_object_versions,
+)
 
 MAX_PARTS_DEFAULT = 1_000  # list_parts.rs:78 DEFAULT_MAX_PARTS
 MAX_UPLOADS_DEFAULT = 1_000
@@ -436,4 +440,222 @@ def s3_abort_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parts_after",
         "n_aborted",
         "n_missing",
+    )
+
+
+# ====================================================== UploadPartCopy
+# Copy a byte range of an EXISTING object into an open upload as a part
+# (operations/src/s3/upload_part_copy.rs): the source resolves exactly
+# like GetObject (explicit version + range, rs:56-66), the copy-source
+# conditions evaluate with CopyObject's shared evaluator — BOTH
+# if-match and if-none-match failures are 412 PreconditionFailed, not
+# GET's 304 (rs:2,82-96) — and the part write carries UploadPart's
+# replace semantics. The result surfaces the part etag and the resolved
+# source version (UploadPartCopyResultData, rs:34-38).
+
+
+def upload_part_copy(
+    versions: DataFrame,
+    uploads: DataFrame,
+    part_events: DataFrame,
+    copies: DataFrame,
+) -> DataFrame:
+    """Per-request envelope: (upload_id, part_number, status,
+    source_version_id, part_size, part_etag, replaced).
+
+    ``copies`` carries (upload_id, part_number, bucket, key) plus the
+    nullable GetObject parameter columns (want_version_id, if_match,
+    if_none_match, range_start/end/suffix). Status: the source's
+    resolution status when it fails (404/405/416; conditions remapped
+    304→412), 404 NoSuchUpload for an unknown upload id (the part write
+    validates the upload like UploadPart), else 200.
+
+    Scale shape: the copy batch is request-sized — the source resolve
+    inherits resolve_requests' broadcast key-prune of the catalog, and
+    the upload/replace lookups broadcast the batch against upload-id
+    slices; nothing shuffles the catalog.
+    """
+    from aruna_spark.queries.s3_suite import resolve_requests
+
+    src = resolve_requests(versions, copies)
+    # copy-source conditions: if-none-match failure is 412, not 304
+    src = src.withColumn(
+        "status",
+        F.when(F.col("status") == 304, F.lit(412)).otherwise(
+            F.col("status")
+        ),
+    )
+    known = uploads.select("upload_id").withColumn("__u", F.lit(True))
+    prior = (
+        part_events.groupBy("upload_id", "part_number")
+        .agg(F.max("seq").alias("__prior_seq"))
+    )
+    out = (
+        src.join(F.broadcast(known), "upload_id", "left")
+        .join(F.broadcast(prior), ["upload_id", "part_number"], "left")
+        .withColumn(
+            "status",
+            F.when(~F.col("status").isin(200, 206), F.col("status"))
+            .when(F.col("__u").isNull(), F.lit(404))  # NoSuchUpload
+            .otherwise(F.lit(200)),
+        )
+    )
+    ok = F.col("status") == 200
+    return out.select(
+        "upload_id",
+        "part_number",
+        "status",
+        F.when(ok, F.col("resolved_version_id")).alias("source_version_id"),
+        F.when(ok, F.col("content_length")).cast("long").alias("part_size"),
+        # the part's etag commits to the source bytes: source etag +
+        # the copied range (full copy = the whole object)
+        F.when(
+            ok,
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("upload_id"),
+                    F.col("part_number").cast("string"),
+                    F.col("etag"),
+                    F.coalesce(F.col("content_range"), F.lit("full")),
+                )
+            ),
+        ).alias("part_etag"),
+        (ok & F.col("__prior_seq").isNotNull()).alias("replaced"),
+    )
+
+
+# copy batch: every doc with an open upload in the %19==4 family copies
+# from its OWN object key; doc_id % 4 picks the variant, doc % 24 == 16
+# retargets one row at an unknown upload (NoSuchUpload), and the
+# %13==3 overlap sources from marker heads (404).
+def _part_copy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 19 == 4
+    )
+    key = F.concat(
+        F.lit("data/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".txt"),
+    )
+    latest_etag = F.md5(
+        F.concat(key, F.lit(":"), (F.col("doc_id") % 3).cast("string"))
+    )
+    m = F.col("doc_id") % 4
+    return docs.select(
+        F.when(
+            F.col("doc_id") % 24 == 16,
+            F.concat(F.lit("mpu-x-"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("mpu-"), F.col("doc_id").cast("string")))
+        .alias("upload_id"),
+        F.when(m == 1, F.lit(1)).otherwise(F.lit(99)).alias("part_number"),
+        F.lit("corpus").alias("bucket"),
+        key.alias("key"),
+        F.when(m == 1, F.lit("v0")).alias("want_version_id"),
+        F.when(m == 2, F.lit("wrong")).alias("if_match"),
+        F.when(m == 3, latest_etag).alias("if_none_match"),
+        F.when(m == 1, F.lit(0)).cast("long").alias("range_start"),
+        F.when(m == 1, F.lit(9)).cast("long").alias("range_end"),
+        F.lit(None).cast("long").alias("range_suffix"),
+    )
+
+
+_D_PART_COPIES = """
+    SELECT CASE WHEN doc_id % 24 = 16 THEN 'mpu-x-' || doc_id
+                ELSE 'mpu-' || doc_id END AS upload_id,
+           CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 99 END AS part_number,
+           'corpus' AS bucket,
+           'data/' || source || '/' || lang || '/doc-' || doc_id || '.txt'
+             AS key,
+           CASE WHEN doc_id % 4 = 1 THEN 'v0' END AS want_version_id,
+           CASE WHEN doc_id % 4 = 2 THEN 'wrong' END AS if_match,
+           CASE WHEN doc_id % 4 = 3 THEN
+                  md5('data/' || source || '/' || lang || '/doc-' || doc_id
+                      || '.txt' || ':' || (doc_id % 3)) END AS if_none_match,
+           CASE WHEN doc_id % 4 = 1 THEN 0 END AS range_start,
+           CASE WHEN doc_id % 4 = 1 THEN 9 END AS range_end
+    FROM documents WHERE doc_id % 19 = 4
+"""
+
+
+@register(
+    "s3_upload_part_copy",
+    oracle=f"""
+    WITH objects AS ({OBJECTS_ORACLE_SQL}),
+    uploads AS ({UPLOADS_ORACLE_SQL}),
+    parts AS ({PART_EVENTS_ORACLE_SQL}),
+    copies AS ({_D_PART_COPIES}),
+    latest AS (SELECT * FROM objects WHERE is_latest),
+    v0 AS (SELECT * FROM objects WHERE version_id = 'v0'),
+    resolved AS (
+      SELECT c.*,
+             CASE WHEN c.want_version_id IS NOT NULL THEN v.version_id
+                  ELSE l.version_id END AS vid,
+             CASE WHEN c.want_version_id IS NOT NULL THEN v.size
+                  ELSE l.size END AS size,
+             CASE WHEN c.want_version_id IS NOT NULL THEN v.etag
+                  ELSE l.etag END AS setag,
+             COALESCE(CASE WHEN c.want_version_id IS NOT NULL
+                           THEN v.is_delete_marker
+                           ELSE l.is_delete_marker END, FALSE) AS marker
+      FROM copies c
+      LEFT JOIN latest l ON l.bucket = c.bucket AND l.key = c.key
+      LEFT JOIN v0 v ON v.bucket = c.bucket AND v.key = c.key
+    ),
+    evaled AS (
+      SELECT *,
+             LEAST(9, size - 1) AS se_end,
+             CASE
+               WHEN marker AND want_version_id IS NOT NULL THEN 405
+               WHEN marker OR setag IS NULL THEN 404
+               WHEN if_match IS NOT NULL AND if_match <> setag THEN 412
+               WHEN if_none_match IS NOT NULL AND if_none_match = setag
+                 THEN 412
+               WHEN range_start IS NOT NULL
+                    AND NOT (size > range_start
+                             AND LEAST(range_end, size - 1) >= range_start)
+                 THEN 416
+               WHEN NOT EXISTS (SELECT 1 FROM uploads u
+                                WHERE u.upload_id = resolved.upload_id)
+                 THEN 404
+               ELSE 200
+             END AS status
+      FROM resolved
+    )
+    SELECT upload_id, part_number, status,
+           CASE WHEN status = 200 THEN vid END AS source_version_id,
+           CAST(CASE WHEN status <> 200 THEN NULL
+                     WHEN range_start IS NOT NULL THEN se_end - range_start + 1
+                     ELSE size END AS BIGINT) AS part_size,
+           CASE WHEN status = 200 THEN
+             md5(upload_id || ':' || part_number || ':' || setag || ':' ||
+                 CASE WHEN range_start IS NOT NULL
+                      THEN 'bytes ' || range_start || '-' || se_end || '/' || size
+                      ELSE 'full' END)
+           END AS part_etag,
+           status = 200 AND EXISTS (
+             SELECT 1 FROM parts p
+             WHERE p.upload_id = evaled.upload_id
+               AND p.part_number = evaled.part_number
+           ) AS replaced
+    FROM evaled
+    """,
+)
+def s3_upload_part_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UploadPartCopy batch resolved against the catalog and the open
+    uploads: GetObject-style source resolve (explicit version + range),
+    copy-source conditions failing as 412 (including the if-none-match
+    304 remap), marker heads 404ing, unknown uploads 404ing
+    (NoSuchUpload), and UploadPart replace semantics surfacing as
+    ``replaced``."""
+    return upload_part_copy(
+        load_object_versions(spark, sf_dir),
+        load_uploads(spark, sf_dir),
+        load_part_events(spark, sf_dir),
+        _part_copy_batch(spark, sf_dir),
     )

@@ -630,3 +630,186 @@ def complete_multipart(parts: DataFrame) -> DataFrame:
             & (F.max("part_number") == F.count(F.lit(1)))
         ).alias("is_contiguous"),
     )
+
+
+# ====================================================== GetObjectAttributes
+# The metadata-plane sibling of HEAD (operations/src/s3/
+# get_object_attributes.rs): resolve the version like GetObject
+# (rs:223-254; explicit version or latest, marker rules identical),
+# return etag + size + checksum attributes, and — when the object was
+# assembled by multipart and the caller asks — the part summary
+# (rs:282-358: summary + parts sorted by part_number; checksum_type
+# defaults to FullObject when no multipart summary exists, rs:371-375).
+# Composite objects here are the keys assembled by the multipart plane:
+# doc_id % 21 == 8, with (doc_id % 4) + 2 parts splitting the object
+# bytes evenly (remainder spread over the leading parts).
+
+COMPOSITE_MOD, COMPOSITE_RESIDUE = 21, 8
+
+
+def object_attributes(versions: DataFrame, reqs: DataFrame) -> DataFrame:
+    """Per-request attribute envelope: (bucket, key, status,
+    resolved_version_id, etag, object_size, checksum_sha256,
+    checksum_type, n_parts, min_part_size, max_part_size).
+
+    ``reqs`` carries (bucket, key, doc_id, want_version_id,
+    include_parts); part columns are NULL unless the object is
+    composite AND parts were requested (get_object_attributes.rs:320).
+    Resolution inherits resolve_requests' broadcast key-prune — a
+    point metadata lookup, no catalog shuffle."""
+    from aruna_spark.sources.objects import blob_content
+
+    base = resolve_requests(
+        versions,
+        reqs.withColumn("if_match", F.lit(None).cast("string"))
+        .withColumn("if_none_match", F.lit(None).cast("string"))
+        .withColumn("range_start", F.lit(None).cast("long"))
+        .withColumn("range_end", F.lit(None).cast("long"))
+        .withColumn("range_suffix", F.lit(None).cast("long")),
+    )
+    ok = F.col("status") == 200
+    composite = F.col("doc_id") % COMPOSITE_MOD == COMPOSITE_RESIDUE
+    n = (F.col("doc_id") % 4 + 2).cast("long")
+    size = F.col("content_length")
+    with_parts = ok & composite & F.col("include_parts")
+    return base.select(
+        "bucket",
+        "key",
+        "status",
+        "resolved_version_id",
+        "etag",
+        F.when(ok, size).cast("long").alias("object_size"),
+        F.when(ok, F.sha2(blob_content(size), 256)).alias(
+            "checksum_sha256"
+        ),
+        F.when(ok & composite, F.lit("COMPOSITE"))
+        .when(ok, F.lit("FULL_OBJECT"))
+        .alias("checksum_type"),
+        F.when(with_parts, n).alias("n_parts"),
+        F.when(with_parts, (size / n).cast("long")).alias("min_part_size"),
+        F.when(
+            with_parts,
+            (size / n).cast("long")
+            + (size % n > 0).cast("long"),
+        ).alias("max_part_size"),
+    )
+
+
+def object_parts(versions: DataFrame, reqs: DataFrame) -> DataFrame:
+    """The exploded part list for composite objects (the ``parts`` Vec
+    of GetObjectAttributesResult, sorted by part_number): part i of n
+    carries size//n bytes plus one remainder byte for i <= size%n."""
+    attrs = object_attributes(versions, reqs).filter(
+        F.col("n_parts").isNotNull()
+    )
+    part = F.col("part_number")
+    return attrs.select(
+        "bucket",
+        "key",
+        "object_size",
+        F.explode(F.sequence(F.lit(1), F.col("n_parts"))).alias(
+            "part_number"
+        ),
+        "n_parts",
+    ).select(
+        "bucket",
+        "key",
+        "part_number",
+        (
+            (F.col("object_size") / F.col("n_parts")).cast("long")
+            + (part <= F.col("object_size") % F.col("n_parts")).cast("long")
+        ).alias("part_size"),
+    )
+
+
+def _attr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aruna_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 1
+    )
+    return docs.select(
+        F.lit("corpus").alias("bucket"),
+        F.concat(
+            F.lit("data/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("key"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("v0")).alias(
+            "want_version_id"
+        ),
+        (F.col("doc_id") % 5 == 0).alias("include_parts"),
+    )
+
+
+@register(
+    "s3_object_attributes",
+    oracle=f"""
+    WITH objects AS ({OBJECTS_ORACLE_SQL}),
+    reqs AS (
+      SELECT 'corpus' AS bucket,
+             'data/' || source || '/' || lang || '/doc-' || doc_id || '.txt'
+               AS key,
+             doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN 'v0' END AS want_version_id,
+             doc_id % 5 = 0 AS include_parts
+      FROM documents WHERE doc_id % 7 = 1
+    ),
+    latest AS (SELECT * FROM objects WHERE is_latest),
+    v0 AS (SELECT * FROM objects WHERE version_id = 'v0'),
+    resolved AS (
+      SELECT r.*,
+             CASE WHEN r.want_version_id IS NOT NULL THEN v.version_id
+                  ELSE l.version_id END AS vid,
+             CASE WHEN r.want_version_id IS NOT NULL THEN v.size
+                  ELSE l.size END AS size,
+             CASE WHEN r.want_version_id IS NOT NULL THEN v.etag
+                  ELSE l.etag END AS setag,
+             COALESCE(CASE WHEN r.want_version_id IS NOT NULL
+                           THEN v.is_delete_marker
+                           ELSE l.is_delete_marker END, FALSE) AS marker
+      FROM reqs r
+      LEFT JOIN latest l ON l.bucket = r.bucket AND l.key = r.key
+      LEFT JOIN v0 v ON v.bucket = r.bucket AND v.key = r.key
+    ),
+    evaled AS (
+      SELECT *,
+             CASE WHEN marker AND want_version_id IS NOT NULL THEN 405
+                  WHEN marker OR setag IS NULL THEN 404
+                  ELSE 200 END AS status,
+             doc_id % {COMPOSITE_MOD} = {COMPOSITE_RESIDUE} AS composite,
+             doc_id % 4 + 2 AS n
+      FROM resolved
+    )
+    SELECT bucket, key, status,
+           vid AS resolved_version_id,
+           CASE WHEN status = 200 THEN setag END AS etag,
+           CAST(CASE WHEN status = 200 THEN size END AS BIGINT)
+             AS object_size,
+           CASE WHEN status = 200 THEN sha256('blob:' || size) END
+             AS checksum_sha256,
+           CASE WHEN status = 200 AND composite THEN 'COMPOSITE'
+                WHEN status = 200 THEN 'FULL_OBJECT' END AS checksum_type,
+           CAST(CASE WHEN status = 200 AND composite AND include_parts
+                     THEN n END AS BIGINT) AS n_parts,
+           CAST(CASE WHEN status = 200 AND composite AND include_parts
+                     THEN size // n END AS BIGINT) AS min_part_size,
+           CAST(CASE WHEN status = 200 AND composite AND include_parts
+                     THEN size // n + CASE WHEN size % n > 0 THEN 1 ELSE 0 END
+                END AS BIGINT) AS max_part_size
+    FROM evaled
+    """,
+)
+def s3_object_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetObjectAttributes over a deterministic request mix:
+    latest/explicit-version resolution with marker rules, etag + size +
+    sha256 checksum attributes, checksum_type COMPOSITE for
+    multipart-assembled keys, and the part summary only when requested
+    (get_object_attributes.rs:320,371-375)."""
+    versions = load_object_versions(spark, sf_dir)
+    return object_attributes(versions, _attr_batch(spark, sf_dir))

@@ -516,6 +516,72 @@ def test_delete_object_routes(engine):
     assert res.status == 204 and res.delete_marker
 
 
+def test_get_object_attributes_route(engine, spark, sf_dir):
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.s3_suite import COMPOSITE_MOD, COMPOSITE_RESIDUE
+
+    load_all()
+    batch = REGISTRY["s3_object_attributes"][0](spark, sf_dir).collect()
+    comp = next(r for r in batch if r.n_parts is not None)
+    got = engine.get_object_attributes(comp.key, include_parts=True)
+    a = got["attributes"]
+    assert (a.status, a.etag, a.checksum_sha256, a.n_parts) == (
+        200,
+        comp.etag,
+        comp.checksum_sha256,
+        comp.n_parts,
+    )
+    assert a.checksum_type == "COMPOSITE"
+    # the exploded part list reassembles exactly the object bytes,
+    # sorted by part_number (get_object_attributes.rs:357)
+    parts = got["parts"]
+    assert len(parts) == a.n_parts
+    assert [p[0] for p in parts] == list(range(1, a.n_parts + 1))
+    assert sum(p[1] for p in parts) == a.object_size
+    assert {p[1] for p in parts} <= {a.min_part_size, a.max_part_size}
+    # a non-composite object is FULL_OBJECT with no parts even when asked
+    plain = next(
+        r
+        for r in batch
+        if r.status == 200 and r.checksum_type == "FULL_OBJECT"
+    )
+    got2 = engine.get_object_attributes(plain.key, include_parts=True)
+    assert got2["attributes"].n_parts is None and got2["parts"] == []
+    # marker head -> 404
+    dead = _some_deleted_key(engine)
+    assert engine.get_object_attributes(dead.key)["attributes"].status == 404
+
+
+def test_upload_part_copy_route(engine):
+    obj = _some_object(engine)
+    ups = engine.list_multipart_uploads(prefix="data/", max_uploads=1).collect()
+    uid = ups[0].upload_id
+    # full copy into a fresh part number
+    res = engine.upload_part_copy(uid, 77, obj.key)
+    assert res.status == 200 and not res.replaced
+    assert res.part_size == obj.size and res.source_version_id == obj.version_id
+    # range copy replacing an existing part
+    res2 = engine.upload_part_copy(
+        uid, 1, obj.key, range_start=0, range_end=4
+    )
+    assert res2.status == 200 and res2.replaced and res2.part_size == 5
+    # copy-source conditions are 412, including the if-none-match remap
+    assert (
+        engine.upload_part_copy(uid, 2, obj.key, if_match="wrong").status
+        == 412
+    )
+    assert (
+        engine.upload_part_copy(
+            uid, 2, obj.key, if_none_match=obj.etag
+        ).status
+        == 412
+    )
+    # unknown upload -> 404 NoSuchUpload; marker source -> 404
+    assert engine.upload_part_copy("mpu-nope", 1, obj.key).status == 404
+    dead = _some_deleted_key(engine)
+    assert engine.upload_part_copy(uid, 3, dead.key).status == 404
+
+
 def test_copy_object_route(engine):
     obj = _some_object(engine)
     # plain copy: dest version minted, source etag travels, dedup'd
