@@ -50,6 +50,8 @@ PRIORITY_PREFIXES = (
     "s3_upload_part_replace",
     "s3_list_uploads_page",
     "s3_abort_multipart",
+    "s3_upload_part_copy",
+    "s3_object_attributes",
     "s3_multipart_complete",
     "s3_put_upsert",
     "s3_get_object",
@@ -59,6 +61,8 @@ PRIORITY_PREFIXES = (
     "perm_visible_summary",
     "usage_",
     "stream_inbox_prune",
+    "stream_notifications_page",
+    "stream_mark_read",
     "drs_object_lookup",
     "decontam_",
     # r6-unchecked backlog, least-recently-driver-checked first
