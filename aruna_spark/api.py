@@ -422,9 +422,25 @@ class Engine:
     def upload_part(self, upload_id: str, part_number: int, part_size: int):
         """UploadPart (upload_part.rs): write one part; re-uploading an
         existing part number REPLACES it (upload_part.rs:368 — the prior
-        part's blob is deleted), surfaced as ``replaced``."""
+        part's blob is deleted), surfaced as ``replaced``. The upload
+        record is validated FIRST — an unknown upload_id is 404
+        NoSuchUpload (upload_part.rs:155), mirroring
+        abort_multipart_upload / upload_part_copy."""
         from aruna_spark.queries.s3_multipart import load_part_events
 
+        known = (
+            self._uploads()
+            .filter(F.col("upload_id") == upload_id)
+            .limit(1)
+            .count()
+        )
+        if not known:
+            return {
+                "upload_id": upload_id,
+                "part_number": int(part_number),
+                "status": 404,
+                "error": "NoSuchUpload",
+            }
         prior = (
             load_part_events(self.spark, self.sf_dir)
             .filter(
@@ -443,6 +459,7 @@ class Engine:
         return {
             "upload_id": upload_id,
             "part_number": int(part_number),
+            "status": 200,
             "part_size": int(part_size),
             "part_etag": etag,
             "replaced": seq > 1,
@@ -467,12 +484,17 @@ class Engine:
         ).collect()
         truncated = len(rows) > max_parts
         rows = rows[: int(max_parts)]
+        # max_parts=0: a truncated-but-empty page still resumes — fall
+        # back to the input marker (or 0), list_parts.rs:192-198
+        next_marker = None
+        if truncated:
+            next_marker = (
+                rows[-1].part_number if rows else (part_number_marker or 0)
+            )
         return {
             "parts": rows,
             "is_truncated": truncated,
-            "next_part_number_marker": (
-                rows[-1].part_number if truncated and rows else None
-            ),
+            "next_part_number_marker": next_marker,
         }
 
     def list_multipart_uploads(

@@ -465,10 +465,13 @@ def upload_part_copy(
 
     ``copies`` carries (upload_id, part_number, bucket, key) plus the
     nullable GetObject parameter columns (want_version_id, if_match,
-    if_none_match, range_start/end/suffix). Status: the source's
-    resolution status when it fails (404/405/416; conditions remapped
-    304→412), 404 NoSuchUpload for an unknown upload id (the part write
-    validates the upload like UploadPart), else 200.
+    if_none_match, range_start/end/suffix). Status: 404 NoSuchUpload
+    for an unknown upload id FIRST — the reference validates the
+    destination upload before resolving the source
+    (upload_part_copy.rs:54 validate_destination_upload), so a request
+    with both an unknown upload and a failing source returns 404 —
+    then the source's resolution status when it fails (404/405/416;
+    conditions remapped 304→412), else 200.
 
     Scale shape: the copy batch is request-sized — the source resolve
     inherits resolve_requests' broadcast key-prune of the catalog, and
@@ -495,8 +498,10 @@ def upload_part_copy(
         .join(F.broadcast(prior), ["upload_id", "part_number"], "left")
         .withColumn(
             "status",
-            F.when(~F.col("status").isin(200, 206), F.col("status"))
-            .when(F.col("__u").isNull(), F.lit(404))  # NoSuchUpload
+            # upload validated BEFORE the source outcome is consulted
+            # (upload_part_copy.rs:54)
+            F.when(F.col("__u").isNull(), F.lit(404))  # NoSuchUpload
+            .when(~F.col("status").isin(200, 206), F.col("status"))
             .otherwise(F.lit(200)),
         )
     )
@@ -557,7 +562,11 @@ def _part_copy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("corpus").alias("bucket"),
         key.alias("key"),
         F.when(m == 1, F.lit("v0")).alias("want_version_id"),
-        F.when(m == 2, F.lit("wrong")).alias("if_match"),
+        # the unknown-upload rows ALSO carry a failing condition, so the
+        # batch pins the validate-upload-first precedence (404, not 412)
+        F.when(
+            (m == 2) | (F.col("doc_id") % 24 == 16), F.lit("wrong")
+        ).alias("if_match"),
         F.when(m == 3, latest_etag).alias("if_none_match"),
         F.when(m == 1, F.lit(0)).cast("long").alias("range_start"),
         F.when(m == 1, F.lit(9)).cast("long").alias("range_end"),
@@ -573,7 +582,8 @@ _D_PART_COPIES = """
            'data/' || source || '/' || lang || '/doc-' || doc_id || '.txt'
              AS key,
            CASE WHEN doc_id % 4 = 1 THEN 'v0' END AS want_version_id,
-           CASE WHEN doc_id % 4 = 2 THEN 'wrong' END AS if_match,
+           CASE WHEN doc_id % 4 = 2 OR doc_id % 24 = 16 THEN 'wrong'
+             END AS if_match,
            CASE WHEN doc_id % 4 = 3 THEN
                   md5('data/' || source || '/' || lang || '/doc-' || doc_id
                       || '.txt' || ':' || (doc_id % 3)) END AS if_none_match,
@@ -611,6 +621,9 @@ _D_PART_COPIES = """
       SELECT *,
              LEAST(9, size - 1) AS se_end,
              CASE
+               WHEN NOT EXISTS (SELECT 1 FROM uploads u
+                                WHERE u.upload_id = resolved.upload_id)
+                 THEN 404
                WHEN marker AND want_version_id IS NOT NULL THEN 405
                WHEN marker OR setag IS NULL THEN 404
                WHEN if_match IS NOT NULL AND if_match <> setag THEN 412
@@ -620,9 +633,6 @@ _D_PART_COPIES = """
                     AND NOT (size > range_start
                              AND LEAST(range_end, size - 1) >= range_start)
                  THEN 416
-               WHEN NOT EXISTS (SELECT 1 FROM uploads u
-                                WHERE u.upload_id = resolved.upload_id)
-                 THEN 404
                ELSE 200
              END AS status
       FROM resolved

@@ -455,7 +455,19 @@ def test_multipart_lifecycle_routes(engine):
     assert redo["replaced"] and redo["part_etag"] != p1.part_etag
     # a fresh part number does not replace
     fresh = engine.upload_part(uid, 9999, 10)
-    assert not fresh["replaced"]
+    assert not fresh["replaced"] and fresh["status"] == 200
+    # unknown upload: validated FIRST -> 404 NoSuchUpload envelope
+    # (upload_part.rs:155), like abort/part-copy
+    missing = engine.upload_part("mpu-nope", 1, 10)
+    assert missing["status"] == 404 and missing["error"] == "NoSuchUpload"
+    # max_parts=0: truncated-but-empty page still resumes — the next
+    # marker falls back to the input marker or 0 (list_parts.rs:192-198)
+    zero = engine.list_parts(uid, max_parts=0)
+    assert zero["parts"] == [] and zero["is_truncated"]
+    assert zero["next_part_number_marker"] == 0
+    zero2 = engine.list_parts(uid, part_number_marker=1, max_parts=0)
+    if zero2["is_truncated"]:
+        assert zero2["next_part_number_marker"] == 1
     # create mints a new listable id past the current sequence
     rec = engine.create_multipart_upload("data/new/thing.bin")
     assert rec["upload_id"].startswith("mpu-")

@@ -133,3 +133,68 @@ def test_put_revives_deleted_key(spark, sf_dir):
     )
     assert marker_still_there == 1
     assert head[0].version_idx > 0
+
+
+def test_mixed_batch_envelope_matches_applied_state(spark, sf_dir):
+    """One batch: versioned delete of the key's max materialized version
+    AND an unversioned delete of the same key — the envelope's minted
+    marker version_id equals the applied after-state's marker (both mint
+    over the post-removal survivors, VERDICT r7 'What's wrong' #1)."""
+    from aruna_spark.queries.s3_lifecycle import _mixed_delete_batch
+
+    before = load_object_versions(spark, sf_dir).cache()
+    deletes = _mixed_delete_batch(spark, sf_dir).cache()
+    env = delete_results(before, deletes)
+    minted = env.filter(F.col("delete_marker")).select(
+        "bucket", "key", F.col("version_id").alias("minted")
+    )
+    applied = (
+        apply_deletes(before, deletes)
+        .filter(F.col("is_latest") & F.col("is_delete_marker"))
+        .join(deletes.select("bucket", "key").distinct(),
+              ["bucket", "key"], "left_semi")
+        .select("bucket", "key", F.col("version_id").alias("applied"))
+    )
+    j = minted.join(applied, ["bucket", "key"], "full").cache()
+    assert j.filter(
+        F.col("minted").isNull() | F.col("applied").isNull()
+    ).count() == 0
+    assert j.filter(F.col("minted") != F.col("applied")).count() == 0
+
+
+def test_copy_batch_same_dest_key_serializes(spark, sf_dir):
+    """Two successful copies to ONE destination key in a single batch
+    mint DISTINCT consecutive version ids in batch (seq) order — the
+    last copy owns the head slot (S3 serializes per-key writes)."""
+    from aruna_spark.queries.s3_lifecycle import copy_objects
+
+    versions = load_object_versions(spark, sf_dir).cache()
+    srcs = (
+        versions.filter(F.col("is_latest") & ~F.col("is_delete_marker"))
+        .orderBy("key")
+        .limit(2)
+        .collect()
+    )
+    copies = spark.createDataFrame(
+        [
+            (1, srcs[0].bucket, srcs[0].key, None, "corpus", "data/dup.txt",
+             None, None),
+            (2, srcs[1].bucket, srcs[1].key, None, "corpus", "data/dup.txt",
+             None, None),
+            # a FAILED copy between them must consume no version id
+            (3, "corpus", "no/such/key.txt", None, "corpus", "data/dup.txt",
+             None, None),
+        ],
+        "seq int, src_bucket string, src_key string, want_version_id string, "
+        "dest_bucket string, dest_key string, if_match string, "
+        "if_none_match string",
+    )
+    out = copy_objects(versions, copies).orderBy("status").collect()
+    ok = [r for r in out if r.status == 200]
+    assert len(ok) == 2 and len(out) == 3
+    vids = sorted(r.dest_version_id for r in ok)
+    assert vids == ["v0", "v1"]
+    # seq order: src[0] (seq 1) minted v0, src[1] (seq 2) minted v1
+    by_etag = {r.etag: r.dest_version_id for r in ok}
+    assert by_etag[srcs[0].etag] == "v0"
+    assert by_etag[srcs[1].etag] == "v1"
