@@ -258,9 +258,27 @@ class Engine:
     # control plane (same note as list_objects/drs_object).
 
     def _versions(self) -> DataFrame:
-        from aruna_spark.sources.objects import load_object_versions
+        """The full version catalog: materialized + delete-marker rows
+        plus by-reference rows (blob.rs:829-843 — all three
+        BlobVersionState arms) projected into one VERSION_COLS relation.
+        Reference rows answer with their CACHED size/etag and a NULL
+        blob_hash, so the shared resolver serves them unchanged."""
+        from aruna_spark.sources.objects import (
+            load_object_versions,
+            load_reference_versions,
+            reference_as_versions,
+        )
 
-        return load_object_versions(self.spark, self.sf_dir)
+        return load_object_versions(self.spark, self.sf_dir).unionByName(
+            reference_as_versions(
+                load_reference_versions(self.spark, self.sf_dir)
+            )
+        )
+
+    def _references(self) -> DataFrame:
+        from aruna_spark.sources.objects import load_reference_versions
+
+        return load_reference_versions(self.spark, self.sf_dir)
 
     def put_object(
         self, key: str, size: int, blob_hash: str, bucket: str = "corpus"
@@ -375,13 +393,104 @@ class Engine:
         if_none_match: str | None = None,
     ):
         """HeadObject: GetObject's resolution minus the body — no range
-        parameters, and the row carries no content_range."""
+        parameters, and the row carries no content_range. A by-reference
+        head additionally surfaces its source binding + cache envelope
+        (head_object.rs:276-290: source_metadata Some, last_refresh
+        Some, location/version_created_at None)."""
         row = self._resolve_one(
             bucket, key, version_id, if_match, if_none_match, None, None, None
         )
         d = row.asDict()
         d.pop("content_range", None)
+        ref = (
+            self._references()
+            .filter((F.col("bucket") == bucket) & (F.col("key") == key))
+            .collect()
+        )
+        if ref:
+            r = ref[0]
+            d.update(
+                referenced=True,
+                source_kind=r.source_kind,
+                source_path=r.source_path,
+                connector_id=r.connector_id,
+                content_type=r.cached_content_type,
+                last_refresh=r.last_refresh,
+            )
+        else:
+            d["referenced"] = False
         return d
+
+    def refresh_reference_metadata(
+        self,
+        key: str,
+        refreshed_at: int,
+        bucket: str = "staging",
+        new_length: int | None = None,
+        new_content_type: str | None = None,
+        new_etag: str | None = None,
+    ):
+        """One queued refresh applied to a reference head
+        (refresh_reference_metadata.rs:299-372): the freshly-headed
+        source metadata lands iff ``refreshed_at`` is strictly newer
+        than the row's ``last_refresh``; a missing or non-reference
+        version is a silent skip (rs:345-349,374-376 return Ok without
+        writing). When the metadata arguments are omitted, the source
+        is re-headed from the staging connector listing (the truth
+        relation). Returns the post-refresh row plus ``applied``."""
+        from aruna_spark.sources.objects import (
+            apply_metadata_refresh,
+            load_source_truth,
+        )
+
+        mine = self._references().filter(
+            (F.col("bucket") == bucket) & (F.col("key") == key)
+        )
+        rows = mine.collect()
+        if not rows:
+            return {"applied": False, "reason": "not-a-reference"}
+        cur = rows[0]
+        if new_length is None:
+            truth = (
+                load_source_truth(self.spark, self.sf_dir)
+                .filter(
+                    (F.col("source_kind") == cur.source_kind)
+                    & (F.col("source_path") == cur.source_path)
+                )
+                .collect()
+            )
+            if not truth:
+                return {"applied": False, "reason": "source-missing"}
+            new_length = truth[0].truth_length
+            new_etag = truth[0].truth_etag
+            new_content_type = cur.cached_content_type
+        refreshes = self.spark.createDataFrame(
+            [
+                (
+                    bucket,
+                    key,
+                    int(refreshed_at),
+                    int(new_length),
+                    new_content_type or cur.cached_content_type,
+                    new_etag,
+                )
+            ],
+            "bucket string, key string, refreshed_at long, new_length long, "
+            "new_content_type string, new_etag string",
+        )
+        out = apply_metadata_refresh(mine, refreshes).collect()[0]
+        d = out.asDict()
+        d["applied"] = d.pop("refreshed")
+        return d
+
+    def staging_refresh_sweep(self) -> DataFrame:
+        """The full refresh sweep as a batch job — every reference head
+        joined against the staging connector listing, stale guard
+        applied (the drain loop of refresh_reference_metadata.rs, minus
+        the queue bookkeeping Spark doesn't need)."""
+        from aruna_spark.queries.references import staging_refresh_sweep
+
+        return staging_refresh_sweep(self.spark, self.sf_dir)
 
     def complete_multipart(self, parts: DataFrame) -> DataFrame:
         """CompleteMultipartUpload over a ``(upload_id, part_number,
@@ -538,13 +647,45 @@ class Engine:
     ):
         """GetObjectAttributes (get_object_attributes.rs): the metadata
         envelope — etag/size/sha256/checksum_type and, when requested
-        and the object is composite, the sorted part list."""
+        and the object is composite, the sorted part list. A
+        by-reference version answers from its cache
+        (get_object_attributes.rs:244-253: source_metadata Some,
+        location and version_created_at None, no parts)."""
         import re as _re
 
         from aruna_spark.queries.s3_suite import (
             object_attributes,
             object_parts,
         )
+
+        ref = (
+            self._references()
+            .filter((F.col("bucket") == bucket) & (F.col("key") == key))
+            .collect()
+        )
+        if ref:
+            r = ref[0]
+            if version_id is not None and version_id != r.version_id:
+                return {"attributes": None, "parts": [], "status": 404}
+            return {
+                "attributes": {
+                    "bucket": bucket,
+                    "key": key,
+                    "version_id": r.version_id,
+                    "etag": r.cached_etag,
+                    "size": r.cached_length,
+                    "content_type": r.cached_content_type,
+                    "referenced": True,
+                    "source_kind": r.source_kind,
+                    "source_path": r.source_path,
+                    "connector_id": r.connector_id,
+                    "last_refresh": r.last_refresh,
+                    "location": None,
+                    "version_created_at": None,
+                },
+                "parts": [],
+                "status": 200,
+            }
 
         m = _re.search(r"doc-(\d+)\.txt$", key)
         doc_id = int(m.group(1)) if m else -1
@@ -620,6 +761,58 @@ class Engine:
             ),
             copies,
         ).collect()[0]
+
+    def list_buckets(
+        self,
+        group_id: str = "grp-main",
+        prefix: str = "",
+        continuation_token: str | None = None,
+        max_buckets: int = 10_000,
+    ):
+        """ListBuckets (list_buckets.rs:36-62): the caller's group's
+        buckets in name order under the prefix, keyset continuation
+        token = last returned name, default page 10,000."""
+        from aruna_spark.queries.buckets import (
+            bucket_rollups,
+            list_buckets,
+            load_buckets,
+        )
+
+        rows = list_buckets(
+            load_buckets(self.spark, self.sf_dir),
+            bucket_rollups(self.spark, self.sf_dir),
+            group_id=group_id,
+            prefix=prefix,
+            continuation_token=continuation_token,
+            max_buckets=int(max_buckets),
+        ).collect()
+        return {
+            "buckets": rows,
+            "continuation_token": rows[0].next_token if rows else None,
+        }
+
+    def get_bucket_info(self, name: str):
+        """GetBucketInfo (get_bucket_info.rs:59-90): point read of one
+        bucket's record + live roll-ups; 404 NoSuchBucket when the name
+        is not registered."""
+        from aruna_spark.queries.buckets import bucket_rollups, load_buckets
+
+        rows = (
+            load_buckets(self.spark, self.sf_dir)
+            .filter(F.col("name") == name)
+            .join(
+                F.broadcast(bucket_rollups(self.spark, self.sf_dir)),
+                "name",
+                "left",
+            )
+            .fillna(0, ["object_count", "version_count", "total_bytes"])
+            .collect()
+        )
+        if not rows:
+            return {"status": 404, "error": "NoSuchBucket"}
+        d = rows[0].asDict()
+        d["status"] = 200
+        return d
 
     def list_object_versions(
         self,

@@ -120,6 +120,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from aruna_spark.queries import (  # noqa: F401
         backlinks,
+        buckets,
         crdt_suite,
         decontam,
         drs,
@@ -128,6 +129,7 @@ def load_all() -> None:
         listing,
         multimodal,
         permissions,
+        references,
         registry,
         relational,
         s3_lifecycle,

@@ -207,3 +207,235 @@ OBJECTS_ORACLE_SQL = f"""
 
 # the live-heads CTE body every marker-aware oracle shares
 LIVE_LATEST_SQL = "SELECT * FROM objects WHERE is_latest AND NOT is_delete_marker"
+
+
+# ======================================================= Reference versions
+# The third blob-version state: ``Reference { source, cached_metadata,
+# last_refresh }`` (core/src/structs/blob.rs:837-841) — an external
+# staging-backed object that never materializes. It has NO blob_hash /
+# backend of its own (blob.rs:846-861: ``blob_hash()`` and
+# ``blob_backend()`` are None for Reference); reads surface the CACHED
+# source metadata (content_length, content_type, etag —
+# core/src/structs/source_access.rs:24-30) plus ``last_refresh``, and a
+# periodic sweep re-heads the source and updates the cache under a
+# monotonic stale guard (operations/src/s3/refresh_reference_metadata.rs:
+# 345-372: apply iff ``refreshed_at > last_refresh``; non-Reference and
+# missing versions are skipped).
+#
+# Modeled deterministically: docs with ``doc_id % 11 == 5`` are
+# by-reference objects in the separate ``staging`` bucket (their
+# VersionSourceBinding points at an external connector):
+#
+# - key             = 'ext/{source}/{lang}/doc-{doc_id}.bin'
+# - source_kind     = 's3' if doc_id even else 'http'
+#   (SourceConnectorKind, staging.rs:26-31)
+# - source_path     = '{source}/{lang}/doc-{doc_id}.bin'
+# - connector_id    = 'conn-{doc_id % 4}'
+# - cached_length   = n_chars            (the possibly-STALE cache)
+# - cached_etag     = md5('src:' || key || ':' || cached_length)
+# - last_refresh    = 1000 + doc_id % 5  (logical refresh tick)
+#
+# The source's CURRENT truth (what the staging connector listing reports
+# today) drifts: truth_length = n_chars + doc_id % 7, truth_etag derived
+# the same way — so a refresh sweep visibly updates some caches.
+#
+# Scale: one narrow projection per doc — no explode, no shuffle; the
+# sweep is a broadcast-joinable dimension lookup against the connector
+# listing keyed on (source_kind, source_path).
+
+REFERENCE_MOD = 11
+REFERENCE_RESIDUE = 5
+
+REFERENCE_COLS = (
+    "bucket",
+    "key",
+    "version_idx",
+    "version_id",
+    "is_latest",
+    "source_kind",
+    "source_path",
+    "connector_id",
+    "cached_length",
+    "cached_content_type",
+    "cached_etag",
+    "last_refresh",
+)
+
+
+def _ref_key() -> F.Column:
+    return F.concat(
+        F.lit("ext/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".bin"),
+    )
+
+
+def load_reference_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The by-reference version rows (REFERENCE_COLS): external objects
+    in the ``staging`` bucket whose only version is
+    ``BlobVersionState::Reference`` — cached source metadata, no blob."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % REFERENCE_MOD == REFERENCE_RESIDUE
+    )
+    key = _ref_key()
+    cached_len = F.col("n_chars").cast("long")
+    return docs.select(
+        F.lit("staging").alias("bucket"),
+        key.alias("key"),
+        F.lit(0).cast("long").alias("version_idx"),
+        F.lit("v0").alias("version_id"),
+        F.lit(True).alias("is_latest"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("s3"))
+        .otherwise(F.lit("http"))
+        .alias("source_kind"),
+        F.concat(
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".bin"),
+        ).alias("source_path"),
+        F.concat(F.lit("conn-"), (F.col("doc_id") % 4).cast("string")).alias(
+            "connector_id"
+        ),
+        cached_len.alias("cached_length"),
+        F.lit("text/plain").alias("cached_content_type"),
+        F.md5(
+            F.concat(F.lit("src:"), key, F.lit(":"), cached_len.cast("string"))
+        ).alias("cached_etag"),
+        (F.lit(1000) + F.col("doc_id") % 5).cast("long").alias("last_refresh"),
+    )
+
+
+def reference_as_versions(refs: DataFrame) -> DataFrame:
+    """Project reference rows into the VERSION_COLS shape so the shared
+    resolution operators (GetObject/HeadObject/listings) consume them:
+    size/etag come from the CACHE, blob_hash is NULL (blob.rs:846-850),
+    and a reference head is a live, listable object (list_objects_v2.rs:
+    511-529 — Reference entries surface with location None)."""
+    return refs.select(
+        "bucket",
+        "key",
+        "version_idx",
+        "version_id",
+        "is_latest",
+        F.col("cached_length").alias("size"),
+        F.col("cached_etag").alias("etag"),
+        F.lit(None).cast("string").alias("blob_hash"),
+        F.lit(False).alias("is_delete_marker"),
+    )
+
+
+def load_source_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staging connector listing as of NOW — per source object:
+    (source_kind, source_path, truth_length, truth_etag). This is what
+    a HeadSource against the external system returns during the sweep
+    (the `(key, size)` relation ops/staging.list_source_level pages)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % REFERENCE_MOD == REFERENCE_RESIDUE
+    )
+    key = _ref_key()
+    truth_len = (F.col("n_chars") + F.col("doc_id") % 7).cast("long")
+    return docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("s3"))
+        .otherwise(F.lit("http"))
+        .alias("source_kind"),
+        F.concat(
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".bin"),
+        ).alias("source_path"),
+        truth_len.alias("truth_length"),
+        F.md5(
+            F.concat(F.lit("src:"), key, F.lit(":"), truth_len.cast("string"))
+        ).alias("truth_etag"),
+    )
+
+
+def apply_metadata_refresh(refs: DataFrame, refreshes: DataFrame) -> DataFrame:
+    """One refresh sweep applied to the reference rows → new reference
+    rows (refresh_reference_metadata.rs:345-372 as column algebra).
+
+    ``refreshes`` carries (bucket, key, refreshed_at, new_length,
+    new_content_type, new_etag) — the freshly-headed source metadata.
+    The stale guard is monotonic: a refresh applies iff ``refreshed_at``
+    is strictly newer than the row's ``last_refresh`` (out-of-order
+    queue drains are no-ops); refreshes for unknown keys are dropped
+    (the version-missing skip), and non-reference rows never enter this
+    relation. ``refreshed`` marks the rows the sweep changed.
+
+    Scale shape: the refresh side is a per-key dimension (one row per
+    due reference) — an equi-join on the reference key, broadcastable
+    when the due set is small, AQE-planned otherwise; no window, no
+    catalog shuffle."""
+    r = refreshes.select(
+        "bucket",
+        "key",
+        F.col("refreshed_at").cast("long").alias("__r_at"),
+        F.col("new_length").cast("long").alias("__r_len"),
+        F.col("new_content_type").alias("__r_ct"),
+        F.col("new_etag").alias("__r_etag"),
+    )
+    joined = refs.join(r, ["bucket", "key"], "left")
+    apply = F.col("__r_at").isNotNull() & (
+        F.col("__r_at") > F.col("last_refresh")
+    )
+    return joined.select(
+        *[c for c in REFERENCE_COLS if c not in (
+            "cached_length", "cached_content_type", "cached_etag",
+            "last_refresh",
+        )],
+        F.when(apply, F.col("__r_len"))
+        .otherwise(F.col("cached_length"))
+        .alias("cached_length"),
+        F.when(apply, F.col("__r_ct"))
+        .otherwise(F.col("cached_content_type"))
+        .alias("cached_content_type"),
+        F.when(apply, F.col("__r_etag"))
+        .otherwise(F.col("cached_etag"))
+        .alias("cached_etag"),
+        F.when(apply, F.col("__r_at"))
+        .otherwise(F.col("last_refresh"))
+        .alias("last_refresh"),
+        apply.alias("refreshed"),
+    )
+
+
+_REF_KEY_SQL = (
+    "'ext/' || source || '/' || lang || '/doc-' || doc_id || '.bin'"
+)
+
+REFERENCES_ORACLE_SQL = f"""
+    SELECT 'staging' AS bucket,
+           {_REF_KEY_SQL} AS key,
+           CAST(0 AS BIGINT) AS version_idx,
+           'v0' AS version_id,
+           TRUE AS is_latest,
+           CASE WHEN doc_id % 2 = 0 THEN 's3' ELSE 'http' END AS source_kind,
+           source || '/' || lang || '/doc-' || doc_id || '.bin' AS source_path,
+           'conn-' || (doc_id % 4) AS connector_id,
+           CAST(n_chars AS BIGINT) AS cached_length,
+           'text/plain' AS cached_content_type,
+           md5('src:' || {_REF_KEY_SQL} || ':' || n_chars) AS cached_etag,
+           CAST(1000 + doc_id % 5 AS BIGINT) AS last_refresh
+    FROM documents
+    WHERE doc_id % {REFERENCE_MOD} = {REFERENCE_RESIDUE}
+"""
+
+SOURCE_TRUTH_ORACLE_SQL = f"""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 's3' ELSE 'http' END AS source_kind,
+           source || '/' || lang || '/doc-' || doc_id || '.bin' AS source_path,
+           CAST(n_chars + doc_id % 7 AS BIGINT) AS truth_length,
+           md5('src:' || {_REF_KEY_SQL} || ':' || (n_chars + doc_id % 7))
+             AS truth_etag
+    FROM documents
+    WHERE doc_id % {REFERENCE_MOD} = {REFERENCE_RESIDUE}
+"""
