@@ -708,7 +708,19 @@ class Engine:
             if include_parts and row.n_parts
             else []
         )
-        return {"attributes": row, "parts": parts}
+        out = {"attributes": row, "parts": parts}
+        # the stored CRC members (computed once at ingest, hash.rs:10-77)
+        # + the algorithm inventory the envelope advertises
+        if row.status == 200 and row.object_size is not None:
+            from aruna_spark.ops.checksums import crc32c, crc64_nvme
+
+            content = f"blob:{row.object_size}".encode()
+            out["checksum_crc32c"] = crc32c(content)
+            out["checksum_crc64_nvme"] = f"{crc64_nvme(content):016x}"
+            out["checksum_algorithms"] = [
+                "MD5", "SHA1", "SHA256", "CRC32", "CRC32C", "CRC64NVME",
+            ]
+        return out
 
     def upload_part_copy(
         self,

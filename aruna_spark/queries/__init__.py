@@ -121,6 +121,7 @@ def load_all() -> None:
     from aruna_spark.queries import (  # noqa: F401
         backlinks,
         buckets,
+        checksums_suite,
         crdt_suite,
         decontam,
         drs,

@@ -181,6 +181,85 @@ def usage_quota_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- per-backend
+# The reference keys counters per backend too — "Stored bytes on one
+# backend", 64-way sharded against write contention
+# (usage.rs:136-147,158-160: the stored_* fields are the physically
+# meaningful ones on backend rows; BlobVersionState::Materialized stamps
+# the backend the write routed to, blob.rs:833-836). Modeled routing:
+# content-addressed blobs route by size — backend-(size % 3) — so equal
+# content always lands on one backend, exactly like a routing rule keyed
+# on the blob. Sharding is unnecessary here (shuffle aggregation has no
+# hot key, same note as the global rollup).
+
+_BACKEND_OF_SQL = "'backend-' || (size % 3)"
+
+
+@register(
+    "usage_counters_by_backend",
+    oracle=f"""
+    WITH {_D_BASE},
+    backed AS (
+      SELECT *, {_BACKEND_OF_SQL} AS backend FROM grouped
+    ),
+    per_blob AS (
+      SELECT backend, blob_hash, MIN(size) AS blob_size
+      FROM backed GROUP BY backend, blob_hash
+    ),
+    blobs AS (
+      SELECT backend, COUNT(*) AS stored_blobs,
+             CAST(SUM(blob_size) AS BIGINT) AS stored_bytes
+      FROM per_blob GROUP BY backend
+    ),
+    vers AS (
+      SELECT backend,
+             COUNT(DISTINCT bucket) AS buckets,
+             COUNT(DISTINCT key) AS objects,
+             CAST(SUM(size) AS BIGINT) AS logical_bytes,
+             CAST(SUM(CASE WHEN is_latest THEN size ELSE 0 END) AS BIGINT)
+               AS referenced_bytes
+      FROM backed GROUP BY backend
+    )
+    SELECT v.backend, v.buckets, v.objects, b.stored_blobs, b.stored_bytes,
+           v.logical_bytes, v.referenced_bytes
+    FROM vers v JOIN blobs b USING (backend)
+    """,
+)
+def usage_counters_by_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six counter names per backend (usage.rs:136-147): the same
+    one-pass rebuild aggregation keyed on the routing dimension. Blob
+    dedup happens per backend — a blob stored on one backend is one
+    stored_blobs row there regardless of how many keys reference it."""
+    g = _with_group(load_object_versions(spark, sf_dir)).withColumn(
+        "backend",
+        F.concat(F.lit("backend-"), (F.col("size") % 3).cast("string")),
+    )
+    per_blob = g.groupBy("backend", "blob_hash").agg(
+        F.min("size").alias("blob_size")
+    )
+    blobs = per_blob.groupBy("backend").agg(
+        F.count(F.lit(1)).alias("stored_blobs"),
+        F.sum("blob_size").cast("long").alias("stored_bytes"),
+    )
+    vers = g.groupBy("backend").agg(
+        F.countDistinct("bucket").alias("buckets"),
+        F.countDistinct("key").alias("objects"),
+        F.sum("size").cast("long").alias("logical_bytes"),
+        F.sum(F.when(F.col("is_latest"), F.col("size")).otherwise(0))
+        .cast("long")
+        .alias("referenced_bytes"),
+    )
+    return vers.join(blobs, "backend").select(
+        "backend",
+        "buckets",
+        "objects",
+        "stored_blobs",
+        "stored_bytes",
+        "logical_bytes",
+        "referenced_bytes",
+    )
+
+
 _REALM_OF = "'realm-' || (ascii(substr(group_id, -1, 1)) % 3)"
 
 

@@ -170,6 +170,53 @@ def with_checksums(df: DataFrame, size_col: str = "size") -> DataFrame:
     )
 
 
+def with_ingest_checksums(df: DataFrame, size_col: str = "size") -> DataFrame:
+    """Add the two CRC members Spark has no JVM built-in for —
+    ``checksum_crc32c`` (long) and ``checksum_crc64_nvme`` (16-hex
+    string; the value exceeds BIGINT) — via ONE Arrow-batched pandas
+    UDF pass (hash.rs:10-77 computes the whole family in one stream).
+
+    This is the INGEST-time path: checksums are computed once at write,
+    stored as columns, and served from the catalog afterwards — the
+    query path never re-hashes (the Python stage prices in at write
+    amortized over every later read). Rows without content (markers)
+    get NULLs, like the rest of the family."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from aruna_spark.ops.checksums import crc32c_batch, crc64_nvme_batch
+
+    # NB: no parameter annotations — this module postpones annotation
+    # evaluation, which pandas_udf's hint introspection can't resolve;
+    # the explicit Series->Series contract is documented here instead.
+    def _crc32c_fn(content):
+        mask = content.notna()
+        out = pd.Series([None] * len(content), dtype="object")
+        payloads = [c.encode() for c in content[mask]]
+        out[mask] = crc32c_batch(payloads).astype("int64")
+        return out.astype("Int64")
+
+    def _crc64_fn(content):
+        mask = content.notna()
+        out = pd.Series([None] * len(content), dtype="object")
+        payloads = [c.encode() for c in content[mask]]
+        out[mask] = [f"{int(v):016x}" for v in crc64_nvme_batch(payloads)]
+        return out
+
+    _crc32c = pandas_udf(_crc32c_fn, "long")
+    _crc64 = pandas_udf(_crc64_fn, "string")
+
+    content = F.when(
+        F.col(size_col).isNotNull(), blob_content(F.col(size_col))
+    )
+    return df.withColumns(
+        {
+            "checksum_crc32c": _crc32c(content),
+            "checksum_crc64_nvme": _crc64(content),
+        }
+    )
+
+
 def live_latest(versions: DataFrame) -> DataFrame:
     """The visible object heads: latest versions that are NOT delete
     markers — what ListObjectsV2, staging listings, and permission

@@ -25,3 +25,29 @@ def test_quota_gate_consistency(spark, sf_dir):
     for r in rows:
         assert r.projected_bytes == r.stored_bytes + 50_000
         assert r.allowed == (r.projected_bytes <= r.quota_bytes)
+
+
+def test_backend_counter_names_and_rollup(spark, sf_dir):
+    """Per-backend rows carry exactly the six UsageCounters names
+    (usage.rs:162-181) keyed on the backend dimension; logical bytes
+    partition across backends (routing is a partition of versions), and
+    stored dedup happens within each backend."""
+    by_backend = REGISTRY["usage_counters_by_backend"][0](
+        spark, sf_dir
+    ).collect()
+    g = REGISTRY["usage_counters_global"][0](spark, sf_dir).collect()[0]
+    assert by_backend and {r.backend for r in by_backend} <= {
+        "backend-0", "backend-1", "backend-2"
+    }
+    names = set(by_backend[0].asDict()) - {"backend"}
+    assert names == {
+        "buckets", "objects", "stored_blobs", "stored_bytes",
+        "logical_bytes", "referenced_bytes",
+    }
+    # versions partition across backends exactly
+    assert sum(r.logical_bytes for r in by_backend) == g.logical_bytes
+    assert sum(r.referenced_bytes for r in by_backend) == g.referenced_bytes
+    # blobs route whole: per-backend stored sums equal the global
+    # (size % 3 is a function of the blob, so no blob spans backends)
+    assert sum(r.stored_blobs for r in by_backend) == g.stored_blobs
+    assert sum(r.stored_bytes for r in by_backend) == g.stored_bytes
