@@ -140,3 +140,46 @@ def listing_versions_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         version_idx_marker=2,
         max_keys=50,
     )
+
+
+# -- the STORED catalog serving path ------------------------------------------
+# The docstrings above promise "filter + keyset over a key-sorted
+# objects table"; this variant DEMONSTRATES it (VERDICT r7 Next #5):
+# the catalog is persisted through ops.versioned.VersionedTable —
+# range-partitioned and sorted by (bucket, key) at build — and the same
+# listing operator runs against the stored snapshot, so the bucket and
+# key predicates reach the parquet reader as PushedFilters (file/
+# row-group skipping on the sort key; plan-asserted in
+# tests/test_plan_shapes.py).
+
+
+@register(
+    "listing_v2_stored",
+    oracle=duck_list_objects_v2(
+        OBJECTS_ORACLE_SQL,
+        prefix="data/src4/",
+        delimiter="/",
+        start_after="data/src4/de/",
+        after_common_prefix="data/src4/de/",
+        max_keys=PAGE,
+    ),
+)
+def listing_v2_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListObjectsV2 served from the PERSISTED (bucket, key)-sorted
+    VersionedTable snapshot instead of the on-the-fly derivation: same
+    semantics (the oracle is the same), different physical plan — the
+    prefix/keyset/bucket predicates push down to the stored parquet
+    scan. Reference rows live in the 'staging' bucket, so the corpus
+    listing filters bucket first (a real listing is always per-bucket,
+    list_objects_v2.rs:19-24)."""
+    from aruna_spark.store import objects_store
+
+    stored = objects_store(spark, sf_dir).filter(F.col("bucket") == "corpus")
+    return list_objects_v2(
+        live_latest(stored),
+        prefix="data/src4/",
+        delimiter="/",
+        start_after="data/src4/de/",
+        after_common_prefix="data/src4/de/",
+        max_keys=PAGE,
+    )

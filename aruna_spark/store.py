@@ -209,6 +209,48 @@ def merged_postings_store(
     )
 
 
+# ------------------------------------------------------ object catalog store
+def objects_table(spark: SparkSession, sf_dir: str):
+    """The object catalog MATERIALIZED through a
+    :class:`~aruna_spark.ops.versioned.VersionedTable`, range-partitioned
+    and sorted by (bucket, key, version_idx) — the persisted sorted
+    table the listing operators' 100 TB story assumes
+    (``sources/objects.py`` scale note): keyset predicates push down to
+    the parquet scan, range partitioning gives file skipping on the
+    sort key, the in-file sort gives row-group min/max skipping, and
+    every object-plane mutation (put/delete/copy) is an optimistic
+    VersionedTable commit with snapshot-isolated readers.
+
+    The derivation (materialized + marker + reference rows) runs ONCE
+    per sf_dir at build; queries read the stored snapshot."""
+    from aruna_spark.ops.versioned import VersionedTable
+    from aruna_spark.sources.objects import (
+        load_object_versions,
+        load_reference_versions,
+        reference_as_versions,
+    )
+
+    def build(tmp: str) -> None:
+        allv = load_object_versions(spark, sf_dir).unionByName(
+            reference_as_versions(load_reference_versions(spark, sf_dir))
+        )
+        laid = allv.repartitionByRange(
+            4, "bucket", "key"
+        ).sortWithinPartitions("bucket", "key", "version_idx")
+        VersionedTable(os.path.join(tmp, "table")).commit(laid)
+
+    dest = _ensure("objects", sf_dir, build)
+    from aruna_spark.ops.versioned import VersionedTable
+
+    return VersionedTable(os.path.join(dest, "table"))
+
+
+def objects_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest snapshot of the stored object catalog (all three version
+    states), sorted by (bucket, key) for pushdown-friendly scans."""
+    return objects_table(spark, sf_dir).read(spark)
+
+
 # --------------------------------------------------------------- ANN store
 def vectors_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(vec_id, embedding, norm2)`` with the norm precomputed once at

@@ -328,3 +328,28 @@ def test_temporal_joins_never_nested_loop(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_stored_listing_pushes_key_predicates_to_scan(spark, sf_dir):
+    """listing_v2_stored reads the persisted (bucket, key)-sorted
+    VersionedTable: the bucket equality and the key prefix/keyset
+    predicates must reach the parquet reader as PushedFilters (file and
+    row-group skipping on the sort key), and the scan must not read the
+    full VERSION_COLS width for a listing projection."""
+    # the default 100-char metadata clip truncates the PushedFilters
+    # list mid-entry; widen it for the assertion window
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, "listing_v2_stored", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:", 1)[1][:2000]
+    assert "EqualTo(bucket,corpus)" in pushed
+    # the prefix filter pushes as StartsWith, the keyset as GreaterThan
+    assert "StringStartsWith(key,data/src4/)" in pushed
+    assert "GreaterThan(key,data/src4/de/)" in pushed
+    # column pruning: listing needs key/size/flags, never etag/blob_hash
+    read_schema = plan.split("ReadSchema:", 1)[1][:2000]
+    assert "etag" not in read_schema and "blob_hash" not in read_schema
