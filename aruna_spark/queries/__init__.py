@@ -30,70 +30,69 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 7 (VERDICT r6 Next #8) leads with every
-# query whose plan CHANGED this round — the delete-marker object plane
-# (new s3_delete_marker + marker-aware listing/staging/permission/usage
-# views and the S3 resolver), the new multipart lifecycle + CopyObject
-# + versions-keyset queries, the inbox prune, the checksum-bearing DRS
-# lookup, and the de-broadcast decontamination — then rotates in the
-# r6-unchecked backlog front-to-back: the families whose last DRIVER
-# check is oldest (backlinks/autoindex/textstats/corpus queued at this
-# tail since r6, then dedup/similarity/search). The remainder (search
-# enrichment, multimodal, crdt, ingest, rel/stream rest, sparql trio)
-# rotates to the FRONT in r8; every one of them was selfcheck-green in
-# the r6 review.
+# window on a cycle. Round 8 (VERDICT r7 Next #8) leads with every
+# query whose plan is NEW or CHANGED this round — the delete-envelope
+# unification + mixed batch, the serialized copy minting, the
+# precedence-fixed part copy, the Reference version state + refresh
+# sweep, the bucket plane, the CRC family, the per-backend counters,
+# the stored-catalog listing, and the principal listings (13 queries) —
+# then rotates in the r7-unchecked backlog front-to-back: the FULL
+# sparql family (32 queries — its last driver checks are the oldest,
+# r4-r6) and the search-enrichment five. The remaining r7-unchecked
+# families (rel, stream watch/debounce, registry, multimodal, crdt,
+# ingest/rocrate/archive/graph, sampling, distributed) queue at the
+# tail for r9's front; all of them are selfcheck-green this round
+# (scripts/selfcheck.py full run, see SCALE.md log).
 PRIORITY_PREFIXES = (
-    # changed this round (front of the window)
+    # new or changed this round (front of the window)
+    "s3_delete_mixed_batch",
     "s3_delete_marker",
     "s3_copy_object",
-    "s3_list_parts_page",
-    "s3_upload_part_replace",
-    "s3_list_uploads_page",
-    "s3_abort_multipart",
     "s3_upload_part_copy",
-    "s3_object_attributes",
-    "s3_multipart_complete",
-    "s3_put_upsert",
-    "s3_get_object",
-    "s3_head_object",
-    "listing_",  # v2 root/leaf/flat + versions + versions_page2
-    "staging_list_",
-    "perm_visible_summary",
-    "usage_",
-    "stream_inbox_prune",
-    "stream_notifications_page",
-    "stream_mark_read",
-    "drs_object_lookup",
-    "decontam_",
-    # r6-unchecked backlog, least-recently-driver-checked first
-    "backlinks_",
-    "autoindex_parse_entries",
-    "textstats_",
-    "corpus_",
-    "dedup_",
-    "similarity_topk_bruteforce",
-    "similarity_lsh_topk",
-    "similarity_neardup_pairs",
-    "similarity_ivf_topk",
-    "similarity_ivf_trained_topk",
-    "similarity_ivf_pq_topk",
-    "search_bm25_topk",
-    "search_bm25_page2",
-    # tail: rotates to r8's front if past the ~50 cut
-    "search_",
+    "s3_reference_head",
+    "staging_refresh_sweep",
+    "s3_list_buckets",
+    "s3_bucket_info",
+    "s3_checksum_family",
+    "usage_counters_by_backend",
+    "listing_v2_stored",
+    "registry_list_groups",
+    "registry_list_users",
+    # r7-unchecked backlog, least-recently-driver-checked first:
+    # the whole SPARQL family (last driver checks r4-r6)
+    "sparql_",
+    # search enrichment/discovery five (last checked r5)
+    "search_substring_customers",
+    "search_conformsto_scoped",
+    "search_unified",
+    "search_hits_enriched",
+    "search_describe_hits",
+    # tail: rotates to r9's front if past the ~50 cut
+    "rel_",
+    "stream_",
+    "registry_",
     "multimodal_",
     "crdt_",
     "ingest_jsonld_typing",
     "rocrate_",
     "archive_import_rewrite",
     "graph_snapshot_orphan_skip",
-    "rel_",
-    "stream_",
-    "registry_",
+    "sample_",
     "distributed_select_merge",
-    "sparql_bgp_filter",
-    "sparql_star_describe",
-    "sparql_fts_bgp_mix",
+    "search_",
+    "similarity_",
+    "dedup_",
+    "decontam_",
+    "textstats_",
+    "corpus_",
+    "backlinks_",
+    "autoindex_parse_entries",
+    "listing_",
+    "staging_list_",
+    "perm_visible_summary",
+    "usage_",
+    "drs_object_lookup",
+    "s3_",
 )
 
 
@@ -130,6 +129,7 @@ def load_all() -> None:
         listing,
         multimodal,
         permissions,
+        principals,
         references,
         registry,
         relational,

@@ -256,3 +256,57 @@ def staging_refresh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_refresh",
         "refreshed",
     )
+
+
+# ================================================= listing_v2_referenced
+# ListObjectsV2 over the staging bucket: reference heads are LIVE,
+# LISTABLE objects (list_objects_v2.rs:511-529) — each entry surfaces
+# referenced=true, the connector kind + source path, the cached size,
+# and last_refresh, with location None. The delimiter rollup groups the
+# external tree exactly like materialized keys.
+
+# the refresh-queue cadence constants, pinned for parity
+# (refresh_reference_metadata.rs:30-31)
+REFERENCE_METADATA_REFRESH_POLL_AFTER_S = 5
+REFERENCE_METADATA_REFRESH_RETRY_AFTER_S = 1
+
+
+@register(
+    "listing_v2_referenced",
+    oracle=f"""
+    WITH refs AS ({REFERENCES_ORACLE_SQL})
+    SELECT key AS entry, TRUE AS referenced, source_kind, source_path,
+           CAST(cached_length AS BIGINT) AS size,
+           CAST(last_refresh AS BIGINT) AS last_refresh
+    FROM refs
+    WHERE starts_with(key, 'ext/') AND key > 'ext/src1/'
+      AND NOT starts_with(key, 'ext/src1/')
+    ORDER BY key LIMIT 20
+    """,
+)
+def listing_v2_referenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A flat ListObjectsV2 page over the staging bucket's reference
+    heads (prefix 'ext/', keyset after the src1 subtree): every entry
+    is an external object listed from CACHE — referenced flag, source
+    binding, cached size, last_refresh; no blob, no location
+    (list_objects_v2.rs:511-529)."""
+    refs = load_reference_versions(spark, sf_dir).filter(
+        F.col("is_latest")
+    )
+    page = (
+        refs.filter(
+            F.col("key").startswith("ext/")
+            & (F.col("key") > "ext/src1/")
+            & ~F.col("key").startswith("ext/src1/")
+        )
+        .orderBy("key")
+        .limit(20)
+    )
+    return page.select(
+        F.col("key").alias("entry"),
+        F.lit(True).alias("referenced"),
+        "source_kind",
+        "source_path",
+        F.col("cached_length").cast("long").alias("size"),
+        F.col("last_refresh").cast("long").alias("last_refresh"),
+    )
