@@ -227,19 +227,25 @@ class Engine:
         start_after: str = "",
         after_common_prefix: str = "",
         max_keys: int = 1000,
+        bucket: str = "corpus",
     ) -> DataFrame:
-        """S3 ListObjectsV2 over the catalog's latest object versions:
+        """S3 ListObjectsV2 over one bucket's latest object versions:
         prefix/start_after pushdown, delimiter common-prefix roll-up,
         (last_key, last_common_prefix) continuation semantics
         (``list_objects_v2.rs:60-74``). Returns the page relation
         ``(entry, kind, n_keys, total_size)``; the caller's
-        continuation token is the last row's entry per kind."""
+        continuation token is the last row's entry per kind. The
+        ``staging`` bucket lists its by-reference heads from cache
+        (list_objects_v2.rs:511-529)."""
         from aruna_spark.ops.listing import list_objects_v2
-        from aruna_spark.sources.objects import live_latest, load_object_versions
 
         # deleted heads are hidden (list_objects_v2.rs:454,510 skip
-        # BlobVersionState::Deleted)
-        latest = live_latest(load_object_versions(self.spark, self.sf_dir))
+        # BlobVersionState::Deleted); reference heads are live rows
+        from aruna_spark.sources.objects import live_latest
+
+        latest = live_latest(self._versions()).filter(
+            F.col("bucket") == bucket
+        )
         return list_objects_v2(
             latest,
             prefix=prefix,

@@ -210,3 +210,17 @@ def test_refresh_is_idempotent_at_same_tick(spark, sf_dir):
     twice = apply_metadata_refresh(once, batch).drop("refreshed")
     assert once.exceptAll(twice).count() == 0
     assert twice.exceptAll(once).count() == 0
+
+
+def test_list_objects_staging_bucket(engine):
+    """ListObjectsV2 over the staging bucket lists reference heads from
+    cache (list_objects_v2.rs:511-529); the corpus listing never leaks
+    ext/ keys and vice versa."""
+    page = engine.list_objects(prefix="ext/", bucket="staging").collect()
+    assert page and all(r.entry.startswith("ext/") for r in page)
+    corpus = engine.list_objects(prefix="ext/").collect()
+    assert corpus == []
+    rolled = engine.list_objects(
+        prefix="ext/", delimiter="/", bucket="staging"
+    ).collect()
+    assert rolled and all(r.kind == "common_prefix" for r in rolled)
