@@ -809,6 +809,58 @@ class Engine:
             "continuation_token": rows[0].next_token if rows else None,
         }
 
+    def create_bucket(self, name: str, group_id: str = "grp-main"):
+        """CreateBucket (create_bucket.rs): 409 BucketAlreadyExists when
+        the name is taken (rs:123), else the minted BucketInfo record —
+        created_at one past the current max (the reference stamps
+        SystemTime; ticks here)."""
+        from aruna_spark.queries.buckets import load_buckets
+
+        buckets = load_buckets(self.spark, self.sf_dir)
+        if buckets.filter(F.col("name") == name).limit(1).count():
+            return {"status": 409, "error": "BucketAlreadyExists"}
+        mx = buckets.agg(F.max("created_at").alias("m")).collect()[0].m
+        return {
+            "status": 200,
+            "name": name,
+            "group_id": group_id,
+            "created_at": (mx or 0) + 1,
+            "created_by": "admin",
+        }
+
+    def delete_bucket(self, name: str):
+        """DeleteBucket (delete_bucket.rs): 404 for an unknown name, 409
+        NotEmpty while ANY version row remains under the bucket
+        (rs:50 — markers and references count: the history must be
+        empty, not just the live heads), else 204."""
+        from aruna_spark.queries.buckets import load_buckets
+
+        known = (
+            load_buckets(self.spark, self.sf_dir)
+            .filter(F.col("name") == name)
+            .limit(1)
+            .count()
+        )
+        if not known:
+            return {"status": 404, "error": "NoSuchBucket"}
+        occupied = (
+            self._versions()
+            .filter(F.col("bucket") == name)
+            .limit(1)
+            .count()
+        )
+        if occupied:
+            return {"status": 409, "error": "NotEmpty"}
+        return {"status": 204, "name": name}
+
+    def reclaim_sweep(self) -> DataFrame:
+        """One blob-reclaim sweep over the modeled candidate queue
+        against the post-delete catalog (blob/reclaim.rs) — per-
+        candidate verdicts dropped/not_due/pinned/freed."""
+        from aruna_spark.queries.reclaim import blob_reclaim_sweep
+
+        return blob_reclaim_sweep(self.spark, self.sf_dir)
+
     def get_bucket_info(self, name: str):
         """GetBucketInfo (get_bucket_info.rs:59-90): point read of one
         bucket's record + live roll-ups; 404 NoSuchBucket when the name

@@ -56,6 +56,8 @@ PRIORITY_PREFIXES = (
     "s3_checksum_family",
     "usage_counters_by_backend",
     "listing_v2_stored",
+    "listing_v2_referenced",
+    "blob_reclaim_sweep",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:
@@ -130,6 +132,7 @@ def load_all() -> None:
         multimodal,
         permissions,
         principals,
+        reclaim,
         references,
         registry,
         relational,

@@ -1,0 +1,121 @@
+"""Blob reclaim sweep invariants (blob/reclaim.rs): pin-by-surviving-
+version, retain safety, grace gating, and the freed set's genuine
+unreferencedness; bucket create/delete route contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aruna_spark.api import Engine
+from aruna_spark.queries import REGISTRY, load_all
+from aruna_spark.queries.reclaim import (
+    RECLAIM_GRACE,
+    SWEEP_TIME,
+    reclaim_sweep,
+)
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def sweep(spark, sf_dir):
+    return REGISTRY["blob_reclaim_sweep"][0](spark, sf_dir).cache()
+
+
+def test_verdict_partition(sweep):
+    rows = sweep.collect()
+    assert rows
+    kinds = {r.verdict for r in rows}
+    assert kinds <= {"dropped", "not_due", "pinned", "freed"}
+    # retain backend never frees; its candidates are all dropped
+    assert all(
+        r.verdict == "dropped" for r in rows if r.backend == "backend-2"
+    )
+    # freed rows carry bytes, everything else carries NULL
+    assert all(
+        (r.freed_bytes is not None) == (r.verdict == "freed") for r in rows
+    )
+    # grace gating: not_due iff young (on reclaim backends)
+    for r in rows:
+        if r.backend != "backend-2" and r.verdict == "not_due":
+            assert r.enqueued_at + RECLAIM_GRACE > SWEEP_TIME
+
+
+def test_freed_blobs_are_genuinely_unreferenced(spark, sf_dir, sweep):
+    """No surviving version (post-delete) still names a freed copy; every
+    pinned candidate IS still named — the rs:565-587 contract."""
+    from aruna_spark.queries.reclaim import _backend_of
+    from aruna_spark.queries.s3_lifecycle import apply_deletes
+    from aruna_spark.sources.objects import load_object_versions
+    from aruna_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 17 == 2
+    )
+    deletes = docs.select(
+        F.lit("corpus").alias("bucket"),
+        F.concat(
+            F.lit("data/"), F.col("source"), F.lit("/"), F.col("lang"),
+            F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("key"),
+        F.lit("v0").alias("want_version_id"),
+    )
+    after = apply_deletes(load_object_versions(spark, sf_dir), deletes)
+    locs = (
+        after.filter(F.col("blob_hash").isNotNull())
+        .select("blob_hash", _backend_of(F.col("size")).alias("backend"))
+        .distinct()
+    )
+    freed = sweep.filter(F.col("verdict") == "freed").select(
+        "backend", "blob_hash"
+    )
+    assert freed.join(locs, ["backend", "blob_hash"], "inner").count() == 0
+    pinned = sweep.filter(F.col("verdict") == "pinned").select(
+        "backend", "blob_hash"
+    )
+    assert pinned.join(locs, ["backend", "blob_hash"], "left_anti").count() == 0
+
+
+def test_retain_strategy_never_frees(spark):
+    """A candidate on a retain backend is dropped even when due and
+    unreferenced (cleanup.rs:10-16 — the safe default)."""
+    surviving = spark.createDataFrame(
+        [], "blob_hash string, size long, is_delete_marker boolean"
+    )
+    cands = spark.createDataFrame(
+        [("backend-0", "h1", 100, 0)],
+        "backend string, blob_hash string, blob_size long, enqueued_at long",
+    )
+    strategies = spark.createDataFrame(
+        [("backend-0", "retain", 0)], "backend string, strategy string, grace int"
+    )
+    out = reclaim_sweep(surviving, cands, strategies, 10_000).collect()
+    assert out[0].verdict == "dropped"
+    # an UNKNOWN backend resolves to retain too (rs:199: a missing
+    # record resolves to retain)
+    out2 = reclaim_sweep(
+        surviving,
+        cands,
+        strategies.filter(F.col("backend") == "nope"),
+        10_000,
+    ).collect()
+    assert out2[0].verdict == "dropped"
+
+
+def test_bucket_create_delete_routes(engine):
+    made = engine.create_bucket("fresh-bucket")
+    assert made["status"] == 200 and made["created_at"] > 0
+    assert engine.create_bucket("corpus")["error"] == "BucketAlreadyExists"
+    assert engine.delete_bucket("nope")["status"] == 404
+    # corpus/staging hold version history -> NotEmpty
+    assert engine.delete_bucket("corpus")["error"] == "NotEmpty"
+    assert engine.delete_bucket("staging")["error"] == "NotEmpty"
+    # archive buckets are registered but empty -> 204
+    arch = engine.list_buckets(prefix="archive-")["buckets"][0].name
+    assert engine.delete_bucket(arch)["status"] == 204
