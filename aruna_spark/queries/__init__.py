@@ -51,6 +51,8 @@ PRIORITY_PREFIXES = (
     "s3_upload_part_copy",
     "s3_reference_head",
     "staging_refresh_sweep",
+    "staging_snapshot_materialize",
+    "staging_sync_drift",
     "s3_list_buckets",
     "s3_bucket_info",
     "s3_checksum_family",

@@ -103,3 +103,144 @@ def autoindex_parse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovered entries — checked against the directory truth table."""
     pages = render_autoindex_pages(_keys(spark, sf_dir))
     return parse_autoindex_pages(pages)
+
+
+# =============================================== Snapshot / Sync strategies
+# The other two StagingStrategy arms (core/src/structs/staging.rs:9-13;
+# Reference is modeled in queries/references.py):
+#
+# - **Snapshot** (operations/src/staging/snapshot.rs
+#   MaterializeSnapshotOperation): read the source ONCE and drive
+#   PutObject — the result is an ordinary MATERIALIZED version whose
+#   bytes are the source's at bind time (etag commits to the source
+#   bytes, blob_hash content-addresses them) with the
+#   VersionSourceBinding carried (strategy=snapshot) for provenance;
+#   the write is quota-gated (MaterializeSnapshotInput.quota_ceiling).
+# - **Sync**: a snapshot that must FOLLOW the source — the drift sweep
+#   compares each bound key's materialized etag against the source's
+#   current state and emits the re-materialization worklist.
+#
+# Modeled bindings: docs with doc_id % 11 == 6 are snapshot-bound
+# ('snap/...' keys), doc_id % 11 == 7 are sync-bound ('sync/...' keys);
+# both source trees drift like the reference tree (truth_length =
+# n_chars + doc_id % 7). The sync keys' PRIOR materialization captured
+# n_chars bytes, so keys with doc_id % 7 != 0 have drifted.
+#
+# Scale shape: both are one equi-join of a bind dimension against the
+# connector listing plus column algebra — no window, no catalog
+# shuffle; the materialize batch's version minting joins only the
+# touched destination keys.
+
+SNAPSHOT_QUOTA_BYTES = 700
+
+
+def _bound_docs(spark: SparkSession, sf_dir: str, residue: int) -> DataFrame:
+    from aruna_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == residue
+    )
+
+
+@register(
+    "staging_snapshot_materialize",
+    oracle=f"""
+    SELECT 'staging' AS bucket,
+           'snap/' || source || '/' || lang || '/doc-' || doc_id || '.bin'
+             AS key,
+           CASE WHEN n_chars + doc_id % 7 <= {SNAPSHOT_QUOTA_BYTES}
+                THEN 'v0' END AS version_id,
+           CAST(CASE WHEN n_chars + doc_id % 7 <= {SNAPSHOT_QUOTA_BYTES}
+                THEN n_chars + doc_id % 7 END AS BIGINT) AS size,
+           CASE WHEN n_chars + doc_id % 7 <= {SNAPSHOT_QUOTA_BYTES}
+                THEN md5('src:' || source || '/' || lang || '/doc-' || doc_id
+                         || '.bin:' || (n_chars + doc_id % 7)) END AS etag,
+           CASE WHEN n_chars + doc_id % 7 <= {SNAPSHOT_QUOTA_BYTES}
+                THEN md5('blob:' || (n_chars + doc_id % 7)) END AS blob_hash,
+           'snapshot' AS strategy,
+           source || '/' || lang || '/doc-' || doc_id || '.bin'
+             AS source_path,
+           CASE WHEN n_chars + doc_id % 7 <= {SNAPSHOT_QUOTA_BYTES}
+                THEN 200 ELSE 507 END AS status
+    FROM documents WHERE doc_id % 11 = 6
+    """,
+)
+def staging_snapshot_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot bind batch materialized: each binding reads its
+    source (the connector listing truth) and lands as a MATERIALIZED
+    version — etag commits to the SOURCE bytes, blob_hash
+    content-addresses them, the source binding is carried for
+    provenance, and oversized sources fail the quota gate (507) without
+    writing (snapshot.rs drives PutObject under
+    MaterializeSnapshotInput.quota_ceiling)."""
+    docs = _bound_docs(spark, sf_dir, 6)
+    src_path = F.concat(
+        F.col("source"), F.lit("/"), F.col("lang"), F.lit("/doc-"),
+        F.col("doc_id").cast("string"), F.lit(".bin"),
+    )
+    truth_len = (F.col("n_chars") + F.col("doc_id") % 7).cast("long")
+    ok = truth_len <= SNAPSHOT_QUOTA_BYTES
+    return docs.select(
+        F.lit("staging").alias("bucket"),
+        F.concat(F.lit("snap/"), src_path).alias("key"),
+        F.when(ok, F.lit("v0")).alias("version_id"),
+        F.when(ok, truth_len).alias("size"),
+        F.when(
+            ok,
+            F.md5(
+                F.concat(
+                    F.lit("src:"), src_path, F.lit(":"),
+                    truth_len.cast("string"),
+                )
+            ),
+        ).alias("etag"),
+        F.when(
+            ok,
+            F.md5(F.concat(F.lit("blob:"), truth_len.cast("string"))),
+        ).alias("blob_hash"),
+        F.lit("snapshot").alias("strategy"),
+        src_path.alias("source_path"),
+        F.when(ok, F.lit(200)).otherwise(F.lit(507)).alias("status"),
+    )
+
+
+@register(
+    "staging_sync_drift",
+    oracle="""
+    SELECT 'staging' AS bucket,
+           'sync/' || source || '/' || lang || '/doc-' || doc_id || '.bin'
+             AS key,
+           source || '/' || lang || '/doc-' || doc_id || '.bin'
+             AS source_path,
+           CAST(n_chars AS BIGINT) AS materialized_size,
+           CAST(n_chars + doc_id % 7 AS BIGINT) AS source_size,
+           doc_id % 7 <> 0 AS drifted,
+           CASE WHEN doc_id % 7 <> 0 THEN 'rematerialize'
+                ELSE 'in_sync' END AS action
+    FROM documents WHERE doc_id % 11 = 7
+    """,
+)
+def staging_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sync drift sweep: every sync-bound key's materialized state
+    (captured at bind time) compared against the source's CURRENT
+    state; drifted keys emit the re-materialization worklist, in-sync
+    keys no-op — the Sync strategy's follow loop as one equi-join."""
+    docs = _bound_docs(spark, sf_dir, 7)
+    src_path = F.concat(
+        F.col("source"), F.lit("/"), F.col("lang"), F.lit("/doc-"),
+        F.col("doc_id").cast("string"), F.lit(".bin"),
+    )
+    mat = F.col("n_chars").cast("long")
+    truth = (F.col("n_chars") + F.col("doc_id") % 7).cast("long")
+    drift = mat != truth
+    return docs.select(
+        F.lit("staging").alias("bucket"),
+        F.concat(F.lit("sync/"), src_path).alias("key"),
+        src_path.alias("source_path"),
+        mat.alias("materialized_size"),
+        truth.alias("source_size"),
+        drift.alias("drifted"),
+        F.when(drift, F.lit("rematerialize"))
+        .otherwise(F.lit("in_sync"))
+        .alias("action"),
+    )
