@@ -53,6 +53,7 @@ PRIORITY_PREFIXES = (
     "staging_refresh_sweep",
     "staging_snapshot_materialize",
     "staging_sync_drift",
+    "storage_routing_resolve",
     "s3_list_buckets",
     "s3_bucket_info",
     "s3_checksum_family",
@@ -136,6 +137,7 @@ def load_all() -> None:
         principals,
         reclaim,
         references,
+        routing,
         registry,
         relational,
         s3_lifecycle,

@@ -119,3 +119,54 @@ def test_bucket_create_delete_routes(engine):
     # archive buckets are registered but empty -> 204
     arch = engine.list_buckets(prefix="archive-")["buckets"][0].name
     assert engine.delete_bucket(arch)["status"] == 204
+
+
+# ---------------------------------------------------- storage routing
+def test_routing_ladder_edges(spark, sf_dir):
+    """Exact beats the longer unoffered-class prefix; the miss only
+    surfaces when it outranked the winner; unmatched keys land on the
+    group default (routing.rs:442-521)."""
+    from aruna_spark.queries.routing import (
+        _classes,
+        _rules,
+        resolve_backends,
+        validate_rule_set,
+    )
+
+    rules, classes = _rules(spark, sf_dir), _classes(spark)
+    validate_rule_set(rules)  # the deterministic set is well-formed
+    exact_key = rules.filter(F.col("exact")).limit(1).collect()
+    writes = spark.createDataFrame(
+        [("data/src1/en/nothing-special.txt",), ("elsewhere/k.bin",)]
+        + ([(exact_key[0].key_prefix,)] if exact_key else []),
+        "key string",
+    )
+    out = {r.key: r for r in resolve_backends(writes, rules, classes, "b-group").collect()}
+    r1 = out["data/src1/en/nothing-special.txt"]
+    assert r1.backend == "b-src1" and r1.missed_class == "class-cold"
+    r2 = out["elsewhere/k.bin"]
+    assert r2.backend == "b-group" and r2.via == "group_default"
+    assert r2.missed_class is None
+    if exact_key:
+        r3 = out[exact_key[0].key_prefix]
+        assert r3.backend == "b-exact" and r3.via == "exact"
+        # the class miss under src1/en does NOT outrank an exact winner
+        if exact_key[0].key_prefix.startswith("data/src1/en/"):
+            assert r3.missed_class is None
+
+
+def test_routing_duplicate_rule_rejected(spark):
+    from aruna_spark.queries.routing import validate_rule_set
+
+    dup = spark.createDataFrame(
+        [("a/", False, "backend", "b1"), ("a/", False, "backend", "b2")],
+        "key_prefix string, exact boolean, target_kind string, target string",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_rule_set(dup)
+    bad = spark.createDataFrame(
+        [("a/", False, "class", "Not_Valid!")],
+        "key_prefix string, exact boolean, target_kind string, target string",
+    )
+    with pytest.raises(ValueError, match="invalid storage class"):
+        validate_rule_set(bad)
