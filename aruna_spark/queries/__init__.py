@@ -54,6 +54,7 @@ PRIORITY_PREFIXES = (
     "staging_snapshot_materialize",
     "staging_sync_drift",
     "storage_routing_resolve",
+    "staging_list_connectors",
     "s3_list_buckets",
     "s3_bucket_info",
     "s3_checksum_family",

@@ -244,3 +244,71 @@ def staging_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("in_sync"))
         .alias("action"),
     )
+
+
+# ================================================ connector registry listing
+# The source connectors the staging strategies bind to are first-class
+# records (core/src/structs/source_connector.rs:37-46: connector_id,
+# group, name, kind, public_config, created/updated); ListSourceConnectors
+# walks the keyspace per group (operations/src/connectors/
+# list_source_connectors.rs). Modeled: the four deterministic connectors
+# the reference bindings name (conn-0..conn-3), listed with a bound-
+# object roll-up per strategy — the console view of the staging plane.
+
+
+@register(
+    "staging_list_connectors",
+    oracle="""
+    WITH bindings AS (
+      SELECT 'conn-' || (doc_id % 4) AS connector_id,
+             CASE WHEN doc_id % 2 = 0 THEN 's3' ELSE 'http' END AS kind,
+             CASE doc_id % 11 WHEN 5 THEN 'reference'
+                              WHEN 6 THEN 'snapshot'
+                              ELSE 'sync' END AS strategy
+      FROM documents WHERE doc_id % 11 IN (5, 6, 7)
+    )
+    SELECT connector_id, kind,
+           CAST(COUNT(*) AS BIGINT) AS bound_objects,
+           CAST(SUM(CASE WHEN strategy = 'reference' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reference,
+           CAST(SUM(CASE WHEN strategy = 'snapshot' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_snapshot,
+           CAST(SUM(CASE WHEN strategy = 'sync' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sync
+    FROM bindings
+    GROUP BY connector_id, kind
+    """,
+)
+def staging_list_connectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListSourceConnectors with per-connector binding roll-ups: every
+    staged object (all three strategies) counts under its connector and
+    kind — one map-side-combinable groupBy over the binding relations."""
+    from aruna_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 11).isin(5, 6, 7)
+    )
+    bindings = docs.select(
+        F.concat(F.lit("conn-"), (F.col("doc_id") % 4).cast("string")).alias(
+            "connector_id"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("s3"))
+        .otherwise(F.lit("http"))
+        .alias("kind"),
+        F.when(F.col("doc_id") % 11 == 5, F.lit("reference"))
+        .when(F.col("doc_id") % 11 == 6, F.lit("snapshot"))
+        .otherwise(F.lit("sync"))
+        .alias("strategy"),
+    )
+    return bindings.groupBy("connector_id", "kind").agg(
+        F.count(F.lit(1)).cast("long").alias("bound_objects"),
+        F.sum((F.col("strategy") == "reference").cast("int"))
+        .cast("long")
+        .alias("n_reference"),
+        F.sum((F.col("strategy") == "snapshot").cast("int"))
+        .cast("long")
+        .alias("n_snapshot"),
+        F.sum((F.col("strategy") == "sync").cast("int"))
+        .cast("long")
+        .alias("n_sync"),
+    )
