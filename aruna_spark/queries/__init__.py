@@ -132,6 +132,7 @@ def load_all() -> None:
         drs,
         dedup,
         ingest_suite,
+        jobs,
         listing,
         multimodal,
         permissions,

@@ -170,3 +170,34 @@ def test_routing_duplicate_rule_rejected(spark):
     )
     with pytest.raises(ValueError, match="invalid storage class"):
         validate_rule_set(bad)
+
+
+# ------------------------------------------------------- job queue plane
+def test_backoff_ladder_matches_reference_policy(spark):
+    """queue_backoff.rs:19-31 pinned: 250ms doubling capped at 30s."""
+    from aruna_spark.queries.jobs import backoff_ms
+
+    df = spark.createDataFrame(
+        [(a,) for a in [0, 1, 2, 3, 4, 5, 6, 7, 8, 40]], "attempts int"
+    ).select("attempts", backoff_ms(F.col("attempts")).alias("ms"))
+    got = {r.attempts: r.ms for r in df.collect()}
+    assert got == {
+        0: 250, 1: 500, 2: 1000, 3: 2000, 4: 4000,
+        5: 8000, 6: 16000, 7: 30000, 8: 30000, 40: 30000,
+    }
+
+
+def test_prune_skips_pending_cleanup(spark, sf_dir):
+    """A terminal-and-expired job with a queued cleanup never prunes
+    (prune.rs:87-90)."""
+    from aruna_spark.queries.jobs import NOW_MS, load_jobs
+    from aruna_spark.queries import REGISTRY
+
+    jobs = load_jobs(spark, sf_dir)
+    held = jobs.filter(
+        F.col("cleanup_pending")
+        & F.col("state").isin("succeeded", "failed", "cancelled")
+        & (F.col("finished_at_ms") + F.col("retention_ms") <= NOW_MS)
+    ).select("job_id")
+    pruned = REGISTRY["jobs_prune_page"][0](spark, sf_dir).select("job_id")
+    assert pruned.join(held, "job_id", "inner").count() == 0
