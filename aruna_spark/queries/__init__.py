@@ -31,18 +31,21 @@ def register(name: str, oracle: str | None = None):
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
 # window on a cycle. Round 8 (VERDICT r7 Next #8) leads with every
-# query whose plan is NEW or CHANGED this round — the delete-envelope
-# unification + mixed batch, the serialized copy minting, the
-# precedence-fixed part copy, the Reference version state + refresh
-# sweep, the bucket plane, the CRC family, the per-backend counters,
-# the stored-catalog listing, and the principal listings (13 queries) —
-# then rotates in the r7-unchecked backlog front-to-back: the FULL
-# sparql family (32 queries — its last driver checks are the oldest,
-# r4-r6) and the search-enrichment five. The remaining r7-unchecked
-# families (rel, stream watch/debounce, registry, multimodal, crdt,
-# ingest/rocrate/archive/graph, sampling, distributed) queue at the
-# tail for r9's front; all of them are selfcheck-green this round
-# (scripts/selfcheck.py full run, see SCALE.md log).
+# query whose plan is NEW or CHANGED this round (22: the delete-
+# envelope unification + mixed batch, serialized copy minting,
+# precedence-fixed part copy, the Reference/Snapshot/Sync staging
+# strategies + refresh sweep, storage routing, connector listing, the
+# job queue plane, the bucket plane, the CRC family, per-backend
+# counters, stored-catalog + referenced listings, blob reclaim, and
+# the principal listings — first-time driver checks take precedence) —
+# then rotates in the r7-unchecked backlog front-to-back: the sparql
+# family (32 — its last driver checks are the oldest, r4-r6; ~28 fit
+# the ~50 cut) and the search-enrichment five. The remaining
+# r7-unchecked families (rel, stream watch/debounce, registry,
+# multimodal, crdt, ingest/rocrate/archive/graph, sampling,
+# distributed) queue at the tail for r9's front; ALL 155 registered
+# queries are selfcheck-green this round (scripts/selfcheck.py full
+# run at sf0.01).
 PRIORITY_PREFIXES = (
     # new or changed this round (front of the window)
     "s3_delete_mixed_batch",
@@ -55,6 +58,8 @@ PRIORITY_PREFIXES = (
     "staging_sync_drift",
     "storage_routing_resolve",
     "staging_list_connectors",
+    "jobs_",
+    "textstats_repetition",
     "s3_list_buckets",
     "s3_bucket_info",
     "s3_checksum_family",

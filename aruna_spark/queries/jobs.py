@@ -40,12 +40,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
+from aruna_spark.ops.pagination import bounded_rank
 from aruna_spark.queries import register
 
 QUEUE_RETRY_BASE_MS = 250  # queue_backoff.rs:1
 QUEUE_RETRY_MAX_MS = 30_000  # queue_backoff.rs:2
 NOW_MS = 30_000
 DRAIN_PAGE = 25
+JOB_HEARTBEAT_MS = 20_000  # jobs/mod.rs:24
+# JOB_RECONCILE_REARM = heartbeat (jobs/mod.rs:47): an already-expired
+# lease head re-arms at the heartbeat floor instead of zero so the
+# drain cannot busy-loop on a lease row a reconciled attempt keeps.
+BUDGET_IN_PROCESS = 6
+BUDGET_EXTERNAL = 3
 
 
 def backoff_ms(attempts: F.Column) -> F.Column:
@@ -76,6 +83,12 @@ def load_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("long").alias("created_at_ms"),
         (k + 10).cast("long").alias("due_at_ms"),
         (k % 4).cast("int").alias("attempts"),
+        # job.rs:602-610: the Execution payload is the sole
+        # ExternalAttempt class; everything else runs InProcess. k%9==2
+        # pins k%3==2, so the class discriminator must be coprime to 9.
+        F.when(k % 10 < 3, "external")
+        .otherwise("in_process")
+        .alias("execution_class"),
         F.when(k % 5 == 1, k + 40).cast("long").alias("lease_expires_ms"),
         F.when(terminal, k + 50).cast("long").alias("finished_at_ms"),
         F.lit(100).cast("long").alias("retention_ms"),
@@ -91,6 +104,8 @@ _JOBS_SQL = """
            CAST(o_orderkey AS BIGINT) AS created_at_ms,
            CAST(o_orderkey + 10 AS BIGINT) AS due_at_ms,
            CAST(o_orderkey % 4 AS INT) AS attempts,
+           CASE WHEN o_orderkey % 10 < 3 THEN 'external'
+                ELSE 'in_process' END AS execution_class,
            CAST(CASE WHEN o_orderkey % 5 = 1 THEN o_orderkey + 40 END
                 AS BIGINT) AS lease_expires_ms,
            CAST(CASE WHEN o_orderkey % 5 IN (2, 3, 4) THEN o_orderkey + 50
@@ -209,4 +224,183 @@ def jobs_prune_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("expired_at_ms", "job_id")
         .limit(DRAIN_PAGE)
+    )
+
+
+@register(
+    "jobs_drain_class_budget",
+    oracle=f"""
+    WITH jobs AS ({_JOBS_SQL}),
+    due AS (
+      SELECT job_id, execution_class, due_at_ms,
+             row_number() OVER (PARTITION BY execution_class
+                                ORDER BY due_at_ms, job_id) AS rn
+      FROM jobs WHERE state = 'queued' AND due_at_ms <= {NOW_MS}
+    ),
+    marks AS (
+      SELECT
+        MAX(CASE WHEN execution_class = 'in_process'
+                  AND rn = {BUDGET_IN_PROCESS} THEN due_at_ms END) AS l_ip,
+        MAX(CASE WHEN execution_class = 'external'
+                  AND rn = {BUDGET_EXTERNAL} THEN due_at_ms END) AS l_ex,
+        MAX(CASE WHEN execution_class = 'in_process'
+                  AND rn = {BUDGET_IN_PROCESS + 1} THEN due_at_ms END) AS o_ip,
+        MAX(CASE WHEN execution_class = 'external'
+                  AND rn = {BUDGET_EXTERNAL + 1} THEN due_at_ms END) AS o_ex
+      FROM due
+    ),
+    env AS (
+      SELECT
+        ((o_ip IS NOT NULL AND (l_ip IS NULL OR l_ex IS NULL
+                                OR o_ip < GREATEST(l_ip, l_ex)))
+         OR (o_ex IS NOT NULL AND (l_ip IS NULL OR l_ex IS NULL
+                                   OR o_ex < GREATEST(l_ip, l_ex))))
+          AS deferred_saturated
+      FROM marks
+    ),
+    nxt AS (
+      SELECT MIN(due_at_ms) - {NOW_MS} AS d FROM jobs
+      WHERE state = 'queued' AND due_at_ms > {NOW_MS}
+    ),
+    lease AS (
+      SELECT CASE WHEN MIN(lease_expires_ms) IS NULL THEN NULL
+                  WHEN MIN(lease_expires_ms) <= {NOW_MS}
+                    THEN {JOB_HEARTBEAT_MS}
+                  ELSE MIN(lease_expires_ms) - {NOW_MS} END AS d
+      FROM jobs WHERE state = 'running'
+    )
+    SELECT d.job_id, d.execution_class, d.due_at_ms,
+           CAST(d.rn AS INT) AS class_rank,
+           (SELECT deferred_saturated FROM env) AS deferred_saturated,
+           CAST((SELECT CASE
+                   WHEN n.d IS NULL THEN l.d
+                   WHEN l.d IS NULL THEN n.d
+                   WHEN n.d < l.d THEN n.d ELSE l.d END
+                 FROM nxt n, lease l) AS BIGINT) AS next_due_after_ms
+    FROM due d
+    WHERE (d.execution_class = 'in_process' AND d.rn <= {BUDGET_IN_PROCESS})
+       OR (d.execution_class = 'external' AND d.rn <= {BUDGET_EXTERNAL})
+    """,
+)
+def jobs_drain_class_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted drain tick with per-class claim budgets.
+
+    ``claim_due_jobs`` (drain.rs:177-299) walks the due index in
+    (due, job_id) order claiming each job against its OWN class budget
+    (InProcess {6} / ExternalAttempt {3} here — job.rs:602-610 maps the
+    Execution payload to ExternalAttempt, everything else InProcess); a
+    due job whose class is saturated is SKIPPED without a write
+    (drain.rs:261-264 — claiming it would only release it again) and
+    the scan breaks once both budgets empty (drain.rs:269-272).
+
+    Closed form: a job claims iff its per-class rank <= its class
+    budget — every such job precedes the moment both budgets empty, so
+    the claimed set needs only per-class bounded heads (budget+1 rows),
+    never the full due relation. ``deferred_saturated`` is true iff a
+    skipped job (class rank budget+1) was OBSERVED before the scan
+    break: before the later of the two final claims, or anywhere when
+    one class never exhausts (the scan then runs to the end of the due
+    index). The model's due keys are unique (due = k+10), so the scan
+    position IS the due timestamp. ``next_due_after_ms`` re-arms from
+    the earliest future due head and the lease head with the 20 s
+    reconcile floor for an already-expired lease (drain.rs:313-333,
+    next_drain_delays; JOB_RECONCILE_REARM = heartbeat, mod.rs:24,47).
+
+    Scale shape: two TakeOrderedAndProject heads of budget+1 rows plus
+    three one-row aggregates broadcast onto the page — the due index
+    never shuffles, exactly the iter_prefix_page discipline.
+    """
+    return drain_class_budget(
+        load_jobs(spark, sf_dir), BUDGET_IN_PROCESS, BUDGET_EXTERNAL, NOW_MS
+    )
+
+
+def drain_class_budget(
+    jobs: DataFrame, b_ip: int, b_ext: int, now_ms: int
+) -> DataFrame:
+    """Closed-form ``claim_due_jobs`` over any jobs relation (see
+    :func:`jobs_drain_class_budget`). Scan positions are the full
+    (due_at_ms, job_id) struct, so duplicate due timestamps order
+    exactly like the reference's schedule index key. A zero budget
+    means the class is saturated BEFORE the scan (drain.rs:185-188,
+    261-264): its "last claim" sentinel sorts before every real key.
+    Property-tested against a literal Python simulation of the
+    drain.rs loop in ``tests/test_jobs_drain_property.py``."""
+    due = jobs.filter(
+        (F.col("state") == "queued") & (F.col("due_at_ms") <= now_ms)
+    )
+
+    def skey(due_c: F.Column, id_c: F.Column) -> F.Column:
+        return F.struct(due_c.alias("d"), id_c.alias("i"))
+
+    def head(cls: str, budget: int) -> DataFrame:
+        h = (
+            due.filter(F.col("execution_class") == cls)
+            .orderBy("due_at_ms", "job_id")
+            .limit(budget + 1)
+            .select("job_id", "execution_class", "due_at_ms")
+        )
+        return bounded_rank(
+            h, [F.col("due_at_ms"), F.col("job_id")], rank_name="__rn"
+        )
+
+    h_ip = head("in_process", b_ip)
+    h_ex = head("external", b_ext)
+
+    # sentinel for a zero-budget class: exhausted before any real key
+    _SENTINEL = skey(F.lit(-(1 << 62)).cast("long"), F.lit(""))
+
+    def marks(h: DataFrame, budget: int, tag: str) -> DataFrame:
+        key = skey(F.col("due_at_ms"), F.col("job_id"))
+        last = (
+            _SENTINEL
+            if budget == 0
+            else F.max(F.when(F.col("__rn") == budget, key))
+        )
+        return h.agg(
+            last.alias(f"__l_{tag}"),
+            F.max(F.when(F.col("__rn") == budget + 1, key)).alias(
+                f"__o_{tag}"
+            ),
+        )
+
+    env = marks(h_ip, b_ip, "ip").crossJoin(marks(h_ex, b_ext, "ex"))
+    l_ip, l_ex = F.col("__l_ip"), F.col("__l_ex")
+    o_ip, o_ex = F.col("__o_ip"), F.col("__o_ex")
+    ran_to_end = l_ip.isNull() | l_ex.isNull()
+    cutoff = F.greatest(l_ip, l_ex)
+    deferred = (
+        o_ip.isNotNull() & (ran_to_end | (o_ip < cutoff))
+    ) | (o_ex.isNotNull() & (ran_to_end | (o_ex < cutoff)))
+    env = env.select(deferred.alias("deferred_saturated"))
+
+    nxt = jobs.filter(
+        (F.col("state") == "queued") & (F.col("due_at_ms") > now_ms)
+    ).agg((F.min("due_at_ms") - now_ms).alias("__due_d"))
+    lease = jobs.filter(F.col("state") == "running").agg(
+        F.min("lease_expires_ms").alias("__ml")
+    )
+    lease_d = F.when(
+        F.col("__ml").isNotNull(),
+        F.when(F.col("__ml") <= now_ms, F.lit(JOB_HEARTBEAT_MS)).otherwise(
+            F.col("__ml") - now_ms
+        ),
+    )
+    claimed = h_ip.filter(F.col("__rn") <= b_ip).unionByName(
+        h_ex.filter(F.col("__rn") <= b_ext)
+    )
+    return (
+        claimed.crossJoin(F.broadcast(env))
+        .crossJoin(F.broadcast(nxt))
+        .crossJoin(F.broadcast(lease))
+        .select(
+            "job_id",
+            "execution_class",
+            "due_at_ms",
+            F.col("__rn").cast("int").alias("class_rank"),
+            "deferred_saturated",
+            F.least(F.col("__due_d"), lease_d)
+            .cast("long")
+            .alias("next_due_after_ms"),
+        )
     )

@@ -240,3 +240,129 @@ def corpus_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "lang", "exact_distinct", within.alias("approx_within_5pct")
     )
+
+
+# ------------------------------------------------- repetition rules (Gopher)
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", arXiv
+# 2112.11446, Table A1) remove documents whose most frequent word
+# 2-gram covers >20% of the text or whose duplicate 5-grams cover >15%.
+# The published production thresholds:
+GOPHER_TOP2_NUM, GOPHER_TOP2_DEN = 1, 5  # top-2-gram fraction > 0.20
+GOPHER_DUP5_NUM, GOPHER_DUP5_DEN = 3, 20  # duplicate-5-gram fraction > 0.15
+# The registered instance dials top-2 down to 0.05 so BOTH branches of
+# the predicate are exercised on the synthetic corpus (its unigram
+# distribution is nearly flat, so no document reaches 0.20); the
+# duplicate-word rule (>0.50) splits the corpus roughly in half. All
+# three are exact integer cross-multiplications — no float thresholds.
+_TOP2_NUM, _TOP2_DEN = 1, 20  # registered demo threshold: > 0.05
+_DUP5_NUM, _DUP5_DEN = 3, 20  # > 0.15 (Gopher value)
+_DUPW_NUM, _DUPW_DEN = 1, 2  # duplicate-word fraction > 0.50
+
+
+@register(
+    "textstats_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    b AS (
+      SELECT doc_id, lang, len(toks) AS nw, len(list_distinct(toks)) AS dw,
+             {duck_shingles_sql('toks', 2)} AS g2,
+             {duck_shingles_sql('toks', 5)} AS g5
+      FROM t
+    ),
+    per AS (
+      SELECT doc_id, lang, nw, dw,
+             coalesce(len(g2), 0) AS n2,
+             coalesce(len(g5), 0) AS n5,
+             coalesce(len(list_distinct(g5)), 0) AS d5,
+             coalesce(list_max(list_transform(
+               list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))), 0)
+               AS top2
+      FROM b
+    )
+    SELECT lang, COUNT(*) AS docs,
+           CAST(SUM(top2) AS BIGINT) AS sum_top_bigram,
+           CAST(SUM(n2) AS BIGINT) AS sum_bigrams,
+           CAST(SUM(n5 - d5) AS BIGINT) AS sum_dup_5grams,
+           CAST(SUM(n5) AS BIGINT) AS sum_5grams,
+           CAST(SUM(nw - dw) AS BIGINT) AS sum_dup_words,
+           CAST(SUM(nw) AS BIGINT) AS sum_words,
+           CAST(SUM(({_TOP2_DEN} * top2 > {_TOP2_NUM} * n2)::int) AS BIGINT)
+             AS fail_top_bigram,
+           CAST(SUM(({_DUP5_DEN} * (n5 - d5) > {_DUP5_NUM} * n5)::int) AS BIGINT)
+             AS fail_dup_5gram,
+           CAST(SUM(({_DUPW_DEN} * (nw - dw) > {_DUPW_NUM} * nw)::int) AS BIGINT)
+             AS fail_dup_word,
+           CAST(SUM(({_TOP2_DEN} * top2 > {_TOP2_NUM} * n2
+                     OR {_DUP5_DEN} * (n5 - d5) > {_DUP5_NUM} * n5
+                     OR {_DUPW_DEN} * (nw - dw) > {_DUPW_NUM} * nw)::int)
+                AS BIGINT) AS fail_any
+    FROM per GROUP BY lang
+    """,
+)
+def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter rules, rolled up per language.
+
+    Per document: the most frequent word 2-gram's coverage, the
+    duplicate-5-gram fraction, and the duplicate-word fraction; per
+    language: the integer numerator/denominator sums plus how many
+    documents each rule (and any rule) would remove. The thresholds are
+    exact integer cross-multiplications (``den*x > num*n``), so the
+    pass/fail bits are bit-identical on any engine.
+
+    Scale shape: the 5-gram/word dedup ratios are pure per-row array
+    expressions (no shuffle); ONLY the top-bigram count explodes — and
+    that shuffle is keyed on (doc_id, gram), the highest-cardinality
+    key available, so it is combiner-friendly and skew-free at 100 TB
+    (a per-doc quadratic array fallback would be O(len^2) on long
+    documents; the explode stays O(len log len)). The oracle uses the
+    quadratic list mechanism precisely so the two engines compute the
+    top count by INDEPENDENT plans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("nw"),
+        F.size(F.array_distinct(toks)).alias("dw"),
+        shingles(toks, 2).alias("g2"),
+        shingles(toks, 5).alias("g5"),
+    )
+    per = base.select(
+        "doc_id",
+        "lang",
+        "nw",
+        "dw",
+        F.coalesce(F.size("g2"), F.lit(0)).alias("n2"),
+        F.coalesce(F.size("g5"), F.lit(0)).alias("n5"),
+        F.coalesce(F.size(F.array_distinct("g5")), F.lit(0)).alias("d5"),
+    )
+    top = (
+        base.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"))
+    )
+    per = per.join(top, "doc_id", "left").withColumn(
+        "top2", F.coalesce(F.col("top2"), F.lit(0))
+    )
+    f_top2 = _TOP2_DEN * F.col("top2") > _TOP2_NUM * F.col("n2")
+    f_dup5 = _DUP5_DEN * (F.col("n5") - F.col("d5")) > _DUP5_NUM * F.col("n5")
+    f_dupw = _DUPW_DEN * (F.col("nw") - F.col("dw")) > _DUPW_NUM * F.col("nw")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("top2").cast("long").alias("sum_top_bigram"),
+        F.sum("n2").cast("long").alias("sum_bigrams"),
+        F.sum(F.col("n5") - F.col("d5")).cast("long").alias("sum_dup_5grams"),
+        F.sum("n5").cast("long").alias("sum_5grams"),
+        F.sum(F.col("nw") - F.col("dw")).cast("long").alias("sum_dup_words"),
+        F.sum("nw").cast("long").alias("sum_words"),
+        F.sum(f_top2.cast("int")).cast("long").alias("fail_top_bigram"),
+        F.sum(f_dup5.cast("int")).cast("long").alias("fail_dup_5gram"),
+        F.sum(f_dupw.cast("int")).cast("long").alias("fail_dup_word"),
+        F.sum((f_top2 | f_dup5 | f_dupw).cast("int"))
+        .cast("long")
+        .alias("fail_any"),
+    )
