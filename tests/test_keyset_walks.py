@@ -185,3 +185,106 @@ def test_list_notifications_walk(spark):
         assert seen == want
 
     prop()
+
+
+def test_list_buckets_walk(spark):
+    """ListBuckets (r8): continuation_token = last returned name
+    (list_buckets.rs:139-145); the full paged walk over random bucket
+    sets and page sizes equals the group's name-ordered relation, and
+    foreign-group buckets never leak."""
+    from aruna_spark.queries.buckets import list_buckets
+
+    @given(
+        names=st.sets(
+            st.text(alphabet="abc-", min_size=1, max_size=6),
+            min_size=0,
+            max_size=12,
+        ),
+        page=st.integers(1, 4),
+    )
+    @settings(**_SETTINGS)
+    def prop(names, page):
+        rows = [(n, "grp-main", 100, "admin") for n in names] + [
+            ("zzz-foreign", "grp-other", 1, "x")
+        ]
+        buckets = spark.createDataFrame(
+            rows, "name string, group_id string, created_at long,"
+            " created_by string"
+        )
+        rollups = spark.createDataFrame(
+            [(n, 1, 2, 10) for n in names],
+            "name string, object_count long, version_count long,"
+            " total_bytes long",
+        )
+        seen, token = [], None
+        for _ in range(30):
+            out = sorted(
+                list_buckets(
+                    buckets, rollups, "grp-main",
+                    continuation_token=token, max_buckets=page,
+                ).collect(),
+                key=lambda r: r.name,
+            )
+            seen.extend(r.name for r in out)
+            if not out or not out[0].is_truncated:
+                break
+            token = out[0].next_token
+        assert seen == sorted(names)
+
+    prop()
+
+
+def test_drain_to_empty_conserves_queue(spark):
+    """Budgeted drain ticked to exhaustion: every due job is claimed
+    exactly once, never over a tick's class budget — the queue analog of
+    the keyset no-skip/no-dup walk (claimed jobs leave the queue, the
+    next tick re-scans)."""
+    from aruna_spark.queries.jobs import drain_class_budget
+
+    @given(
+        jobs=st.lists(
+            st.tuples(
+                st.integers(995, 1005),  # due (ties likely), NOW=1000
+                st.sampled_from(["in_process", "external"]),
+            ),
+            min_size=0,
+            max_size=14,
+        ),
+        b_ip=st.integers(1, 3),
+        b_ext=st.integers(1, 3),
+    )
+    @settings(**_SETTINGS)
+    def prop(jobs, b_ip, b_ext):
+        now = 1_000
+        queue = {
+            f"j{i:02d}": (due, cls) for i, (due, cls) in enumerate(jobs)
+        }
+        due_ids = {j for j, (d, _) in queue.items() if d <= now}
+        schema = (
+            "job_id string, state string, due_at_ms long,"
+            " execution_class string, lease_expires_ms long"
+        )
+        claimed_all = []
+        for _ in range(40):
+            rows = [
+                (j, "queued", d, c, None) for j, (d, c) in queue.items()
+            ]
+            df = spark.createDataFrame(
+                rows or [("x", "queued", 0, "in_process", None)], schema
+            )
+            if not rows:
+                df = df.limit(0)
+            got = drain_class_budget(df, b_ip, b_ext, now).collect()
+            if not got:
+                break
+            per_cls = {"in_process": 0, "external": 0}
+            for r in got:
+                per_cls[r.execution_class] += 1
+                claimed_all.append(r.job_id)
+                del queue[r.job_id]
+            assert per_cls["in_process"] <= b_ip
+            assert per_cls["external"] <= b_ext
+        assert sorted(claimed_all) == sorted(due_ids)
+        assert len(set(claimed_all)) == len(claimed_all)
+
+    prop()
