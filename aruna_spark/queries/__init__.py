@@ -60,6 +60,7 @@ PRIORITY_PREFIXES = (
     "staging_list_connectors",
     "jobs_",
     "textstats_repetition",
+    "placement_resolve_holders",
     "s3_list_buckets",
     "s3_bucket_info",
     "s3_checksum_family",
@@ -141,6 +142,7 @@ def load_all() -> None:
         listing,
         multimodal,
         permissions,
+        placement,
         principals,
         reclaim,
         references,

@@ -1,0 +1,287 @@
+"""Two-level weighted-rendezvous placement resolution.
+
+Reference surface (``operations/src/placement/``):
+
+- ``selector.rs`` — integer-only weighted rendezvous (see
+  :mod:`aruna_spark.ops.placement` for the scaled portable primitives).
+- ``resolver.rs:88-160`` (``resolve_holders``) — rank LOCATIONS by
+  rendezvous over ``(name, W_loc)`` where ``W_loc`` sums the effective
+  weights of filter-passing members (availability deliberately does NOT
+  affect ``W_loc`` — resolver.rs:268-272 — so location order is stable
+  when a candidate is rejected); walk locations best-first, skipping
+  ``W_loc == 0``; within each location rank ALL member nodes by
+  rendezvous over ``(node_id, effective_weight)`` and claim the first
+  ELIGIBLE one (sync-eligible kind, not full, not draining, effective
+  weight > 0, passes every Filter affinity — resolver.rs:316-341);
+  with ``distinct_locations`` one claim per location; stop at
+  ``replica_count``.
+- ``resolver.rs:338-348`` (``effective_weight``) — each matching
+  Multiply affinity rule scales the weight by ``permille / 1000`` in
+  integer arithmetic, rule by rule.
+
+Modeled cluster (from ``nation`` — 25 nodes, 5 locations):
+``node_id = 'node-NN'``, ``location = 'loc-' || (n % 5)``,
+``weight = (n % 7) * 100`` (zeros present), ``full = n % 11 == 3``,
+``draining = n % 13 == 4``, labels ``tier = ssd if n % 3 == 0 else
+hdd``, ``arch = arm if n % 17 == 2 else x86``. Strategy: replicas 3,
+distinct_locations, affinity = [Multiply(tier=ssd, 1500‰),
+Filter(arch=x86)]. Subjects: ``blob-<p_partkey>`` for
+``p_partkey % 20 == 3``.
+
+Spark shape (100 TB): the cluster view is a CONSTANT-sized dimension
+(hundreds of nodes even at 1000 executors), so subjects × nodes is a
+broadcast nested-loop of width |nodes| — no shuffle on the big side
+until the per-subject groupBy, which is keyed on the subject itself
+(maximal cardinality, no skew). The rendezvous scores are one
+``F.aggregate`` fold per pair (pure codegen); per-subject ranking
+sorts arrays of ≤|nodes| structs with the exact integer comparator —
+never a global window. The DuckDB oracle recomputes the identical
+integers via recursive CTEs and ranks by pairwise precedence counting,
+an independent mechanism end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.ops.placement import (
+    ROLE_LOCATION,
+    ROLE_NODE,
+    duck_neg_log2_cte,
+    duck_precedes_sql,
+    duck_selector_hash,
+    neg_log2_q24,
+    rendezvous_cmp,
+    selector_hash,
+)
+from aruna_spark.queries import register
+
+REPLICA_COUNT = 3
+MULTIPLY_TIER, MULTIPLY_PERMILLE = "ssd", 1500
+FILTER_ARCH = "x86"
+
+
+def load_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resolved cluster view (resolver.rs PlacementView), with the
+    strategy's affinity already folded into ``eff_weight`` /
+    ``passes_filters`` / ``eligible`` columns."""
+    n = F.col("n_nationkey")
+    base = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("node-"), F.lpad(n.cast("string"), 2, "0")).alias(
+            "node_id"
+        ),
+        F.concat(F.lit("loc-"), (n % 5).cast("string")).alias("location"),
+        ((n % 7) * 100).cast("long").alias("weight"),
+        (n % 11 == 3).alias("full"),
+        (n % 13 == 4).alias("draining"),
+        F.when(n % 3 == 0, MULTIPLY_TIER).otherwise("hdd").alias("tier"),
+        F.when(n % 17 == 2, "arm").otherwise(FILTER_ARCH).alias("arch"),
+    )
+    # integer permille scaling, rule by rule (resolver.rs:338-348)
+    eff = F.expr(
+        f"CASE WHEN tier = '{MULTIPLY_TIER}'"
+        f" THEN (weight * {MULTIPLY_PERMILLE}) div 1000"
+        " ELSE weight END"
+    )
+    out = base.withColumn("eff_weight", eff.cast("long")).withColumn(
+        "passes_filters", F.col("arch") == FILTER_ARCH
+    )
+    return out.withColumn(
+        "eligible",
+        F.col("passes_filters")
+        & ~F.col("full")
+        & ~F.col("draining")
+        & (F.col("eff_weight") > 0),
+    )
+
+
+_NODES_SQL = f"""
+    SELECT 'node-' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS node_id,
+           'loc-' || CAST(n_nationkey % 5 AS VARCHAR) AS location,
+           CAST(CASE WHEN n_nationkey % 3 = 0
+                THEN ((n_nationkey % 7) * 100 * {MULTIPLY_PERMILLE}) // 1000
+                ELSE (n_nationkey % 7) * 100 END AS BIGINT) AS eff_weight,
+           n_nationkey % 17 <> 2 AS passes_filters,
+           (n_nationkey % 17 <> 2 AND n_nationkey % 11 <> 3
+            AND n_nationkey % 13 <> 4
+            AND CASE WHEN n_nationkey % 3 = 0
+                THEN ((n_nationkey % 7) * 100 * {MULTIPLY_PERMILLE}) // 1000
+                ELSE (n_nationkey % 7) * 100 END > 0) AS eligible
+    FROM nation
+"""
+
+_SUBJECTS_SQL = """
+    SELECT 'blob-' || p_partkey AS subject FROM part WHERE p_partkey % 20 = 3
+"""
+
+_PRECEDES_NODE = duck_precedes_sql(
+    "o.l_score", "o.eff_weight", "o.node_id",
+    "m.l_score", "m.eff_weight", "m.node_id",
+)
+_PRECEDES_LOC = duck_precedes_sql(
+    "o.l_score", "o.w_loc", "o.location",
+    "q.l_score", "q.w_loc", "q.location",
+)
+
+
+@register(
+    "placement_resolve_holders",
+    oracle=f"""
+    WITH RECURSIVE nodes AS ({_NODES_SQL}),
+    locs AS (
+      SELECT location,
+             CAST(SUM(CASE WHEN passes_filters THEN eff_weight
+                      ELSE 0 END) AS BIGINT) AS w_loc
+      FROM nodes GROUP BY location
+    ),
+    subjects AS ({_SUBJECTS_SQL}),
+    pairs_n AS (
+      SELECT s.subject, n.node_id FROM subjects s CROSS JOIN nodes n
+    ),
+    {duck_neg_log2_cte(
+        "pairs_n",
+        duck_selector_hash(ROLE_NODE, "subject", "node_id"),
+        "subject, node_id",
+        "nn",
+    )},
+    pairs_l AS (
+      SELECT s.subject, l.location FROM subjects s CROSS JOIN locs l
+    ),
+    {duck_neg_log2_cte(
+        "pairs_l",
+        duck_selector_hash(ROLE_LOCATION, "subject", "location"),
+        "subject, location",
+        "ll",
+    )},
+    members AS (
+      SELECT sc.subject, n.location, n.node_id, n.eff_weight, n.eligible,
+             sc.l_score
+      FROM nn_scored sc JOIN nodes n USING (node_id)
+    ),
+    best AS (
+      SELECT m.subject, m.location, m.node_id
+      FROM members m
+      WHERE m.eligible AND NOT EXISTS (
+        SELECT 1 FROM members o
+        WHERE o.subject = m.subject AND o.location = m.location
+          AND o.eligible AND o.node_id <> m.node_id
+          AND {_PRECEDES_NODE}
+      )
+    ),
+    qual AS (
+      SELECT sc.subject, sc.location, l.w_loc, sc.l_score, b.node_id
+      FROM ll_scored sc
+      JOIN locs l USING (location)
+      JOIN best b ON b.subject = sc.subject AND b.location = sc.location
+      WHERE l.w_loc > 0
+    ),
+    ranked AS (
+      SELECT q.subject, q.location, q.node_id,
+             1 + (SELECT COUNT(*) FROM qual o
+                  WHERE o.subject = q.subject
+                    AND o.location <> q.location
+                    AND {_PRECEDES_LOC}) AS rnk
+      FROM qual q
+    )
+    SELECT subject, CAST(rnk AS INT) AS replica_rank, node_id, location
+    FROM ranked WHERE rnk <= {REPLICA_COUNT}
+    """,
+)
+def placement_resolve_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resolve_holders for every subject: 3 replicas on distinct
+    locations by two-level weighted rendezvous (see module doc)."""
+    subjects = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 20 == 3)
+        .select(
+            F.concat(F.lit("blob-"), F.col("p_partkey").cast("string")).alias(
+                "subject"
+            )
+        )
+    )
+    return resolve_holders(
+        load_nodes(spark, sf_dir), subjects, REPLICA_COUNT
+    )
+
+
+def resolve_holders(
+    nodes: DataFrame, subjects: DataFrame, replica_count: int
+) -> DataFrame:
+    """Two-level distinct-locations resolution over any cluster view.
+
+    ``nodes`` needs (node_id, location, eff_weight, passes_filters,
+    eligible); ``subjects`` needs (subject). Property-tested against a
+    literal Python port of resolver.rs resolve_holders in
+    ``tests/test_placement.py``."""
+    locs = nodes.groupBy("location").agg(
+        F.sum(
+            F.when(F.col("passes_filters"), F.col("eff_weight")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("w_loc")
+    )
+
+    pn = subjects.crossJoin(F.broadcast(nodes)).select(
+        "subject",
+        "location",
+        F.struct(
+            neg_log2_q24(
+                selector_hash(ROLE_NODE, F.col("subject"), F.col("node_id"))
+            ).alias("l"),
+            F.col("eff_weight").alias("w"),
+            F.col("node_id").alias("id"),
+            F.col("eligible").alias("eligible"),
+        ).alias("m"),
+    )
+    # F.get (0-based) returns NULL past the end even under ANSI mode —
+    # a location with no eligible member resolves to no claim
+    best = pn.groupBy("subject", "location").agg(
+        F.get(
+            F.filter(
+                F.array_sort(F.collect_list("m"), rendezvous_cmp),
+                lambda m: m["eligible"],
+            ),
+            0,
+        )["id"].alias("best_node")
+    )
+
+    pl = subjects.crossJoin(F.broadcast(locs)).select(
+        "subject",
+        "location",
+        "w_loc",
+        neg_log2_q24(
+            selector_hash(ROLE_LOCATION, F.col("subject"), F.col("location"))
+        ).alias("l_loc"),
+    )
+    qual = pl.join(best, ["subject", "location"]).filter(
+        (F.col("w_loc") > 0) & F.col("best_node").isNotNull()
+    )
+    per_subject = qual.groupBy("subject").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_loc").alias("l"),
+                        F.col("w_loc").alias("w"),
+                        F.col("location").alias("id"),
+                        F.col("best_node").alias("node"),
+                    )
+                ),
+                rendezvous_cmp,
+            ),
+            1,
+            replica_count,
+        ).alias("top")
+    )
+    return per_subject.select(
+        "subject", F.posexplode("top").alias("__p", "__r")
+    ).select(
+        "subject",
+        (F.col("__p") + 1).cast("int").alias("replica_rank"),
+        F.col("__r")["node"].alias("node_id"),
+        F.col("__r")["id"].alias("location"),
+    )

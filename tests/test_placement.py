@@ -1,0 +1,191 @@
+"""Placement selector/resolver parity tests.
+
+Mirrors the reference's own test strategy (selector.rs ``mod tests``,
+scaled to the portable Q6.24 widths): exact fixed-point vectors, a
+float-reference tolerance sweep, and a property test pinning the
+DataFrame resolution against a literal Python port of
+``resolve_holders`` (resolver.rs:88-160) over random clusters.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aruna_spark.ops.placement import (
+    FRAC_BITS,
+    HASH_BITS,
+    PLACEMENT_DOMAIN,
+    ROLE_LOCATION,
+    ROLE_NODE,
+    neg_log2_q24,
+)
+from aruna_spark.queries.placement import resolve_holders
+
+Q_ONE = 1 << FRAC_BITS
+
+
+def py_hash(role: str, subject: str, cid: str) -> int:
+    d = hashlib.md5(
+        f"{PLACEMENT_DOMAIN}{role}{subject}|{cid}".encode()
+    ).hexdigest()
+    return (int(d[:8], 16) % (1 << HASH_BITS)) | 1
+
+
+def py_neg_log2(h: int) -> int:
+    top, full = 1 << (HASH_BITS - 1), 1 << HASH_BITS
+    x, z, f = h, 0, 0
+    for _ in range(HASH_BITS - 1):
+        if x < top:
+            x, z = x * 2, z + 1
+    for _ in range(FRAC_BITS):
+        y = (x * x) >> (HASH_BITS - 1)
+        if y >= full:
+            f, y = f * 2 + 1, y >> 1
+        else:
+            f = f * 2
+        x = y
+    return ((z + 1) << FRAC_BITS) - f
+
+
+def py_rank(role: str, subject: str, cands: list[tuple[str, int]]) -> list[str]:
+    """selector.rs:54-70 rank_weighted, literally."""
+    scores = {cid: py_neg_log2(py_hash(role, subject, cid)) for cid, _ in cands}
+    weights = dict(cands)
+
+    def cmp(a: str, b: str) -> int:
+        lhs, rhs = scores[a] * weights[b], scores[b] * weights[a]
+        if lhs != rhs:
+            return -1 if lhs < rhs else 1
+        if scores[a] != scores[b]:
+            return -1 if scores[a] < scores[b] else 1
+        return -1 if a < b else (1 if a > b else 0)
+
+    return sorted((cid for cid, _ in cands), key=functools.cmp_to_key(cmp))
+
+
+def py_resolve(nodes: list[dict], subject: str, replicas: int) -> list[str]:
+    """resolver.rs:88-160 resolve_holders (distinct_locations, no
+    override), literally: location W_loc from filter-passing members,
+    rank locations, skip W_loc==0, claim first eligible member."""
+    locs: dict[str, list[dict]] = {}
+    for n in nodes:
+        locs.setdefault(n["location"], []).append(n)
+    w_loc = {
+        name: sum(n["eff"] for n in mem if n["passes"])
+        for name, mem in locs.items()
+    }
+    order = py_rank(
+        ROLE_LOCATION, subject, [(name, w_loc[name]) for name in locs]
+    )
+    result = []
+    for name in order:
+        if len(result) >= replicas:
+            break
+        if w_loc[name] == 0:
+            continue
+        ranked = py_rank(
+            ROLE_NODE, subject, [(n["node_id"], n["eff"]) for n in locs[name]]
+        )
+        by_id = {n["node_id"]: n for n in locs[name]}
+        for nid in ranked:
+            if by_id[nid]["eligible"]:
+                result.append(nid)
+                break  # distinct_locations: one claim per location
+    return result
+
+
+def test_neg_log2_exact_vectors(spark):
+    """Analog of selector.rs neg_log2_exact_vectors at Q6.24."""
+    row = (
+        spark.range(1)
+        .select(
+            neg_log2_q24(F.lit(1 << (HASH_BITS - 1))).alias("a"),
+            neg_log2_q24(F.lit(1 << (HASH_BITS - 2))).alias("b"),
+            neg_log2_q24(F.lit(1)).alias("c"),
+            neg_log2_q24(F.lit((1 << HASH_BITS) - 1)).alias("d"),
+        )
+        .collect()[0]
+    )
+    assert row.a == Q_ONE
+    assert row.b == 2 * Q_ONE
+    assert row.c == HASH_BITS * Q_ONE
+    assert 0 < row.d < Q_ONE
+
+
+def test_neg_log2_matches_float_reference():
+    """Analog of selector.rs neg_log2_matches_float_reference: 24
+    fraction bits ⇒ granularity 2^-24 ≈ 6e-8; 1e-6 leaves margin."""
+    worst = 0.0
+    for counter in range(4096):
+        h = py_hash(ROLE_NODE, f"s{counter}", "x")
+        fixed = py_neg_log2(h) / Q_ONE
+        ref = -math.log2(h / (1 << HASH_BITS))
+        worst = max(worst, abs(fixed - ref))
+    assert worst < 1e-6, worst
+
+
+_node = st.tuples(
+    st.integers(0, 3),  # location index
+    st.integers(0, 3),  # raw weight (zeros present)
+    st.booleans(),  # passes filters
+    st.booleans(),  # available (not full/draining)
+)
+
+
+def test_resolve_equals_python_port(spark):
+    @given(
+        raw=st.lists(_node, min_size=1, max_size=10),
+        replicas=st.integers(1, 4),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(raw, replicas):
+        nodes = [
+            {
+                "node_id": f"n{i:02d}",
+                "location": f"loc-{li}",
+                "eff": w * 100,
+                "passes": p,
+                "eligible": p and a and w > 0,
+            }
+            for i, (li, w, p, a) in enumerate(raw)
+        ]
+        ndf = spark.createDataFrame(
+            [
+                (
+                    n["node_id"],
+                    n["location"],
+                    n["eff"],
+                    n["passes"],
+                    n["eligible"],
+                )
+                for n in nodes
+            ],
+            "node_id string, location string, eff_weight long,"
+            " passes_filters boolean, eligible boolean",
+        )
+        subjects = ["alpha", "beta"]
+        sdf = spark.createDataFrame(
+            [(s,) for s in subjects], "subject string"
+        )
+        got: dict[str, list[str]] = {s: [] for s in subjects}
+        for r in resolve_holders(ndf, sdf, replicas).collect():
+            got[r.subject].append((r.replica_rank, r.node_id))
+        for s in subjects:
+            want = py_resolve(nodes, s, replicas)
+            assert sorted(got[s]) == list(enumerate(want, 1)), (
+                s,
+                got[s],
+                want,
+            )
+
+    prop()
