@@ -173,3 +173,31 @@ def duck_precedes_sql(li: str, wi: str, idi: str, lj: str, wj: str, idj: str) ->
         f" OR ({li} * {wj} = {lj} * {wi}"
         f"     AND ({li} < {lj} OR ({li} = {lj} AND {idi} < {idj}))))"
     )
+
+
+SHARD_DOMAIN = "aruna-shard-v1"  # core structs/placement.rs:162
+
+
+def shard_for_subject(subject: Column, shard_count: int) -> Column:
+    """Shard a subject hashes into for ``shard_count`` shards
+    (``core/src/structs/placement.rs:160-168``): hash of a domain tag
+    concatenated with the subject, first 32 bits, masked into
+    ``0..shard_count`` (power of two). md5-derived here (same scaling
+    note as the module doc); all records of one logical document share
+    a subject and so land in one shard.
+    """
+    assert shard_count & (shard_count - 1) == 0, "power of two"
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SHARD_DOMAIN), subject)), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h.bitwiseAND(F.lit(shard_count - 1)).cast("int")
+
+
+def duck_shard_sql(subject: str, shard_count: int) -> str:
+    """DuckDB mirror of :func:`shard_for_subject`."""
+    return (
+        f"CAST((('0x' || substring(md5('{SHARD_DOMAIN}' || {subject}), 1, 8))"
+        f"::BIGINT & {shard_count - 1}) AS INT)"
+    )

@@ -60,7 +60,7 @@ PRIORITY_PREFIXES = (
     "staging_list_connectors",
     "jobs_",
     "textstats_repetition",
-    "placement_resolve_holders",
+    "placement_",
     "s3_list_buckets",
     "s3_bucket_info",
     "s3_checksum_family",

@@ -404,3 +404,159 @@ def drain_class_budget(
             .alias("next_due_after_ms"),
         )
     )
+
+
+# queue_lag.rs:22-24 — page scan cap: first probe page limit 1 (idle
+# probe costs one key read), then up to 7 pages of 1,024
+QUEUE_SCAN_PAGE_SIZE = 1_024
+QUEUE_SCAN_PAGE_LIMIT = 8
+QUEUE_SCAN_CAP = 1 + (QUEUE_SCAN_PAGE_LIMIT - 1) * QUEUE_SCAN_PAGE_SIZE
+
+
+@register(
+    "jobs_queue_lag",
+    oracle=f"""
+    WITH jobs AS ({_JOBS_SQL}),
+    sched_scan AS (
+      SELECT due_at_ms FROM jobs WHERE state = 'queued'
+      ORDER BY due_at_ms, job_id LIMIT {QUEUE_SCAN_CAP}
+    ),
+    sched AS (
+      SELECT 'job_schedule' AS queue,
+             CAST(COUNT(*) AS BIGINT) AS depth,
+             (SELECT COUNT(*) FROM jobs WHERE state = 'queued')
+               > {QUEUE_SCAN_CAP} AS depth_capped,
+             CAST(COUNT(*) FILTER (WHERE due_at_ms <= {NOW_MS}) AS BIGINT)
+               AS due,
+             CAST(COALESCE({NOW_MS}
+                  - MIN(due_at_ms) FILTER (WHERE due_at_ms <= {NOW_MS}), 0)
+                  AS BIGINT) AS oldest_age_ms
+      FROM sched_scan
+    ),
+    lease_scan AS (
+      SELECT lease_expires_ms FROM jobs WHERE state = 'running'
+      ORDER BY lease_expires_ms, job_id LIMIT {QUEUE_SCAN_CAP}
+    ),
+    lease AS (
+      SELECT 'job_lease', CAST(COUNT(*) AS BIGINT),
+             (SELECT COUNT(*) FROM jobs WHERE state = 'running')
+               > {QUEUE_SCAN_CAP},
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM lease_scan
+    ),
+    cleanup_scan AS (
+      SELECT created_at_ms FROM jobs
+      WHERE state IN ('succeeded', 'failed', 'cancelled') AND cleanup_pending
+      ORDER BY created_at_ms, job_id LIMIT {QUEUE_SCAN_CAP}
+    ),
+    cleanup AS (
+      SELECT 'cleanup_pending', CAST(COUNT(*) AS BIGINT),
+             (SELECT COUNT(*) FROM jobs
+              WHERE state IN ('succeeded', 'failed', 'cancelled')
+                AND cleanup_pending) > {QUEUE_SCAN_CAP},
+             CAST(0 AS BIGINT),
+             CAST(GREATEST(0, {NOW_MS} - COALESCE(MIN(created_at_ms),
+                  {NOW_MS})) AS BIGINT)
+      FROM cleanup_scan
+    )
+    SELECT * FROM sched UNION ALL SELECT * FROM lease
+    UNION ALL SELECT * FROM cleanup
+    """,
+)
+def jobs_queue_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-queue lag probes (queue_lag.rs:270-292 probe_queue_depth,
+    :225-268 probe_materialization_lag, :183-221 probe_outbox_lag).
+
+    Each probe walks its index at most 1 + 7×1024 keys (first page
+    limit 1 so an idle queue costs one read — queue_lag.rs:294-301),
+    so ``depth`` counts SCANNED keys and ``depth_capped`` marks a scan
+    that stopped mid-queue; ``due``/``oldest_age_ms`` follow the
+    per-queue semantics: the schedule index counts already-due jobs and
+    ages the oldest due (materialization-style, due-prefixed keys), the
+    lease probe is depth-only, the cleanup fence ages the oldest
+    record's enqueue timestamp (outbox-style, saturating at 0).
+
+    Scale shape: three TakeOrderedAndProject heads bounded by the scan
+    cap (never the full index) feeding one-row aggregates — the probe's
+    idle cost discipline, as plans.
+    """
+    jobs = load_jobs(spark, sf_dir)
+
+    def probe(
+        name: str,
+        rel: DataFrame,
+        order: list[str],
+        due_col: str | None,
+        age_outbox: str | None,
+    ) -> DataFrame:
+        total = rel.agg(
+            (F.count(F.lit(1)) > QUEUE_SCAN_CAP).alias("depth_capped")
+        )
+        scanned = rel.orderBy(*order).limit(QUEUE_SCAN_CAP)
+        if due_col is not None:
+            agg = scanned.agg(
+                F.count(F.lit(1)).cast("long").alias("depth"),
+                F.sum((F.col(due_col) <= NOW_MS).cast("long"))
+                .cast("long")
+                .alias("due"),
+                F.coalesce(
+                    F.lit(NOW_MS)
+                    - F.min(
+                        F.when(F.col(due_col) <= NOW_MS, F.col(due_col))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("oldest_age_ms"),
+            )
+        elif age_outbox is not None:
+            agg = scanned.agg(
+                F.count(F.lit(1)).cast("long").alias("depth"),
+                F.lit(0).cast("long").alias("due"),
+                F.greatest(
+                    F.lit(0),
+                    F.lit(NOW_MS)
+                    - F.coalesce(F.min(age_outbox), F.lit(NOW_MS)),
+                )
+                .cast("long")
+                .alias("oldest_age_ms"),
+            )
+        else:
+            agg = scanned.agg(
+                F.count(F.lit(1)).cast("long").alias("depth"),
+                F.lit(0).cast("long").alias("due"),
+                F.lit(0).cast("long").alias("oldest_age_ms"),
+            )
+        return agg.crossJoin(F.broadcast(total)).select(
+            F.lit(name).alias("queue"),
+            "depth",
+            "depth_capped",
+            "due",
+            "oldest_age_ms",
+        )
+
+    sched = probe(
+        "job_schedule",
+        jobs.filter(F.col("state") == "queued"),
+        ["due_at_ms", "job_id"],
+        "due_at_ms",
+        None,
+    )
+    lease = probe(
+        "job_lease",
+        jobs.filter(F.col("state") == "running"),
+        ["lease_expires_ms", "job_id"],
+        None,
+        None,
+    )
+    cleanup = probe(
+        "cleanup_pending",
+        jobs.filter(
+            F.col("state").isin("succeeded", "failed", "cancelled")
+            & F.col("cleanup_pending")
+        ),
+        ["created_at_ms", "job_id"],
+        None,
+        "created_at_ms",
+    )
+    return sched.unionByName(lease).unionByName(cleanup)

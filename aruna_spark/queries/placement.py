@@ -49,12 +49,14 @@ from aruna_spark.catalog import load_table
 from aruna_spark.ops.placement import (
     ROLE_LOCATION,
     ROLE_NODE,
+    duck_shard_sql,
     duck_neg_log2_cte,
     duck_precedes_sql,
     duck_selector_hash,
     neg_log2_q24,
     rendezvous_cmp,
     selector_hash,
+    shard_for_subject,
 )
 from aruna_spark.queries import register
 
@@ -284,4 +286,55 @@ def resolve_holders(
         (F.col("__p") + 1).cast("int").alias("replica_rank"),
         F.col("__r")["node"].alias("node_id"),
         F.col("__r")["id"].alias("location"),
+    )
+
+
+SHARD_COUNT = 64  # distribution.rs:61 / PlacementStrategy.shard_count
+
+
+@register(
+    "placement_shard_assignment",
+    oracle=f"""
+    WITH subjects AS ({_SUBJECTS_SQL}),
+    assigned AS (
+      SELECT subject,
+             {duck_shard_sql("subject", SHARD_COUNT)} AS shard
+      FROM subjects
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+           MIN(subject) AS min_subject
+    FROM assigned GROUP BY shard
+    """,
+)
+def placement_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard topics per subject (core structs/placement.rs:160-168):
+    domain-tagged hash masked into ``0..shard_count`` (power of two) —
+    all records of one logical document share the subject, so one
+    shard. Emits the per-shard occupancy roll-up (the distribution
+    gate the reference's own tests assert —
+    ``shard_for_subject_distributes_evenly``); evenness itself is
+    pinned in ``tests/test_placement.py``.
+
+    Scale shape: one narrow map + one groupBy on a 64-value key whose
+    per-group state is (count, min) — map-side combinable, skew-free by
+    construction since the mask IS the balancer.
+    """
+    subjects = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 20 == 3)
+        .select(
+            F.concat(F.lit("blob-"), F.col("p_partkey").cast("string")).alias(
+                "subject"
+            )
+        )
+    )
+    return (
+        subjects.withColumn(
+            "shard", shard_for_subject(F.col("subject"), SHARD_COUNT)
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subjects"),
+            F.min("subject").alias("min_subject"),
+        )
     )

@@ -189,3 +189,40 @@ def test_resolve_equals_python_port(spark):
             )
 
     prop()
+
+
+def py_shard(subject: str, count: int) -> int:
+    d = hashlib.md5(f"aruna-shard-v1{subject}".encode()).hexdigest()
+    return int(d[:8], 16) & (count - 1)
+
+
+def test_shard_stays_in_range_and_distributes():
+    """Analogs of shard_for_subject_stays_in_range /
+    _distributes_evenly (core structs/placement.rs:657-683), over the
+    portable hash."""
+    for count in (1, 2, 4, 64, 128, 1024):
+        for seed in range(256):
+            assert 0 <= py_shard(f"s{seed}", count) < count
+    counts = [0] * 64
+    for seed in range(10_000):
+        counts[py_shard(f"subject-{seed}", 64)] += 1
+    mean = 10_000 / 64
+    assert min(counts) > mean * 0.5 and max(counts) < mean * 1.5, (
+        min(counts),
+        max(counts),
+    )
+
+
+def test_shard_spark_matches_python(spark):
+    from aruna_spark.ops.placement import shard_for_subject
+
+    df = spark.createDataFrame(
+        [(f"subj-{i}",) for i in range(50)], "subject string"
+    )
+    got = {
+        r.subject: r.shard
+        for r in df.select(
+            "subject", shard_for_subject(F.col("subject"), 64).alias("shard")
+        ).collect()
+    }
+    assert got == {s: py_shard(s, 64) for s in got}
