@@ -60,6 +60,7 @@ PRIORITY_PREFIXES = (
     "staging_list_connectors",
     "jobs_",
     "textstats_repetition",
+    "corpus_retention_funnel",
     "placement_",
     "s3_list_buckets",
     "s3_bucket_info",

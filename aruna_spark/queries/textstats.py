@@ -366,3 +366,192 @@ def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fail_any"),
     )
+
+
+# ---------------------------------------------------- retention funnel
+_FUNNEL_QUALITY_MIN = 1950
+
+
+@register(
+    "corpus_retention_funnel",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    f AS (
+      SELECT *, md5(list_aggregate(list_sort(list_distinct(toks)),
+                                   'string_agg', ' ')) AS fp
+      FROM t
+    ),
+    w AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+    d AS (SELECT f.* FROM f JOIN w USING (fp, doc_id)),
+    p AS (
+      SELECT doc_id, toks,
+             len(list_filter(toks, t -> t IN ({_STOP_IN}))) >= 1
+               AS pass_lang,
+             least(len(toks), 100) * 10
+               + (1000 - (1000 * len(list_filter(toks,
+                          t -> t IN ({_STOP_IN}))) // len(toks)))
+               + (1000 * len(list_distinct(toks))) // len(toks) AS quality,
+             len(toks) AS nw, len(list_distinct(toks)) AS dw,
+             {duck_shingles_sql('toks', 2)} AS g2,
+             {duck_shingles_sql('toks', 5)} AS g5
+      FROM d
+    ),
+    q AS (
+      SELECT *, coalesce(len(g2), 0) AS n2, coalesce(len(g5), 0) AS n5,
+             coalesce(len(list_distinct(g5)), 0) AS d5,
+             coalesce(list_max(list_transform(list_distinct(g2),
+               x -> len(list_filter(g2, y -> y = x)))), 0) AS top2
+      FROM p
+    ),
+    flags AS (
+      SELECT pass_lang,
+             NOT ({GOPHER_TOP2_DEN} * top2 > {GOPHER_TOP2_NUM} * n2
+                  OR {GOPHER_DUP5_DEN} * (n5 - d5) > {GOPHER_DUP5_NUM} * n5
+                  OR {_DUPW_DEN} * (nw - dw) > {_DUPW_NUM} * nw)
+               AS pass_rep,
+             quality >= {_FUNNEL_QUALITY_MIN} AS pass_q
+      FROM q
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM t) AS s0,
+             COUNT(*) AS s1,
+             SUM(pass_lang::int) AS s2,
+             SUM((pass_lang AND pass_rep)::int) AS s3,
+             SUM((pass_lang AND pass_rep AND pass_q)::int) AS s4
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT 'exact_dedup_normalized' AS stage, 1 AS stage_order,
+             CAST(s0 AS BIGINT) AS docs_in, CAST(s1 AS BIGINT) AS docs_kept,
+             CAST(s0 - s1 AS BIGINT) AS docs_removed FROM c
+      UNION ALL SELECT 'langid', 2, CAST(s1 AS BIGINT),
+             CAST(s2 AS BIGINT), CAST(s1 - s2 AS BIGINT) FROM c
+      UNION ALL SELECT 'repetition_rules', 3, CAST(s2 AS BIGINT),
+             CAST(s3 AS BIGINT), CAST(s2 - s3 AS BIGINT) FROM c
+      UNION ALL SELECT 'quality_score', 4, CAST(s3 AS BIGINT),
+             CAST(s4 AS BIGINT), CAST(s3 - s4 AS BIGINT) FROM c
+    )
+    """,
+)
+def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data retention funnel in ONE pass.
+
+    The four production stages chained in pipeline order, each reported
+    as (docs_in, docs_kept, docs_removed):
+
+    1. **exact dedup** on a normalized fingerprint (md5 of the sorted
+       vocabulary set — catches reshuffled boilerplate exact bytes
+       miss); min doc_id wins, the repo's exact-collapse template.
+    2. **language ID** (stopword heuristic, `textstats_lang_summary`).
+    3. **repetition rules** at the PUBLISHED Gopher thresholds
+       (top-2-gram > 0.20, duplicate 5-grams > 0.15, duplicate words
+       > 0.50) — integer cross-multiplications.
+    4. **quality score** >= {1950} (the `textstats_quality_topk`
+       integer score).
+
+    Scale shape: one scan computes every per-doc flag; the dedup
+    winner is a groupBy on the fingerprint (map-side combinable, key
+    cardinality ~= corpus); the only other shuffle is the top-bigram
+    count keyed (doc_id, gram). The funnel envelope is four rows built
+    from ONE aggregate — counting all stages in a single pass instead
+    of re-filtering the corpus per stage, which is the difference
+    between 1 and 4 corpus scans at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        ).alias("fp"),
+        shingles(toks, 2).alias("g2"),
+        shingles(toks, 5).alias("g5"),
+    )
+    winners = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = base.join(winners, ["fp", "doc_id"], "inner")
+
+    top = (
+        kept.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2"))
+    )
+    nw, dw = F.size("toks"), F.size(F.array_distinct("toks"))
+    n2 = F.coalesce(F.size("g2"), F.lit(0))
+    n5 = F.coalesce(F.size("g5"), F.lit(0))
+    d5 = F.coalesce(F.size(F.array_distinct("g5")), F.lit(0))
+    stop_hits = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    quality = F.expr(
+        "least(size(toks), 100) * 10"
+        f" + (1000 - (1000 * size(filter(toks, t -> t IN ({_STOP_IN})))"
+        " div size(toks)))"
+        " + (1000 * size(array_distinct(toks)) div size(toks))"
+    )
+    flags = (
+        kept.join(top, "doc_id", "left")
+        .withColumn("top2", F.coalesce(F.col("top2"), F.lit(0)))
+        .select(
+            (stop_hits >= 1).alias("pass_lang"),
+            (
+                ~(
+                    (GOPHER_TOP2_DEN * F.col("top2") > GOPHER_TOP2_NUM * n2)
+                    | (GOPHER_DUP5_DEN * (n5 - d5) > GOPHER_DUP5_NUM * n5)
+                    | (_DUPW_DEN * (nw - dw) > _DUPW_NUM * nw)
+                )
+            ).alias("pass_rep"),
+            (quality >= _FUNNEL_QUALITY_MIN).alias("pass_q"),
+        )
+    )
+    total = base.agg(F.count(F.lit(1)).alias("s0"))
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("s1"),
+        F.sum(F.col("pass_lang").cast("long")).alias("s2"),
+        F.sum((F.col("pass_lang") & F.col("pass_rep")).cast("long")).alias(
+            "s3"
+        ),
+        F.sum(
+            (F.col("pass_lang") & F.col("pass_rep") & F.col("pass_q")).cast(
+                "long"
+            )
+        ).alias("s4"),
+    ).crossJoin(F.broadcast(total))
+    stages = F.array(
+        F.struct(
+            F.lit("exact_dedup_normalized").alias("stage"),
+            F.lit(1).alias("stage_order"),
+            F.col("s0").cast("long").alias("docs_in"),
+            F.col("s1").cast("long").alias("docs_kept"),
+            (F.col("s0") - F.col("s1")).cast("long").alias("docs_removed"),
+        ),
+        F.struct(
+            F.lit("langid").alias("stage"),
+            F.lit(2).alias("stage_order"),
+            F.col("s1").cast("long").alias("docs_in"),
+            F.col("s2").cast("long").alias("docs_kept"),
+            (F.col("s1") - F.col("s2")).cast("long").alias("docs_removed"),
+        ),
+        F.struct(
+            F.lit("repetition_rules").alias("stage"),
+            F.lit(3).alias("stage_order"),
+            F.col("s2").cast("long").alias("docs_in"),
+            F.col("s3").cast("long").alias("docs_kept"),
+            (F.col("s2") - F.col("s3")).cast("long").alias("docs_removed"),
+        ),
+        F.struct(
+            F.lit("quality_score").alias("stage"),
+            F.lit(4).alias("stage_order"),
+            F.col("s3").cast("long").alias("docs_in"),
+            F.col("s4").cast("long").alias("docs_kept"),
+            (F.col("s3") - F.col("s4")).cast("long").alias("docs_removed"),
+        ),
+    )
+    return counts.select(F.explode(stages).alias("__s")).select(
+        F.col("__s")["stage"].alias("stage"),
+        F.col("__s")["stage_order"].cast("int").alias("stage_order"),
+        F.col("__s")["docs_in"].alias("docs_in"),
+        F.col("__s")["docs_kept"].alias("docs_kept"),
+        F.col("__s")["docs_removed"].alias("docs_removed"),
+    )
