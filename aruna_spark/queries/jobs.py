@@ -560,3 +560,104 @@ def jobs_queue_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "created_at_ms",
     )
     return sched.unionByName(lease).unionByName(cleanup)
+
+
+@register(
+    "jobs_recovery_actions",
+    oracle=f"""
+    WITH jobs AS ({_JOBS_SQL}),
+    lost AS (
+      SELECT job_id, CAST(substr(job_id, 5) AS BIGINT) AS k
+      FROM jobs
+      WHERE state = 'running' AND lease_expires_ms < {NOW_MS}
+        AND execution_class = 'external'
+    ),
+    ev AS (
+      SELECT job_id,
+        CASE WHEN k % 11 = 0 THEN 'tombstoned'
+             WHEN k % 7 IN (0, 1, 2) THEN 'adoptable'
+             WHEN k % 7 IN (3, 4) THEN 'unadoptable'
+             WHEN k % 7 = 5 THEN 'unavailable'
+             ELSE 'absent' END AS evidence,
+        CASE WHEN k % 11 <> 0 AND k % 7 = 0 THEN 'submitted' END AS phase,
+        CASE WHEN k % 11 <> 0 AND k % 7 = 0 THEN 'submit'
+             WHEN k % 11 <> 0 AND k % 7 = 1 THEN 'stage'
+             WHEN k % 11 <> 0 AND k % 7 = 2 THEN 'finalize' END AS resume,
+        k % 11 <> 0 AND k % 7 = 3 AS exact_identity
+      FROM lost
+    )
+    SELECT job_id, evidence, phase, resume, exact_identity,
+      CASE
+        WHEN evidence = 'tombstoned' THEN 'retire'
+        WHEN evidence = 'adoptable' AND ((phase = 'submitted'
+              AND resume = 'submit') OR resume IN ('stage', 'unsuspend'))
+          THEN 'retry_same'
+        WHEN evidence = 'adoptable' THEN 'observe'
+        WHEN evidence = 'unadoptable' AND exact_identity THEN 'cleanup'
+        WHEN evidence IN ('unadoptable', 'unavailable') THEN 'park'
+        ELSE 'retry_same'
+      END AS action
+    FROM ev
+    """,
+)
+def jobs_recovery_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lost-external-attempt recovery decisions
+    (``jobs/workflow/compute.rs:12-30`` recovery_action): the evidence
+    the reconciler gathered about a lost container attempt maps to
+    Observe / RetrySame / Cleanup / Retire / Park — Adoptable evidence
+    retries from Submit/Stage/Unsuspend resume points and observes
+    otherwise, an exact-identity unadoptable artifact cleans up, other
+    unadoptable or unavailable evidence parks the job for a human, a
+    tombstone retires it, absence retries. Evidence is modeled
+    deterministically over the lost external attempts the
+    ``jobs_reconcile_lost`` sweep surfaces (k%11 tombstone precedence,
+    else k%7 buckets). Pure CASE algebra over one filter — the decision
+    table IS the plan."""
+    jobs = load_jobs(spark, sf_dir)
+    lost = jobs.filter(
+        (F.col("state") == "running")
+        & (F.col("lease_expires_ms") < NOW_MS)
+        & (F.col("execution_class") == "external")
+    ).select(
+        "job_id",
+        F.substring("job_id", 5, 32).cast("long").alias("k"),
+    )
+    k = F.col("k")
+    tomb = k % 11 == 0
+    ev = lost.select(
+        "job_id",
+        F.when(tomb, "tombstoned")
+        .when((k % 7).isin(0, 1, 2), "adoptable")
+        .when((k % 7).isin(3, 4), "unadoptable")
+        .when(k % 7 == 5, "unavailable")
+        .otherwise("absent")
+        .alias("evidence"),
+        F.when(~tomb & (k % 7 == 0), "submitted").alias("phase"),
+        F.when(~tomb & (k % 7 == 0), "submit")
+        .when(~tomb & (k % 7 == 1), "stage")
+        .when(~tomb & (k % 7 == 2), "finalize")
+        .alias("resume"),
+        (~tomb & (k % 7 == 3)).alias("exact_identity"),
+    )
+    retry_adopt = (
+        (F.col("phase") == "submitted") & (F.col("resume") == "submit")
+    ) | F.col("resume").isin("stage", "unsuspend")
+    action = (
+        F.when(F.col("evidence") == "tombstoned", "retire")
+        .when(
+            (F.col("evidence") == "adoptable")
+            & F.coalesce(retry_adopt, F.lit(False)),
+            "retry_same",
+        )
+        .when(F.col("evidence") == "adoptable", "observe")
+        .when(
+            (F.col("evidence") == "unadoptable") & F.col("exact_identity"),
+            "cleanup",
+        )
+        .when(F.col("evidence").isin("unadoptable", "unavailable"), "park")
+        .otherwise("retry_same")
+    )
+    return ev.select(
+        "job_id", "evidence", "phase", "resume", "exact_identity",
+        action.alias("action"),
+    )
