@@ -67,6 +67,11 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "textstats_profile",
         "dedup_exact",
         "usage_counters_by_group",
+        "placement_resolve_holders",
+        "textstats_repetition",
+        "corpus_retention_funnel",
+        "jobs_drain_class_budget",
+        "jobs_queue_lag",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
@@ -353,3 +358,13 @@ def test_stored_listing_pushes_key_predicates_to_scan(spark, sf_dir):
     # column pruning: listing needs key/size/flags, never etag/blob_hash
     read_schema = plan.split("ReadSchema:", 1)[1][:2000]
     assert "etag" not in read_schema and "blob_hash" not in read_schema
+
+
+def test_placement_broadcasts_cluster_view(spark, sf_dir):
+    """The cluster view is a constant-size dimension: subjects x nodes
+    must plan as a broadcast nested loop (never a shuffled cross), and
+    the per-subject ranking must not introduce a global window."""
+    plan = _plan(spark, "placement_resolve_holders", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
