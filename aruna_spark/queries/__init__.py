@@ -69,6 +69,7 @@ PRIORITY_PREFIXES = (
     "listing_v2_stored",
     "listing_v2_referenced",
     "blob_reclaim_sweep",
+    "blobs_hidden_sweep",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:
@@ -138,6 +139,7 @@ def load_all() -> None:
         decontam,
         drs,
         dedup,
+        hidden,
         ingest_suite,
         jobs,
         listing,
