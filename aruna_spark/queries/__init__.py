@@ -70,6 +70,7 @@ PRIORITY_PREFIXES = (
     "listing_v2_referenced",
     "blob_reclaim_sweep",
     "blobs_hidden_sweep",
+    "blob_permission_paths",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:
@@ -139,6 +140,7 @@ def load_all() -> None:
         decontam,
         drs,
         dedup,
+        hashpaths,
         hidden,
         ingest_suite,
         jobs,
