@@ -71,6 +71,7 @@ PRIORITY_PREFIXES = (
     "blob_reclaim_sweep",
     "blobs_hidden_sweep",
     "blob_permission_paths",
+    "shard_verification_sweep",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:
@@ -159,6 +160,7 @@ def load_all() -> None:
         s3_suite,
         sampling,
         search,
+        shard_verify,
         staging_suite,
         similarity,
         sparql_suite,

@@ -1,0 +1,280 @@
+"""Held-shard verification sweep.
+
+Reference: ``operations/src/shard/verify.rs`` (``verify_held_shards``,
+rs:67-143) — at join time a node reconciles every shard it newly
+holds against a co-holder:
+
+- enumerate ``(strategy, shard)`` for every strategy in the realm
+  config; the node HOLDS the shard iff it appears in
+  ``resolve_shard_holders`` (rank order preserved — rs:87-99);
+- a persisted verification marker short-circuits
+  (``already_verified`` — rs:110-112, idempotent resume);
+- a sole holder is trivially consistent, but only once its local
+  topic genesis exists (rs:156-185 — the genesis-less empty
+  fingerprint must never certify);
+- otherwise walk co-holders in rank order to the FIRST REACHABLE one
+  (rs:187-199: fetch failure → try next) and reconcile against it
+  within a bounded retry budget; convergence requires the local
+  genesis AND matching digests (rs:208-222); the first reachable
+  co-holder not converging leaves the shard ``unverified`` for the
+  next pass (rs:240-243) — later co-holders are NOT consulted.
+
+Spark mapping: shard topics are a bounded relation (shard_count ×
+strategies — 64 per strategy by contract); holders come from the same
+two-level rendezvous plan as ``placement_resolve_holders``; the
+marker / reachability / genesis / digest dimensions join in and the
+sweep is one CASE ladder. Control-plane-sized end to end — the
+resolver's broadcast shape is the only non-trivial plan.
+
+Modeled dimensions (deterministic): local node ``node-05``; marker
+iff ``shard % 5 == 0``; co-holder ``node-NN`` reachable for a shard
+iff ``(NN + shard) % 4 != 1``; local genesis iff ``shard % 7 != 2``;
+digests converge against co-holder ``NN`` iff
+``(shard * 31 + NN) % 3 != 0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.ops.placement import (
+    ROLE_LOCATION,
+    ROLE_NODE,
+    duck_neg_log2_cte,
+    duck_precedes_sql,
+    duck_selector_hash,
+)
+from aruna_spark.queries import register
+from aruna_spark.queries.placement import (
+    REPLICA_COUNT,
+    SHARD_COUNT,
+    _NODES_SQL,
+    load_nodes,
+    resolve_holders,
+)
+
+LOCAL_NODE = "node-05"
+STRATEGY = "strat-a"
+
+# reference constants (verify.rs:30-35), pinned by tests
+MAX_ATTEMPTS = 3
+CONCURRENCY_LIMIT = 8
+SCAN_PAGE_SIZE = 256
+
+
+def _shard_subjects(spark: SparkSession) -> DataFrame:
+    return spark.range(SHARD_COUNT).select(
+        F.concat(
+            F.lit(f"shard:{STRATEGY}:"), F.col("id").cast("string")
+        ).alias("subject"),
+        F.col("id").cast("int").alias("shard"),
+    )
+
+
+def classify_held_shards(holders: DataFrame, local_node: str) -> DataFrame:
+    """The verify.rs ladder over rank-ordered holder rows.
+
+    ``holders``: (subject, shard, replica_rank, node_id). Verdicts:
+    ``already_verified`` / ``newly_verified`` / ``unverified``; only
+    shards the local node holds appear.
+    """
+    mine = holders.filter(F.col("node_id") == local_node).select(
+        "subject",
+        "shard",
+        F.col("replica_rank").alias("holder_rank"),
+    )
+    nn = F.substring("node_id", 6, 2).cast("int")
+    cos = (
+        holders.filter(F.col("node_id") != local_node)
+        .join(mine.select("subject"), "subject")
+        .select(
+            "subject",
+            "replica_rank",
+            "node_id",
+            ((nn + F.col("shard")) % 4 != 1).alias("reachable"),
+        )
+    )
+    first_reachable = (
+        cos.filter("reachable")
+        .groupBy("subject")
+        .agg(
+            F.min_by(
+                F.col("node_id"), F.col("replica_rank")
+            ).alias("co_holder")
+        )
+    )
+    co_count = cos.groupBy("subject").agg(
+        F.count("*").alias("n_co_holders")
+    )
+    co_nn = F.substring("co_holder", 6, 2).cast("int")
+    flagged = (
+        mine.join(co_count, "subject", "left")
+        .join(first_reachable, "subject", "left")
+        .withColumn("marker", F.col("shard") % 5 == 0)
+        .withColumn("genesis", F.col("shard") % 7 != 2)
+        .withColumn(
+            "converged",
+            F.col("co_holder").isNotNull()
+            & ((F.col("shard") * 31 + co_nn) % 3 != 0),
+        )
+    )
+    verdict = (
+        F.when(F.col("marker"), F.lit("already_verified"))
+        .when(
+            F.coalesce(F.col("n_co_holders"), F.lit(0)) == 0,
+            F.when(F.col("genesis"), F.lit("newly_verified")).otherwise(
+                F.lit("unverified")
+            ),
+        )
+        .when(F.col("co_holder").isNull(), F.lit("unverified"))
+        .when(
+            F.col("genesis") & F.col("converged"), F.lit("newly_verified")
+        )
+        .otherwise(F.lit("unverified"))
+    )
+    return flagged.select(
+        "shard",
+        "holder_rank",
+        "co_holder",
+        verdict.alias("verdict"),
+    )
+
+
+_SHARD_SUBJECTS_SQL = f"""
+    SELECT 'shard:{STRATEGY}:' || CAST(s AS VARCHAR) AS subject,
+           CAST(s AS INT) AS shard
+    FROM range({SHARD_COUNT}) t(s)
+"""
+
+_PRECEDES_NODE = duck_precedes_sql(
+    "o.l_score", "o.eff_weight", "o.node_id",
+    "m.l_score", "m.eff_weight", "m.node_id",
+)
+_PRECEDES_LOC = duck_precedes_sql(
+    "o.l_score", "o.w_loc", "o.location",
+    "q.l_score", "q.w_loc", "q.location",
+)
+
+_HOLDERS_SQL = f"""
+    nodes AS ({_NODES_SQL}),
+    locs AS (
+      SELECT location,
+             CAST(SUM(CASE WHEN passes_filters THEN eff_weight
+                      ELSE 0 END) AS BIGINT) AS w_loc
+      FROM nodes GROUP BY location
+    ),
+    subjects AS ({_SHARD_SUBJECTS_SQL}),
+    pairs_n AS (
+      SELECT s.subject, n.node_id FROM subjects s CROSS JOIN nodes n
+    ),
+    {duck_neg_log2_cte(
+        "pairs_n",
+        duck_selector_hash(ROLE_NODE, "subject", "node_id"),
+        "subject, node_id",
+        "nn",
+    )},
+    pairs_l AS (
+      SELECT s.subject, l.location FROM subjects s CROSS JOIN locs l
+    ),
+    {duck_neg_log2_cte(
+        "pairs_l",
+        duck_selector_hash(ROLE_LOCATION, "subject", "location"),
+        "subject, location",
+        "ll",
+    )},
+    members AS (
+      SELECT sc.subject, n.location, n.node_id, n.eff_weight, n.eligible,
+             sc.l_score
+      FROM nn_scored sc JOIN nodes n USING (node_id)
+    ),
+    best AS (
+      SELECT m.subject, m.location, m.node_id
+      FROM members m
+      WHERE m.eligible AND NOT EXISTS (
+        SELECT 1 FROM members o
+        WHERE o.subject = m.subject AND o.location = m.location
+          AND o.eligible AND o.node_id <> m.node_id
+          AND {_PRECEDES_NODE}
+      )
+    ),
+    qual AS (
+      SELECT sc.subject, sc.location, l.w_loc, sc.l_score, b.node_id
+      FROM ll_scored sc
+      JOIN locs l USING (location)
+      JOIN best b ON b.subject = sc.subject AND b.location = sc.location
+      WHERE l.w_loc > 0
+    ),
+    holders AS (
+      SELECT q.subject, q.node_id,
+             1 + (SELECT COUNT(*) FROM qual o
+                  WHERE o.subject = q.subject
+                    AND o.location <> q.location
+                    AND {_PRECEDES_LOC}) AS replica_rank
+      FROM qual q
+    ),
+    held AS (
+      SELECT h.subject, s.shard, h.replica_rank
+      FROM holders h JOIN subjects s USING (subject)
+      WHERE h.node_id = '{LOCAL_NODE}' AND h.replica_rank <= {REPLICA_COUNT}
+    ),
+    cos AS (
+      SELECT h.subject, hh.node_id, hh.replica_rank,
+             (CAST(substr(hh.node_id, 6, 2) AS INT) + h.shard) % 4 <> 1
+               AS reachable,
+             h.shard
+      FROM held h
+      JOIN holders hh ON hh.subject = h.subject
+      WHERE hh.node_id <> '{LOCAL_NODE}'
+        AND hh.replica_rank <= {REPLICA_COUNT}
+    ),
+    firstco AS (
+      SELECT c.subject, c.node_id AS co_holder
+      FROM cos c
+      WHERE c.reachable AND NOT EXISTS (
+        SELECT 1 FROM cos o
+        WHERE o.subject = c.subject AND o.reachable
+          AND o.replica_rank < c.replica_rank
+      )
+    ),
+    cocount AS (
+      SELECT subject, COUNT(*) AS n_co FROM cos GROUP BY subject
+    )
+"""
+
+
+@register(
+    "shard_verification_sweep",
+    oracle=f"""
+    WITH RECURSIVE {_HOLDERS_SQL}
+    SELECT h.shard,
+           CAST(h.replica_rank AS INT) AS holder_rank,
+           f.co_holder,
+           CASE
+             WHEN h.shard % 5 = 0 THEN 'already_verified'
+             WHEN COALESCE(c.n_co, 0) = 0 THEN
+               CASE WHEN h.shard % 7 <> 2 THEN 'newly_verified'
+                    ELSE 'unverified' END
+             WHEN f.co_holder IS NULL THEN 'unverified'
+             WHEN h.shard % 7 <> 2
+                  AND (h.shard * 31
+                       + CAST(substr(f.co_holder, 6, 2) AS INT)) % 3 <> 0
+               THEN 'newly_verified'
+             ELSE 'unverified'
+           END AS verdict
+    FROM held h
+    LEFT JOIN cocount c USING (subject)
+    LEFT JOIN firstco f USING (subject)
+    """,
+)
+def shard_verification_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One join-time verification pass for ``node-05``: held shards
+    classified already-verified / newly-verified / unverified through
+    the marker, first-reachable-co-holder, genesis, and digest gates.
+    The oracle re-derives holders through the recursive-CTE rendezvous
+    and first-reachable via NOT EXISTS — independent mechanisms."""
+    subjects = _shard_subjects(spark)
+    holders = resolve_holders(
+        load_nodes(spark, sf_dir), subjects.select("subject"), REPLICA_COUNT
+    ).join(subjects, "subject")
+    return classify_held_shards(holders, LOCAL_NODE)
