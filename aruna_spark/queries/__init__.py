@@ -72,6 +72,7 @@ PRIORITY_PREFIXES = (
     "blobs_hidden_sweep",
     "blob_permission_paths",
     "shard_verification_sweep",
+    "notify_route_resource_events",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:
@@ -147,6 +148,7 @@ def load_all() -> None:
         jobs,
         listing,
         multimodal,
+        notify_routing,
         permissions,
         placement,
         principals,
