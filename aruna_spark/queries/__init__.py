@@ -73,6 +73,7 @@ PRIORITY_PREFIXES = (
     "blob_permission_paths",
     "shard_verification_sweep",
     "notify_route_resource_events",
+    "stream_watch_no_retroactive",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:

@@ -64,6 +64,65 @@ def stream_watch_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_summary(_matched(spark, sf_dir))
 
 
+# Subscription birth times for the no-retroactive-delivery guard
+# (route_watch_event, notifications/routing.rs:123-125): a watch never
+# matches events that occurred before it existed. The events table
+# spans 2024-01-01..30; w_clicks is born mid-window, w_errors late.
+WATCH_CREATED_MS = {
+    "w_clicks": 1_705_300_000_000,
+    "w_user1x": 0,
+    "w_errors": 1_706_400_000_000,
+}
+
+_D_WATCHES_CREATED = ", ".join(
+    "('" + wid + "', '" + pat + "', ["
+    + ", ".join(f"'{k}'" for k in kinds)
+    + f"], {WATCH_CREATED_MS[wid]})"
+    for wid, pat, kinds in _COMPILED
+)
+
+
+@register(
+    "stream_watch_no_retroactive",
+    oracle=f"""
+    WITH watches(watch_id, pattern, kinds, created_at_ms) AS
+      (VALUES {_D_WATCHES_CREATED}),
+    ev AS (
+      SELECT *, 'users/' || user_id || '/' || event_type AS path FROM events
+    ),
+    matched AS (
+      SELECT e.*, w.watch_id
+      FROM ev e JOIN watches w
+        ON regexp_matches(e.path, w.pattern)
+       AND list_contains(w.kinds, e.event_type)
+       AND w.created_at_ms <= epoch_ms(e.ts)
+    )
+    SELECT watch_id, COUNT(*) AS n_matched,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(epoch_us(ts)) AS first_ts_us, MAX(epoch_us(ts)) AS last_ts_us
+    FROM matched GROUP BY watch_id
+    """,
+)
+def stream_watch_no_retroactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same interest match with subscription birth times: each
+    watch only sees events from its creation onward, so the late-born
+    error watch matches a strict suffix of ``stream_watch_matches``'s
+    rows."""
+    from aruna_spark.streaming.watch import match_summary, match_watches
+
+    watches = spark.createDataFrame(
+        [
+            (wid, pat, kinds, WATCH_CREATED_MS[wid])
+            for wid, pat, kinds in _COMPILED
+        ],
+        "watch_id string, pattern string, kinds array<string>,"
+        " created_at_ms long",
+    )
+    return match_summary(
+        match_watches(load_table(spark, sf_dir, "events"), watches)
+    )
+
+
 @register(
     "stream_debounce_windows",
     oracle=f"""

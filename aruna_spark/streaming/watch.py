@@ -72,12 +72,18 @@ def with_path(events: DataFrame) -> DataFrame:
 
 
 def match_watches(events: DataFrame, watches: DataFrame) -> DataFrame:
-    """Stream-static join: events × (broadcast) watches on glob + mask."""
-    return with_path(events).join(
-        F.broadcast(watches),
-        F.regexp_like(F.col("path"), F.col("pattern"))
-        & F.array_contains(F.col("kinds"), F.col("event_type")),
+    """Stream-static join: events × (broadcast) watches on glob + mask.
+
+    A ``created_at_ms`` column on ``watches`` opts into the
+    no-retroactive-delivery guard: a subscription never matches events
+    that occurred before it existed (``route_watch_event``,
+    notifications/routing.rs:123-125)."""
+    cond = F.regexp_like(F.col("path"), F.col("pattern")) & F.array_contains(
+        F.col("kinds"), F.col("event_type")
     )
+    if "created_at_ms" in watches.columns:
+        cond = cond & (F.col("created_at_ms") <= F.unix_millis(F.col("ts")))
+    return with_path(events).join(F.broadcast(watches), cond)
 
 
 def match_summary(matched: DataFrame) -> DataFrame:

@@ -348,3 +348,27 @@ def test_facade_watch_route_on_a_real_stream(spark, sf_dir, events_stream_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_no_retroactive_delivery_guard(spark, sf_dir):
+    """A created_at_ms column on the watches opts into routing.rs's
+    no-retroactive rule: late-born watches match a strict subset, the
+    epoch-born watch is untouched, and every surviving match occurred
+    at-or-after its watch's birth."""
+    from aruna_spark.queries.streaming_suite import (
+        WATCH_CREATED_MS,
+        stream_watch_matches,
+        stream_watch_no_retroactive,
+    )
+
+    base = {
+        r["watch_id"]: r["n_matched"]
+        for r in stream_watch_matches(spark, sf_dir).collect()
+    }
+    guarded_rows = stream_watch_no_retroactive(spark, sf_dir).collect()
+    guarded = {r["watch_id"]: r["n_matched"] for r in guarded_rows}
+    assert guarded["w_user1x"] == base["w_user1x"]
+    assert 0 < guarded["w_clicks"] < base["w_clicks"]
+    assert 0 < guarded["w_errors"] < base["w_errors"]
+    for r in guarded_rows:
+        assert r["first_ts_us"] >= WATCH_CREATED_MS[r["watch_id"]] * 1000
