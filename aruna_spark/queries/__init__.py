@@ -74,6 +74,7 @@ PRIORITY_PREFIXES = (
     "shard_verification_sweep",
     "notify_route_resource_events",
     "stream_watch_no_retroactive",
+    "matq_",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:
@@ -148,6 +149,7 @@ def load_all() -> None:
         ingest_suite,
         jobs,
         listing,
+        matqueue,
         multimodal,
         notify_routing,
         permissions,
