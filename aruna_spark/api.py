@@ -1311,6 +1311,38 @@ class Engine:
             files_only=files_only,
         )
 
+    def create_source_connector(
+        self,
+        name: str,
+        kind: str,
+        public_config: dict[str, str] | None = None,
+        secret_config: dict[str, str] | None = None,
+    ) -> dict:
+        """CreateSourceConnector validation gate
+        (connectors/create_source_connector.rs via validation.rs):
+        returns a 201 envelope echoing the public config (secrets
+        never echo — has_secret_config.rs), or a 400 with the
+        validation error code and offending key."""
+        from aruna_spark.ops.connector_validation import (
+            validate_connector_input,
+        )
+
+        public_config = dict(public_config or {})
+        secret_config = dict(secret_config or {})
+        err = validate_connector_input(
+            name, kind, public_config, secret_config
+        )
+        if err is not None:
+            code, key = err
+            return {"status": 400, "error": code, "key": key}
+        return {
+            "status": 201,
+            "name": name,
+            "kind": kind,
+            "public_config": public_config,
+            "has_secret_config": bool(secret_config),
+        }
+
     # --------------------------------------------------------- quota plane
     def quota_check(
         self, incoming_bytes: int, quota_bytes: int | None = None
