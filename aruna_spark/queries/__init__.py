@@ -75,6 +75,7 @@ PRIORITY_PREFIXES = (
     "notify_route_resource_events",
     "stream_watch_no_retroactive",
     "matq_",
+    "jobs_submit_batch",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:
@@ -168,6 +169,7 @@ def load_all() -> None:
         shard_verify,
         staging_suite,
         similarity,
+        submit,
         sparql_suite,
         streaming_suite,
         textstats,
