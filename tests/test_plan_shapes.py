@@ -72,6 +72,13 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "corpus_retention_funnel",
         "jobs_drain_class_budget",
         "jobs_queue_lag",
+        "blobs_hidden_sweep",
+        "blob_permission_paths",
+        "notify_route_resource_events",
+        "matq_finish_batch",
+        "matq_requeue_sweep",
+        "jobs_submit_batch",
+        "stream_watch_no_retroactive",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
