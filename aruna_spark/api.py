@@ -1343,6 +1343,68 @@ class Engine:
             "has_secret_config": bool(secret_config),
         }
 
+    def create_group_backend(
+        self,
+        name: str,
+        kind: str,
+        public_config: dict[str, str] | None = None,
+        secret_config: dict[str, str] | None = None,
+    ) -> dict:
+        """CreateGroupBackend validation gate (group_backends/create.rs
+        via validation.rs): 201 with the NORMALIZED public config
+        (lowercased keys — what the store will actually read), or 400
+        with the ladder's error code."""
+        from aruna_spark.ops.backend_validation import validate_backend_input
+
+        out = validate_backend_input(
+            name, kind, dict(public_config or {}), dict(secret_config or {})
+        )
+        if isinstance(out, tuple):
+            code, key = out
+            return {"status": 400, "error": code, "key": key}
+        return {
+            "status": 201,
+            "name": name,
+            "kind": kind,
+            "public_config": out["public"],
+            "has_secret_config": bool(out["secret"]),
+        }
+
+    def replace_group_backend(
+        self,
+        existing: dict,
+        name: str,
+        kind: str,
+        public_config: dict[str, str] | None = None,
+        secret_config: dict[str, str] | None = None,
+    ) -> dict:
+        """ReplaceGroupBackend: credentials and the name may change;
+        the store identity (kind + identity keys) is fixed after
+        create (validation.rs:64-93) — 409 otherwise."""
+        from aruna_spark.ops.backend_validation import (
+            check_identity,
+            validate_backend_input,
+        )
+
+        out = validate_backend_input(
+            name, kind, dict(public_config or {}), dict(secret_config or {})
+        )
+        if isinstance(out, tuple):
+            code, key = out
+            return {"status": 400, "error": code, "key": key}
+        clash = check_identity(
+            existing["kind"], existing["public_config"], kind, out["public"]
+        )
+        if clash is not None:
+            return {"status": 409, "error": clash[0], "key": clash[1]}
+        return {
+            "status": 200,
+            "name": name,
+            "kind": kind,
+            "public_config": out["public"],
+            "has_secret_config": bool(out["secret"]),
+        }
+
     # --------------------------------------------------------- quota plane
     def quota_check(
         self, incoming_bytes: int, quota_bytes: int | None = None
