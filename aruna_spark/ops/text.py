@@ -107,3 +107,50 @@ def duck_shingles_sql(toks: str, k: int = 3) -> str:
         f"CASE WHEN len({toks}) >= {k} THEN "
         f"list_transform(range(1, len({toks}) - {k - 2}), i -> {parts}) END"
     )
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Max count of any single element in ``arr`` — a per-row
+    run-length maximum over the sorted array (one ``aggregate`` fold,
+    O(len log len), zero shuffle). Replaces the explode → groupBy →
+    max plan for per-document top-gram counts: same result, but the
+    corpus never shuffles and the whole computation stays a narrow
+    map stage at 100 TB. NULL/empty arrays count 0."""
+    s = F.array_sort(arr)
+    folded = F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(a["prev"].isNotNull() & (a["prev"] == x), a["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(
+                    a["prev"].isNotNull() & (a["prev"] == x), a["run"] + 1
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return F.coalesce(folded["best"], F.lit(0))
+
+
+def spread_for_cpu(df):
+    """Repartition a narrow text relation up to the session's core
+    count when the scan yields fewer splits.
+
+    Compressed text is tiny relative to the per-row work downstream
+    (shingling expands bytes ~10-50x), so both the file-split planner
+    and AQE's byte-based coalescing under-parallelize CPU-heavy gram
+    stages — a 584 KB corpus file plans as ONE task on 32 cores. The
+    explicit numPartitions is respected by AQE. At warehouse scale the
+    scan already yields >= cores splits and this is a no-op."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)

@@ -76,6 +76,7 @@ PRIORITY_PREFIXES = (
     "stream_watch_no_retroactive",
     "matq_",
     "jobs_submit_batch",
+    "notify_inbox_holders",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:
@@ -147,6 +148,7 @@ def load_all() -> None:
         dedup,
         hashpaths,
         hidden,
+        inbox_placement,
         ingest_suite,
         jobs,
         listing,

@@ -28,7 +28,9 @@ from aruna_spark.ops.text import (
     STOPWORDS,
     duck_shingles_sql,
     hash64,
+    max_multiplicity,
     shingles,
+    spread_for_cpu,
     ws_tokens,
 )
 from aruna_spark.queries import register
@@ -310,16 +312,18 @@ def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cross-multiplications (``den*x > num*n``), so the
     pass/fail bits are bit-identical on any engine.
 
-    Scale shape: the 5-gram/word dedup ratios are pure per-row array
-    expressions (no shuffle); ONLY the top-bigram count explodes — and
-    that shuffle is keyed on (doc_id, gram), the highest-cardinality
-    key available, so it is combiner-friendly and skew-free at 100 TB
-    (a per-doc quadratic array fallback would be O(len^2) on long
-    documents; the explode stays O(len log len)). The oracle uses the
+    Scale shape: every ratio INCLUDING the top-bigram count is a pure
+    per-row array expression — the top count is a run-length maximum
+    over the sorted bigram array (``max_multiplicity``: one aggregate
+    fold, O(len log len) per doc), so the whole query is a single
+    narrow map stage + the final per-language rollup; the corpus never
+    shuffles. (The earlier explode → (doc_id, gram) groupBy plan was
+    combiner-friendly but still moved every gram through a shuffle —
+    measured 14.8 s at sf0.1 vs ~1 s folded.) The oracle uses the
     quadratic list mechanism precisely so the two engines compute the
     top count by INDEPENDENT plans.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     toks = ws_tokens(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -337,16 +341,7 @@ def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.size("g2"), F.lit(0)).alias("n2"),
         F.coalesce(F.size("g5"), F.lit(0)).alias("n5"),
         F.coalesce(F.size(F.array_distinct("g5")), F.lit(0)).alias("d5"),
-    )
-    top = (
-        base.select("doc_id", F.explode("g2").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top2"))
-    )
-    per = per.join(top, "doc_id", "left").withColumn(
-        "top2", F.coalesce(F.col("top2"), F.lit(0))
+        max_multiplicity(F.col("g2")).alias("top2"),
     )
     f_top2 = _TOP2_DEN * F.col("top2") > _TOP2_NUM * F.col("n2")
     f_dup5 = _DUP5_DEN * (F.col("n5") - F.col("d5")) > _DUP5_NUM * F.col("n5")
@@ -450,15 +445,16 @@ def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. **quality score** >= {1950} (the `textstats_quality_topk`
        integer score).
 
-    Scale shape: one scan computes every per-doc flag; the dedup
-    winner is a groupBy on the fingerprint (map-side combinable, key
-    cardinality ~= corpus); the only other shuffle is the top-bigram
-    count keyed (doc_id, gram). The funnel envelope is four rows built
-    from ONE aggregate — counting all stages in a single pass instead
-    of re-filtering the corpus per stage, which is the difference
-    between 1 and 4 corpus scans at 100 TB.
+    Scale shape: one scan computes every per-doc flag — including the
+    top-bigram count, a per-row run-length maximum over the sorted
+    bigram array (``max_multiplicity``, zero shuffle); the ONLY
+    shuffle is the dedup winner's fingerprint groupBy (map-side
+    combinable, key cardinality ~= corpus). The funnel envelope is
+    four rows built from ONE aggregate — counting all stages in a
+    single pass instead of re-filtering the corpus per stage, which
+    is the difference between 1 and 4 corpus scans at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     toks = ws_tokens(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -472,13 +468,6 @@ def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = base.join(winners, ["fp", "doc_id"], "inner")
 
-    top = (
-        kept.select("doc_id", F.explode("g2").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top2"))
-    )
     nw, dw = F.size("toks"), F.size(F.array_distinct("toks"))
     n2 = F.coalesce(F.size("g2"), F.lit(0))
     n5 = F.coalesce(F.size("g5"), F.lit(0))
@@ -491,8 +480,7 @@ def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (1000 * size(array_distinct(toks)) div size(toks))"
     )
     flags = (
-        kept.join(top, "doc_id", "left")
-        .withColumn("top2", F.coalesce(F.col("top2"), F.lit(0)))
+        kept.withColumn("top2", max_multiplicity(F.col("g2")))
         .select(
             (stop_hits >= 1).alias("pass_lang"),
             (
