@@ -77,6 +77,8 @@ PRIORITY_PREFIXES = (
     "matq_",
     "jobs_submit_batch",
     "notify_inbox_holders",
+    "registry_subject_conflicts",
+    "registry_subject_merges",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:

@@ -114,3 +114,152 @@ def registry_list_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(more, F.col("__last")).alias("next_start_after"),
         )
     )
+
+
+# ------------------------------------------- subject-conflict resolution
+def load_subject_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with their claimed OIDC subjects. Each user claims two
+    derived subjects over 40 slots, so the fixture guarantees shared
+    claims (the duplicate-account shape register_or_get_oidc_user
+    produces when two records race one identity)."""
+    c = F.col("c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(c % 23 == 9)
+        .select(
+            F.concat(F.lit("user-"), c.cast("string")).alias("user_id"),
+            F.array(
+                F.concat(F.lit("sub-"), (c % 40).cast("string")),
+                F.concat(F.lit("sub-"), ((c * 7) % 40).cast("string")),
+            ).alias("subject_ids"),
+        )
+    )
+
+
+_CLAIMS_SQL = """
+    SELECT 'user-' || c_custkey AS user_id,
+           ['sub-' || (c_custkey % 40),
+            'sub-' || ((c_custkey * 7) % 40)] AS subject_ids
+    FROM customer WHERE c_custkey % 23 = 9
+"""
+
+
+@register(
+    "registry_subject_conflicts",
+    oracle=f"""
+    WITH claims AS ({_CLAIMS_SQL}),
+    pairs AS (
+      SELECT DISTINCT user_id, UNNEST(subject_ids) AS subject_id FROM claims
+    )
+    SELECT p.subject_id,
+           MIN(p.user_id) AS canonical_user,
+           CAST(COUNT(*) AS BIGINT) AS n_claimants,
+           string_agg(p.user_id, ',' ORDER BY p.user_id)
+             AS claimants_csv
+    FROM pairs p
+    GROUP BY p.subject_id
+    HAVING COUNT(*) > 1
+    """,
+)
+def registry_subject_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subjects claimed by more than one user record, with the
+    canonical winner.
+
+    Reference: ``operations/src/user_subject_index.rs``
+    (``build_resolution``, rs:232-301) — when user records share an
+    OIDC subject, the SMALLEST user id becomes canonical and every
+    other claimant merges into it. This is the detection sweep: one
+    explode + one groupBy on the subject (maximal-cardinality key);
+    the canonical choice is the group min.
+    """
+    claims = load_subject_claims(spark, sf_dir)
+    pairs = claims.select(
+        "user_id", F.explode("subject_ids").alias("subject_id")
+    ).distinct()
+    return (
+        pairs.groupBy("subject_id")
+        .agg(
+            F.min("user_id").alias("canonical_user"),
+            F.count(F.lit(1)).alias("n_claimants"),
+            F.concat_ws(",", F.array_sort(F.collect_list("user_id"))).alias(
+                "claimants_csv"
+            ),
+        )
+        .filter(F.col("n_claimants") > 1)
+    )
+
+
+@register(
+    "registry_subject_merges",
+    oracle=f"""
+    WITH claims AS ({_CLAIMS_SQL}),
+    pairs AS (
+      SELECT DISTINCT user_id, UNNEST(subject_ids) AS subject_id FROM claims
+    ),
+    conflicts AS (
+      SELECT subject_id, MIN(user_id) AS canonical_user
+      FROM pairs GROUP BY subject_id HAVING COUNT(*) > 1
+    ),
+    members AS (
+      SELECT DISTINCT c.canonical_user, p.user_id
+      FROM conflicts c JOIN pairs p USING (subject_id)
+    ),
+    merged AS (
+      SELECT m.canonical_user, p2.subject_id, m.user_id
+      FROM members m JOIN pairs p2 ON p2.user_id = m.user_id
+    )
+    SELECT canonical_user,
+           string_agg(DISTINCT subject_id, ','
+                      ORDER BY subject_id) AS merged_subjects_csv,
+           string_agg(DISTINCT CASE WHEN user_id <> canonical_user
+                                    THEN user_id END, ','
+                      ORDER BY (CASE WHEN user_id <> canonical_user
+                                     THEN user_id END)) AS alias_users_csv
+    FROM merged
+    GROUP BY canonical_user
+    """,
+)
+def registry_subject_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-hop canonical merge (rs:250-272): each conflict-winning
+    user absorbs the UNION of its conflict partners' subjects, and the
+    losers become alias ids on the canonical record (then deleted as
+    standalone rows). One hop exactly — the reference resolves per
+    write, not transitively; a full transitive collapse is the
+    dedup_clusters template."""
+    claims = load_subject_claims(spark, sf_dir)
+    pairs = claims.select(
+        "user_id", F.explode("subject_ids").alias("subject_id")
+    ).distinct()
+    conflicts = (
+        pairs.groupBy("subject_id")
+        .agg(
+            F.min("user_id").alias("canonical_user"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .select("subject_id", "canonical_user")
+    )
+    members = (
+        conflicts.join(pairs, "subject_id")
+        .select("canonical_user", "user_id")
+        .distinct()
+    )
+    merged = members.join(pairs, "user_id").select(
+        "canonical_user", "subject_id", "user_id"
+    )
+    return merged.groupBy("canonical_user").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("subject_id"))
+        ).alias("merged_subjects_csv"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("user_id") != F.col("canonical_user"),
+                        F.col("user_id"),
+                    )
+                )
+            ),
+        ).alias("alias_users_csv"),
+    )
