@@ -20,9 +20,10 @@ lanes — no window, no per-event loop.
 
 Modeled fixture: users are customers (``user-<c_custkey>``), group
 membership ``grp-(c_custkey % 10)``, group admin iff
-``c_custkey % 7 == 0``, realm admin iff ``c_custkey % 499 == 3``
-within the fixed id range ``<= 4990`` (bounded like a real admin
-roll, so the onboarded fan-out stays linear in events at any sf).
+``c_custkey % 7 == 0 AND c_custkey <= 7000``, realm admin iff
+``c_custkey % 499 == 3 AND c_custkey <= 4990`` (both bounded like
+real admin rolls, so the fan-out lanes stay linear in events at
+any sf).
 Events from orders ``o_orderkey % 23 == 4``: kind by ``% 3``;
 ``affected = user-o_custkey``; the actor is the affected user when
 ``o_orderkey % 5 == 0`` (self-action → suppressed), the group's
@@ -46,12 +47,12 @@ def _users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select(
         F.concat(F.lit("user-"), c.cast("string")).alias("user_id"),
         F.concat(F.lit("grp-"), (c % 10).cast("string")).alias("group_id"),
-        (c % 7 == 0).alias("is_group_admin"),
-        # realm admins are a BOUNDED set in reality (a handful per
-        # realm), so the fixture pins them to a fixed id range rather
-        # than a residue that grows with the corpus — otherwise the
-        # NodeOnboarded fan-out lane scales events x admins (measured
-        # 6.9x at sf1 with the unbounded residue).
+        # admin rolls are BOUNDED sets in reality (a handful per group
+        # or realm), so the fixture pins both to fixed id ranges
+        # rather than residues that grow with the corpus — otherwise
+        # the fan-out lanes scale events x admins (measured 6.9x /
+        # 5.5x at sf1 with unbounded residues).
+        ((c % 7 == 0) & (c <= 7_000)).alias("is_group_admin"),
         ((c % 499 == 3) & (c <= 4_990)).alias("is_realm_admin"),
     )
 
@@ -150,7 +151,7 @@ def route_resource_events(
 _USERS_SQL = """
     SELECT 'user-' || c_custkey AS user_id,
            'grp-' || (c_custkey % 10) AS group_id,
-           c_custkey % 7 = 0 AS is_group_admin,
+           c_custkey % 7 = 0 AND c_custkey <= 7000 AS is_group_admin,
            c_custkey % 499 = 3 AND c_custkey <= 4990 AS is_realm_admin
     FROM customer
 """
