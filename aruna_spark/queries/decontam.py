@@ -104,7 +104,9 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang contamination summary: training docs, flagged count,
     and the flagged-set id checksum (exact membership, not just
     counts)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from aruna_spark.ops.text import spread_for_cpu
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     flagged = flag_contaminated(docs).withColumn("__f", F.lit(1))
     return (
         docs.filter(F.col("doc_id") % BENCH_MOD != 0)

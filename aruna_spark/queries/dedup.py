@@ -66,7 +66,11 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
     )
-    return docs.unionByName(exact).unionByName(near)
+    from aruna_spark.ops.text import spread_for_cpu
+
+    # text bytes are tiny vs the shingle/minhash work downstream; the
+    # scan plans one task on a small file (see ops/text.spread_for_cpu)
+    return spread_for_cpu(docs.unionByName(exact).unionByName(near))
 
 
 def _ids_csv(ids: Column) -> Column:

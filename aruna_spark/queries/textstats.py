@@ -102,7 +102,7 @@ _DUCK_PROFILE = f"""
 @register("textstats_profile", oracle=_DUCK_PROFILE)
 def textstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile: token counts, ratios, fingerprints."""
-    return _profile(load_table(spark, sf_dir, "documents"))
+    return _profile(spread_for_cpu(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -129,7 +129,7 @@ def textstats_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog an offline pipeline would bootstrap with); grouping it against
     the labeled ``lang`` column gives the confusion matrix.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     toks = ws_tokens(F.col("text"))
     p = docs.select(
         "lang",
@@ -171,7 +171,7 @@ def textstats_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     first. Integer per-mille math keeps the score exactly reproducible on
     any engine and any partitioning.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     p = docs.select(
         "doc_id",
         F.expr(
