@@ -1440,6 +1440,38 @@ class Engine:
 
         return ingest_jsonld(docs)
 
+    def rocrate_summary(
+        self, graph_iri: str, cursor: str, cache=None
+    ) -> dict:
+        """One graph's RO-Crate summary served through the
+        cursor-keyed cache (metadata/summary_cache.rs): a hit requires
+        the caller's cursor (the document's last_event_id) to match
+        the cached one exactly — a moved document never serves its old
+        summary — and misses compute from the triples scan and fill
+        the cache. Returns ``{summary, cached}``."""
+        import json as _json
+
+        from aruna_spark.ops.summary_cache import default_summary_cache
+        from aruna_spark.queries.ingest_suite import rocrate_export_summary
+
+        cache = cache if cache is not None else default_summary_cache()
+        hit = cache.get(graph_iri, cursor)
+        if hit is not None:
+            return {"summary": _json.loads(hit), "cached": True}
+        rows = (
+            rocrate_export_summary(self.spark, self.sf_dir)
+            .filter(F.col("graph_iri") == graph_iri)
+            .collect()
+        )
+        if not rows:
+            return {"summary": None, "cached": False}
+        summary = {
+            k: rows[0][k]
+            for k in ("graph_iri", "n_entities", "n_triples", "entity_types")
+        }
+        cache.put(graph_iri, cursor, _json.dumps(summary))
+        return {"summary": summary, "cached": False}
+
     def export_rocrate(self, triples: DataFrame | None = None) -> DataFrame:
         """Per-graph RO-Crate JSON-LD export (round-trip-exact with
         :meth:`ingest_jsonld`); defaults to the engine's triples."""
