@@ -79,6 +79,7 @@ PRIORITY_PREFIXES = (
     "notify_inbox_holders",
     "registry_subject_conflicts",
     "registry_subject_merges",
+    "registry_resolve_users",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:

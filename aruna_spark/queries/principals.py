@@ -263,3 +263,81 @@ def registry_subject_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("alias_users_csv"),
     )
+
+
+# ----------------------------------------------------- user resolution
+# operations/src/resolve_users.rs + core user_update_validation.rs:10 —
+# display resolution redacts to the SAFE attribute allowlist and omits
+# foreign-realm or unknown ids silently (no error lane: rs:249-296).
+SAFE_USER_ATTRIBUTE_KEYS = ("orcid", "affiliation", "department")
+
+
+def load_user_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user keyspace: realm-sharded names + attributes, including
+    an UNSAFE one (email) the resolver must never echo."""
+    c = F.col("c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("user-"), c.cast("string")).alias("user_id"),
+        F.concat(F.lit("realm-"), (c % 3).cast("string")).alias("realm_id"),
+        F.col("c_name").alias("name"),
+        F.when(c % 2 == 0, F.concat(F.lit("0000-"), c.cast("string"))).alias(
+            "orcid"
+        ),
+        F.when(c % 5 < 2, F.concat(F.lit("org-"), (c % 11).cast("string")))
+        .alias("affiliation"),
+        F.when(c % 7 == 1, F.lit("lab")).alias("department"),
+        F.concat(F.lit("u"), c.cast("string"), F.lit("@example.org")).alias(
+            "email"
+        ),
+    )
+
+
+_DIRECTORY_SQL = """
+    SELECT 'user-' || c_custkey AS user_id,
+           'realm-' || (c_custkey % 3) AS realm_id,
+           c_name AS name,
+           CASE WHEN c_custkey % 2 = 0 THEN '0000-' || c_custkey END
+             AS orcid,
+           CASE WHEN c_custkey % 5 < 2 THEN 'org-' || (c_custkey % 11) END
+             AS affiliation,
+           CASE WHEN c_custkey % 7 = 1 THEN 'lab' END AS department
+    FROM customer
+"""
+
+
+@register(
+    "registry_resolve_users",
+    oracle=f"""
+    WITH directory AS ({_DIRECTORY_SQL}),
+    req AS (
+      SELECT DISTINCT 'user-' || o_custkey AS user_id
+      FROM orders WHERE o_orderkey % 31 = 6
+    )
+    SELECT d.user_id, d.name, d.orcid, d.affiliation, d.department
+    FROM req r JOIN directory d USING (user_id)
+    WHERE d.realm_id = 'realm-0'
+    """,
+)
+def registry_resolve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch display resolution (resolve_users.rs): the request's ids
+    dedup, unknown ids and foreign-realm users drop silently
+    (rs:151,249-296), and attributes redact to the safe allowlist
+    (orcid/affiliation/department — the stored email never echoes,
+    rs:66). One semi-bounded join against the realm-filtered
+    directory."""
+    req = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 6)
+        .select(
+            F.concat(F.lit("user-"), F.col("o_custkey").cast("string")).alias(
+                "user_id"
+            )
+        )
+        .distinct()
+    )
+    directory = load_user_directory(spark, sf_dir).filter(
+        F.col("realm_id") == "realm-0"
+    )
+    return req.join(directory, "user_id").select(
+        "user_id", "name", *SAFE_USER_ATTRIBUTE_KEYS
+    )

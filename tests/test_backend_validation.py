@@ -192,3 +192,25 @@ def test_facade_backend_routes(spark, sf_dir):
         existing, "tenant", "s3", {**S3_PUBLIC, "bucket": "other"}, S3_SECRET
     )
     assert moved == {"status": 409, "error": "immutable", "key": "bucket"}
+
+
+def test_resolve_users_redacts_and_omits(spark, sf_dir):
+    """resolve_users.rs: safe-allowlist redaction + silent omission of
+    foreign-realm ids."""
+    from aruna_spark.queries.principals import (
+        load_user_directory,
+        registry_resolve_users,
+    )
+
+    out = registry_resolve_users(spark, sf_dir)
+    assert set(out.columns) == {
+        "user_id", "name", "orcid", "affiliation", "department"
+    }  # the stored email column never echoes
+    rows = out.collect()
+    assert rows
+    realms = {
+        r["user_id"]: r["realm_id"]
+        for r in load_user_directory(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert realms[r["user_id"]] == "realm-0"
