@@ -110,3 +110,112 @@ def test_protected_entries_survive_orphan_age(spark, sf_dir):
     for r in rows:
         if r["verdict"] == "orphaned":
             assert r["modified_at_ms"] <= cutoff
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aruna_spark.queries.hidden import hidden_sweep
+
+_rand_job = st.tuples(
+    st.sampled_from(["queued", "running", "succeeded", "failed"]),
+    st.booleans(),  # rocrate
+    st.integers(min_value=0, max_value=3),  # k parity driver
+)
+_rand_upload = st.tuples(
+    st.integers(min_value=0, max_value=5),  # claimed: job idx, 5=missing
+    st.booleans(),  # unclaimed instead
+    st.integers(min_value=29_000, max_value=31_000),  # expires vs NOW
+)
+_rand_extra = st.lists(
+    st.integers(min_value=28_500, max_value=29_500),  # modified vs cutoff
+    min_size=0,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_rand_job, min_size=1, max_size=4),
+    st.lists(_rand_upload, min_size=0, max_size=4),
+    _rand_extra,
+)
+def test_sweep_equals_model_on_random_relations(spark, jobs_s, uploads_s, extras):
+    """hidden_sweep == the literal two-pass port over random job
+    states, claim shapes, expiries, and orphan ages around every
+    boundary (NOW=30_000, grace=1_000)."""
+    jobs = [
+        {
+            "job_id": f"job-{i}",
+            "state": state,
+            "k": 2 * i + (kpar % 2),
+            "active": state in ("queued", "running"),
+            "rocrate": rc,
+        }
+        for i, (state, rc, kpar) in enumerate(jobs_s)
+    ]
+    uploads = []
+    for i, (claim_idx, unclaimed, expires) in enumerate(uploads_s):
+        claimed_by = None
+        if not unclaimed:
+            claimed_by = (
+                f"job-{claim_idx}" if claim_idx < len(jobs) else "job-missing"
+            )
+        uploads.append(
+            {
+                "upload_id": f"upl-{i}",
+                "key": f"_jobs/upl-{i}/input_01",
+                "expires_at_ms": expires,
+                "claimed_by": claimed_by,
+            }
+        )
+    hidden = [
+        {"key": u["key"], "modified_at_ms": 28_900 + i}
+        for i, u in enumerate(uploads)
+    ]
+    for j in jobs:
+        hidden.append(
+            {
+                "key": f"_jobs/{j['job_id']}/artifact_01",
+                "modified_at_ms": 28_800 + j["k"] * 50,
+            }
+        )
+        if j["k"] % 2 == 0:
+            hidden.append(
+                {
+                    "key": f"_jobs/{j['job_id']}/input_01",
+                    "modified_at_ms": 29_100,
+                }
+            )
+    for i, m in enumerate(extras):
+        hidden.append({"key": f"_jobs/orph-{i}/tmp_01", "modified_at_ms": m})
+
+    want = _python_model(jobs, uploads, hidden)
+    jdf = spark.createDataFrame(
+        [(j["job_id"], j["state"], j["k"], j["active"], j["rocrate"])
+         for j in jobs],
+        "job_id string, state string, k long, active boolean,"
+        " rocrate boolean",
+    )
+    udf = spark.createDataFrame(
+        [(u["upload_id"], u["key"], u["expires_at_ms"], u["claimed_by"])
+         for u in uploads] or [("u", "_jobs/none/input_01", 0, None)],
+        "upload_id string, key string, expires_at_ms long,"
+        " claimed_by string",
+    )
+    if not uploads:
+        udf = udf.filter("upload_id <> 'u'")
+        want.pop("_jobs/none/input_01", None)
+    hdf = spark.createDataFrame(
+        [(h["key"], h["modified_at_ms"]) for h in hidden],
+        "key string, modified_at_ms long",
+    )
+    got = {
+        r["key"]: r["verdict"]
+        for r in hidden_sweep(hdf, udf, jdf, 30_000, 1_000).collect()
+    }
+    assert got == want
