@@ -80,6 +80,7 @@ PRIORITY_PREFIXES = (
     "registry_subject_conflicts",
     "registry_subject_merges",
     "registry_resolve_users",
+    "perm_allows_matrix",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:

@@ -73,3 +73,184 @@ def perm_visible_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("key").alias("first_key"),
         F.max("key").alias("last_key"),
     )
+
+
+# ------------------------------------------------ the full allows ladder
+# permission_rules.rs:110-157 — the single authorization decision every
+# read path shares:
+#   - a matching DIRECT DENY denies outright;
+#   - a PUBLIC role only ever grants READ (a public WRITE rule grants
+#     nothing — the Everyone principal is read-only by construction);
+#   - a direct READ satisfies required=READ; a direct WRITE satisfies
+#     both (write implies read);
+#   - token path RESTRICTIONS act as a whitelist ON TOP: when the
+#     caller's token carries any, the path must ALSO match a
+#     restriction of sufficient permission, and a restriction DENY
+#     denies outright; with no restrictions the base decision stands.
+# (subject, glob, permission, direct, public)
+ALLOW_RULES = [
+    ("alice", "data/src1/**", "READ", True, False),
+    ("alice", "data/src1/de/**", "DENY", True, False),
+    ("alice", "data/src2/**", "READ", False, True),  # public READ
+    ("bob", "data/*/en/**", "WRITE", True, False),
+    ("bob", "data/src3/**", "WRITE", False, True),  # public WRITE: inert
+    ("carol", "**", "READ", True, False),
+    ("root", "**", "WRITE", True, False),
+]
+# carol's token restrictions: src1 read-only, minus the de subtree
+TOKEN_RESTRICTIONS = [
+    ("carol", "data/src1/**", "READ"),
+    ("carol", "data/src1/de/**", "DENY"),
+]
+
+_C_RULES = [
+    (s, glob_to_regex(g), p, d, pub) for s, g, p, d, pub in ALLOW_RULES
+]
+_C_RESTR = [(s, glob_to_regex(g), p) for s, g, p in TOKEN_RESTRICTIONS]
+_D_RULES = ", ".join(
+    f"('{s}', '{g}', '{p}', {str(d).upper()}, {str(pub).upper()})"
+    for s, g, p, d, pub in _C_RULES
+)
+_D_RESTR = ", ".join(f"('{s}', '{g}', '{p}')" for s, g, p in _C_RESTR)
+
+
+def allows(paths: DataFrame, rules: DataFrame, restrictions: DataFrame,
+           required: str) -> DataFrame:
+    """(key, subject_id, allowed) for one required permission."""
+    subjects = rules.select("subject_id").distinct()
+    matched = paths.crossJoin(subjects).join(
+        rules.withColumnRenamed("subject_id", "__rs"),
+        (F.col("subject_id") == F.col("__rs"))
+        & F.regexp_like(F.col("key"), F.col("pattern")),
+        "left",
+    )
+    is_req_read = required == "READ"
+    grant = (
+        (F.col("public") & (F.col("permission") == "READ") & F.lit(is_req_read))
+        | (F.col("direct") & (F.col("permission") == "READ") & F.lit(is_req_read))
+        | (F.col("direct") & (F.col("permission") == "WRITE"))
+    )
+    base = matched.groupBy("key", "subject_id").agg(
+        F.max(
+            (F.col("direct") & (F.col("permission") == "DENY")).cast("int")
+        ).alias("deny"),
+        F.max(F.coalesce(grant, F.lit(False)).cast("int")).alias("grant"),
+    )
+    r = restrictions.withColumnRenamed("subject_id", "__ts")
+    has_restr = restrictions.select(
+        F.col("subject_id"), F.lit(True).alias("__has")
+    ).distinct()
+    rmatch = (
+        base.join(
+            r,
+            (F.col("subject_id") == F.col("__ts"))
+            & F.regexp_like(F.col("key"), F.col("pattern")),
+            "left",
+        )
+        .groupBy("key", "subject_id", "deny", "grant")
+        .agg(
+            F.max((F.col("permission") == "DENY").cast("int")).alias("rdeny"),
+            F.max(
+                (
+                    (F.col("permission") == "READ") & F.lit(is_req_read)
+                    | (F.col("permission") == "WRITE")
+                ).cast("int")
+            ).alias("rgrant"),
+        )
+        .join(has_restr, "subject_id", "left")
+    )
+    restr_ok = F.when(F.col("__has").isNull(), F.lit(True)).otherwise(
+        (F.coalesce(F.col("rdeny"), F.lit(0)) == 0)
+        & (F.coalesce(F.col("rgrant"), F.lit(0)) == 1)
+    )
+    return rmatch.select(
+        "key",
+        "subject_id",
+        (
+            (F.col("deny") == 0) & (F.col("grant") == 1) & restr_ok
+        ).alias("allowed"),
+    )
+
+
+@register(
+    "perm_allows_matrix",
+    oracle=f"""
+    WITH objects AS ({OBJECTS_ORACLE_SQL}),
+    latest AS (SELECT key FROM objects
+               WHERE is_latest AND NOT is_delete_marker),
+    rules(subject_id, pattern, permission, direct, public) AS
+      (VALUES {_D_RULES}),
+    restr(subject_id, pattern, permission) AS (VALUES {_D_RESTR}),
+    subjects AS (SELECT DISTINCT subject_id FROM rules),
+    reqs(required) AS (VALUES ('READ'), ('WRITE')),
+    cells AS (SELECT l.key, s.subject_id, q.required
+              FROM latest l CROSS JOIN subjects s CROSS JOIN reqs q),
+    base AS (
+      SELECT c.key, c.subject_id, c.required,
+             MAX(CASE WHEN r.direct AND r.permission = 'DENY'
+                      THEN 1 ELSE 0 END) AS deny,
+             MAX(CASE WHEN (r.public AND r.permission = 'READ'
+                            AND c.required = 'READ')
+                       OR (r.direct AND r.permission = 'READ'
+                           AND c.required = 'READ')
+                       OR (r.direct AND r.permission = 'WRITE')
+                      THEN 1 ELSE 0 END) AS grnt
+      FROM cells c
+      LEFT JOIN rules r ON r.subject_id = c.subject_id
+                       AND regexp_matches(c.key, r.pattern)
+      GROUP BY 1, 2, 3
+    ),
+    rbase AS (
+      SELECT b.*,
+             MAX(CASE WHEN t.permission = 'DENY' THEN 1 ELSE 0 END) AS rdeny,
+             MAX(CASE WHEN (t.permission = 'READ' AND b.required = 'READ')
+                       OR t.permission = 'WRITE' THEN 1 ELSE 0 END) AS rgrant,
+             MAX(CASE WHEN b.subject_id IN
+                       (SELECT subject_id FROM restr) THEN 1 ELSE 0 END)
+               AS has_restr
+      FROM base b
+      LEFT JOIN restr t ON t.subject_id = b.subject_id
+                       AND regexp_matches(b.key, t.pattern)
+      GROUP BY b.key, b.subject_id, b.required, b.deny, b.grnt
+    )
+    SELECT subject_id, required,
+           CAST(SUM(CASE WHEN deny = 0 AND grnt = 1
+                          AND (has_restr = 0
+                               OR (rdeny = 0 AND rgrant = 1))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           MIN(CASE WHEN deny = 0 AND grnt = 1
+                     AND (has_restr = 0 OR (rdeny = 0 AND rgrant = 1))
+                    THEN key END) AS first_key
+    FROM rbase
+    GROUP BY 1, 2
+    """,
+)
+def perm_allows_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full allows ladder over the live catalog for every caller
+    and both required permissions: public roles grant READ only,
+    direct DENY wins outright, WRITE implies READ, and carol's token
+    restrictions whitelist src1-minus-de on top of her realm-wide
+    READ role. Summarized per (caller, required)."""
+    from aruna_spark.sources.objects import live_latest
+
+    latest = live_latest(load_object_versions(spark, sf_dir)).select("key")
+    rules = spark.createDataFrame(
+        _C_RULES,
+        "subject_id string, pattern string, permission string,"
+        " direct boolean, public boolean",
+    )
+    restr = spark.createDataFrame(
+        _C_RESTR, "subject_id string, pattern string, permission string"
+    )
+    out = []
+    for req in ("READ", "WRITE"):
+        out.append(
+            allows(latest, rules, restr, req).withColumn(
+                "required", F.lit(req)
+            )
+        )
+    both = out[0].unionByName(out[1])
+    return both.groupBy("subject_id", "required").agg(
+        F.sum(F.col("allowed").cast("int")).cast("long").alias("n_allowed"),
+        F.min(F.when(F.col("allowed"), F.col("key"))).alias("first_key"),
+    )

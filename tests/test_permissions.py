@@ -130,3 +130,55 @@ def test_engine_visibility_scope_filters_reads(spark, sf_dir):
         raise AssertionError("expected GraphNotFoundError")
     except GraphNotFoundError:
         pass
+
+
+def test_allows_ladder_gates(spark, sf_dir):
+    """permission_rules.rs:110-157 — the four gates, end to end:
+    public roles grant READ only, WRITE implies READ, direct DENY and
+    restriction DENY carve subtrees, restrictions whitelist on top."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.queries.permissions import perm_allows_matrix
+    from aruna_spark.queries.permissions import allows, _C_RULES, _C_RESTR
+    from aruna_spark.sources.objects import live_latest, load_object_versions
+
+    rows = {
+        (r["subject_id"], r["required"]): r["n_allowed"]
+        for r in perm_allows_matrix(spark, sf_dir).collect()
+    }
+    # a caller with only READ-capable rules never writes
+    assert rows[("alice", "WRITE")] == 0
+    assert rows[("carol", "WRITE")] == 0
+    # WRITE implies READ: bob's counts match exactly
+    assert rows[("bob", "READ")] == rows[("bob", "WRITE")] > 0
+    # restrictions whittle carol's realm-wide READ to a strict subset
+    assert 0 < rows[("carol", "READ")] < rows[("root", "READ")]
+    # per-key spot checks: the de subtree is DENY-carved for alice and
+    # restriction-carved for carol; bob's public src3 WRITE is inert
+    latest = live_latest(
+        load_object_versions(spark, sf_dir)
+    ).select("key")
+    rules = spark.createDataFrame(
+        _C_RULES,
+        "subject_id string, pattern string, permission string,"
+        " direct boolean, public boolean",
+    )
+    restr = spark.createDataFrame(
+        _C_RESTR, "subject_id string, pattern string, permission string"
+    )
+    decided = allows(latest, rules, restr, "READ")
+    de_rows = decided.filter(
+        F.col("key").startswith("data/src1/de/")
+        & F.col("subject_id").isin("alice", "carol")
+        & F.col("allowed")
+    )
+    assert de_rows.count() == 0
+    # bob's direct data/*/en/** rule legitimately covers src3/en —
+    # the PUBLIC src3 WRITE rule must grant nothing beyond it
+    src3_bob = decided.filter(
+        F.col("key").startswith("data/src3/")
+        & ~F.col("key").startswith("data/src3/en/")
+        & (F.col("subject_id") == "bob")
+        & F.col("allowed")
+    )
+    assert src3_bob.count() == 0
