@@ -338,3 +338,335 @@ def placement_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("subject").alias("min_subject"),
         )
     )
+
+
+# ------------------------------------------------ subject overrides
+def resolve_with_override(
+    nodes: DataFrame, overrides: DataFrame, replica_count: int
+) -> DataFrame:
+    """resolver.rs:88-160 WITH a subject override.
+
+    ``overrides``: (subject, pinned array<string>, excluded
+    array<string>). Semantics (rs:97-126):
+
+    - EXCLUSION WINS over a pin — a node in both is never selected;
+    - pins validate in order against sync-eligibility and
+      AVAILABILITY only (``is_available``: not full, not draining,
+      effective weight > 0) — a pin BYPASSES Filter affinities, so an
+      operator can pin outside the strategy's label filter;
+    - valid pins claim first (dedup'd, capped at the replica count)
+      and their locations count as seen for distinct-locations;
+    - the rendezvous walk fills the remainder, skipping excluded and
+      already-used nodes and pinned locations; ``W_loc`` stays
+      UNCHANGED by exclusions (like availability, a per-resolution
+      reject must not re-rank locations — rs:268-272).
+    """
+    avail = nodes.select(
+        "node_id",
+        "location",
+        "eff_weight",
+        "eligible",
+        (
+            ~F.col("full") & ~F.col("draining") & (F.col("eff_weight") > 0)
+        ).alias("available"),
+    )
+    ov = overrides.select(
+        "subject",
+        F.coalesce("pinned", F.array()).alias("pinned"),
+        F.coalesce("excluded", F.array()).alias("excluded"),
+    )
+    pin_rows = ov.select(
+        "subject",
+        "excluded",
+        F.posexplode("pinned").alias("pin_pos", "node_id"),
+    )
+    valid_pins = (
+        pin_rows.filter(~F.array_contains("excluded", F.col("node_id")))
+        .join(avail.filter("available"), "node_id")
+        .groupBy("subject", "node_id", "location")
+        .agg(F.min("pin_pos").alias("pin_pos"))
+    )
+    ranked_pins = valid_pins.groupBy("subject").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pin_pos", "node_id", "location")
+                )
+            ),
+            1,
+            replica_count,
+        ).alias("pins")
+    )
+    pin_out = ranked_pins.select(
+        "subject", F.posexplode("pins").alias("__p", "__r")
+    ).select(
+        "subject",
+        (F.col("__p") + 1).cast("int").alias("replica_rank"),
+        F.col("__r")["node_id"].alias("node_id"),
+        F.col("__r")["location"].alias("location"),
+        F.lit(True).alias("pinned"),
+    )
+    pin_stats = pin_out.groupBy("subject").agg(
+        F.count(F.lit(1)).alias("n_pins"),
+        F.collect_set("node_id").alias("pin_nodes"),
+        F.collect_set("location").alias("pin_locs"),
+    )
+
+    locs = nodes.groupBy("location").agg(
+        F.sum(
+            F.when(F.col("passes_filters"), F.col("eff_weight")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("w_loc")
+    )
+    subs = ov.join(pin_stats, "subject", "left").select(
+        "subject",
+        F.coalesce("n_pins", F.lit(0)).alias("n_pins"),
+        F.coalesce("pin_nodes", F.array()).alias("pin_nodes"),
+        F.coalesce("pin_locs", F.array()).alias("pin_locs"),
+        "excluded",
+    )
+    pn = subs.crossJoin(F.broadcast(nodes)).select(
+        "subject",
+        "n_pins",
+        "pin_locs",
+        "location",
+        F.struct(
+            neg_log2_q24(
+                selector_hash(ROLE_NODE, F.col("subject"), F.col("node_id"))
+            ).alias("l"),
+            F.col("eff_weight").alias("w"),
+            F.col("node_id").alias("id"),
+            (
+                F.col("eligible")
+                & ~F.array_contains(F.col("excluded"), F.col("node_id"))
+                & ~F.array_contains(F.col("pin_nodes"), F.col("node_id"))
+            ).alias("eligible"),
+        ).alias("m"),
+    )
+    best = pn.groupBy("subject", "n_pins", "pin_locs", "location").agg(
+        F.get(
+            F.filter(
+                F.array_sort(F.collect_list("m"), rendezvous_cmp),
+                lambda m: m["eligible"],
+            ),
+            0,
+        )["id"].alias("best_node")
+    )
+    pl = subs.select("subject").crossJoin(F.broadcast(locs)).select(
+        "subject",
+        "location",
+        "w_loc",
+        neg_log2_q24(
+            selector_hash(ROLE_LOCATION, F.col("subject"), F.col("location"))
+        ).alias("l_loc"),
+    )
+    qual = pl.join(best, ["subject", "location"]).filter(
+        (F.col("w_loc") > 0)
+        & F.col("best_node").isNotNull()
+        & ~F.array_contains(F.col("pin_locs"), F.col("location"))
+    )
+    walk = (
+        qual.groupBy("subject", "n_pins")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_loc").alias("l"),
+                            F.col("w_loc").alias("w"),
+                            F.col("location").alias("id"),
+                            F.col("best_node").alias("node"),
+                        )
+                    ),
+                    rendezvous_cmp,
+                ),
+                1,
+                F.greatest(
+                    F.lit(replica_count) - F.col("n_pins"), F.lit(0)
+                ),
+            ).alias("top")
+        )
+        .select(
+            "subject",
+            "n_pins",
+            F.posexplode("top").alias("__p", "__r"),
+        )
+        .select(
+            "subject",
+            (F.col("n_pins") + F.col("__p") + 1)
+            .cast("int")
+            .alias("replica_rank"),
+            F.col("__r")["node"].alias("node_id"),
+            F.col("__r")["id"].alias("location"),
+            F.lit(False).alias("pinned"),
+        )
+    )
+    return pin_out.unionByName(walk)
+
+
+def load_overrides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overrides for 1/3 of the resolve subjects: two ordered pins and
+    one exclusion that COLLIDES with the second pin on odd keys (the
+    exclusion-wins branch); even keys exclude a third node instead."""
+    p = F.col("p_partkey")
+    nid = lambda e: F.concat(
+        F.lit("node-"), F.lpad((e % 25).cast("string"), 2, "0")
+    )
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter((p % 20 == 3) & (p % 3 == 0))
+        .select(
+            F.concat(F.lit("blob-"), p.cast("string")).alias("subject"),
+            F.array(nid(p), nid(p + 7)).alias("pinned"),
+            F.array(
+                F.when(p % 2 == 1, nid(p + 7)).otherwise(nid(p + 3))
+            ).alias("excluded"),
+        )
+    )
+
+
+_OV_SUBJECTS_SQL = """
+    SELECT 'blob-' || p_partkey AS subject,
+           p_partkey AS p
+    FROM part WHERE p_partkey % 20 = 3 AND p_partkey % 3 = 0
+"""
+
+
+@register(
+    "placement_resolve_override",
+    oracle=f"""
+    WITH RECURSIVE nodes AS ({_NODES_SQL}),
+    extra AS (
+      SELECT node_id, location, eff_weight, eligible,
+             eff_weight > 0 AND n % 11 <> 3 AND n % 13 <> 4 AS available
+      FROM (SELECT *, CAST(substr(node_id, 6, 2) AS INT) AS n FROM nodes)
+    ),
+    locs AS (
+      SELECT location,
+             CAST(SUM(CASE WHEN passes_filters THEN eff_weight
+                      ELSE 0 END) AS BIGINT) AS w_loc
+      FROM nodes GROUP BY location
+    ),
+    ov AS (
+      SELECT subject, p,
+             ['node-' || lpad(CAST(p % 25 AS VARCHAR), 2, '0'),
+              'node-' || lpad(CAST((p + 7) % 25 AS VARCHAR), 2, '0')]
+               AS pinned,
+             [CASE WHEN p % 2 = 1
+                   THEN 'node-' || lpad(CAST((p + 7) % 25 AS VARCHAR), 2, '0')
+                   ELSE 'node-' || lpad(CAST((p + 3) % 25 AS VARCHAR), 2, '0')
+              END] AS excluded
+      FROM ({_OV_SUBJECTS_SQL})
+    ),
+    pin_rows AS (
+      SELECT o.subject, o.excluded, r.i AS pin_pos,
+             o.pinned[CAST(r.i + 1 AS INT)] AS node_id
+      FROM ov o CROSS JOIN (SELECT * FROM range(2)) r(i)
+    ),
+    valid_pins AS (
+      SELECT pr.subject, pr.node_id, e.location,
+             MIN(pr.pin_pos) AS pin_pos
+      FROM pin_rows pr
+      JOIN extra e ON e.node_id = pr.node_id AND e.available
+      WHERE NOT list_contains(pr.excluded, pr.node_id)
+      GROUP BY 1, 2, 3
+    ),
+    ranked_pins AS (
+      SELECT subject, node_id, location,
+             row_number() OVER (PARTITION BY subject
+                                ORDER BY pin_pos) AS replica_rank
+      FROM valid_pins
+    ),
+    pins AS (
+      SELECT * FROM ranked_pins WHERE replica_rank <= {REPLICA_COUNT}
+    ),
+    pin_stats AS (
+      SELECT o.subject,
+             COUNT(p.node_id) AS n_pins,
+             COALESCE(list(p.node_id)
+                      FILTER (WHERE p.node_id IS NOT NULL), []) AS pin_nodes,
+             COALESCE(list(p.location)
+                      FILTER (WHERE p.location IS NOT NULL), []) AS pin_locs
+      FROM ov o LEFT JOIN pins p USING (subject)
+      GROUP BY o.subject
+    ),
+    pairs_n AS (
+      SELECT o.subject, n.node_id FROM ov o CROSS JOIN nodes n
+    ),
+    {duck_neg_log2_cte(
+        "pairs_n",
+        duck_selector_hash(ROLE_NODE, "subject", "node_id"),
+        "subject, node_id",
+        "nn",
+    )},
+    pairs_l AS (
+      SELECT o.subject, l.location FROM ov o CROSS JOIN locs l
+    ),
+    {duck_neg_log2_cte(
+        "pairs_l",
+        duck_selector_hash(ROLE_LOCATION, "subject", "location"),
+        "subject, location",
+        "ll",
+    )},
+    members AS (
+      SELECT sc.subject, n.location, n.node_id, n.eff_weight,
+             (n.eligible
+              AND NOT list_contains(o.excluded, n.node_id)
+              AND NOT list_contains(s.pin_nodes, n.node_id)) AS eligible,
+             sc.l_score
+      FROM nn_scored sc
+      JOIN nodes n USING (node_id)
+      JOIN ov o ON o.subject = sc.subject
+      JOIN pin_stats s ON s.subject = sc.subject
+    ),
+    best AS (
+      SELECT m.subject, m.location, m.node_id
+      FROM members m
+      WHERE m.eligible AND NOT EXISTS (
+        SELECT 1 FROM members o
+        WHERE o.subject = m.subject AND o.location = m.location
+          AND o.eligible AND o.node_id <> m.node_id
+          AND {_PRECEDES_NODE}
+      )
+    ),
+    qual AS (
+      SELECT sc.subject, sc.location, l.w_loc, sc.l_score, b.node_id,
+             s.n_pins
+      FROM ll_scored sc
+      JOIN locs l USING (location)
+      JOIN best b ON b.subject = sc.subject AND b.location = sc.location
+      JOIN pin_stats s ON s.subject = sc.subject
+      WHERE l.w_loc > 0
+        AND NOT list_contains(s.pin_locs, sc.location)
+    ),
+    walk AS (
+      SELECT q.subject, q.location, q.node_id, q.n_pins,
+             q.n_pins + 1 + (SELECT COUNT(*) FROM qual o
+                  WHERE o.subject = q.subject
+                    AND o.location <> q.location
+                    AND {_PRECEDES_LOC}) AS replica_rank
+      FROM qual q
+    )
+    SELECT subject, CAST(replica_rank AS INT) AS replica_rank,
+           node_id, location, TRUE AS pinned
+    FROM pins
+    UNION ALL
+    SELECT subject, CAST(replica_rank AS INT), node_id, location, FALSE
+    FROM walk WHERE replica_rank <= {REPLICA_COUNT}
+    """,
+)
+def placement_resolve_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Override-carrying subjects resolved through the pin-then-walk
+    path: valid pins (exclusion wins, availability-only validation —
+    filters bypassed) claim first in order, and the rendezvous walk
+    fills the remainder over unpinned locations minus excluded nodes.
+    The oracle rebuilds pins via windowed ordinals and the walk via
+    pairwise precedence — independent mechanisms."""
+    return resolve_with_override(
+        load_nodes(spark, sf_dir),
+        load_overrides(spark, sf_dir),
+        REPLICA_COUNT,
+    )

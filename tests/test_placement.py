@@ -226,3 +226,118 @@ def test_shard_spark_matches_python(spark):
         ).collect()
     }
     assert got == {s: py_shard(s, 64) for s in got}
+
+
+def py_resolve_override(nodes, subject, replicas, pinned, excluded):
+    """resolver.rs:88-160 WITH an override, literally: exclusion wins
+    over a pin, pins validate on availability only (filters
+    bypassed), the walk fills the remainder."""
+    exc = set(excluded)
+    by_id = {n["node_id"]: n for n in nodes}
+    result, used, seen = [], set(), set()
+    for pin in pinned:
+        if len(result) >= replicas:
+            return result
+        if pin in used or pin in exc:
+            continue
+        n = by_id.get(pin)
+        if n is None or not n["available"]:
+            continue
+        result.append((pin, True))
+        used.add(pin)
+        seen.add(n["location"])
+    locs: dict[str, list[dict]] = {}
+    for n in nodes:
+        locs.setdefault(n["location"], []).append(n)
+    w_loc = {
+        k: sum(n["eff"] for n in v if n["passes"]) for k, v in locs.items()
+    }
+    for name in py_rank(
+        ROLE_LOCATION, subject, [(k, w_loc[k]) for k in locs]
+    ):
+        if len(result) >= replicas:
+            break
+        if w_loc[name] == 0 or name in seen:
+            continue
+        for nid in py_rank(
+            ROLE_NODE,
+            subject,
+            [(n["node_id"], n["eff"]) for n in locs[name]],
+        ):
+            n = by_id[nid]
+            if nid in used or nid in exc or not n["eligible"]:
+                continue
+            result.append((nid, False))
+            used.add(nid)
+            seen.add(name)
+            break
+    return result
+
+
+def test_resolve_override_equals_python_port(spark):
+    from aruna_spark.queries.placement import resolve_with_override
+
+    _onode = st.tuples(
+        st.integers(0, 2),  # location
+        st.integers(0, 3),  # weight/100
+        st.booleans(),  # passes filters
+        st.booleans(),  # available (not full/draining)
+    )
+
+    @given(
+        raw=st.lists(_onode, min_size=1, max_size=8),
+        replicas=st.integers(1, 4),
+        pin_idx=st.lists(st.integers(0, 8), max_size=3),
+        exc_idx=st.lists(st.integers(0, 8), max_size=2),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(raw, replicas, pin_idx, exc_idx):
+        nodes = [
+            {
+                "node_id": f"n{i:02d}",
+                "location": f"loc-{li}",
+                "eff": w * 100,
+                "passes": p,
+                "available": a and w > 0,
+                "eligible": p and a and w > 0,
+            }
+            for i, (li, w, p, a) in enumerate(raw)
+        ]
+        pinned = [f"n{i:02d}" for i in pin_idx]  # may name missing nodes
+        excluded = [f"n{i:02d}" for i in exc_idx]
+        ndf = spark.createDataFrame(
+            [
+                (
+                    n["node_id"],
+                    n["location"],
+                    n["eff"],
+                    n["passes"],
+                    n["eligible"],
+                    not n["available"],  # model "full" as unavailable
+                    False,
+                )
+                for n in nodes
+            ],
+            "node_id string, location string, eff_weight long,"
+            " passes_filters boolean, eligible boolean, full boolean,"
+            " draining boolean",
+        )
+        odf = spark.createDataFrame(
+            [("alpha", pinned, excluded), ("beta", pinned[:1], excluded)],
+            "subject string, pinned array<string>, excluded array<string>",
+        )
+        got: dict[str, list] = {"alpha": [], "beta": []}
+        for r in resolve_with_override(ndf, odf, replicas).collect():
+            got[r.subject].append((r.replica_rank, r.node_id, r.pinned))
+        for s, pins in (("alpha", pinned), ("beta", pinned[:1])):
+            want = py_resolve_override(nodes, s, replicas, pins, excluded)
+            want_ranked = [
+                (i + 1, nid, flag) for i, (nid, flag) in enumerate(want)
+            ]
+            assert sorted(got[s]) == want_ranked, (s, got[s], want_ranked)
+
+    prop()
