@@ -144,6 +144,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from aruna_spark.queries import (  # noqa: F401
         backlinks,
+        bindings,
         buckets,
         checksums_suite,
         crdt_suite,
