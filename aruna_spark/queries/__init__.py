@@ -81,6 +81,7 @@ PRIORITY_PREFIXES = (
     "registry_subject_merges",
     "registry_resolve_users",
     "perm_allows_matrix",
+    "s3_search_buckets",
     "registry_list_groups",
     "registry_list_users",
     # r7-unchecked backlog, least-recently-driver-checked first:

@@ -247,3 +247,122 @@ def s3_bucket_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce("total_bytes", F.lit(0)).cast("long").alias("total_bytes"),
     )
+
+
+# ------------------------------------------------------- bucket search
+# operations/src/s3/search_buckets.rs — substring search over the
+# bucket keyspace (result cap 50, scan cap 1,000 — rs:83-84), each
+# candidate gated by a READ permission check on its bucket permission
+# path (blob_bucket_permission_path) BEFORE it can hit, then enriched
+# with the owning group's display name. The limit counts AUTHORIZED
+# hits in scan (name) order.
+SEARCH_RESULT_CAP = 50  # rs:83
+SEARCH_SCAN_CAP = 1_000  # rs:84
+_SEARCH_NODE = "node-00"  # the serving node in the permission path
+
+# the searcher reads grp-main's data plane, minus one carved bucket
+SEARCH_GRANTS = [
+    ("searcher", "/realm-2/g/grp-main/data/**", "READ", True, False),
+    ("searcher", "**/archive-src1", "DENY", True, False),
+]
+
+
+def search_buckets(
+    buckets: DataFrame, query: str, limit: int
+) -> DataFrame:
+    """Authorized substring hits in name order, capped at ``limit``."""
+    from aruna_spark.ops.globs import glob_to_regex
+    from aruna_spark.queries.permissions import allows
+
+    spark = buckets.sparkSession
+    rules = spark.createDataFrame(
+        [(s, glob_to_regex(g), p, d, pub)
+         for s, g, p, d, pub in SEARCH_GRANTS],
+        "subject_id string, pattern string, permission string,"
+        " direct boolean, public boolean",
+    )
+    no_restr = spark.createDataFrame(
+        [], "subject_id string, pattern string, permission string"
+    )
+    cand = buckets.filter(F.col("name").contains(query)).select(
+        F.concat(
+            F.lit("/realm-2/g/"),
+            F.col("group_id"),
+            F.lit(f"/data/{_SEARCH_NODE}/"),
+            F.col("name"),
+        ).alias("key"),
+        "name",
+        "group_id",
+        "created_at",
+    )
+    decided = allows(
+        cand.select("key"), rules, no_restr, "READ"
+    ).filter("allowed")
+    hits = cand.join(decided, "key").select(
+        "name", "group_id", "created_at"
+    )
+    limit = min(int(limit), SEARCH_RESULT_CAP)
+    # the bucket keyspace is config-bounded: rank via one sorted array
+    # (no global window) and keep the first `limit` authorized hits
+    top = hits.agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("name", "group_id", "created_at"))
+            ),
+            1,
+            limit,
+        ).alias("top")
+    )
+    return top.select(F.explode("top").alias("h")).select(
+        F.concat(
+            F.lit(f"arn:aruna:s3:::{_SEARCH_NODE}:"), F.col("h.name")
+        ).alias("arn"),
+        F.col("h.name").alias("bucket"),
+        F.col("h.group_id").alias("group_id"),
+        F.concat(F.lit("Group "), F.col("h.group_id")).alias("group_name"),
+        F.col("h.created_at").alias("created_at"),
+    )
+
+
+@register(
+    "s3_search_buckets",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT 'corpus' AS name, 'grp-main' AS group_id, 100 AS created_at
+      UNION ALL
+      SELECT 'staging', 'grp-main', 101
+      UNION ALL
+      SELECT DISTINCT 'archive-' || source,
+             CASE WHEN length(source) % 2 = 0 THEN 'grp-main'
+                  ELSE 'grp-other' END,
+             200 + CAST(substr(source, 4) AS INT)
+      FROM documents
+    ),
+    cand AS (
+      SELECT name, group_id, created_at,
+             '/realm-2/g/' || group_id || '/data/{_SEARCH_NODE}/' || name
+               AS key
+      FROM buckets WHERE name LIKE '%a%'
+    ),
+    authz AS (
+      SELECT * FROM cand
+      WHERE group_id = 'grp-main' AND name NOT LIKE '%archive-src1'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY name, group_id, created_at)
+               AS rnk
+      FROM authz
+    )
+    SELECT 'arn:aruna:s3:::{_SEARCH_NODE}:' || name AS arn,
+           name AS bucket, group_id,
+           'Group ' || group_id AS group_name, created_at
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def s3_search_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SearchBuckets: substring candidates, the per-bucket READ gate
+    (grp-main's data plane minus the carved archive-src1), group-name
+    enrichment, and the authorized-hit cap in scan order. The oracle
+    states the authorization OUTCOME in closed form (group + carve)
+    rather than re-running the glob engine — independent mechanisms."""
+    return search_buckets(load_buckets(spark, sf_dir), "a", 5)
