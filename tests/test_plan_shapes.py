@@ -79,6 +79,12 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "matq_requeue_sweep",
         "jobs_submit_batch",
         "stream_watch_no_retroactive",
+        "perm_allows_matrix",
+        "placement_strategy_binding",
+        "s3_search_buckets",
+        "registry_subject_conflicts",
+        "registry_resolve_users",
+        "placement_resolve_override",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
