@@ -177,3 +177,62 @@ def validate_bearer_token(
     if trust_err is not None:
         return (trust_err, None)
     return ("ok", claims)
+
+
+def _add_12_months(iat: float) -> float:
+    """chrono ``checked_add_months(12)``: same calendar date next
+    year, day clamped to the target month's length (Feb 29 -> 28)."""
+    import calendar
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(iat, tz=timezone.utc)
+    year = dt.year + 1
+    day = min(dt.day, calendar.monthrange(year, dt.month)[1])
+    return dt.replace(year=year, day=day).timestamp()
+
+
+def create_token(
+    time_s: float,
+    expiry: float | None,
+    user_id: str,
+    realm_seed: bytes | None,
+    capabilities: dict,
+) -> tuple[str, str | None]:
+    """CreateToken (operations/src/create_token.rs): Local nodes hold
+    no token-minting capability (rs:47-56); an explicit expiry must
+    exceed ``iat`` and the default is +12 calendar months (rs:58-75);
+    Management nodes sign with the realm key, Server nodes with their
+    delegated issuer key, embedding ``issuer_pubkey`` and the realm's
+    ``delegation_signature`` (rs:77-126). Returns
+    ``(status, token_or_None)``."""
+    kind = capabilities.get("kind")
+    if kind == "local":
+        return ("not_enough_capabilities", None)
+    iat = float(time_s)
+    if expiry is not None:
+        if expiry <= iat:
+            return ("invalid_timestamp", None)
+        exp = float(expiry)
+    else:
+        exp = _add_12_months(iat)
+    # deterministic jti: hash of (user, iat) — the reference mints a
+    # ULID; anything unique per issuance works and this stays testable
+    jti = hashlib.sha256(f"{user_id}|{iat}".encode()).hexdigest()[:26]
+    claims = {
+        "sub": user_id,
+        "iss": _b64e(public_key(realm_seed)),
+        "iat": iat,
+        "exp": exp,
+        "jti": jti,
+    }
+    if kind == "management":
+        return ("ok", encode_token(claims, realm_seed))
+    if kind == "server":
+        issuer_seed = capabilities["issuer_seed"]
+        issuer_pub = _b64e(public_key(issuer_seed))
+        claims["issuer_pubkey"] = issuer_pub
+        claims["delegation_signature"] = _b64e(
+            sign(realm_seed, issuer_pub.encode())
+        )
+        return ("ok", encode_token(claims, issuer_seed))
+    return ("not_enough_capabilities", None)

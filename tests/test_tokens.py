@@ -131,3 +131,50 @@ def test_cache_ttl_and_capacity():
     clock[0] = 10.0
     c.get_or_insert(a)  # TTL elapsed: re-derives, stays cached
     assert len(c) <= 2
+
+
+def test_create_token_roundtrips_both_capabilities():
+    """create_token.rs: Management signs with the realm key, Server
+    with the delegated issuer key; both validate through the ladder."""
+    from aruna_spark.ops.tokens import create_token
+
+    st, tok = create_token(
+        NOW, None, "user-9", REALM_SEED, {"kind": "management"}
+    )
+    assert st == "ok"
+    assert validate_bearer_token(tok, TRUSTED, set(), now=NOW)[0] == "ok"
+    st, tok = create_token(
+        NOW,
+        NOW + 50,
+        "user-9",
+        REALM_SEED,
+        {"kind": "server", "issuer_seed": DELEGATE_SEED},
+    )
+    assert st == "ok"
+    status, claims = validate_bearer_token(tok, TRUSTED, set(), now=NOW)
+    assert status == "ok" and claims["issuer_pubkey"] == DELEGATE_PUB
+
+
+def test_create_token_refusals_and_default_expiry():
+    from aruna_spark.ops.tokens import _add_12_months, create_token
+
+    assert create_token(NOW, None, "u", REALM_SEED, {"kind": "local"}) == (
+        "not_enough_capabilities",
+        None,
+    )
+    assert create_token(
+        NOW, NOW, "u", REALM_SEED, {"kind": "management"}
+    ) == ("invalid_timestamp", None)
+    # default expiry is +12 CALENDAR months; Feb 29 clamps to Feb 28
+    from datetime import datetime, timezone
+
+    leap = datetime(2024, 2, 29, 12, tzinfo=timezone.utc).timestamp()
+    assert datetime.fromtimestamp(
+        _add_12_months(leap), tz=timezone.utc
+    ) == datetime(2025, 2, 28, 12, tzinfo=timezone.utc)
+    st, tok = create_token(leap, None, "u", REALM_SEED, {"kind": "management"})
+    assert st == "ok"
+    from aruna_spark.ops.tokens import insecure_decode
+
+    exp = insecure_decode(tok)["exp"]
+    assert datetime.fromtimestamp(exp, tz=timezone.utc).year == 2025
