@@ -178,3 +178,47 @@ def test_create_token_refusals_and_default_expiry():
 
     exp = insecure_decode(tok)["exp"]
     assert datetime.fromtimestamp(exp, tz=timezone.utc).year == 2025
+
+
+def test_token_restrictions_flow_into_the_allows_ladder(spark):
+    """End to end: a validated token's path restrictions become the
+    whitelist permission_rules.rs layers on top of the caller's roles
+    (TokenClaims.restrictions -> PermissionRules.restrictions)."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.ops.globs import glob_to_regex
+    from aruna_spark.ops.tokens import create_token
+    from aruna_spark.queries.permissions import allows
+
+    st, tok = create_token(
+        NOW, None, "carol", REALM_SEED, {"kind": "management"}
+    )
+    assert st == "ok"
+    # the issued token carries a path whitelist
+    claims = dict(_claims(sub="carol"))
+    claims["restrictions"] = [("data/src1/**", "READ")]
+    tok = encode_token(claims, REALM_SEED)
+    status, got = validate_bearer_token(tok, TRUSTED, set(), now=NOW)
+    assert status == "ok"
+
+    paths = spark.createDataFrame(
+        [("data/src1/a.txt",), ("data/src2/b.txt",)], "key string"
+    )
+    rules = spark.createDataFrame(
+        [("carol", glob_to_regex("**"), "READ", True, False)],
+        "subject_id string, pattern string, permission string,"
+        " direct boolean, public boolean",
+    )
+    restr = spark.createDataFrame(
+        [
+            ("carol", glob_to_regex(g), p)
+            for g, p in got["restrictions"]
+        ],
+        "subject_id string, pattern string, permission string",
+    )
+    decided = {
+        r["key"]: r["allowed"]
+        for r in allows(paths, rules, restr, "READ").collect()
+    }
+    # realm-wide READ role, whittled by the token to src1 only
+    assert decided == {"data/src1/a.txt": True, "data/src2/b.txt": False}
