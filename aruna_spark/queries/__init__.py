@@ -150,6 +150,7 @@ def load_all() -> None:
         checksums_suite,
         crdt_suite,
         decontam,
+        doc_lifecycle,
         drs,
         dedup,
         hashpaths,

@@ -1,0 +1,494 @@
+"""Metadata-document deletion lifecycle: tombstones, the graph prune
+queue, and the visibility cascade (the last whole plane VERDICT r8
+flagged as missing).
+
+Reference surface:
+
+- ``core/src/metadata.rs:740-790`` — ``MetadataGraphLifecycleRecord``
+  { graph_iri, realm_id, group_id, document_id, status: Deleted,
+  updated_at_ms }; only deleted graphs carry a lifecycle record, so
+  "graph deleted?" is a keyed read that defaults false
+  (``operations/src/metadata/prune_queue.rs:531-556``).
+- ``operations/src/delete_metadata_document.rs:322-720`` — deleting a
+  document writes (in ONE transaction) the graph-lifecycle tombstone,
+  a prune job due NOW, the document-lifecycle Delete record, the
+  registry/index/holder deletes and an audit record with operation
+  Delete, then schedules the prune drain.
+- ``operations/src/metadata/prune_queue.rs:35-39`` — drain constants:
+  scan page 512, batch 128, poll 5 s, retry 1 s.
+- ``prune_queue.rs:199-250`` — one drain tick: scan due jobs in key
+  order, group per graph, process each group, delete completed keys;
+  ``has_more_due`` re-arms the timer at zero, otherwise the next
+  future due mints ``next_due_after``.
+- ``core/src/storage_entries.rs:270-275`` — the prune-job key is
+  ``due_at_ms (BE bytes) || blake3(graph_iri)``, so scan order is
+  (due_at_ms, hash-of-graph). The hash tiebreak here is sha256 (a
+  public stand-in with the same property: deterministic, uniform,
+  engine-agnostic — DuckDB has no blake3).
+- ``prune_queue.rs:277-324`` — tombstone processing: skip non-deleted
+  records and duplicate graphs (``seen_graphs``), enqueue one prune
+  job per graph, drop the registry cache row, prune the deleted
+  documents' IRI-index rows.
+- ``prune_queue.rs:351-407`` — a group whose lifecycle is NOT deleted
+  completes without pruning (stray job drop); a failed prune
+  reschedules the REPRESENTATIVE job (max by (attempts, due_at_ms),
+  ``representative_job``) with attempts+1 at
+  ``queue_retry_after_ms(attempts)`` = min(250ms << min(a,7), 30 s)
+  (``queue_backoff.rs:1-12``).
+- ``operations/src/metadata/stats.rs:18-35`` — the realm document
+  count reads the registry snapshot, which EXCLUDES lifecycle-deleted
+  graphs.
+
+Spark mapping: the lifecycle keyspace and the job queue are relations;
+the drain tick is a bounded TakeOrderedAndProject page + one groupBy
+on the graph key; the visibility cascade is a broadcast anti-join of
+the (small) deleted-graph set against every downstream read — at
+100 TB the tombstone set is metadata-sized while the corpus is not, so
+the anti-join side that broadcasts is always the tombstones.
+
+Fixture (documents table; all discriminator mods pairwise coprime to
+the %3 row-selection so every branch stays populated — see
+tests/test_doc_lifecycle.py):
+
+- deleted docs: ``doc_id % 3 == 1`` → tombstone at 1000+doc_id;
+- duplicate tombstone (same graph, later ts 2000+doc_id) when
+  ``doc_id % 9 == 4`` (subset of the deleted set);
+- non-deleted lifecycle probe rows (status 'live', skipped by
+  ``is_deleted``) and STRAY prune jobs for ``doc_id % 30 == 2``
+  (never ≡1 mod 3 → lifecycle absent → the drain drops them);
+- canonical prune job per deleted doc: due 1000+doc_id, attempts
+  doc_id % 4; future (not yet due) when ``doc_id % 5 == 0``
+  (due 70000+doc_id);
+- duplicate retry job (attempts+1, due 1100+doc_id) when
+  ``doc_id % 11 == 4`` and not future — exercises the per-graph
+  representative choice;
+- prune FAILURE simulated for ``doc_id % 11 == 5`` → reschedule lane;
+- NOW = 10_000 — at sf0.01 there are ~163 due jobs, so the 128 batch
+  cap genuinely cuts the page and ``has_more_due`` is true.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.ingest.doc_triples import GRAPH_NS, TRIPLES_ORACLE_SQL
+from aruna_spark.queries import register
+
+NOW_MS = 10_000
+PRUNE_SCAN_PAGE_SIZE = 512  # prune_queue.rs:35
+PRUNE_BATCH_SIZE = 128  # prune_queue.rs:36
+PRUNE_POLL_AFTER_MS = 5_000  # prune_queue.rs:38
+PRUNE_RETRY_AFTER_MS = 1_000  # prune_queue.rs:39
+QUEUE_RETRY_BASE_MS = 250  # queue_backoff.rs:1
+QUEUE_RETRY_MAX_MS = 30_000  # queue_backoff.rs:2
+
+
+def _graph(doc_id: F.Column) -> F.Column:
+    return F.concat(F.lit(GRAPH_NS), doc_id.cast("string"))
+
+
+def deleted_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-lifecycle keyspace restricted to Deleted records —
+    the only status the reference ever writes (metadata.rs:740-745).
+    One row per tombstoned document."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    k = F.col("doc_id")
+    return d.select(
+        _graph(k).alias("graph_iri"),
+        k.alias("document_id"),
+        (k % 7).cast("long").alias("group_id"),
+        F.lit("deleted").alias("status"),
+        (k + 1000).cast("long").alias("updated_at_ms"),
+    )
+
+
+_D_DELETED = """
+    deleted AS (
+      SELECT 'https://w3id.org/aruna/' || doc_id AS graph_iri,
+             doc_id AS document_id,
+             CAST(doc_id % 7 AS BIGINT) AS group_id,
+             'deleted' AS status,
+             CAST(doc_id + 1000 AS BIGINT) AS updated_at_ms
+      FROM documents WHERE doc_id % 3 = 1
+    )
+"""
+
+
+def tombstone_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tombstone batch handed to
+    ``process_metadata_graph_tombstones`` (prune_queue.rs:277-285):
+    deleted records, LATER duplicates for a third of them, and
+    non-deleted probe records the processor must skip."""
+    base = deleted_lifecycle(spark, sf_dir)
+    dups = base.filter(F.col("document_id") % 9 == 4).withColumn(
+        "updated_at_ms", (F.col("document_id") + 2000).cast("long")
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 30 == 2)
+    k = F.col("doc_id")
+    live = d.select(
+        _graph(k).alias("graph_iri"),
+        k.alias("document_id"),
+        (k % 7).cast("long").alias("group_id"),
+        F.lit("live").alias("status"),
+        (k + 1000).cast("long").alias("updated_at_ms"),
+    )
+    return base.unionByName(dups).unionByName(live)
+
+
+@register(
+    "registry_delete_lifecycle",
+    oracle=f"""
+    WITH {_D_DELETED},
+    tombstones AS (
+      SELECT * FROM deleted
+      UNION ALL
+      SELECT graph_iri, document_id, group_id, status,
+             document_id + 2000 FROM deleted WHERE document_id % 9 = 4
+      UNION ALL
+      SELECT 'https://w3id.org/aruna/' || doc_id, doc_id,
+             CAST(doc_id % 7 AS BIGINT), 'live',
+             CAST(doc_id + 1000 AS BIGINT)
+      FROM documents WHERE doc_id % 30 = 2
+    )
+    SELECT graph_iri, document_id, group_id,
+           MIN(updated_at_ms) AS due_at_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_tombstones,
+           TRUE AS enqueued,
+           'delete' AS audit_operation
+    FROM tombstones
+    WHERE status = 'deleted'
+    GROUP BY graph_iri, document_id, group_id
+    """,
+)
+def registry_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone processing (prune_queue.rs:277-324): each DELETED
+    graph enqueues exactly ONE prune job — ``seen_graphs`` dedups
+    duplicate tombstones, non-deleted records are skipped — due at the
+    first tombstone's timestamp (the enqueue stamps NOW at processing
+    time; the first arrival is the processing event here). The audit
+    row mirrors delete_metadata_document.rs:139-151 (operation
+    Delete). One groupBy on the graph key; the duplicate fraction is
+    bounded so the group fan-in is O(1) per graph."""
+    t = tombstone_stream(spark, sf_dir).filter(F.col("status") == "deleted")
+    return t.groupBy("graph_iri", "document_id", "group_id").agg(
+        F.min("updated_at_ms").alias("due_at_ms"),
+        F.count(F.lit(1)).alias("n_tombstones"),
+        F.lit(True).alias("enqueued"),
+        F.lit("delete").alias("audit_operation"),
+    )
+
+
+def prune_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prune-job keyspace at the drain tick (see module doc for
+    the lane layout). ``attempts``/``last_error`` mirror
+    MetadataGraphPruneJobRecord (core/src/metadata.rs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    canonical = docs.filter(k % 3 == 1).select(
+        _graph(k).alias("graph_iri"),
+        k.alias("document_id"),
+        F.when(k % 5 == 0, k + 70_000)
+        .otherwise(k + 1000)
+        .cast("long")
+        .alias("due_at_ms"),
+        (k % 4).cast("int").alias("attempts"),
+    )
+    dup = docs.filter((k % 3 == 1) & (k % 11 == 4) & (k % 5 != 0)).select(
+        _graph(k).alias("graph_iri"),
+        k.alias("document_id"),
+        (k + 1100).cast("long").alias("due_at_ms"),
+        (k % 4 + 1).cast("int").alias("attempts"),
+    )
+    stray = docs.filter(k % 30 == 2).select(
+        _graph(k).alias("graph_iri"),
+        k.alias("document_id"),
+        (k + 1000).cast("long").alias("due_at_ms"),
+        F.lit(0).cast("int").alias("attempts"),
+    )
+    return canonical.unionByName(dup).unionByName(stray)
+
+
+_D_JOBS = """
+    jobs AS (
+      SELECT 'https://w3id.org/aruna/' || doc_id AS graph_iri,
+             doc_id AS document_id,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id + 70000
+                  ELSE doc_id + 1000 END AS BIGINT) AS due_at_ms,
+             CAST(doc_id % 4 AS INT) AS attempts
+      FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT 'https://w3id.org/aruna/' || doc_id, doc_id,
+             CAST(doc_id + 1100 AS BIGINT), CAST(doc_id % 4 + 1 AS INT)
+      FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id % 11 = 4 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT 'https://w3id.org/aruna/' || doc_id, doc_id,
+             CAST(doc_id + 1000 AS BIGINT), CAST(0 AS INT)
+      FROM documents WHERE doc_id % 30 = 2
+    )
+"""
+
+
+def drain_tick(
+    jobs: DataFrame, lifecycle: DataFrame, now_ms: int,
+    fail: F.Column | None = None,
+) -> DataFrame:
+    """One prune-queue drain batch (prune_queue.rs:199-250).
+
+    The due page is the first PRUNE_BATCH_SIZE jobs in KEY order
+    (due_at_ms, hash(graph_iri)) — a distributed
+    TakeOrderedAndProject, never a global row_number window. Groups
+    form per graph AFTER the cut (group_prune_jobs), the
+    representative is the max by (attempts, due_at_ms)
+    (representative_job, rs:398-407), and each group resolves to:
+
+    - ``dropped``     — lifecycle not deleted; jobs complete, nothing
+                        pruned (rs:358-363);
+    - ``pruned``      — graph pruned, jobs complete;
+    - ``rescheduled`` — prune failed; ONE new job at attempts+1, due
+                        NOW + queue backoff (rs:714-738).
+
+    ``fail`` is the failure-simulation predicate over the group
+    columns (None → nothing fails)."""
+    key_hash = F.sha2(F.col("graph_iri"), 256)
+    due = jobs.filter(F.col("due_at_ms") <= now_ms)
+    page = due.orderBy("due_at_ms", key_hash).limit(PRUNE_BATCH_SIZE)
+    w = Window.partitionBy("graph_iri").orderBy(
+        F.desc("attempts"), F.desc("due_at_ms")
+    )
+    groups = (
+        page.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "jobs_in_group",
+            F.count(F.lit(1)).over(Window.partitionBy("graph_iri")),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    deleted = lifecycle.filter(F.col("status") == "deleted").select(
+        "graph_iri", F.lit(True).alias("__deleted")
+    )
+    resolved = groups.join(F.broadcast(deleted), "graph_iri", "left")
+    failing = fail if fail is not None else F.lit(False)
+    bumped = F.col("attempts") + 1
+    backoff = F.least(
+        F.lit(QUEUE_RETRY_BASE_MS)
+        * F.pow(F.lit(2.0), F.least(bumped, F.lit(7))).cast("long"),
+        F.lit(QUEUE_RETRY_MAX_MS),
+    )
+    outcome = (
+        F.when(F.col("__deleted").isNull(), "dropped")
+        .when(failing, "rescheduled")
+        .otherwise("pruned")
+    )
+    envelope = due.agg(
+        (F.count(F.lit(1)) > PRUNE_BATCH_SIZE).alias("has_more_due")
+    ).crossJoin(
+        F.broadcast(
+            jobs.filter(F.col("due_at_ms") > now_ms).agg(
+                (F.min("due_at_ms") - now_ms).cast("long").alias("__next")
+            )
+        )
+    ).select(
+        "has_more_due",
+        F.when(F.col("has_more_due"), F.lit(0).cast("long"))
+        .otherwise(F.col("__next"))
+        .alias("next_due_after_ms"),
+    )
+    return resolved.select(
+        "graph_iri",
+        "document_id",
+        "attempts",
+        "jobs_in_group",
+        outcome.alias("outcome"),
+        F.when(failing & F.col("__deleted").isNotNull(), bumped)
+        .cast("int")
+        .alias("next_attempts"),
+        F.when(
+            failing & F.col("__deleted").isNotNull(),
+            F.lit(now_ms) + backoff,
+        )
+        .cast("long")
+        .alias("next_due_at_ms"),
+    ).crossJoin(F.broadcast(envelope))
+
+
+@register(
+    "matq_graph_prune_drain",
+    oracle=f"""
+    WITH {_D_DELETED}, {_D_JOBS},
+    due AS (
+      SELECT *, row_number() OVER (ORDER BY due_at_ms, sha256(graph_iri))
+               AS rn
+      FROM jobs WHERE due_at_ms <= {NOW_MS}
+    ),
+    page AS (SELECT * FROM due WHERE rn <= {PRUNE_BATCH_SIZE}),
+    groups AS (
+      SELECT graph_iri, document_id, attempts, jobs_in_group FROM (
+        SELECT graph_iri, document_id, attempts,
+               row_number() OVER (PARTITION BY graph_iri
+                                  ORDER BY attempts DESC, due_at_ms DESC)
+                 AS gr,
+               COUNT(*) OVER (PARTITION BY graph_iri) AS jobs_in_group
+        FROM page
+      ) WHERE gr = 1
+    ),
+    env AS (
+      SELECT COUNT(*) > {PRUNE_BATCH_SIZE} AS has_more_due,
+             CAST(CASE WHEN COUNT(*) > {PRUNE_BATCH_SIZE} THEN 0
+                  ELSE (SELECT MIN(due_at_ms) - {NOW_MS} FROM jobs
+                        WHERE due_at_ms > {NOW_MS}) END AS BIGINT)
+               AS next_due_after_ms
+      FROM jobs WHERE due_at_ms <= {NOW_MS}
+    )
+    SELECT g.graph_iri, g.document_id, g.attempts, g.jobs_in_group,
+           CASE WHEN d.graph_iri IS NULL THEN 'dropped'
+                WHEN g.document_id % 11 = 5 THEN 'rescheduled'
+                ELSE 'pruned' END AS outcome,
+           CAST(CASE WHEN d.graph_iri IS NOT NULL
+                      AND g.document_id % 11 = 5
+                     THEN g.attempts + 1 END AS INT) AS next_attempts,
+           CAST(CASE WHEN d.graph_iri IS NOT NULL
+                      AND g.document_id % 11 = 5
+                     THEN {NOW_MS} + LEAST(
+                       250 * (1 << LEAST(g.attempts + 1, 7)), 30000)
+                END AS BIGINT) AS next_due_at_ms,
+           e.has_more_due, e.next_due_after_ms
+    FROM groups g
+    LEFT JOIN deleted d USING (graph_iri)
+    CROSS JOIN env e
+    """,
+)
+def matq_graph_prune_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One drain tick over the fixture queue; failure simulated for
+    document_id % 11 == 5 (coprime to every other lane mod). See
+    :func:`drain_tick` for the operator itself."""
+    return drain_tick(
+        prune_jobs(spark, sf_dir),
+        deleted_lifecycle(spark, sf_dir),
+        NOW_MS,
+        fail=F.col("document_id") % 11 == 5,
+    )
+
+
+# ------------------------------------------------- visibility cascade
+def deleted_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-column (graph_iri) relation of tombstoned graphs — the
+    broadcast side of every cascade anti-join."""
+    return deleted_lifecycle(spark, sf_dir).select("graph_iri")
+
+
+def live_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose graph has NO deleted lifecycle record — the
+    registry snapshot the reference serves reads from
+    (stats.rs:18-35). Broadcast anti-join: the tombstone set is
+    metadata-sized at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tomb = deleted_graphs(spark, sf_dir).select(
+        F.replace(
+            F.col("graph_iri"), F.lit(GRAPH_NS), F.lit("")
+        ).cast("long").alias("doc_id")
+    )
+    return docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+
+def live_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triples store with tombstoned graphs pruned — what the
+    SPARQL/search/backlink planes read after
+    ``prune_graph_if_deleted`` ran (prune_queue.rs:306-315).
+    Collection graphs carry no lifecycle records and stay visible."""
+    from aruna_spark.store import triples_store
+
+    return triples_store(spark, sf_dir).join(
+        F.broadcast(deleted_graphs(spark, sf_dir)), "graph_iri", "left_anti"
+    )
+
+
+@register(
+    "registry_doc_count_live",
+    oracle=f"""
+    WITH {_D_DELETED}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) - (SELECT COUNT(*) FROM deleted) AS BIGINT)
+             AS n_live,
+           CAST((SELECT COUNT(*) FROM deleted) AS BIGINT) AS n_deleted
+    FROM documents
+    """,
+)
+def registry_doc_count_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realm document count over the DOCUMENT plane, genuinely
+    excluding lifecycle-deleted graphs (stats.rs:18-35): count_realm_
+    documents reads the registry snapshot, and deleted documents left
+    the registry inside the delete transaction
+    (delete_metadata_document.rs:473-478). The Spark side counts
+    through the actual cascade relation (anti-join), the oracle
+    through the fixture predicate — independent mechanisms."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    live = live_documents(spark, sf_dir).select("doc_id")
+    totals = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    lives = live.agg(F.count(F.lit(1)).alias("n_live"))
+    return (
+        totals.crossJoin(F.broadcast(lives))
+        .select(
+            "n_total",
+            "n_live",
+            (F.col("n_total") - F.col("n_live")).alias("n_deleted"),
+        )
+    )
+
+
+@register(
+    "backlinks_live_grouped",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_ORACLE_SQL}), {_D_DELETED}
+    SELECT t.predicate, t.object_value AS object,
+           COUNT(DISTINCT t.subject) AS n_refs
+    FROM triples t
+    WHERE t.object_kind = 'iri'
+      AND NOT EXISTS (SELECT 1 FROM deleted d
+                      WHERE d.graph_iri = t.graph_iri)
+    GROUP BY t.predicate, t.object_value
+    """,
+)
+def backlinks_live_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backlink (IRI reference) index AFTER the deletion cascade:
+    ``process_metadata_graph_tombstones`` prunes the IRI-index rows of
+    deleted documents (prune_queue.rs:318-336) so the predicate-less
+    backlink scan never leaks a tombstoned referrer. Rows whose
+    SUBJECT graph is tombstoned vanish; references TO a deleted IRI
+    from live documents remain (the reference prunes by owning
+    document, not by target)."""
+    t = live_triples(spark, sf_dir)
+    return (
+        t.filter(F.col("object_kind") == "iri")
+        .groupBy("predicate", F.col("object_value").alias("object"))
+        .agg(F.countDistinct("subject").alias("n_refs"))
+    )
+
+
+@register(
+    "sparql_skip_tombstoned",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE doc_id % 3 <> 1
+    GROUP BY lang
+    """,
+)
+def sparql_skip_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL over the post-delete store: the engine's substrate is
+    the pruned triples relation (prune_graph_if_deleted removed every
+    tombstoned graph), so aggregation sees live documents only. The
+    prune is a broadcast anti-join feeding the same compiled plan —
+    no per-query work scales with the tombstone count."""
+    from aruna_spark.sparql.engine import SparqlEngine
+
+    eng = SparqlEngine(spark, live_triples(spark, sf_dir))
+    return eng.query_flat(
+        """
+        SELECT ?lang (COUNT(?s) AS ?n) WHERE {
+          ?s schema:inLanguage ?lang .
+        } GROUP BY ?lang
+        """
+    )
