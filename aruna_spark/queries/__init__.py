@@ -183,6 +183,7 @@ def load_all() -> None:
         streaming_suite,
         textstats,
         usage,
+        user_access,
     )
 
     _reorder()
