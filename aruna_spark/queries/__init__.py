@@ -148,6 +148,7 @@ def load_all() -> None:
         bindings,
         buckets,
         checksums_suite,
+        cors,
         crdt_suite,
         decontam,
         doc_lifecycle,
@@ -167,6 +168,7 @@ def load_all() -> None:
         principals,
         reclaim,
         references,
+        replication,
         routing,
         registry,
         relational,
