@@ -265,6 +265,99 @@ def registry_subject_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "registry_subject_closure",
+    oracle=f"""
+    WITH RECURSIVE claims AS ({_CLAIMS_SQL}),
+    pairs AS (
+      SELECT DISTINCT user_id, UNNEST(subject_ids) AS subject_id FROM claims
+    ),
+    conflicts AS (
+      SELECT subject_id, MIN(user_id) AS a
+      FROM pairs GROUP BY subject_id HAVING COUNT(*) > 1
+    ),
+    edges0 AS (
+      SELECT DISTINCT c.a, p.user_id AS b
+      FROM conflicts c JOIN pairs p USING (subject_id)
+      WHERE p.user_id <> c.a
+    ),
+    edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+    reach(n, m) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (SELECT n, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n),
+    merged AS (
+      SELECT comp.label, comp.n, p.subject_id
+      FROM comp JOIN pairs p ON p.user_id = comp.n
+    )
+    SELECT label AS canonical_user,
+           CAST(COUNT(DISTINCT n) AS BIGINT) AS n_members,
+           string_agg(DISTINCT subject_id, ',' ORDER BY subject_id)
+             AS merged_subjects_csv,
+           string_agg(DISTINCT CASE WHEN n <> label THEN n END, ','
+                      ORDER BY (CASE WHEN n <> label THEN n END))
+             AS alias_users_csv
+    FROM merged GROUP BY label
+    """,
+)
+def registry_subject_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSITIVE subject-merge collapse (VERDICT r8 Next #5): the
+    fixpoint of the one-hop per-write resolution
+    (user_subject_index.rs:232-301) — what a bulk import wants, since
+    per-record one-hop merges applied over an unordered batch leave
+    chains (A absorbs B, but C←B's partner joins only on a later
+    write). Components form over the subject-share star edges
+    (winner ← each co-claimant) with the dedup_clusters min-label
+    template; the canonical id is the component minimum, matching the
+    one-hop winner rule, so iterating one-hop to fixpoint lands on
+    exactly this relation (property-tested in
+    tests/test_subject_closure.py). The edge table is O(users with a
+    shared subject), never O(users)."""
+    claims = load_subject_claims(spark, sf_dir)
+    pairs = claims.select(
+        "user_id", F.explode("subject_ids").alias("subject_id")
+    ).distinct()
+    return subject_closure_of(pairs)
+
+
+def subject_closure_of(pairs: DataFrame) -> DataFrame:
+    """The closure operator over a (user_id, subject_id) claim
+    relation — see :func:`registry_subject_closure`."""
+    from aruna_spark.queries.dedup import _min_label_components
+
+    conflicts = (
+        pairs.groupBy("subject_id")
+        .agg(F.min("user_id").alias("a"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("subject_id", "a")
+    )
+    edges = (
+        conflicts.join(pairs, "subject_id")
+        .filter(F.col("user_id") != F.col("a"))
+        .select(F.col("a").alias("doc_a"), F.col("user_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = _min_label_components(edges)
+    merged = labels.join(pairs, labels["n"] == pairs["user_id"])
+    return merged.groupBy(F.col("label").alias("canonical_user")).agg(
+        F.countDistinct("n").alias("n_members"),
+        F.concat_ws(",", F.array_sort(F.collect_set("subject_id"))).alias(
+            "merged_subjects_csv"
+        ),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_set(
+                    F.when(F.col("n") != F.col("label"), F.col("n"))
+                )
+            ),
+        ).alias("alias_users_csv"),
+    )
+
+
 # ----------------------------------------------------- user resolution
 # operations/src/resolve_users.rs + core user_update_validation.rs:10 —
 # display resolution redacts to the SAFE attribute allowlist and omits
