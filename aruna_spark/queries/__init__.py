@@ -30,61 +30,34 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 8 (VERDICT r7 Next #8) leads with every
-# query whose plan is NEW or CHANGED this round (22: the delete-
-# envelope unification + mixed batch, serialized copy minting,
-# precedence-fixed part copy, the Reference/Snapshot/Sync staging
-# strategies + refresh sweep, storage routing, connector listing, the
-# job queue plane, the bucket plane, the CRC family, per-backend
-# counters, stored-catalog + referenced listings, blob reclaim, and
-# the principal listings — first-time driver checks take precedence) —
-# then rotates in the r7-unchecked backlog front-to-back: the sparql
-# family (32 — its last driver checks are the oldest, r4-r6; ~28 fit
-# the ~50 cut) and the search-enrichment five. The remaining
-# r7-unchecked families (rel, stream watch/debounce, registry,
-# multimodal, crdt, ingest/rocrate/archive/graph, sampling,
-# distributed) queue at the tail for r9's front; ALL 155 registered
-# queries are selfcheck-green this round (scripts/selfcheck.py full
-# run at sf0.01).
+# window on a cycle. Round 9 (VERDICT r8 Next #6) leads with the 11
+# queries whose plans are NEW this round (the metadata-document
+# deletion lifecycle + prune drain + visibility cascade, the S3
+# user-access plane, CORS preflight matching, replication-config
+# validation, and the transitive subject closure — first-time driver
+# checks take precedence), then rotates in the r8-unchecked backlog
+# front-to-back: the whole SPARQL family (28, last driver checks
+# r4-r6) and the search-enrichment five, with rel_ starting at the
+# cut. The remaining r8-unchecked families (stream watch/debounce,
+# registry, multimodal, crdt, ingest/rocrate/archive/graph, sampling,
+# distributed, similarity, dedup) queue at the tail for r10's front;
+# the 50 r8-window queries drop to the very end (checked most
+# recently). ALL 189 registered queries are selfcheck-green this
+# round (scripts/selfcheck.py full run at sf0.01).
 PRIORITY_PREFIXES = (
-    # new or changed this round (front of the window)
-    "s3_delete_mixed_batch",
-    "s3_delete_marker",
-    "s3_copy_object",
-    "s3_upload_part_copy",
-    "s3_reference_head",
-    "staging_refresh_sweep",
-    "staging_snapshot_materialize",
-    "staging_sync_drift",
-    "storage_routing_resolve",
-    "staging_list_connectors",
-    "jobs_",
-    "textstats_repetition",
-    "corpus_retention_funnel",
-    "placement_",
-    "s3_list_buckets",
-    "s3_bucket_info",
-    "s3_checksum_family",
-    "usage_counters_by_backend",
-    "listing_v2_stored",
-    "listing_v2_referenced",
-    "blob_reclaim_sweep",
-    "blobs_hidden_sweep",
-    "blob_permission_paths",
-    "shard_verification_sweep",
-    "notify_route_resource_events",
-    "stream_watch_no_retroactive",
-    "matq_",
-    "jobs_submit_batch",
-    "notify_inbox_holders",
-    "registry_subject_conflicts",
-    "registry_subject_merges",
-    "registry_resolve_users",
-    "perm_allows_matrix",
-    "s3_search_buckets",
-    "registry_list_groups",
-    "registry_list_users",
-    # r7-unchecked backlog, least-recently-driver-checked first:
+    # new this round (front of the window)
+    "registry_delete_lifecycle",
+    "matq_graph_prune_drain",
+    "registry_doc_count_live",
+    "backlinks_live_grouped",
+    "sparql_skip_tombstoned",
+    "s3_user_access_list",
+    "s3_user_access_gate",
+    "s3_user_access_revoke",
+    "s3_cors_preflight_match",
+    "s3_replication_validate",
+    "registry_subject_closure",
+    # r8-unchecked backlog, least-recently-driver-checked first:
     # the whole SPARQL family (last driver checks r4-r6)
     "sparql_",
     # search enrichment/discovery five (last checked r5)
@@ -93,7 +66,7 @@ PRIORITY_PREFIXES = (
     "search_unified",
     "search_hits_enriched",
     "search_describe_hits",
-    # tail: rotates to r9's front if past the ~50 cut
+    # rel_ straddles the ~50 cut; the rest queue for r10's front
     "rel_",
     "stream_",
     "registry_",
@@ -113,12 +86,22 @@ PRIORITY_PREFIXES = (
     "corpus_",
     "backlinks_",
     "autoindex_parse_entries",
-    "listing_",
-    "staging_list_",
-    "perm_visible_summary",
-    "usage_",
+    "listing_v2_flat",
+    "listing_versions",
+    "rel_keyset_page",
+    "usage_counters_by_group",
+    "usage_counters_global",
+    "usage_quota_gate",
+    "usage_snapshot_realms",
     "drs_object_lookup",
-    "s3_",
+    "perm_visible_summary",
+    "staging_list_recursive",
+    "staging_list_level",
+    "s3_multipart",
+    "s3_put_upsert",
+    "s3_versioned_get",
+    # r8-window queries (most recently checked) fall through to the
+    # registration-order tail automatically
 )
 
 
