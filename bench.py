@@ -10,6 +10,21 @@ times over the FULL registry (round-3 change — previously a 42-query
 headline subset; the old headline total is still reported as
 ``headline_total`` for round-over-round comparison). A regression
 anywhere in the registry now moves the reported numbers.
+
+Modes:
+
+- plain            — measure SF_DIR, write BENCH_FULL.json, print line
+- ``--sf1``        — measure the synthetic sf1 (scripts/make_sf1.py),
+                     write BENCH_FULL_SF1.json
+- ``--pair``       — BOTH in one invocation and one Spark session
+                     (VERDICT r8 Next #7): the growth-ratio numerator
+                     and denominator are then same-session by
+                     construction, so contention-band re-litigation
+                     dies; requires the sf1 directory to exist.
+
+Every artifact records ``loadavg`` — (1m, 5m, 15m) at measurement
+start and the 1m value at end — so a reviewer can see host contention
+without rerunning.
 """
 
 from __future__ import annotations
@@ -95,20 +110,11 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    global SF_DIR
-    full_name = "BENCH_FULL.json"
-    if "--sf1" in sys.argv:
-        if not os.path.isdir(SF1_DIR):
-            sys.exit(
-                f"{SF1_DIR} missing — generate with scripts/make_sf1.py"
-            )
-        SF_DIR = SF1_DIR
-        full_name = "BENCH_FULL_SF1.json"
-    load_all()
-    spark = get_spark("aruna-bench")
-    # Full registry, registration order (flagship families first — same
-    # order the driver's correctness sample sees).
+def measure(spark, sf_dir: str) -> dict:
+    """Warm up, time the full registry (min of two runs per query),
+    measure ingest throughput, and return the payload dict with the
+    FULL per-query times under "queries"."""
+    load_start = os.getloadavg()
     names = list(REGISTRY)
 
     # Warmup: execute every query once UNTIMED through the same
@@ -116,7 +122,7 @@ def main() -> None:
     # timer starts (the first timed query otherwise absorbs ~10-20 s of it).
     for name in names:
         fn, _ = REGISTRY[name]
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Min of two timed runs per query: transient host contention (other
     # tenants on this VM) was observed inflating single runs 3-6x; the
@@ -128,7 +134,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            df = fn(spark, SF_DIR)
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
@@ -139,11 +145,12 @@ def main() -> None:
     # full JSON-LD documents pushed through validation + typing rules +
     # triples projection (ingest_jsonld). Crates are pre-built untimed;
     # the timed span is the create path itself.
-    from aruna_spark.ingest.doc_triples import load_triples
-    from aruna_spark.ingest.jsonld import export_rocrate, ingest_jsonld
     from pyspark.sql import functions as F
 
-    crates = export_rocrate(load_triples(spark, SF_DIR)).select(
+    from aruna_spark.ingest.doc_triples import load_triples
+    from aruna_spark.ingest.jsonld import export_rocrate, ingest_jsonld
+
+    crates = export_rocrate(load_triples(spark, sf_dir)).select(
         F.regexp_extract("graph_iri", r"([^/]+)$", 1).alias("document_id"),
         "jsonld",
     )
@@ -156,33 +163,68 @@ def main() -> None:
     ingest_secs = time.time() - t0
     docs_per_sec = round(n_docs / ingest_secs, 1)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline_total = round(
         sum(t for n, t in times.items() if n in HEADLINE), 3
     )
-    # The printed line must fit the driver's tail-capture buffer
-    # (BENCH_r03 overflowed it with the full 109-query dict and came back
-    # parsed:null — VERDICT r3 'What's wrong' #2). Print a COMPACT line
-    # whose "queries" dict holds only the r2-comparable headline subset,
-    # and write the full per-query dict to BENCH_FULL.json in the repo so
-    # every family's times stay recoverable round over round.
-    payload = {
+    return {
         "metric": "registry_query_wall_clock_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": {n: t for n, t in times.items() if n in HEADLINE},
+        "queries": times,
         "n_queries": len(times),
         "headline_total": headline_total,
         "ingest_docs_per_sec": docs_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg": {
+            "start_1m_5m_15m": [round(x, 2) for x in load_start],
+            "end_1m": round(os.getloadavg()[0], 2),
+        },
     }
+
+
+def _write_full(payload: dict, full_name: str) -> None:
     full_path = Path(__file__).resolve().parent / full_name
     full_path.write_text(
-        json.dumps({**payload, "queries": times}, indent=1, sort_keys=True)
-        + "\n",
+        json.dumps(payload, indent=1, sort_keys=True) + "\n",
         encoding="utf-8",
     )
-    print(json.dumps(payload))
+
+
+def _compact(payload: dict) -> str:
+    # The printed line must fit the driver's tail-capture buffer
+    # (BENCH_r03 overflowed it with the full 109-query dict and came back
+    # parsed:null — VERDICT r3 'What's wrong' #2). Print a COMPACT line
+    # whose "queries" dict holds only the r2-comparable headline subset;
+    # the full per-query dict lives in BENCH_FULL*.json.
+    return json.dumps(
+        {
+            **payload,
+            "queries": {
+                n: t for n, t in payload["queries"].items() if n in HEADLINE
+            },
+        }
+    )
+
+
+def main() -> None:
+    pair = "--pair" in sys.argv
+    sf1_only = "--sf1" in sys.argv
+    if (pair or sf1_only) and not os.path.isdir(SF1_DIR):
+        sys.exit(f"{SF1_DIR} missing — generate with scripts/make_sf1.py")
+    load_all()
+    spark = get_spark("aruna-bench")
+
+    if sf1_only:
+        _write_full(measure(spark, SF1_DIR), "BENCH_FULL_SF1.json")
+        return
+    payload = measure(spark, SF_DIR)
+    _write_full(payload, "BENCH_FULL.json")
+    if pair:
+        # same session, back-to-back: the growth-ratio denominator and
+        # numerator share one contention environment
+        _write_full(measure(spark, SF1_DIR), "BENCH_FULL_SF1.json")
+    print(_compact(payload))
 
 
 if __name__ == "__main__":
