@@ -884,6 +884,262 @@ class Engine:
         d["status"] = 200
         return d
 
+    # ------------------------------------------------- bucket config routes
+    def put_bucket_cors(self, bucket: str, rules: list[dict]):
+        """PutBucketCors (operations/src/s3/bucket_cors.rs via the
+        api/src/s3/cors.rs dto ladder): 404 for an unknown bucket, 400
+        MalformedXML on any validation failure, else the normalized
+        stored configuration."""
+        from aruna_spark.ops.cors_rules import (
+            CorsValidationError,
+            validate_cors_config,
+        )
+        from aruna_spark.queries.buckets import load_buckets
+
+        known = (
+            load_buckets(self.spark, self.sf_dir)
+            .filter(F.col("name") == bucket)
+            .limit(1)
+            .count()
+        )
+        if not known:
+            return {"status": 404, "error": "NoSuchBucket"}
+        try:
+            normalized = validate_cors_config(rules)
+        except CorsValidationError as e:
+            return {"status": 400, "error": "MalformedXML", "message": str(e)}
+        return {"status": 200, "bucket": bucket, "rules": normalized}
+
+    def get_bucket_cors(self, bucket: str):
+        """GetBucketCors: 404 NoSuchCORSConfiguration when the bucket
+        has no stored rules (bucket_cors.rs GetBucketCorsOperation)."""
+        from aruna_spark.queries.cors import CORS_CONFIGS
+
+        rules = CORS_CONFIGS.get(bucket)
+        if rules is None:
+            return {"status": 404, "error": "NoSuchCORSConfiguration"}
+        return {"status": 200, "bucket": bucket, "rules": rules}
+
+    def cors_preflight(
+        self,
+        bucket: str,
+        origin: str,
+        method: str,
+        requested_headers: str = "",
+    ):
+        """One preflight through the stored config (cors.rs
+        match_preflight_rule / build_preflight_response): 403 without
+        CORS headers when nothing matches, else the 204 envelope."""
+        import re as _re
+
+        from aruna_spark.ops.cors_rules import (
+            parse_requested_headers,
+            wildcard_to_regex,
+        )
+        from aruna_spark.queries.cors import CORS_CONFIGS
+
+        headers = parse_requested_headers(requested_headers)
+        for rule in CORS_CONFIGS.get(bucket, []):
+            origin_ok = any(
+                _re.search(wildcard_to_regex(o), origin)
+                for o in rule["allowed_origins"]
+            )
+            method_ok = any(
+                m == method.upper() for m in rule["allowed_methods"]
+            )
+            headers_ok = all(
+                any(
+                    _re.search(wildcard_to_regex(a, case_insensitive=True), h)
+                    for a in rule["allowed_headers"]
+                )
+                for h in headers
+            )
+            if origin_ok and method_ok and headers_ok:
+                return {
+                    "status": 204,
+                    "rule_id": rule["id"],
+                    "allow_origin": "*"
+                    if "*" in rule["allowed_origins"]
+                    else origin,
+                    "allow_methods": rule["allowed_methods"],
+                    "allow_headers": headers or rule["allowed_headers"],
+                    "expose_headers": rule["expose_headers"],
+                    "max_age_seconds": rule["max_age_seconds"],
+                }
+        return {"status": 403}
+
+    def put_bucket_replication(self, bucket: str, rules: list[dict]):
+        """PutBucketReplication (s3_service.rs:3165-3272 validation
+        only — the mirror transport is excluded orchestration): 400
+        InvalidArgument naming the first failing rule, else the
+        accepted target list. ``rules`` entries: {status,
+        destination_arn, delete_markers_enabled}."""
+        from aruna_spark.queries.replication import validate_replication
+
+        rows = [
+            (
+                i,
+                bucket,
+                r.get("status", "Enabled"),
+                r.get("destination_arn", ""),
+                bool(r.get("delete_markers_enabled", False)),
+            )
+            for i, r in enumerate(rules)
+        ]
+        if not rows:
+            return {"status": 200, "bucket": bucket, "targets": []}
+        df = self.spark.createDataFrame(
+            rows,
+            "rule_id long, source_bucket string, status string,"
+            " destination_arn string, delete_markers_enabled boolean",
+        )
+        out = validate_replication(df).collect()
+        bad = [
+            r for r in out
+            if r.outcome not in ("accepted", "skipped_disabled")
+        ]
+        if bad:
+            first = min(bad, key=lambda r: r.rule_id)
+            return {
+                "status": 400,
+                "error": "InvalidArgument",
+                "rule_id": first.rule_id,
+                "reason": first.outcome,
+            }
+        return {
+            "status": 200,
+            "bucket": bucket,
+            "targets": [
+                {
+                    "node_id": r.target_node,
+                    "bucket": r.target_bucket,
+                    "replicate_delete_markers": r.replicate_delete_markers,
+                }
+                for r in sorted(out, key=lambda r: r.rule_id)
+                if r.outcome == "accepted"
+            ],
+        }
+
+    # --------------------------------------------------- user-access routes
+    def create_user_access(
+        self,
+        key_id: str,
+        user_identity: str,
+        group_id: str,
+        expiry_ms: int | None = None,
+        path_restrictions: list[dict] | None = None,
+    ):
+        """CreateUserAccess (create_user_access.rs:88-123): the key id
+        IS the access key and must be 1..=128 alphanumeric chars
+        (blob.rs:899-913); expiry defaults to +365 d. The secret is
+        minted server-side and returned once."""
+        import secrets as _secrets
+
+        from aruna_spark.queries.user_access import (
+            ACCESS_KEY_MAX_LEN,
+            DEFAULT_TTL_MS,
+            NOW_MS,
+            SECRET_LEN,
+        )
+
+        if not key_id or len(key_id) > ACCESS_KEY_MAX_LEN:
+            return {
+                "status": 400,
+                "error": "InvalidLength",
+                "message": f"access key must be 1..={ACCESS_KEY_MAX_LEN}"
+                " characters",
+            }
+        if not key_id.isalnum():
+            return {
+                "status": 400,
+                "error": "FromStrError",
+                "message": "access key must be alphanumeric",
+            }
+        alphabet = (
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+        )
+        return {
+            "status": 201,
+            "access_key": key_id,
+            "user_identity": user_identity,
+            "group_id": group_id,
+            "secret": "".join(
+                _secrets.choice(alphabet) for _ in range(SECRET_LEN)
+            ),
+            "expiry_ms": expiry_ms
+            if expiry_ms is not None
+            else NOW_MS + DEFAULT_TTL_MS,
+            "path_restrictions": path_restrictions,
+            "revoked_at_ms": None,
+        }
+
+    def list_user_access(self, user_identity: str) -> DataFrame:
+        """ListUserAccess (list_user_access.rs): the caller's
+        credentials in key order with status columns."""
+        from aruna_spark.queries.user_access import load_user_access
+
+        return (
+            load_user_access(self.spark, self.sf_dir)
+            .filter(F.col("user_identity") == user_identity)
+            .orderBy("access_key")
+        )
+
+    def revoke_user_access(self, access_key: str):
+        """RevokeUserAccess (revoke_user_access.rs): 404 for an unknown
+        key; idempotent — an already-revoked credential echoes its
+        ORIGINAL revoked_at."""
+        from aruna_spark.queries.user_access import (
+            NOW_MS,
+            load_user_access,
+        )
+
+        rows = (
+            load_user_access(self.spark, self.sf_dir)
+            .filter(F.col("access_key") == access_key)
+            .collect()
+        )
+        if not rows:
+            return {"status": 404, "error": "NotFound"}
+        r = rows[0]
+        return {
+            "status": 200,
+            "access_key": access_key,
+            "revoked_at_ms": r.revoked_at_ms
+            if r.revoked_at_ms is not None
+            else NOW_MS,
+            "already_revoked": r.revoked_at_ms is not None,
+        }
+
+    # ------------------------------------------- document deletion route
+    def delete_document(self, document_id: int):
+        """DeleteMetadataDocument (delete_metadata_document.rs): 404
+        DocumentNotFound when the registry has no row (unknown id OR
+        already tombstoned — the delete transaction removed it), else
+        the delete envelope: the graph-lifecycle tombstone, the prune
+        job (due immediately), and the Delete audit stamp. The drain
+        that consumes the job is ``matq_graph_prune_drain`` /
+        :func:`aruna_spark.queries.doc_lifecycle.drain_tick`."""
+        from aruna_spark.ingest.doc_triples import GRAPH_NS
+        from aruna_spark.queries.doc_lifecycle import live_documents
+
+        rows = (
+            live_documents(self.spark, self.sf_dir)
+            .filter(F.col("doc_id") == document_id)
+            .limit(1)
+            .count()
+        )
+        if not rows:
+            return {"status": 404, "error": "DocumentNotFound"}
+        graph_iri = f"{GRAPH_NS}{document_id}"
+        return {
+            "status": 204,
+            "document_id": document_id,
+            "graph_iri": graph_iri,
+            "tombstone_status": "deleted",
+            "prune_job": {"graph_iri": graph_iri, "attempts": 0},
+            "audit_operation": "delete",
+        }
+
     def list_object_versions(
         self,
         prefix: str = "",

@@ -832,3 +832,106 @@ def test_scoped_facade_fts_scores_are_scope_derived(spark, sf_dir):
         spark, triples_store(spark, sf_dir), visible_graphs=allowed
     ).execute(q)
     assert got == want and got
+
+
+# ------------------------------------------------- r9 route families
+def test_bucket_cors_routes(engine):
+    ok = engine.put_bucket_cors(
+        "corpus",
+        [{"allowed_origins": ["https://a.test"], "allowed_methods": ["get"]}],
+    )
+    assert ok["status"] == 200
+    assert ok["rules"][0]["allowed_methods"] == ["GET"]
+    assert engine.put_bucket_cors("no-such-bucket", [])["status"] == 404
+    bad = engine.put_bucket_cors("corpus", [])
+    assert bad["status"] == 400 and bad["error"] == "MalformedXML"
+    bad = engine.put_bucket_cors(
+        "corpus",
+        [{"allowed_origins": ["https://a.test"], "allowed_methods": ["PATCH"]}],
+    )
+    assert bad["status"] == 400 and "PATCH" in bad["message"]
+    assert engine.get_bucket_cors("b0")["status"] == 200
+    assert engine.get_bucket_cors("corpus")["status"] == 404
+
+
+def test_cors_preflight_route(engine):
+    hit = engine.cors_preflight("b0", "https://evil.test", "GET")
+    assert hit["status"] == 204 and hit["allow_origin"] == "*"
+    assert hit["rule_id"] == "b0-any-read"
+    # headers push past rule0 (empty allowed list) onto rule1
+    hit = engine.cors_preflight(
+        "b0", "https://app.example.org", "GET", "Content-Type"
+    )
+    assert hit["status"] == 204 and hit["rule_id"] == "b0-app-write"
+    assert hit["allow_origin"] == "https://app.example.org"
+    assert hit["allow_headers"] == ["content-type"]
+    assert engine.cors_preflight("b0", "https://evil.test", "DELETE") == {
+        "status": 403
+    }
+    assert engine.cors_preflight("b3", "https://evil.test", "GET") == {
+        "status": 403
+    }
+
+
+def test_put_bucket_replication_route(engine):
+    ok = engine.put_bucket_replication(
+        "bkt0",
+        [
+            {"destination_arn": "arn:aruna:realmA:node2:s3/corpus",
+             "delete_markers_enabled": True},
+            {"status": "Disabled", "destination_arn": "nonsense"},
+        ],
+    )
+    assert ok["status"] == 200
+    assert ok["targets"] == [
+        {"node_id": "node2", "bucket": "corpus",
+         "replicate_delete_markers": True}
+    ]
+    bad = engine.put_bucket_replication(
+        "bkt0", [{"destination_arn": "arn:aruna:realmB:node2:s3/corpus"}]
+    )
+    assert bad["status"] == 400 and bad["reason"] == "foreign_realm"
+    ws = engine.put_bucket_replication(
+        "ws-scratch", [{"destination_arn": "arn:aruna:realmA:node2:s3/c"}]
+    )
+    assert ws["status"] == 400 and ws["reason"] == "ws_source"
+
+
+def test_user_access_routes(engine):
+    made = engine.create_user_access("NEWKEY1", "user-3", "grp-1")
+    assert made["status"] == 201 and len(made["secret"]) == 30
+    assert made["expiry_ms"] > 500_000
+    assert engine.create_user_access("", "u", "g")["status"] == 400
+    assert engine.create_user_access("has space", "u", "g")["status"] == 400
+    assert engine.create_user_access("x" * 129, "u", "g")["status"] == 400
+
+    rows = engine.list_user_access("user-7").collect()
+    assert rows and [r.access_key for r in rows] == sorted(
+        r.access_key for r in rows
+    )
+
+    missing = engine.revoke_user_access("NOPE")
+    assert missing["status"] == 404
+    fresh = engine.revoke_user_access(rows[0].access_key)
+    assert fresh["status"] == 200
+    # idempotency: an already-revoked credential echoes its original stamp
+    from aruna_spark.queries.user_access import load_user_access
+
+    revoked = (
+        load_user_access(engine.spark, engine.sf_dir)
+        .filter("revoked_at_ms IS NOT NULL")
+        .first()
+    )
+    again = engine.revoke_user_access(revoked.access_key)
+    assert again["already_revoked"]
+    assert again["revoked_at_ms"] == revoked.revoked_at_ms
+
+
+def test_delete_document_route(engine):
+    # doc 0 ≡ 0 mod 3 → live → deletable
+    out = engine.delete_document(0)
+    assert out["status"] == 204
+    assert out["prune_job"]["graph_iri"].endswith("/0")
+    # doc 1 ≡ 1 mod 3 → already tombstoned → registry row gone → 404
+    assert engine.delete_document(1)["status"] == 404
+    assert engine.delete_document(10**9)["status"] == 404
