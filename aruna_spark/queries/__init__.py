@@ -135,6 +135,7 @@ def load_all() -> None:
         crdt_suite,
         decontam,
         doc_lifecycle,
+        doc_update,
         drs,
         dedup,
         hashpaths,
