@@ -150,6 +150,7 @@ def load_all() -> None:
         permissions,
         placement,
         principals,
+        queue_lag,
         reclaim,
         references,
         replication,
