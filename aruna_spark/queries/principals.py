@@ -116,6 +116,98 @@ def registry_list_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- group search
+GROUP_QUERY = "platform"
+GROUP_SEARCH_LIMIT = 8
+
+
+def load_group_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUP keyspace: id-ordered records whose display names are
+    deliberately NOT in key order (the scan order is the key, the
+    match is on the name — search_groups.rs:134-136)."""
+    c = F.col("c_custkey")
+    name = (
+        F.when(c % 7 == 0, F.concat(F.lit("Data Platform "), c.cast("string")))
+        .when(c % 7 == 1, F.concat(F.lit("platform ops "), c.cast("string")))
+        .when(c % 7 == 2, F.concat(F.lit("Research "), c.cast("string")))
+        .otherwise(F.concat(F.lit("Team "), c.cast("string")))
+    )
+    return load_table(spark, sf_dir, "customer").filter(c % 3 == 0).select(
+        F.concat(F.lit("g"), F.lpad(c.cast("string"), 4, "0")).alias(
+            "group_id"
+        ),
+        name.alias("display_name"),
+    )
+
+
+_GROUPS_DIR_SQL = """
+    gdir AS (
+      SELECT 'g' || lpad(CAST(c_custkey AS VARCHAR), 4, '0') AS group_id,
+             CASE WHEN c_custkey % 7 = 0
+                    THEN 'Data Platform ' || c_custkey
+                  WHEN c_custkey % 7 = 1
+                    THEN 'platform ops ' || c_custkey
+                  WHEN c_custkey % 7 = 2 THEN 'Research ' || c_custkey
+                  ELSE 'Team ' || c_custkey END AS display_name
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+"""
+
+
+def search_groups_of(
+    groups: DataFrame, query: str, limit: int, start_after: str | None = None
+) -> DataFrame:
+    """SearchGroups (search_groups.rs:96-167): scan the group keyspace
+    in KEY (group_id) order strictly after ``start_after``, keep
+    case-insensitive display-name substring matches, stop at limit;
+    ``next_start_after`` is the page's last group_id minted only when
+    a further match exists (the reference over-collects limit+1 and
+    truncates). Bounded TakeOrderedAndProject + a 1-row broadcast
+    envelope — the scan never ranks globally."""
+    q = query.lower()
+    matches = groups.filter(F.contains(F.lower("display_name"), F.lit(q)))
+    if start_after is not None:
+        matches = matches.filter(F.col("group_id") > start_after)
+    page = matches.orderBy("group_id").limit(limit)
+    more = matches.orderBy("group_id").limit(limit + 1).agg(
+        (F.count(F.lit(1)) > limit).alias("__more"),
+    )
+    last = page.agg(F.max("group_id").alias("__last"))
+    env = more.crossJoin(F.broadcast(last)).select(
+        F.when(F.col("__more"), F.col("__last")).alias("next_start_after")
+    )
+    return page.crossJoin(F.broadcast(env))
+
+
+@register(
+    "search_groups_page",
+    oracle=f"""
+    WITH {_GROUPS_DIR_SQL},
+    matches AS (
+      SELECT * FROM gdir
+      WHERE contains(lower(display_name), '{GROUP_QUERY}')
+    ),
+    page AS (
+      SELECT * FROM matches ORDER BY group_id LIMIT {GROUP_SEARCH_LIMIT}
+    )
+    SELECT p.group_id, p.display_name,
+           CASE WHEN (SELECT COUNT(*) FROM matches)
+                     > {GROUP_SEARCH_LIMIT}
+                THEN (SELECT MAX(group_id) FROM page)
+           END AS next_start_after
+    FROM page p
+    """,
+)
+def search_groups_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form pinned at the fixture query/limit; the
+    parameterized operator is :func:`search_groups_of`."""
+    return search_groups_of(
+        load_group_directory(spark, sf_dir),
+        GROUP_QUERY,
+        GROUP_SEARCH_LIMIT,
+    )
+
+
 # ------------------------------------------- subject-conflict resolution
 def load_subject_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users with their claimed OIDC subjects. Each user claims two

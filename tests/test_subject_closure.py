@@ -135,3 +135,44 @@ def test_closure_canonical_is_component_min(spark, sf_dir):
         members = set(r.alias_users_csv.split(",")) | {r.canonical_user}
         assert r.canonical_user == min(members)
         assert r.n_members == len(members)
+
+
+# ------------------------------------------------ group search walk
+def test_search_groups_two_page_walk(spark, sf_dir):
+    """search_groups.rs keyset continuation: walking pages by the
+    minted next_start_after yields every case-insensitive match in
+    key order, no skip, no dup; the final page minted no cursor."""
+    from aruna_spark.queries.principals import (
+        GROUP_QUERY,
+        GROUP_SEARCH_LIMIT,
+        load_group_directory,
+        search_groups_of,
+    )
+
+    groups = load_group_directory(spark, sf_dir)
+    expected = [
+        r.group_id
+        for r in groups.filter(
+            f"contains(lower(display_name), '{GROUP_QUERY}')"
+        )
+        .orderBy("group_id")
+        .collect()
+    ]
+    assert len(expected) > GROUP_SEARCH_LIMIT, "fixture must paginate"
+    walked, cursor = [], None
+    for _ in range(40):
+        rows = search_groups_of(
+            groups, GROUP_QUERY, GROUP_SEARCH_LIMIT, start_after=cursor
+        ).collect()
+        walked += [r.group_id for r in rows]
+        cursors = {r.next_start_after for r in rows}
+        assert len(cursors) == 1
+        cursor = cursors.pop()
+        if cursor is None:
+            break
+    assert walked == expected
+    # matches are on the NAME, scan order is the KEY
+    assert all(
+        "platform" in r.display_name.lower()
+        for r in search_groups_of(groups, "PLATFORM", 5).collect()
+    )
