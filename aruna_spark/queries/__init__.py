@@ -35,7 +35,9 @@ def register(name: str, oracle: str | None = None):
 # deletion lifecycle + prune drain + visibility cascade, the S3
 # user-access plane, CORS preflight matching, replication-config
 # validation, and the transitive subject closure — first-time driver
-# checks take precedence), then rotates in the r8-unchecked backlog
+# checks take precedence; likewise the update-batch classifier, the
+# queue-lag sample and the group search), then rotates in the
+# r8-unchecked backlog
 # front-to-back: the whole SPARQL family (28, last driver checks
 # r4-r6) and the search-enrichment five, with rel_ starting at the
 # cut. The remaining r8-unchecked families (stream watch/debounce,
@@ -57,6 +59,9 @@ PRIORITY_PREFIXES = (
     "s3_cors_preflight_match",
     "s3_replication_validate",
     "registry_subject_closure",
+    "registry_update_batch",
+    "queue_lag_sample",
+    "search_groups_page",
     # r8-unchecked backlog, least-recently-driver-checked first:
     # the whole SPARQL family (last driver checks r4-r6)
     "sparql_",
