@@ -142,6 +142,7 @@ def load_all() -> None:
         doc_lifecycle,
         doc_update,
         drs,
+        export_plan,
         dedup,
         hashpaths,
         hidden,
