@@ -30,7 +30,7 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 9 (VERDICT r8 Next #6) leads with the 14
+# window on a cycle. Round 9 (VERDICT r8 Next #6) leads with the 15
 # queries whose plans are NEW this round (the metadata-document
 # deletion lifecycle + prune drain + visibility cascade, the S3
 # user-access plane, CORS preflight matching, replication-config
@@ -62,6 +62,7 @@ PRIORITY_PREFIXES = (
     "registry_update_batch",
     "queue_lag_sample",
     "search_groups_page",
+    "export_plan_paths",
     # r8-unchecked backlog, least-recently-driver-checked first:
     # the whole SPARQL family (last driver checks r4-r6)
     "sparql_",
