@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None = None):
 # registry, multimodal, crdt, ingest/rocrate/archive/graph, sampling,
 # distributed, similarity, dedup) queue at the tail for r10's front;
 # the 50 r8-window queries drop to the very end (checked most
-# recently). ALL 189 registered queries are selfcheck-green this
+# recently). ALL 193 registered queries are selfcheck-green this
 # round (scripts/selfcheck.py full run at sf0.01).
 PRIORITY_PREFIXES = (
     # new this round (front of the window)
