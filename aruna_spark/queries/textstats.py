@@ -543,3 +543,117 @@ def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__s")["docs_kept"].alias("docs_kept"),
         F.col("__s")["docs_removed"].alias("docs_removed"),
     )
+
+
+# ------------------------------------------------------------ PII scan
+# Training-data pipelines scrub personally identifiable information
+# before anything ships (public recipe: regex families for emails,
+# phone numbers, IP addresses — the C4/CCNet-style scrub pass). The
+# synthetic corpus carries no natural PII, so the fixture PLANTS it
+# deterministically (the repo's established planting pattern — see
+# make_sf1's "% 10 planting" note) and the scanner stays generic: the
+# patterns below never reference the planting lanes.
+#
+# Dialect note: patterns stay in the Java-regex ∩ RE2 common subset
+# (char classes, bounded quantifiers, \\b) so Spark (Java) and DuckDB
+# (RE2) agree byte-for-byte; DuckDB's regexp_replace needs the 'g'
+# flag to match Spark's replace-all default.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII appended: lane %7 — 1 email,
+    2 phone, 3 IPv4, 4 email+phone, others clean."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    suffix = (
+        F.when(k % 7 == 1,
+               F.concat(F.lit(" contact user"), k.cast("string"),
+                        F.lit("@example.org")))
+        .when(k % 7 == 2,
+              F.concat(F.lit(" call +1-555-"),
+                       F.lpad((k % 10000).cast("string"), 4, "0")))
+        .when(k % 7 == 3,
+              F.concat(F.lit(" host 10.0."), (k % 256).cast("string"),
+                       F.lit(".7")))
+        .when(k % 7 == 4,
+              F.concat(F.lit(" mail a"), k.cast("string"),
+                       F.lit("@b.co or +44-020-7946")))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+
+
+_PII_DOCS_SQL = """
+    pdocs AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 7 = 1
+                 THEN ' contact user' || doc_id || '@example.org'
+               WHEN doc_id % 7 = 2
+                 THEN ' call +1-555-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN doc_id % 7 = 3
+                 THEN ' host 10.0.' || (doc_id % 256) || '.7'
+               WHEN doc_id % 7 = 4
+                 THEN ' mail a' || doc_id || '@b.co or +44-020-7946'
+               ELSE '' END AS text
+      FROM documents
+    )
+"""
+
+
+@register(
+    "textstats_pii_scan",
+    oracle=f"""
+    WITH {_PII_DOCS_SQL}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}'))
+                AS BIGINT) AS n_ipv4,
+           len(regexp_extract_all(text, '{PII_EMAIL_RE}')) > 0
+           OR len(regexp_extract_all(text, '{PII_PHONE_RE}')) > 0
+           OR len(regexp_extract_all(text, '{PII_IPV4_RE}')) > 0
+             AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g'),
+             '{PII_IPV4_RE}', '[IP]', 'g') AS masked_text
+    FROM pdocs
+    """,
+)
+def textstats_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub pass: regex-family counts, the has_pii
+    routing flag, and the masked text the retained corpus would ship.
+    One narrow map stage — regexp_count/regexp_replace are JVM-side
+    and whole-stage-codegen'd; at 100 TB this runs where the scan
+    runs, no shuffle at all."""
+    docs = pii_planted_docs(spark, sf_dir)
+    t = F.col("text")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IPV4_RE,
+        "[IP]",
+    )
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE_RE))
+    n_ipv4 = F.regexp_count(t, F.lit(PII_IPV4_RE))
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        ((n_emails > 0) | (n_phones > 0) | (n_ipv4 > 0)).alias("has_pii"),
+        masked.alias("masked_text"),
+    )

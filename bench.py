@@ -16,11 +16,16 @@ Modes:
 - plain            — measure SF_DIR, write BENCH_FULL.json, print line
 - ``--sf1``        — measure the synthetic sf1 (scripts/make_sf1.py),
                      write BENCH_FULL_SF1.json
-- ``--pair``       — BOTH in one invocation and one Spark session
-                     (VERDICT r8 Next #7): the growth-ratio numerator
-                     and denominator are then same-session by
-                     construction, so contention-band re-litigation
-                     dies; requires the sf1 directory to exist.
+- ``--pair``       — BOTH in one invocation, back-to-back (VERDICT r8
+                     Next #7): the growth-ratio numerator and
+                     denominator then share one contention
+                     environment, so the band stops being re-litigated
+                     each review; requires the sf1 directory to exist.
+                     The sf1 leg runs in a FRESH subprocess JVM — one
+                     heap holding both scales' checkpointed store
+                     state OOMs (observed on the first combined run),
+                     and separate JVMs match how the two artifacts
+                     were always measured individually.
 
 Every artifact records ``loadavg`` — (1m, 5m, 15m) at measurement
 start and the 1m value at end — so a reviewer can see host contention
@@ -221,9 +226,13 @@ def main() -> None:
     payload = measure(spark, SF_DIR)
     _write_full(payload, "BENCH_FULL.json")
     if pair:
-        # same session, back-to-back: the growth-ratio denominator and
-        # numerator share one contention environment
-        _write_full(measure(spark, SF1_DIR), "BENCH_FULL_SF1.json")
+        # back-to-back, fresh JVM for the big leg (see module doc)
+        import subprocess
+
+        spark.stop()
+        subprocess.run(
+            [sys.executable, __file__, "--sf1"], check=True
+        )
     print(_compact(payload))
 
 
