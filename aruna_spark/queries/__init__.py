@@ -30,7 +30,7 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 9 (VERDICT r8 Next #6) leads with the 16
+# window on a cycle. Round 9 (VERDICT r8 Next #6) leads with the 17
 # queries whose plans are NEW this round (the metadata-document
 # deletion lifecycle + prune drain + visibility cascade, the S3
 # user-access plane, CORS preflight matching, replication-config
@@ -44,13 +44,14 @@ def register(name: str, oracle: str | None = None):
 # registry, multimodal, crdt, ingest/rocrate/archive/graph, sampling,
 # distributed, similarity, dedup) queue at the tail for r10's front;
 # the 50 r8-window queries drop to the very end (checked most
-# recently). ALL 194 registered queries are selfcheck-green this
+# recently). ALL 195 registered queries are selfcheck-green this
 # round (scripts/selfcheck.py full run at sf0.01).
 PRIORITY_PREFIXES = (
     # new this round (front of the window)
     "registry_delete_lifecycle",
     "matq_graph_prune_drain",
     "registry_doc_count_live",
+    "registry_listing_live",
     "backlinks_live_grouped",
     "sparql_skip_tombstoned",
     "s3_user_access_list",

@@ -492,3 +492,43 @@ def sparql_skip_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
         } GROUP BY ?lang
         """
     )
+
+
+LISTING_GROUP = 3
+
+
+@register(
+    "registry_listing_live",
+    oracle=f"""
+    WITH {_D_DELETED}
+    SELECT d.doc_id AS document_id,
+           'https://w3id.org/aruna/' || d.doc_id AS graph_iri,
+           'doc-' || d.doc_id AS name,
+           d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 7 = {LISTING_GROUP}
+      AND NOT EXISTS (SELECT 1 FROM deleted x
+                      WHERE x.document_id = d.doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def registry_listing_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One group's document listing, lifecycle-deleted graphs skipped
+    (``operations/src/list_metadata_documents.rs``): the reference
+    FIRST collects the deleted graph set from the lifecycle keyspace,
+    THEN walks the group's registry rows dropping any tombstoned graph
+    — belt-and-braces on top of the registry delete, because a
+    replica's registry may lag the lifecycle record. Same shape here:
+    a broadcast anti-join feeding the ordered group scan."""
+    live = live_documents(spark, sf_dir).filter(
+        F.col("doc_id") % 7 == LISTING_GROUP
+    )
+    return live.select(
+        F.col("doc_id").alias("document_id"),
+        _graph(F.col("doc_id")).alias("graph_iri"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "name"
+        ),
+        "lang",
+        "source",
+    ).orderBy("document_id")

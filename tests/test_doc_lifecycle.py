@@ -273,3 +273,32 @@ def test_search_plane_excludes_deleted_docs(spark, sf_dir):
     hits = bm25_scores(postings, tokenize("doc")).collect()
     dead = {r.graph_iri for r in deleted_graphs(spark, sf_dir).collect()}
     assert hits and not any(r.graph_iri in dead for r in hits)
+
+
+def test_listing_live_skips_tombstoned(spark, sf_dir):
+    """list_metadata_documents.rs: the group listing collects the
+    deleted graph set first and skips tombstoned rows."""
+    from aruna_spark.queries.doc_lifecycle import (
+        LISTING_GROUP,
+        registry_listing_live,
+    )
+
+    rows = registry_listing_live(spark, sf_dir).collect()
+    assert rows
+    ids = [r.document_id for r in rows]
+    assert ids == sorted(ids)
+    assert all(d % 7 == LISTING_GROUP for d in ids)
+    assert all(d % 3 != 1 for d in ids), "tombstoned doc leaked"
+    # the exclusion is non-vacuous: the group HAS tombstoned members
+    from aruna_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    tombed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 7 == LISTING_GROUP)
+            & (F.col("doc_id") % 3 == 1)
+        )
+        .count()
+    )
+    assert tombed > 0
