@@ -30,7 +30,7 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 9 (VERDICT r8 Next #6) leads with the 18
+# window on a cycle. Round 9 (VERDICT r8 Next #6) leads with the 20
 # queries whose plans are NEW this round (the metadata-document
 # deletion lifecycle + prune drain + visibility cascade, the S3
 # user-access plane, CORS preflight matching, replication-config
@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None = None):
 # registry, multimodal, crdt, ingest/rocrate/archive/graph, sampling,
 # distributed, similarity, dedup) queue at the tail for r10's front;
 # the 50 r8-window queries drop to the very end (checked most
-# recently). ALL 196 registered queries are selfcheck-green this
+# recently). ALL 198 registered queries are selfcheck-green this
 # round (scripts/selfcheck.py full run at sf0.01).
 PRIORITY_PREFIXES = (
     # new this round (front of the window)
@@ -66,6 +66,8 @@ PRIORITY_PREFIXES = (
     "export_plan_paths",
     "textstats_pii_scan",
     "replication_location_summary",
+    "corpus_mix_plan",
+    "corpus_mix_sample",
     # r8-unchecked backlog, least-recently-driver-checked first:
     # the whole SPARQL family (last driver checks r4-r6)
     "sparql_",

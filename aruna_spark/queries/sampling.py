@@ -147,3 +147,163 @@ def sample_stratified_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_id_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------- corpus mixing
+# The data-mixing recipe every LLM pretraining run publishes (The
+# Pile / LLaMA / Dolma): per-domain TARGET weights over a total token
+# budget → per-domain sampling rates, where rate > 1 means the domain
+# is UPSAMPLED (multiple epochs) and rate < 1 downsamples. The rate
+# applies as epochs = floor(rate) full passes plus a deterministic
+# hash-bucket acceptance of the fractional remainder — reproducible,
+# order-independent, joinable (same machinery as the splits above).
+#
+# Mix classes over the fixture's sources (src<N>): N % 3 → class
+# web/curated/rare with target weights 70/20/10 over a budget of 60%
+# of total corpus chars — chosen so the web class lands ABOVE 1.0
+# (genuine upsampling) while the others downsample.
+MIX_BUDGET_PERMILLE = 600
+MIX_TARGETS = {"web": 0.7, "curated": 0.2, "rare": 0.1}
+
+_MIX_CLASS_SPARK = (
+    "CASE CAST(regexp_extract(source, '(\\\\d+)$', 1) AS INT) % 3 "
+    "WHEN 0 THEN 'web' WHEN 1 THEN 'curated' ELSE 'rare' END"
+)
+_MIX_CLASS_DUCK = (
+    "CASE CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 3 "
+    "WHEN 0 THEN 'web' WHEN 1 THEN 'curated' ELSE 'rare' END"
+)
+_MIX_TARGET_SQL = " ".join(
+    f"WHEN '{c}' THEN {w}" for c, w in MIX_TARGETS.items()
+)
+
+
+@register(
+    "corpus_mix_plan",
+    oracle=f"""
+    WITH classed AS (
+      SELECT {_MIX_CLASS_DUCK} AS mix_class, n_chars FROM documents
+    ),
+    tot AS (SELECT SUM(n_chars) AS t FROM classed),
+    per AS (
+      SELECT mix_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM classed GROUP BY mix_class
+    )
+    SELECT mix_class, n_docs, chars,
+           CAST(chars AS DOUBLE) / (SELECT t FROM tot)
+             AS natural_share,
+           CASE mix_class {_MIX_TARGET_SQL} END AS target_share,
+           (CASE mix_class {_MIX_TARGET_SQL} END)
+             * ({MIX_BUDGET_PERMILLE} / 1000.0)
+             * (SELECT t FROM tot) / chars AS rate,
+           CAST(floor((CASE mix_class {_MIX_TARGET_SQL} END)
+             * ({MIX_BUDGET_PERMILLE} / 1000.0)
+             * (SELECT t FROM tot) / chars) AS INT) AS epochs,
+           (CASE mix_class {_MIX_TARGET_SQL} END)
+             * ({MIX_BUDGET_PERMILLE} / 1000.0)
+             * (SELECT t FROM tot) / chars > 1.0 AS upsampled
+    FROM per
+    """,
+)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mix-class sampling plan: natural share, target share, the
+    derived rate over the token budget, whole epochs, and the
+    upsampling flag. One groupBy + a broadcast 1-row total — the plan
+    is config-sized regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr(_MIX_CLASS_SPARK).alias("mix_class"), "n_chars"
+    )
+    per = docs.groupBy("mix_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tot = docs.agg(F.sum("n_chars").alias("__t"))
+    target = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in MIX_TARGETS.items() for x in kv]
+        ),
+        F.col("mix_class"),
+    )
+    rate = (
+        target * (MIX_BUDGET_PERMILLE / 1000.0) * F.col("__t") / F.col("chars")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "mix_class",
+        "n_docs",
+        "chars",
+        (F.col("chars").cast("double") / F.col("__t")).alias(
+            "natural_share"
+        ),
+        target.alias("target_share"),
+        rate.alias("rate"),
+        F.floor(rate).cast("int").alias("epochs"),
+        (rate > 1.0).alias("upsampled"),
+    )
+
+
+@register(
+    "corpus_mix_sample",
+    oracle=f"""
+    WITH classed AS (
+      SELECT doc_id, n_chars, {_MIX_CLASS_DUCK} AS mix_class
+      FROM documents
+    ),
+    tot AS (SELECT SUM(n_chars) AS t FROM classed),
+    rated AS (
+      SELECT *,
+             (CASE mix_class {_MIX_TARGET_SQL} END)
+               * ({MIX_BUDGET_PERMILLE} / 1000.0)
+               * (SELECT t FROM tot)
+               / SUM(n_chars) OVER (PARTITION BY mix_class) AS rate
+      FROM classed
+    ),
+    copies AS (
+      SELECT mix_class, doc_id, n_chars,
+             CAST(floor(rate) AS BIGINT)
+             + CASE WHEN ({_DUCK_BUCKET.format(salt="mix")})
+                    < 1000 * (rate - floor(rate)) THEN 1 ELSE 0 END
+               AS n_copies
+      FROM rated
+    )
+    SELECT mix_class,
+           CAST(SUM(n_copies) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_copies * n_chars) AS BIGINT) AS kept_chars,
+           CAST(SUM(CASE WHEN n_copies = 0 THEN doc_id END)
+                AS BIGINT) AS dropped_id_checksum
+    FROM copies GROUP BY mix_class
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mix plan: each document contributes floor(rate) whole
+    copies plus one more iff its hash bucket clears the fractional
+    remainder — deterministic epochs-with-fractional-tail upsampling
+    (and pure downsampling when rate < 1). The summary pins the exact
+    membership via the dropped-id checksum. The per-doc work is a
+    window-free broadcast of the per-class rate (a 3-row table)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_MIX_CLASS_SPARK).alias("mix_class")
+    )
+    plan = corpus_mix_plan(spark, sf_dir).select("mix_class", "rate")
+    bucket = F.expr(_SPARK_BUCKET.format(salt="mix"))
+    rated = docs.join(F.broadcast(plan), "mix_class")
+    copies = rated.select(
+        "mix_class",
+        "doc_id",
+        "n_chars",
+        (
+            F.floor("rate").cast("long")
+            + F.when(
+                bucket < 1000 * (F.col("rate") - F.floor("rate")), 1
+            ).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return copies.groupBy("mix_class").agg(
+        F.sum("n_copies").cast("long").alias("kept_docs"),
+        F.sum(F.col("n_copies") * F.col("n_chars"))
+        .cast("long")
+        .alias("kept_chars"),
+        F.sum(F.when(F.col("n_copies") == 0, F.col("doc_id")))
+        .cast("long")
+        .alias("dropped_id_checksum"),
+    )
