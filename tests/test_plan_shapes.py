@@ -381,3 +381,63 @@ def test_placement_broadcasts_cluster_view(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------- round-9 planes
+def test_visibility_cascade_is_broadcast_anti_join(spark, sf_dir):
+    """The deletion cascade's 100 TB claim: the tombstone set is the
+    BROADCAST side of a left-anti join — never a shuffled join of the
+    corpus against the tombstones."""
+    plan = _plan(spark, "registry_doc_count_live", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    plan = _plan(spark, "registry_listing_live", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_prune_drain_is_bounded_topk(spark, sf_dir):
+    """The due page must be a distributed TakeOrderedAndProject, and
+    the only window is partitioned by the graph key."""
+    plan = _plan(spark, "matq_graph_prune_drain", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_user_access_gate_broadcasts_rules(spark, sf_dir):
+    plan = _plan(spark, "s3_user_access_gate", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cors_preflight_broadcasts_rules_no_python(spark, sf_dir):
+    plan = _plan(spark, "s3_cors_preflight_match", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_replication_validate_is_one_map_stage(spark, sf_dir):
+    """The ladder is a narrow CASE cascade: no join, no exchange."""
+    plan = _plan(spark, "s3_replication_validate", sf_dir)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_update_batch_validation_stays_jvm_side(spark, sf_dir):
+    """The JSON-LD ladder runs on VARIANT expressions — no Python
+    eval nodes anywhere in the classifier."""
+    plan = _plan(spark, "registry_update_batch", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pii_scan_is_pure_codegen(spark, sf_dir):
+    plan = _plan(spark, "textstats_pii_scan", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow map stage, no shuffle
+
+
+def test_location_summary_broadcasts_config_sides(spark, sf_dir):
+    plan = _plan(spark, "replication_location_summary", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
