@@ -853,6 +853,22 @@ class Engine:
             return {"status": 409, "error": "NotEmpty"}
         return {"status": 204, "name": name}
 
+    def queue_lag(self) -> DataFrame:
+        """One observability tick over every modeled durable queue
+        (queue_lag.rs sample): depth / due / oldest-due-age."""
+        from aruna_spark.queries.queue_lag import queue_lag_sample
+
+        return queue_lag_sample(self.spark, self.sf_dir)
+
+    def location_summary(self) -> DataFrame:
+        """Per object head: expected replica destinations and queued
+        pending copies (replication/location_summary)."""
+        from aruna_spark.queries.location_summary import (
+            replication_location_summary,
+        )
+
+        return replication_location_summary(self.spark, self.sf_dir)
+
     def reclaim_sweep(self) -> DataFrame:
         """One blob-reclaim sweep over the modeled candidate queue
         against the post-delete catalog (blob/reclaim.rs) — per-

@@ -935,3 +935,14 @@ def test_delete_document_route(engine):
     # doc 1 ≡ 1 mod 3 → already tombstoned → registry row gone → 404
     assert engine.delete_document(1)["status"] == 404
     assert engine.delete_document(10**9)["status"] == 404
+
+
+def test_observability_routes(engine):
+    lag = {r.queue: r for r in engine.queue_lag().collect()}
+    assert set(lag) == {
+        "job_schedule",
+        "metadata_graph_prune",
+        "materialization_dead_letters",
+    }
+    heads = engine.location_summary().collect()
+    assert heads and all(r.n_expected >= 1 for r in heads)
