@@ -1003,7 +1003,13 @@ class Engine:
             for i, r in enumerate(rules)
         ]
         if not rows:
-            return {"status": 200, "bucket": bucket, "targets": []}
+            # s3_service.rs:366-371 — an empty rule list yields zero
+            # targets and the whole config is rejected.
+            return {
+                "status": 400,
+                "error": "InvalidArgument",
+                "reason": "no_enabled_target",
+            }
         df = self.spark.createDataFrame(
             rows,
             "rule_id long, source_bucket string, status string,"
@@ -1022,19 +1028,24 @@ class Engine:
                 "rule_id": first.rule_id,
                 "reason": first.outcome,
             }
-        return {
-            "status": 200,
-            "bucket": bucket,
-            "targets": [
-                {
-                    "node_id": r.target_node,
-                    "bucket": r.target_bucket,
-                    "replicate_delete_markers": r.replicate_delete_markers,
-                }
-                for r in sorted(out, key=lambda r: r.rule_id)
-                if r.outcome == "accepted"
-            ],
-        }
+        targets = [
+            {
+                "node_id": r.target_node,
+                "bucket": r.target_bucket,
+                "replicate_delete_markers": r.replicate_delete_markers,
+            }
+            for r in sorted(out, key=lambda r: r.rule_id)
+            if r.outcome == "accepted"
+        ]
+        if not targets:
+            # All rules disabled/skipped — parse_replication_targets
+            # rejects the config (s3_service.rs:366-371).
+            return {
+                "status": 400,
+                "error": "InvalidArgument",
+                "reason": "no_enabled_target",
+            }
+        return {"status": 200, "bucket": bucket, "targets": targets}
 
     # --------------------------------------------------- user-access routes
     def create_user_access(

@@ -36,11 +36,13 @@ machinery. At scale this is the ingest-side batch classifier: one
 narrow map stage over the update stream, no shuffle.
 
 Fixture (documents; row selection ``% 4 == 2``, discriminators
-%3 (deleted — doc_lifecycle's lane), %7 (mutation kind), %11 (payload
-lane) pairwise coprime to 4): payload lanes 0-10 cover valid /
+%3 (deleted — doc_lifecycle's lane), %7 (mutation kind), %13 (payload
+lane) pairwise coprime to 4): payload lanes 0-12 cover valid /
 valid-alias-with-type-array / bad JSON / non-object / @graph /
 blank @id / missing @type / empty @type array / blank array element /
-missing name / numeric @type. Replace-RoCrate rows carry a canonical
+missing name / numeric @type / null-valued @id beside a valid alias /
+null-valued @type beside a valid alias. Replace-RoCrate rows carry a
+canonical
 crate payload (their validation path is the graph engine, not this
 ladder). NOW = 90_000.
 """
@@ -75,7 +77,13 @@ PAYLOAD_LANES = [
     ('{"@id":"e<K>","@type":["T",""],"name":"n"}', "bad_type"),
     ('{"@id":"e<K>","@type":"T"}', "missing_name"),
     ('{"@id":"e<K>","@type":5,"name":"n"}', "bad_type"),
+    # null-valued @-keys: the @-key is PRESENT, so it wins over its
+    # alias even though its value is JSON null (.or_else fires only on
+    # key ABSENCE, rs:305-307/314-316)
+    ('{"@id":null,"id":"e<K>","@type":"T","name":"n"}', "missing_id"),
+    ('{"@id":"e<K>","@type":null,"type":"T","name":"n"}', "bad_type"),
 ]
+N_LANES = len(PAYLOAD_LANES)
 
 
 def load_update_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,9 +109,9 @@ def load_update_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         lane_payload = (
-            F.when(k % 11 == i, expr)
+            F.when(k % N_LANES == i, expr)
             if lane_payload is None
-            else lane_payload.when(k % 11 == i, expr)
+            else lane_payload.when(k % N_LANES == i, expr)
         )
     payload = F.when(
         mutation == "replace_rocrate", F.lit(_CRATE_PAYLOAD)
@@ -123,7 +131,7 @@ def _duck_payload_sql() -> str:
         expr = " || doc_id || ".join(
             "'" + p.replace("'", "''") + "'" for p in parts
         )
-        whens.append(f"WHEN doc_id % 11 = {i} THEN {expr}")
+        whens.append(f"WHEN doc_id % {N_LANES} = {i} THEN {expr}")
     lanes = "CASE " + " ".join(whens) + " END"
     crate = "'" + _CRATE_PAYLOAD.replace("'", "''") + "'"
     return f"""
@@ -146,13 +154,21 @@ def entity_error_class(payload: F.Column) -> F.Column:
     is BIGINT, a mixed array is ARRAY<VARIANT> — neither passes."""
     v = F.try_parse_json(payload)
     keys = F.json_object_keys(payload)
-    id_v = F.coalesce(
+    # alias precedence is on key PRESENCE, not value: serde_json's
+    # object.get("@id").or_else(get("id")) returns Some(Null) for a
+    # null-valued "@id", so the alias is never consulted (rs:305-316);
+    # coalescing the extracted values would wrongly fall through when
+    # the @-key holds JSON null.
+    id_v = F.when(
+        F.array_contains(keys, "@id"),
         F.try_variant_get(v, "$['@id']", "variant"),
-        F.try_variant_get(v, "$['id']", "variant"),
-    )
-    type_v = F.coalesce(
+    ).otherwise(F.try_variant_get(v, "$['id']", "variant"))
+    type_v = F.when(
+        F.array_contains(keys, "@type"),
         F.try_variant_get(v, "$['@type']", "variant"),
-        F.try_variant_get(v, "$['type']", "variant"),
+    ).otherwise(F.try_variant_get(v, "$['type']", "variant"))
+    has_type_key = F.array_contains(keys, "@type") | F.array_contains(
+        keys, "type"
     )
     name_v = F.try_variant_get(v, "$['name']", "variant")
     id_ok = (F.schema_of_variant(id_v) == "STRING") & (
@@ -179,7 +195,7 @@ def entity_error_class(payload: F.Column) -> F.Column:
         .when(keys.isNull(), "not_object")
         .when(has_graph, "has_graph")
         .when(~F.coalesce(id_ok, F.lit(False)), "missing_id")
-        .when(type_v.isNull(), "missing_type")
+        .when(~has_type_key, "missing_type")
         .when(
             ~F.coalesce(t_str_ok | t_arr_ok, F.lit(False)), "bad_type"
         )

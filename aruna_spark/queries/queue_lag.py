@@ -63,12 +63,11 @@ def lag_snapshot(
     a queue deeper than the cap reports depth = cap with
     ``depth_capped`` (rs:165-175), and the min-time statistics stay
     exact because the page holds the oldest keys."""
-    page = (
-        df.select(time_col.cast("long").alias("__t"))
-        .orderBy("__t")
-        .limit(SCAN_CAP)
-    )
-    probed = df.agg(
+    keyed = df.select(time_col.cast("long").alias("__t"))
+    page = keyed.orderBy("__t").limit(SCAN_CAP)
+    # the capped flag probes ONE key past the budget, never a full
+    # count (queue_lag.rs:165-175 — the probe is O(cap) total)
+    probed = keyed.limit(SCAN_CAP + 1).agg(
         (F.count(F.lit(1)) > SCAN_CAP).alias("depth_capped")
     )
     snap = page.agg(
@@ -96,6 +95,29 @@ def lag_snapshot(
     )
 
 
+def _lag_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
+    """One queue's oracle snapshot: statistics over the first SCAN_CAP
+    rows in key (time) order, the capped flag from a cap+1-limited
+    probe — the oracle mirrors the BOUNDED scan, so impl and oracle
+    keep agreeing even if a fixture queue ever outgrows the cap."""
+    return f"""
+    SELECT '{queue}' AS queue,
+           CAST(COUNT(*) AS BIGINT) AS depth,
+           (SELECT COUNT(*) FROM (SELECT 1 FROM {rel}
+                                  LIMIT {SCAN_CAP + 1}))
+             > {SCAN_CAP} AS depth_capped,
+           CAST(COALESCE(SUM(CASE WHEN t <= {now} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS due,
+           CAST(COALESCE({now} - MIN(CASE WHEN t <= {now} THEN t END), 0)
+                AS BIGINT) AS oldest_due_age_ms
+    FROM (SELECT t FROM (
+            SELECT {tcol} AS t,
+                   row_number() OVER (ORDER BY {tcol}) AS rn
+            FROM {rel})
+          WHERE rn <= {SCAN_CAP})
+    """
+
+
 @register(
     "queue_lag_sample",
     oracle=f"""
@@ -112,33 +134,14 @@ def lag_snapshot(
       SELECT CAST(doc_id + 1000 AS BIGINT) FROM documents
       WHERE doc_id % 30 = 2
     )
-    SELECT 'job_schedule' AS queue,
-           CAST(COUNT(*) AS BIGINT) AS depth,
-           COUNT(*) > {SCAN_CAP} AS depth_capped,
-           CAST(SUM(CASE WHEN due_at_ms <= {JOBS_NOW_MS} THEN 1 ELSE 0 END)
-                AS BIGINT) AS due,
-           CAST(COALESCE({JOBS_NOW_MS} - MIN(CASE WHEN due_at_ms <=
-                {JOBS_NOW_MS} THEN due_at_ms END), 0) AS BIGINT)
-             AS oldest_due_age_ms
-    FROM jobs WHERE state = 'queued'
+    {_lag_oracle("job_schedule",
+                 "(SELECT * FROM jobs WHERE state = 'queued')",
+                 "due_at_ms", JOBS_NOW_MS)}
     UNION ALL
-    SELECT 'metadata_graph_prune',
-           CAST(COUNT(*) AS BIGINT),
-           COUNT(*) > {SCAN_CAP},
-           CAST(SUM(CASE WHEN t <= {PRUNE_NOW_MS} THEN 1 ELSE 0 END)
-                AS BIGINT),
-           CAST(COALESCE({PRUNE_NOW_MS} - MIN(CASE WHEN t <=
-                {PRUNE_NOW_MS} THEN t END), 0) AS BIGINT)
-    FROM prune
+    {_lag_oracle("metadata_graph_prune", "prune", "t", PRUNE_NOW_MS)}
     UNION ALL
-    SELECT 'materialization_dead_letters',
-           CAST(COUNT(*) AS BIGINT),
-           COUNT(*) > {SCAN_CAP},
-           CAST(SUM(CASE WHEN requeue_at_ms <= {MATQ_NOW_MS} THEN 1
-                ELSE 0 END) AS BIGINT),
-           CAST(COALESCE({MATQ_NOW_MS} - MIN(CASE WHEN requeue_at_ms <=
-                {MATQ_NOW_MS} THEN requeue_at_ms END), 0) AS BIGINT)
-    FROM letters
+    {_lag_oracle("materialization_dead_letters", "letters",
+                 "requeue_at_ms", MATQ_NOW_MS)}
     """,
 )
 def queue_lag_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,7 +12,11 @@ Reference surface:
       (``core/src/structs/replication.rs:111-147``):
       ``arn:aruna:<realm>:<node>:<type>/<path>`` — missing prefix,
       missing node id, missing resource path, unsupported type, empty
-      path all reject;
+      path all reject; the resource TYPE (the pre-slash segment) is
+      validated BEFORE checking a path follows
+      (replication.rs:129-137 — ArunaArnType::parse runs on
+      ``splitn(2, '/')``'s first part, the path check on the second),
+      so ``...:node1:foo`` first-fails bad_type, not missing_path;
   (4) the ARN type must be s3;
   (5) the target realm must equal the caller's realm;
   (6) the ARN must name a BUCKET, not a key prefix (no ``/`` in path);
@@ -130,8 +134,8 @@ def validate_replication(rules: DataFrame) -> DataFrame:
         .when(~arn.startswith(ARN_PREFIX), "bad_prefix")
         .when(n_colons < 1, "missing_node")
         .when(n_colons < 2, "missing_resource")
-        .when(~has_path | (rtype == ""), "missing_path")
         .when(~rtype.isin("s3", "ch"), "bad_type")
+        .when(~has_path, "missing_path")
         .when(path == "", "empty_path")
         .when(rtype != "s3", "not_s3")
         .when(realm != OUR_REALM, "foreign_realm")
@@ -194,10 +198,9 @@ def validate_replication(rules: DataFrame) -> DataFrame:
                  THEN 'missing_node'
                WHEN len(string_split(rem, ':')) - 1 < 2
                  THEN 'missing_resource'
-               WHEN NOT contains(resource, '/')
-                 OR split_part(resource, '/', 1) = '' THEN 'missing_path'
                WHEN split_part(resource, '/', 1) NOT IN ('s3', 'ch')
                  THEN 'bad_type'
+               WHEN NOT contains(resource, '/') THEN 'missing_path'
                WHEN regexp_extract(resource, '^[^/]*/(.*)$', 1) = ''
                  THEN 'empty_path'
                WHEN split_part(resource, '/', 1) <> 's3' THEN 'not_s3'

@@ -221,7 +221,13 @@ def main() -> None:
     spark = get_spark("aruna-bench")
 
     if sf1_only:
-        _write_full(measure(spark, SF1_DIR), "BENCH_FULL_SF1.json")
+        payload = measure(spark, SF1_DIR)
+        _write_full(payload, "BENCH_FULL_SF1.json")
+        # every invocation prints the compact payload line — a driver
+        # capturing an --sf1 run's stdout still gets a result (the
+        # compact line is headline-subset sized, so the tail-capture
+        # buffer concern does not apply)
+        print(_compact(payload))
         return
     payload = measure(spark, SF_DIR)
     _write_full(payload, "BENCH_FULL.json")

@@ -895,6 +895,25 @@ def test_put_bucket_replication_route(engine):
         "ws-scratch", [{"destination_arn": "arn:aruna:realmA:node2:s3/c"}]
     )
     assert ws["status"] == 400 and ws["reason"] == "ws_source"
+    # zero resolved targets rejects the whole config
+    # (s3_service.rs:366-371) — both the empty rule list and the
+    # all-disabled case
+    empty = engine.put_bucket_replication("bkt0", [])
+    assert empty["status"] == 400
+    assert empty["reason"] == "no_enabled_target"
+    disabled = engine.put_bucket_replication(
+        "bkt0",
+        [{"status": "Disabled",
+          "destination_arn": "arn:aruna:realmA:node2:s3/corpus"}],
+    )
+    assert disabled["status"] == 400
+    assert disabled["reason"] == "no_enabled_target"
+    # the reference parses the type segment before requiring a path:
+    # an unsupported type first-fails bad_type (replication.rs:129-137)
+    typeless = engine.put_bucket_replication(
+        "bkt0", [{"destination_arn": "arn:aruna:realmA:node1:foo"}]
+    )
+    assert typeless["status"] == 400 and typeless["reason"] == "bad_type"
 
 
 def test_user_access_routes(engine):

@@ -103,6 +103,13 @@ def test_ladder_edge_cases_match_reference(spark):
         ("{}", "missing_id"),
         # whitespace-only type string
         ('{"@id":"e","@type":" ","name":"n"}', "bad_type"),
+        # null-valued @-key is PRESENT → wins over a valid alias
+        # (serde_json get returns Some(Null); .or_else never fires)
+        ('{"@id":null,"id":"e","@type":"T","name":"n"}', "missing_id"),
+        ('{"@id":"e","@type":null,"type":"T","name":"n"}', "bad_type"),
+        # null @type with NO alias is still bad_type, not missing_type
+        ('{"@id":"e","@type":null,"name":"n"}', "bad_type"),
+        ('{"@id":"e","type":null,"name":"n"}', "bad_type"),
     ]
     got = _classify(spark, [c[0] for c in cases])
     assert got == [c[1] for c in cases]
