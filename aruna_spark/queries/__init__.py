@@ -25,94 +25,89 @@ def register(name: str, oracle: str | None = None):
 
     return deco
 
-
 # Families the driver's bounded correctness sample (~first 50 registry
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 9 (VERDICT r8 Next #6) leads with the 20
-# queries whose plans are NEW this round (the metadata-document
-# deletion lifecycle + prune drain + visibility cascade, the S3
-# user-access plane, CORS preflight matching, replication-config
-# validation, and the transitive subject closure — first-time driver
-# checks take precedence; likewise the update-batch classifier, the
-# queue-lag sample and the group search), then rotates in the
-# r8-unchecked backlog
-# front-to-back: the whole SPARQL family (28, last driver checks
-# r4-r6) and the search-enrichment five, with rel_ starting at the
-# cut. The remaining r8-unchecked families (stream watch/debounce,
-# registry, multimodal, crdt, ingest/rocrate/archive/graph, sampling,
-# distributed, similarity, dedup) queue at the tail for r10's front;
-# the 50 r8-window queries drop to the very end (checked most
-# recently). ALL 198 registered queries are selfcheck-green this
-# round (scripts/selfcheck.py full run at sf0.01).
+# window on a cycle. Round 10 (VERDICT r9 Next #1-2,4-5): the queries
+# whose plans are NEW this round lead (bucket sync relationships + the
+# mirror-repair queue drain, the bounded reference-refresh drain tick,
+# the bucket-routing config plane), then the 56 stalest queries in
+# last-driver-check order — the r4 group (crdt clock, all 5
+# multimodal_, 6 rel_, 6 stream debounce/window), the r5 group
+# (archive/ingest/graph, registry doc-count/path-claims/snapshot,
+# rocrate, the BM25 + enrichment search family, the 2 stale trained-
+# index similarity rows, dashboard epoch), and the r6 group (registry
+# event/listing, the remaining rel_ six, samples, unified search,
+# scaled similarity, 2 sparql rows, watch matches). The window cuts at
+# ~50, so the final few r6 rows queue first for r11; every query
+# outside the window is selfcheck-verified at round close
+# (scripts/selfcheck.py full run at sf0.01).
 PRIORITY_PREFIXES = (
     # new this round (front of the window)
-    "registry_delete_lifecycle",
-    "matq_graph_prune_drain",
-    "registry_doc_count_live",
-    "registry_listing_live",
-    "backlinks_live_grouped",
-    "sparql_skip_tombstoned",
-    "s3_user_access_list",
-    "s3_user_access_gate",
-    "s3_user_access_revoke",
-    "s3_cors_preflight_match",
-    "s3_replication_validate",
-    "registry_subject_closure",
-    "registry_update_batch",
-    "queue_lag_sample",
-    "search_groups_page",
-    "export_plan_paths",
-    "textstats_pii_scan",
-    "replication_location_summary",
-    "corpus_mix_plan",
-    "corpus_mix_sample",
-    # r8-unchecked backlog, least-recently-driver-checked first:
-    # the whole SPARQL family (last driver checks r4-r6)
-    "sparql_",
-    # search enrichment/discovery five (last checked r5)
-    "search_substring_customers",
-    "search_conformsto_scoped",
-    "search_unified",
-    "search_hits_enriched",
-    "search_describe_hits",
-    # rel_ straddles the ~50 cut; the rest queue for r10's front
-    "rel_",
-    "stream_",
-    "registry_",
-    "multimodal_",
-    "crdt_",
-    "ingest_jsonld_typing",
-    "rocrate_",
-    "archive_import_rewrite",
-    "graph_snapshot_orphan_skip",
-    "sample_",
-    "distributed_select_merge",
-    "search_",
-    "similarity_",
-    "dedup_",
-    "decontam_",
-    "textstats_",
-    "corpus_",
-    "backlinks_",
-    "autoindex_parse_entries",
-    "listing_v2_flat",
-    "listing_versions",
+    "sync_relationship_list",
+    "sync_mirror_repair_drain",
+    "staging_refresh_drain",
+    "s3_bucket_routing_config",
+    # last driver-checked r4
+    "crdt_clock_relation",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_png_roundtrip",
+    "multimodal_resize_plan",
+    "multimodal_wav_roundtrip",
+    "rel_agg_kinds",
+    "rel_events_hourly",
+    "rel_exists_semi_anti",
     "rel_keyset_page",
-    "usage_counters_by_group",
-    "usage_counters_global",
-    "usage_quota_gate",
-    "usage_snapshot_realms",
-    "drs_object_lookup",
-    "perm_visible_summary",
-    "staging_list_recursive",
-    "staging_list_level",
-    "s3_multipart",
-    "s3_put_upsert",
-    "s3_versioned_get",
-    # r8-window queries (most recently checked) fall through to the
-    # registration-order tail automatically
+    "rel_latest_order_per_customer",
+    "rel_setops",
+    "stream_debounce_sessions",
+    "stream_debounce_timer",
+    "stream_debounce_windows",
+    "stream_lww_registry",
+    "stream_sliding_window_counts",
+    "stream_unread_counts",
+    # last driver-checked r5
+    "archive_import_rewrite",
+    "crdt_orset_replay",
+    "distributed_select_merge",
+    "graph_snapshot_orphan_skip",
+    "ingest_jsonld_typing",
+    "registry_doc_count",
+    "registry_path_claims",
+    "registry_snapshot_asof",
+    "rocrate_export_page",
+    "rocrate_export_summary",
+    "search_bm25_page2",
+    "search_bm25_topk",
+    "search_conformsto_scoped",
+    "search_describe_hits",
+    "search_hits_enriched",
+    "search_perfield_rank_shift",
+    "search_substring_customers",
+    "similarity_ivf_pq_topk",
+    "similarity_ivf_trained_topk",
+    "stream_dashboard_epoch",
+    # last driver-checked r6 (the cut lands inside this group)
+    "registry_event_replay",
+    "registry_incremental_merge",
+    "registry_listing_created",
+    "registry_listing_recent",
+    "rel_asof_latest_click",
+    "rel_pricing_summary",
+    "rel_range_window_join",
+    "rel_region_revenue",
+    "rel_sessionize",
+    "rel_shipping_priority",
+    "sample_split_summary",
+    "sample_stratified_summary",
+    "search_unified",
+    "similarity_ivf_scaled_topk",
+    "similarity_neardup_scaled",
+    "sparql_arith_if",
+    "sparql_path_zero_or_one",
+    "stream_watch_matches",
 )
 
 
@@ -125,6 +120,11 @@ def _reorder() -> None:
     """
     ordered: dict[str, tuple[SparkQuery, str | None]] = {}
     for prefix in PRIORITY_PREFIXES:
+        if prefix in REGISTRY:
+            # exact name — don't drag same-prefixed siblings (e.g.
+            # registry_doc_count_live) into the bounded window slot
+            ordered.setdefault(prefix, REGISTRY[prefix])
+            continue
         for name in list(REGISTRY):
             if name.startswith(prefix) and name not in ordered:
                 ordered[name] = REGISTRY[name]
