@@ -69,11 +69,19 @@ tests/test_doc_lifecycle.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
 from aruna_spark.ingest.doc_triples import GRAPH_NS, TRIPLES_ORACLE_SQL
+from aruna_spark.ops.queue_drain import (  # noqa: F401 (re-exported)
+    QUEUE_RETRY_BASE_MS,
+    QUEUE_RETRY_MAX_MS,
+    backoff_ms,
+    drain_envelope,
+    due_page,
+    group_representative,
+)
 from aruna_spark.queries import register
 
 NOW_MS = 10_000
@@ -81,8 +89,6 @@ PRUNE_SCAN_PAGE_SIZE = 512  # prune_queue.rs:35
 PRUNE_BATCH_SIZE = 128  # prune_queue.rs:36
 PRUNE_POLL_AFTER_MS = 5_000  # prune_queue.rs:38
 PRUNE_RETRY_AFTER_MS = 1_000  # prune_queue.rs:39
-QUEUE_RETRY_BASE_MS = 250  # queue_backoff.rs:1
-QUEUE_RETRY_MAX_MS = 30_000  # queue_backoff.rs:2
 
 
 def _graph(doc_id: F.Column) -> F.Column:
@@ -253,19 +259,11 @@ def drain_tick(
     ``fail`` is the failure-simulation predicate over the group
     columns (None → nothing fails)."""
     key_hash = F.sha2(F.col("graph_iri"), 256)
-    due = jobs.filter(F.col("due_at_ms") <= now_ms)
-    page = due.orderBy("due_at_ms", key_hash).limit(PRUNE_BATCH_SIZE)
-    w = Window.partitionBy("graph_iri").orderBy(
-        F.desc("attempts"), F.desc("due_at_ms")
+    page = due_page(
+        jobs, now_ms, PRUNE_BATCH_SIZE, [F.col("due_at_ms"), key_hash]
     )
-    groups = (
-        page.withColumn("__rn", F.row_number().over(w))
-        .withColumn(
-            "jobs_in_group",
-            F.count(F.lit(1)).over(Window.partitionBy("graph_iri")),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    groups = group_representative(
+        page, ["graph_iri"], [F.desc("attempts"), F.desc("due_at_ms")]
     )
     deleted = lifecycle.filter(F.col("status") == "deleted").select(
         "graph_iri", F.lit(True).alias("__deleted")
@@ -273,30 +271,13 @@ def drain_tick(
     resolved = groups.join(F.broadcast(deleted), "graph_iri", "left")
     failing = fail if fail is not None else F.lit(False)
     bumped = F.col("attempts") + 1
-    backoff = F.least(
-        F.lit(QUEUE_RETRY_BASE_MS)
-        * F.pow(F.lit(2.0), F.least(bumped, F.lit(7))).cast("long"),
-        F.lit(QUEUE_RETRY_MAX_MS),
-    )
+    backoff = backoff_ms(bumped)
     outcome = (
         F.when(F.col("__deleted").isNull(), "dropped")
         .when(failing, "rescheduled")
         .otherwise("pruned")
     )
-    envelope = due.agg(
-        (F.count(F.lit(1)) > PRUNE_BATCH_SIZE).alias("has_more_due")
-    ).crossJoin(
-        F.broadcast(
-            jobs.filter(F.col("due_at_ms") > now_ms).agg(
-                (F.min("due_at_ms") - now_ms).cast("long").alias("__next")
-            )
-        )
-    ).select(
-        "has_more_due",
-        F.when(F.col("has_more_due"), F.lit(0).cast("long"))
-        .otherwise(F.col("__next"))
-        .alias("next_due_after_ms"),
-    )
+    envelope = drain_envelope(jobs, now_ms, PRUNE_BATCH_SIZE)
     return resolved.select(
         "graph_iri",
         "document_id",

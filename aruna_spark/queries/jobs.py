@@ -41,10 +41,13 @@ from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.pagination import bounded_rank
+from aruna_spark.ops.queue_drain import (  # noqa: F401 (re-exported)
+    QUEUE_RETRY_BASE_MS,
+    QUEUE_RETRY_MAX_MS,
+    backoff_ms,
+)
 from aruna_spark.queries import register
 
-QUEUE_RETRY_BASE_MS = 250  # queue_backoff.rs:1
-QUEUE_RETRY_MAX_MS = 30_000  # queue_backoff.rs:2
 NOW_MS = 30_000
 DRAIN_PAGE = 25
 JOB_HEARTBEAT_MS = 20_000  # jobs/mod.rs:24
@@ -53,15 +56,6 @@ JOB_HEARTBEAT_MS = 20_000  # jobs/mod.rs:24
 # drain cannot busy-loop on a lease row a reconciled attempt keeps.
 BUDGET_IN_PROCESS = 6
 BUDGET_EXTERNAL = 3
-
-
-def backoff_ms(attempts: F.Column) -> F.Column:
-    """``min(base << min(attempts, 7), max)`` — queue_backoff.rs:8-12."""
-    return F.least(
-        F.lit(QUEUE_RETRY_BASE_MS)
-        * F.pow(F.lit(2.0), F.least(attempts, F.lit(7))).cast("long"),
-        F.lit(QUEUE_RETRY_MAX_MS),
-    )
 
 
 def load_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:

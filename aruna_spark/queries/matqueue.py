@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
+from aruna_spark.ops.queue_drain import backoff_ms as retry_after_ms
 from aruna_spark.queries import register
 
 MAX_FAILURES = 10  # rs:57
@@ -48,14 +49,6 @@ DL_REQUEUE_MAX_MS = 3_600_000  # rs:63
 Q_BASE_MS = 250  # queue_backoff.rs:1
 Q_MAX_MS = 30_000  # queue_backoff.rs:2
 NOW_MS = 50_000
-
-
-def retry_after_ms(attempts: Column, base: int, cap: int) -> Column:
-    """``min(base << min(attempts, 7), cap)`` — queue_backoff.rs:8-12."""
-    return F.least(
-        F.lit(base) * F.pow(F.lit(2.0), F.least(attempts, F.lit(7))).cast("long"),
-        F.lit(cap),
-    )
 
 
 def _final(state: Column) -> Column:
