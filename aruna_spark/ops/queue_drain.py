@@ -64,13 +64,17 @@ def drain_envelope(
     now_ms: int,
     batch: int,
     due_col: str = "due_at_ms",
+    zero_when_more: bool = True,
 ) -> DataFrame:
     """1-row ``(has_more_due, next_due_after_ms)`` re-arm envelope.
 
     ``has_more_due`` probes ONE key past the batch budget;
-    ``next_due_after_ms`` is 0 when the queue still holds due work
-    (re-arm immediately), else the interval to the next future due
-    (NULL when nothing is pending)."""
+    ``next_due_after_ms`` is the interval to the next maturing job
+    (NULL when nothing is pending). When the queue still holds due
+    work the prune drain re-arms at 0 (``prune_queue.rs:242-249``,
+    ``zero_when_more=True``) while the mirror-repair drain reports
+    None (``sync_mirror_repair.rs:400-405``, ``zero_when_more=False``)
+    — both re-arm immediately through a separate kick."""
     probe = (
         jobs.filter(F.col(due_col) <= now_ms)
         .limit(batch + 1)
@@ -79,9 +83,13 @@ def drain_envelope(
     nxt = jobs.filter(F.col(due_col) > now_ms).agg(
         (F.min(due_col) - now_ms).cast("long").alias("__next")
     )
+    when_more = (
+        F.lit(0).cast("long") if zero_when_more
+        else F.lit(None).cast("long")
+    )
     return probe.crossJoin(F.broadcast(nxt)).select(
         "has_more_due",
-        F.when(F.col("has_more_due"), F.lit(0).cast("long"))
+        F.when(F.col("has_more_due"), when_more)
         .otherwise(F.col("__next"))
         .alias("next_due_after_ms"),
     )

@@ -181,6 +181,7 @@ def load_all() -> None:
         submit,
         sparql_suite,
         streaming_suite,
+        sync_suite,
         textstats,
         usage,
         user_access,

@@ -441,3 +441,21 @@ def test_pii_scan_is_pure_codegen(spark, sf_dir):
 def test_location_summary_broadcasts_config_sides(spark, sf_dir):
     plan = _plan(spark, "replication_location_summary", sf_dir)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mirror_repair_drain_is_bounded_topk_broadcast(spark, sf_dir):
+    """The repair page is a distributed TakeOrderedAndProject head,
+    the Reconcile re-read a broadcast join against the metadata-sized
+    relationship catalog — never a shuffled join, never Python."""
+    plan = _plan(spark, "sync_mirror_repair_drain", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sync_create_duplicate_scan_broadcasts_catalog(spark, sf_dir):
+    plan = _plan(spark, "sync_create_validate", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
