@@ -310,3 +310,184 @@ def listing_v2_referenced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cached_length").cast("long").alias("size"),
         F.col("last_refresh").cast("long").alias("last_refresh"),
     )
+
+
+# ======================================================= staging_refresh_drain
+# The refresh queue's DRAIN TICK (VERDICT r9 Next #4): where
+# staging_refresh_sweep models the metadata refresh SEMANTICS (the
+# monotonic stale guard over the whole due set), this models the
+# per-tick QUEUE DISCIPLINE (refresh_reference_metadata.rs:490-680):
+#
+# - the scan walks the job keyspace in KEY order (the canonical job
+#   key serializes (bucket, key, version_id, refreshed_at) —
+#   rs:101-114), pages of REFRESH_SCAN_PAGE_SIZE 512, collecting DUE
+#   jobs until REFRESH_BATCH_SIZE 64 — the page is the first 64 due
+#   jobs in KEY order (NOT due order), and ``has_more_due`` is true
+#   the moment the batch fills (rs:611-620: the scan returns early at
+#   jobs.len() >= limit, so the flag means "due count reached the
+#   batch", not "strictly more remain");
+# - a failed refresh reschedules with attempts+1 due at now + queue
+#   backoff, and the retry instant FEEDS the re-arm envelope
+#   (rs:521-528: min_due_at(next_due_at_ms, retry_due_at));
+# - ``next_due_after`` is None when the batch filled (the drain kicks
+#   itself), else min(earliest future job, earliest minted retry) -
+#   now (rs:552-557).
+#
+# The canonical-key repair + duplicate-preference passes
+# (rs:601-660) are storage-hygiene over malformed postcard rows —
+# excluded with the storage plane.
+
+REFRESH_SCAN_PAGE_SIZE = 512  # refresh_reference_metadata.rs:27
+REFRESH_BATCH_SIZE = 64  # refresh_reference_metadata.rs:28
+REFRESH_NOW_MS = 5_000
+
+
+def load_refresh_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh-job keyspace at the tick: one job per reference
+    head; future lane doc_id%9==2, attempts doc_id%3 (9, 3, 13 all
+    coprime to the %11 row selection)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % REFERENCE_MOD == REFERENCE_RESIDUE
+    )
+    d = F.col("doc_id")
+    return docs.select(
+        F.lit("staging").alias("bucket"),
+        F.concat(
+            F.lit("ext/"), F.col("source"), F.lit("/"), F.col("lang"),
+            F.lit("/doc-"), d.cast("string"), F.lit(".bin"),
+        ).alias("key"),
+        d.alias("doc_id"),
+        F.when(d % 9 == 2, d + 9_000)
+        .otherwise(F.lit(1_000) + (d % 7) * 100)
+        .cast("long")
+        .alias("due_at_ms"),
+        (d % 3).cast("int").alias("attempts"),
+    )
+
+
+_REFRESH_JOBS_SQL = f"""
+    refresh_jobs AS (
+      SELECT 'staging' AS bucket,
+             'ext/' || source || '/' || lang || '/doc-' || doc_id
+               || '.bin' AS key,
+             doc_id,
+             CAST(CASE WHEN doc_id % 9 = 2 THEN doc_id + 9000
+                  ELSE 1000 + (doc_id % 7) * 100 END AS BIGINT)
+               AS due_at_ms,
+             CAST(doc_id % 3 AS INT) AS attempts
+      FROM documents
+      WHERE doc_id % {REFERENCE_MOD} = {REFERENCE_RESIDUE}
+    )
+"""
+
+
+def refresh_drain_tick(
+    jobs: DataFrame, now_ms: int, fail: F.Column | None = None
+) -> DataFrame:
+    """One bounded refresh-drain batch — see the section comment for
+    the reference semantics. The page is a TakeOrderedAndProject head
+    on the KEY order; the envelope's has_more probes exactly the
+    batch size (the reference's early-return flag), and failed rows'
+    retry instants fold into the re-arm interval."""
+    from aruna_spark.ops.queue_drain import backoff_ms, due_page
+
+    page = due_page(
+        jobs, now_ms, REFRESH_BATCH_SIZE, [F.col("bucket"), F.col("key")]
+    )
+    failing = fail if fail is not None else F.lit(False)
+    bumped = F.col("attempts") + 1
+    retry_due = F.lit(now_ms) + backoff_ms(bumped)
+    staged = page.select(
+        "bucket",
+        "key",
+        "due_at_ms",
+        "attempts",
+        F.when(failing, "rescheduled").otherwise("refreshed").alias(
+            "result"
+        ),
+        F.when(failing, bumped).cast("int").alias("next_attempts"),
+        F.when(failing, retry_due).cast("long").alias("next_due_at_ms"),
+    )
+    # has_more_due = the scan filled the batch (rs:611-620 returns
+    # true at jobs.len() >= limit, even on the keyspace's last key)
+    probe = (
+        jobs.filter(F.col("due_at_ms") <= now_ms)
+        .limit(REFRESH_BATCH_SIZE)
+        .agg(
+            (F.count(F.lit(1)) >= REFRESH_BATCH_SIZE).alias(
+                "has_more_due"
+            )
+        )
+    )
+    future = jobs.filter(F.col("due_at_ms") > now_ms).agg(
+        F.min("due_at_ms").alias("__future")
+    )
+    retries = staged.filter(F.col("result") == "rescheduled").agg(
+        F.min("next_due_at_ms").alias("__retry")
+    )
+    envelope = (
+        probe.crossJoin(F.broadcast(future))
+        .crossJoin(F.broadcast(retries))
+        .select(
+            "has_more_due",
+            F.when(
+                ~F.col("has_more_due"),
+                F.least(F.col("__future"), F.col("__retry")) - now_ms,
+            )
+            .cast("long")
+            .alias("next_due_after_ms"),
+        )
+    )
+    return staged.crossJoin(F.broadcast(envelope))
+
+
+@register(
+    "staging_refresh_drain",
+    oracle=f"""
+    WITH {_REFRESH_JOBS_SQL},
+    due AS (
+      SELECT *, row_number() OVER (ORDER BY bucket, key) AS rn
+      FROM refresh_jobs WHERE due_at_ms <= {REFRESH_NOW_MS}
+    ),
+    page AS (SELECT * FROM due WHERE rn <= {REFRESH_BATCH_SIZE}),
+    staged AS (
+      SELECT bucket, key, due_at_ms, attempts,
+             CASE WHEN doc_id % 13 = 3 THEN 'rescheduled'
+                  ELSE 'refreshed' END AS result,
+             CAST(CASE WHEN doc_id % 13 = 3 THEN attempts + 1 END AS INT)
+               AS next_attempts,
+             CAST(CASE WHEN doc_id % 13 = 3 THEN {REFRESH_NOW_MS}
+                    + LEAST(250 * (1 << LEAST(attempts + 1, 7)), 30000)
+                  END AS BIGINT) AS next_due_at_ms
+      FROM page
+    ),
+    env AS (
+      SELECT (SELECT COUNT(*) FROM (
+                SELECT 1 FROM refresh_jobs
+                WHERE due_at_ms <= {REFRESH_NOW_MS}
+                LIMIT {REFRESH_BATCH_SIZE}))
+               >= {REFRESH_BATCH_SIZE} AS has_more_due,
+             LEAST(
+               (SELECT MIN(due_at_ms) FROM refresh_jobs
+                WHERE due_at_ms > {REFRESH_NOW_MS}),
+               (SELECT MIN(next_due_at_ms) FROM staged
+                WHERE result = 'rescheduled')
+             ) AS next_due
+    )
+    SELECT s.bucket, s.key, s.due_at_ms, s.attempts, s.result,
+           s.next_attempts, s.next_due_at_ms, e.has_more_due,
+           CAST(CASE WHEN e.has_more_due THEN NULL
+                ELSE e.next_due - {REFRESH_NOW_MS} END AS BIGINT)
+             AS next_due_after_ms
+    FROM staged s CROSS JOIN env e
+    """,
+)
+def staging_refresh_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One drain tick over the fixture refresh queue; the refresh
+    fails for doc_id % 13 == 3 (coprime to the %11 row selection) —
+    those jobs reschedule on the backoff ladder and their retry
+    instants feed the re-arm envelope."""
+    jobs = load_refresh_jobs(spark, sf_dir)
+    return refresh_drain_tick(
+        jobs, REFRESH_NOW_MS, fail=F.col("doc_id") % 13 == 3
+    ).drop("doc_id")

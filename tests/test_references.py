@@ -224,3 +224,85 @@ def test_list_objects_staging_bucket(engine):
         prefix="ext/", delimiter="/", bucket="staging"
     ).collect()
     assert rolled and all(r.kind == "common_prefix" for r in rolled)
+
+
+# ----------------------------------------------- staging_refresh_drain
+def test_refresh_drain_page_is_key_ordered_first_64(spark, sf_dir):
+    """The page is the first REFRESH_BATCH_SIZE due jobs in KEY order
+    (refresh_reference_metadata.rs:611-620 — the scan collects as
+    encountered and stops at the limit, never sorting by due)."""
+    from aruna_spark.queries.references import (
+        REFRESH_BATCH_SIZE,
+        REFRESH_NOW_MS,
+        load_refresh_jobs,
+        staging_refresh_drain,
+    )
+
+    jobs = [r.asDict() for r in load_refresh_jobs(spark, sf_dir).collect()]
+    due = sorted(
+        (j for j in jobs if j["due_at_ms"] <= REFRESH_NOW_MS),
+        key=lambda j: (j["bucket"], j["key"]),
+    )
+    rows = staging_refresh_drain(spark, sf_dir).collect()
+    assert {r.key for r in rows} == {
+        j["key"] for j in due[:REFRESH_BATCH_SIZE]
+    }
+    has_more = len(due) >= REFRESH_BATCH_SIZE
+    assert all(r.has_more_due == has_more for r in rows)
+
+
+def test_refresh_drain_retry_feeds_rearm(spark, sf_dir):
+    """When the batch does not fill, the re-arm interval is the min of
+    the earliest future job and the earliest minted retry
+    (rs:521-528, 552-557). At sf0.001 the retries are earlier than
+    the future lane, so the retry branch decides."""
+    from aruna_spark.queries.references import (
+        REFRESH_NOW_MS,
+        load_refresh_jobs,
+        staging_refresh_drain,
+    )
+
+    rows = staging_refresh_drain(spark, sf_dir).collect()
+    assert rows and all(not r.has_more_due for r in rows)
+    resched = [r for r in rows if r.result == "rescheduled"]
+    assert resched, "failure lane must be alive at sf0.001"
+    for r in resched:
+        assert r.next_attempts == r.attempts + 1
+        assert r.next_due_at_ms == REFRESH_NOW_MS + min(
+            250 << min(r.attempts + 1, 7), 30_000
+        )
+    jobs = load_refresh_jobs(spark, sf_dir).collect()
+    future = min(
+        j.due_at_ms for j in jobs if j.due_at_ms > REFRESH_NOW_MS
+    )
+    expected = min(
+        min(r.next_due_at_ms for r in resched), future
+    ) - REFRESH_NOW_MS
+    assert all(r.next_due_after_ms == expected for r in rows)
+
+
+def test_refresh_drain_fills_and_goes_silent_on_deep_queue(spark):
+    """A queue with >= one batch of due jobs reports has_more_due with
+    a None re-arm — the drain kicks itself (rs:552-557)."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.queries.references import (
+        REFRESH_BATCH_SIZE,
+        refresh_drain_tick,
+    )
+
+    n = REFRESH_BATCH_SIZE + 20
+    jobs = spark.range(n).select(
+        F.lit("staging").alias("bucket"),
+        F.format_string("ext/k%05d", F.col("id")).alias("key"),
+        F.col("id").alias("doc_id"),
+        (F.lit(100) + F.col("id")).alias("due_at_ms"),
+        F.lit(0).cast("int").alias("attempts"),
+    )
+    out = refresh_drain_tick(jobs, 10_000).collect()
+    assert len(out) == REFRESH_BATCH_SIZE
+    assert all(r.has_more_due and r.next_due_after_ms is None for r in out)
+    # exactly-one-batch: the early-return flag still trips (>= limit)
+    exact = jobs.limit(REFRESH_BATCH_SIZE)
+    out = refresh_drain_tick(exact, 10_000).collect()
+    assert all(r.has_more_due for r in out)
