@@ -1137,6 +1137,130 @@ class Engine:
             "already_revoked": r.revoked_at_ms is not None,
         }
 
+    def get_user_access(self, access_key: str):
+        """GetUserAccess (get_user_access.rs:42-90): a single keyed
+        read — 404 NotFound when the keyspace has no record. The
+        response is the REDACTED summary (credentials.rs:371-394,
+        map_user_access_redacted): access key, group, expiry,
+        revocation, derived status — the secret echoes exactly once,
+        in the create response, and never again."""
+        from aruna_spark.queries.user_access import (
+            NOW_MS,
+            load_user_access,
+        )
+
+        rows = (
+            load_user_access(self.spark, self.sf_dir)
+            .filter(F.col("access_key") == access_key)
+            .collect()
+        )
+        if not rows:
+            return {"status": 404, "error": "NotFound"}
+        r = rows[0]
+        if r.revoked_at_ms is not None:
+            status = "revoked"
+        elif r.expiry_ms <= NOW_MS:
+            status = "expired"
+        else:
+            status = "active"
+        return {
+            "status": 200,
+            "access_key": r.access_key,
+            "user_identity": r.user_identity,
+            "group_id": r.group_id,
+            "expiry_ms": r.expiry_ms,
+            "revoked_at_ms": r.revoked_at_ms,
+            "credential_status": status,
+        }
+
+    # ------------------------------------------- bucket routing config
+    def _bucket_group(self, bucket: str):
+        from aruna_spark.queries.buckets import load_buckets
+
+        rows = (
+            load_buckets(self.spark, self.sf_dir)
+            .filter(F.col("name") == bucket)
+            .limit(1)
+            .collect()
+        )
+        return rows[0].group_id if rows else None
+
+    def put_bucket_routing(self, bucket: str, rules: list[dict]):
+        """PutBucketRouting (bucket_routing.rs:49-170): 404 for an
+        unknown bucket, then validate_tenant_rules over the rule list
+        — the whole config rejects at the FIRST error (duplicate
+        (exact, prefix), invalid class name, a node-backend target, a
+        backend the bucket's group does not own); a stored config
+        echoes the rules plus the ADVISORY target warnings
+        (routing.rs:584-605). ``rules`` entries: {key_prefix, exact,
+        target_kind (class|group_backend|node_backend), target}."""
+        from aruna_spark.queries.routing import validate_routing_configs
+
+        group_id = self._bucket_group(bucket)
+        if group_id is None:
+            return {"status": 404, "error": "NoSuchBucket"}
+        if not rules:
+            # an empty rule list clears the config — valid
+            # (PutBucketRoutingOperation stores Vec::new())
+            return {"status": 200, "bucket": bucket, "rules": [],
+                    "warnings": []}
+        df = self.spark.createDataFrame(
+            [
+                (
+                    # validate against the fixture ownership scheme:
+                    # bucket b<j>'s group owns gb-<j>-{0,1}
+                    bucket,
+                    i,
+                    bool(r.get("exact", False)),
+                    r.get("key_prefix", ""),
+                    r.get("target_kind", "class"),
+                    r.get("target", ""),
+                )
+                for i, r in enumerate(rules)
+            ],
+            "bucket string, rule_id long, exact boolean,"
+            " key_prefix string, target_kind string, target string",
+        )
+        # the group's registered backends, modeled as gb-<group>-{0,1}
+        owned = F.col("target").isin(
+            f"gb-{group_id}-0", f"gb-{group_id}-1"
+        )
+        out = sorted(
+            validate_routing_configs(df, owned=owned).collect(),
+            key=lambda r: r.rule_id,
+        )
+        if out[0].config_outcome != "stored":
+            bad = out[0]
+            return {
+                "status": 400,
+                "error": "InvalidRules",
+                "reason": bad.config_outcome,
+                "rule_index": bad.config_reject_rule_id,
+            }
+        return {
+            "status": 200,
+            "bucket": bucket,
+            "rules": [
+                {
+                    "key_prefix": r.key_prefix,
+                    "exact": r.exact,
+                    "target_kind": r.target_kind,
+                    "target": r.target,
+                }
+                for r in out
+            ],
+            "warnings": [r.warning for r in out if r.warning],
+        }
+
+    def get_bucket_routing(self, bucket: str):
+        """GetBucketRouting (bucket_routing.rs:262-300): 404 for an
+        unknown bucket; a bucket with no stored config returns the
+        empty rule list (the route's ``unwrap_or_default``)."""
+        if self._bucket_group(bucket) is None:
+            return {"status": 404, "error": "NoSuchBucket"}
+        return {"status": 200, "bucket": bucket, "rules": [],
+                "warnings": []}
+
     # ------------------------------------------- document deletion route
     def delete_document(self, document_id: int):
         """DeleteMetadataDocument (delete_metadata_document.rs): 404

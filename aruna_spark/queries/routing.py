@@ -243,3 +243,252 @@ def validate_rule_set(rules: DataFrame) -> None:
     )
     if bad:
         raise ValueError(f"invalid storage class {bad[0].target!r}")
+
+
+# ===================================================== bucket routing config
+# Put/GetBucketRouting — the CONFIG plane over the resolution ladder
+# (VERDICT r9 Next #5). Reference:
+#
+# - ``operations/src/s3/bucket_routing.rs:49-170`` —
+#   PutBucketRouting loads the ids the bucket's OWN group registered,
+#   runs ``validate_tenant_rules`` and rejects the WHOLE config on the
+#   first error; GetBucketRouting (rs:262-300) reads the stored rules
+#   (missing bucket → NoSuchBucket).
+# - ``core/src/structs/routing.rs:524-535`` (``validate_rule_set``) —
+#   scanning rules IN ORDER: a rule sharing ``(exact, key_prefix)``
+#   with an earlier rule is DuplicateRule; a class target failing
+#   ``^[a-z0-9-]{1,32}$`` is InvalidClass (rs:38-48). The dup check
+#   precedes the class check within a rule.
+# - ``routing.rs:558-580`` (``validate_tenant_target``, second pass,
+#   only reached when the rule set validated) — a NODE backend target
+#   is OperatorBackendTarget, a group backend the bucket's group does
+#   not own is ForeignBackend, class names re-validate.
+# - ``routing.rs:584-605`` (``target_warnings``) — ADVISORY, computed
+#   only for stored configs: a class the node does not offer to
+#   tenants, or a backend that does not resolve, warns but stores.
+#
+# Fixture (orders, row selection % 23 == 7; discriminators 3, 5, 7,
+# 11, 13 all coprime to 23): each row is one rule; configs group by
+# bucket ``b<k%5>``; bucket b<j>'s group owns backends gb-<j>-0 and
+# gb-<j>-1, of which only gb-<j>-0 resolves in the node catalog; the
+# node offers classes {std, hot} to tenants. The duplicate lane
+# (k%7==2) pins every such rule in a config to ('dup/', exact=false),
+# so the config's second-and-later dup rows trip DuplicateRule.
+
+OFFERED_CLASSES = ("std", "hot")
+
+
+def load_routing_configs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 23 == 7
+    )
+    k = F.col("o_orderkey")
+    kind = (
+        F.when(k % 13 <= 3, "class")
+        .when((k % 13).isin(4, 5), "class")
+        .when(k % 13 == 6, "node_backend")
+        .when((k % 13).isin(7, 8, 9), "group_backend")
+        .otherwise("class")
+    )
+    target = (
+        F.when(k % 13 <= 2, "std")
+        .when(k % 13 == 3, "cold-x")       # valid name, NOT offered
+        .when(k % 13 == 4, "BAD_CLASS")    # invalid name
+        .when(k % 13 == 5, "")             # empty -> invalid
+        .when(k % 13 == 6, F.concat(F.lit("nb-"), (k % 3).cast("string")))
+        .when(
+            (k % 13).isin(7, 8),
+            F.concat(
+                F.lit("gb-"), (k % 5).cast("string"), F.lit("-"),
+                (k % 3 % 2).cast("string"),
+            ),
+        )
+        .when(k % 13 == 9, "gb-9-9")       # owned by nobody here
+        .otherwise("hot")
+    )
+    return o.select(
+        F.concat(F.lit("b"), (k % 5).cast("string")).alias("bucket"),
+        k.alias("rule_id"),
+        F.when(k % 7 == 2, F.lit(False)).otherwise(k % 3 == 0).alias(
+            "exact"
+        ),
+        F.when(k % 7 == 2, F.lit("dup/"))
+        .otherwise(F.concat(F.lit("p"), (k % 11).cast("string"), F.lit("/")))
+        .alias("key_prefix"),
+        kind.alias("target_kind"),
+        target.alias("target"),
+    )
+
+
+_CONFIGS_SQL = """
+    cfg_rules AS (
+      SELECT 'b' || (o_orderkey % 5) AS bucket,
+             o_orderkey AS rule_id,
+             CASE WHEN o_orderkey % 7 = 2 THEN FALSE
+                  ELSE o_orderkey % 3 = 0 END AS exact,
+             CASE WHEN o_orderkey % 7 = 2 THEN 'dup/'
+                  ELSE 'p' || (o_orderkey % 11) || '/' END AS key_prefix,
+             CASE WHEN o_orderkey % 13 = 6 THEN 'node_backend'
+                  WHEN o_orderkey % 13 IN (7, 8, 9) THEN 'group_backend'
+                  ELSE 'class' END AS target_kind,
+             CASE WHEN o_orderkey % 13 <= 2 THEN 'std'
+                  WHEN o_orderkey % 13 = 3 THEN 'cold-x'
+                  WHEN o_orderkey % 13 = 4 THEN 'BAD_CLASS'
+                  WHEN o_orderkey % 13 = 5 THEN ''
+                  WHEN o_orderkey % 13 = 6
+                    THEN 'nb-' || (o_orderkey % 3)
+                  WHEN o_orderkey % 13 IN (7, 8)
+                    THEN 'gb-' || (o_orderkey % 5) || '-'
+                         || (o_orderkey % 3 % 2)
+                  WHEN o_orderkey % 13 = 9 THEN 'gb-9-9'
+                  ELSE 'hot' END AS target
+      FROM orders WHERE o_orderkey % 23 = 7
+    )
+"""
+
+
+def validate_routing_configs(
+    rules: DataFrame, owned: F.Column | None = None
+) -> DataFrame:
+    """``validate_tenant_rules`` over a batch of per-bucket configs:
+    pass 1 scans each config's rules in order (duplicate (exact,
+    key_prefix) vs an EARLIER rule, then the class-name check); pass 2
+    (tenant targets) only decides when pass 1 is clean. The whole
+    config rejects at its first error; stored configs carry the
+    advisory target warnings. Windows partition by the config key —
+    configs are tens of rules, so every window runs over O(config)
+    rows after the scan.
+
+    ``owned`` is the group-ownership predicate for backend targets;
+    the default encodes the fixture scheme (bucket b<j>'s group owns
+    gb-<j>-{0,1})."""
+    from pyspark.sql import Window
+
+    w_dup = Window.partitionBy("bucket", "exact", "key_prefix").orderBy(
+        "rule_id"
+    )
+    wb = Window.partitionBy("bucket")
+    if owned is None:
+        group_backend = lambda s: F.concat(  # noqa: E731
+            F.lit("gb-"), F.substring(F.col("bucket"), 2, 10), F.lit(s)
+        )
+        owned = (F.col("target") == group_backend("-0")) | (
+            F.col("target") == group_backend("-1")
+        )
+    class_ok = F.col("target").rlike("^[a-z0-9-]{1,32}$")
+    pass1 = (
+        F.when(F.row_number().over(w_dup) > 1, "duplicate_rule")
+        .when((F.col("target_kind") == "class") & ~class_ok,
+              "invalid_class")
+    )
+    pass2 = (
+        F.when(F.col("target_kind") == "node_backend",
+               "operator_backend_target")
+        .when((F.col("target_kind") == "group_backend") & ~owned,
+              "foreign_backend")
+    )
+    staged = rules.select(
+        "*",
+        pass1.alias("__p1"),
+        pass2.alias("__p2"),
+    )
+    first1 = F.min(
+        F.when(F.col("__p1").isNotNull(), F.col("rule_id"))
+    ).over(wb)
+    first2 = F.min(
+        F.when(F.col("__p2").isNotNull(), F.col("rule_id"))
+    ).over(wb)
+    reason1 = F.max(
+        F.when(F.col("rule_id") == first1, F.col("__p1"))
+    ).over(wb)
+    reason2 = F.max(
+        F.when(F.col("rule_id") == first2, F.col("__p2"))
+    ).over(wb)
+    reject_rule = F.coalesce(first1, first2)
+    stored = reject_rule.isNull()
+    warning = F.when(
+        (F.col("target_kind") == "class")
+        & ~F.col("target").isin(*OFFERED_CLASSES),
+        F.lit("class_not_offered"),
+    ).when(
+        (F.col("target_kind") == "group_backend")
+        & F.col("target").endswith("-1"),
+        F.lit("backend_unresolved"),
+    )
+    return staged.select(
+        "bucket",
+        "rule_id",
+        "exact",
+        "key_prefix",
+        "target_kind",
+        "target",
+        F.coalesce(F.col("__p1"), F.col("__p2")).alias("rule_error"),
+        F.when(stored, "stored")
+        .otherwise(F.coalesce(reason1, reason2))
+        .alias("config_outcome"),
+        F.when(~stored, reject_rule).cast("long").alias(
+            "config_reject_rule_id"
+        ),
+        F.when(stored, warning).alias("warning"),
+    )
+
+
+@register(
+    "s3_bucket_routing_config",
+    oracle=f"""
+    WITH {_CONFIGS_SQL},
+    staged AS (
+      SELECT *,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY bucket, exact, key_prefix
+                    ORDER BY rule_id) > 1 THEN 'duplicate_rule'
+                  WHEN target_kind = 'class'
+                   AND NOT regexp_matches(target, '^[a-z0-9-]{{1,32}}$')
+                    THEN 'invalid_class' END AS p1,
+             CASE WHEN target_kind = 'node_backend'
+                    THEN 'operator_backend_target'
+                  WHEN target_kind = 'group_backend'
+                   AND target NOT IN (
+                     'gb-' || substring(bucket, 2) || '-0',
+                     'gb-' || substring(bucket, 2) || '-1')
+                    THEN 'foreign_backend' END AS p2
+      FROM cfg_rules
+    ),
+    verdicts AS (
+      SELECT *,
+             MIN(CASE WHEN p1 IS NOT NULL THEN rule_id END)
+               OVER (PARTITION BY bucket) AS first1,
+             MIN(CASE WHEN p2 IS NOT NULL THEN rule_id END)
+               OVER (PARTITION BY bucket) AS first2
+      FROM staged
+    ),
+    reasons AS (
+      SELECT *,
+             MAX(CASE WHEN rule_id = first1 THEN p1 END)
+               OVER (PARTITION BY bucket) AS reason1,
+             MAX(CASE WHEN rule_id = first2 THEN p2 END)
+               OVER (PARTITION BY bucket) AS reason2,
+             COALESCE(first1, first2) AS reject_rule
+      FROM verdicts
+    )
+    SELECT bucket, rule_id, exact, key_prefix, target_kind, target,
+           COALESCE(p1, p2) AS rule_error,
+           CASE WHEN reject_rule IS NULL THEN 'stored'
+                ELSE COALESCE(reason1, reason2) END AS config_outcome,
+           CAST(CASE WHEN reject_rule IS NOT NULL THEN reject_rule END
+                AS BIGINT) AS config_reject_rule_id,
+           CASE WHEN reject_rule IS NULL THEN
+             CASE WHEN target_kind = 'class'
+                   AND target NOT IN ('std', 'hot')
+                    THEN 'class_not_offered'
+                  WHEN target_kind = 'group_backend'
+                   AND target LIKE '%-1'
+                    THEN 'backend_unresolved' END
+           END AS warning
+    FROM reasons
+    """,
+)
+def s3_bucket_routing_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture configs through PutBucketRouting's validation —
+    see :func:`validate_routing_configs`."""
+    return validate_routing_configs(load_routing_configs(spark, sf_dir))

@@ -946,6 +946,113 @@ def test_user_access_routes(engine):
     assert again["revoked_at_ms"] == revoked.revoked_at_ms
 
 
+def test_get_user_access_redacts_secret(engine):
+    """GetUserAccess is a keyed read whose response is the REDACTED
+    summary (credentials.rs:371-394): the secret echoes exactly once,
+    in the create response, and never from a fetch."""
+    assert engine.get_user_access("NOPE")["status"] == 404
+    rows = engine.list_user_access("user-7").collect()
+    got = engine.get_user_access(rows[0].access_key)
+    assert got["status"] == 200
+    assert got["access_key"] == rows[0].access_key
+    assert got["group_id"] == rows[0].group_id
+    assert "secret" not in got
+    assert got["credential_status"] in ("active", "expired", "revoked")
+    # a revoked credential fetches with its stamp and status
+    from aruna_spark.queries.user_access import load_user_access
+
+    revoked = (
+        load_user_access(engine.spark, engine.sf_dir)
+        .filter("revoked_at_ms IS NOT NULL")
+        .first()
+    )
+    got = engine.get_user_access(revoked.access_key)
+    assert got["credential_status"] == "revoked"
+    assert got["revoked_at_ms"] == revoked.revoked_at_ms
+    assert "secret" not in got
+
+
+def test_bucket_routing_config_routes(engine):
+    """Put/GetBucketRouting (bucket_routing.rs:49-170, 262-300):
+    reject envelopes name the first failing rule; stored configs echo
+    rules + advisory warnings."""
+    assert engine.put_bucket_routing("nope", [])["status"] == 404
+    assert engine.get_bucket_routing("nope")["status"] == 404
+    assert engine.get_bucket_routing("corpus") == {
+        "status": 200, "bucket": "corpus", "rules": [], "warnings": [],
+    }
+    ok = engine.put_bucket_routing(
+        "corpus",
+        [
+            {"key_prefix": "data/", "target_kind": "class",
+             "target": "std"},
+            {"key_prefix": "cold/", "target_kind": "class",
+             "target": "glacier"},
+            {"key_prefix": "x/y.bin", "exact": True,
+             "target_kind": "group_backend",
+             "target": "gb-grp-main-0"},
+        ],
+    )
+    assert ok["status"] == 200 and len(ok["rules"]) == 3
+    # 'glacier' is a valid class name but not offered — advisory only
+    assert ok["warnings"] == ["class_not_offered"]
+    # duplicate (exact, prefix) rejects the whole config at rule 1
+    dup = engine.put_bucket_routing(
+        "corpus",
+        [
+            {"key_prefix": "data/", "target_kind": "class",
+             "target": "std"},
+            {"key_prefix": "data/", "target_kind": "class",
+             "target": "hot"},
+        ],
+    )
+    assert dup["status"] == 400 and dup["reason"] == "duplicate_rule"
+    assert dup["rule_index"] == 1
+    # the same prefix exact vs non-exact is NOT a duplicate
+    both = engine.put_bucket_routing(
+        "corpus",
+        [
+            {"key_prefix": "data/", "target_kind": "class",
+             "target": "std"},
+            {"key_prefix": "data/", "exact": True,
+             "target_kind": "class", "target": "hot"},
+        ],
+    )
+    assert both["status"] == 200
+    # invalid class name, node-backend target, foreign backend
+    bad = engine.put_bucket_routing(
+        "corpus",
+        [{"key_prefix": "a/", "target_kind": "class", "target": "BAD"}],
+    )
+    assert bad["status"] == 400 and bad["reason"] == "invalid_class"
+    nb = engine.put_bucket_routing(
+        "corpus",
+        [{"key_prefix": "a/", "target_kind": "node_backend",
+          "target": "nb-1"}],
+    )
+    assert nb["status"] == 400
+    assert nb["reason"] == "operator_backend_target"
+    foreign = engine.put_bucket_routing(
+        "corpus",
+        [{"key_prefix": "a/", "target_kind": "group_backend",
+          "target": "gb-grp-other-0"}],
+    )
+    assert foreign["status"] == 400
+    assert foreign["reason"] == "foreign_backend"
+    # pass-1 errors shadow pass-2 errors even on later rules
+    mixed = engine.put_bucket_routing(
+        "corpus",
+        [
+            {"key_prefix": "a/", "target_kind": "node_backend",
+             "target": "nb-1"},
+            {"key_prefix": "b/", "target_kind": "class",
+             "target": "BAD"},
+        ],
+    )
+    assert mixed["status"] == 400 and mixed["reason"] == "invalid_class"
+    assert mixed["rule_index"] == 1
+
+
 def test_delete_document_route(engine):
     # doc 0 ≡ 0 mod 3 → live → deletable
     out = engine.delete_document(0)
