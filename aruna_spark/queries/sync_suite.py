@@ -533,3 +533,277 @@ def sync_create_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reference_serving"
         ),
     )
+
+
+# ================================================= legacy sync migration
+# One-time migration of legacy bucket-replication configs into sync
+# relationships (``operations/src/replication/migration.rs:52-207``) —
+# the last unmodeled query-shaped plane from VERDICT r9's missing
+# list. The classification per legacy target, in reference order:
+#
+# 1. the source bucket is read from the bucket catalog — missing
+#    bucket fails ALL of that config's targets (rs:70-75);
+# 2. a workspace (``ws-``) source fails them too (rs:76-86 — the ARN
+#    builds, then the ws guard rejects);
+# 3. the target must build a canonical same-realm S3 ARN: a foreign
+#    realm, a ``ws-`` target bucket, a stored ARN string that does not
+#    round-trip to the same ARN, or target == source each fail THAT
+#    target (rs:97-119);
+# 4. an existing outgoing relationship with the same (source, target,
+#    Continuous) — or the deterministic legacy id, which hashes that
+#    same tuple (rs:209-219, blake3 over source||NUL||target; sha256
+#    + '|' stand-in here) — skips the target idempotently, ANY state
+#    including Detached (rs:122-131; unlike the create route, the
+#    migration does not exempt detached stubs);
+# 5. everything else migrates: a Continuous relationship with the
+#    deterministic id, replicate_deletes from the legacy flag,
+#    created_by/at from the bucket record (rs:133-145).
+#
+# ``marks_complete`` mirrors rs:205-207: the completion marker writes
+# only when NOTHING failed, so a rerun retries the failures.
+#
+# Fixture (orders % 29 == 3; discriminators 9, 17, 19, 23 coprime to
+# 29): missing-bucket lane k%17==2, ws-source k%19==0, target lanes
+# k%9 (0 foreign realm, 1 ws target, 2 ARN mismatch, 3 self-target),
+# forced-skip lane k%23 ∈ {11,17} pins the target tuple to a catalog
+# row that exists with mode=continuous at every sf (customer 49:
+# bkt1/node0/tgt4).
+
+MIGRATION_PAGE_SIZE = 128  # migration.rs:26
+
+
+def load_legacy_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 29 == 3
+    )
+    k = F.col("o_orderkey")
+    forced = (k % 23).isin(11, 17)
+    bucket = (
+        F.when(k % 17 == 2, F.concat(F.lit("gone"), (k % 3).cast("string")))
+        .when(k % 19 == 0, "ws-stage")
+        .when(forced, "bkt1")
+        .otherwise(F.concat(F.lit("bkt"), (k % 3).cast("string")))
+    )
+    return o.select(
+        k.alias("legacy_id"),
+        bucket.alias("bucket"),
+        F.when(forced, "realmA")
+        .when(k % 9 == 0, "realmB")
+        .otherwise("realmA")
+        .alias("target_realm"),
+        F.when(forced, "node0")
+        .when(k % 9 == 3, "node1")
+        .otherwise(F.concat(F.lit("node"), (k % 7).cast("string")))
+        .alias("target_node"),
+        F.when(forced, "tgt4")
+        .when(k % 9 == 1, "ws-mirror")
+        .when(k % 9 == 3, bucket)
+        .otherwise(F.concat(F.lit("tgt"), (k % 5).cast("string")))
+        .alias("target_bucket"),
+        (forced | (k % 9 != 2)).alias("arn_roundtrips"),
+        (k % 2 == 0).alias("replicate_delete_markers"),
+    )
+
+
+_LEGACY_SQL = """
+    legacy AS (
+      SELECT o_orderkey AS legacy_id,
+             CASE WHEN o_orderkey % 17 = 2 THEN 'gone' || (o_orderkey % 3)
+                  WHEN o_orderkey % 19 = 0 THEN 'ws-stage'
+                  WHEN o_orderkey % 23 IN (11, 17) THEN 'bkt1'
+                  ELSE 'bkt' || (o_orderkey % 3) END AS bucket,
+             CASE WHEN o_orderkey % 23 IN (11, 17) THEN 'realmA'
+                  WHEN o_orderkey % 9 = 0 THEN 'realmB'
+                  ELSE 'realmA' END AS target_realm,
+             CASE WHEN o_orderkey % 23 IN (11, 17) THEN 'node0'
+                  WHEN o_orderkey % 9 = 3 THEN 'node1'
+                  ELSE 'node' || (o_orderkey % 7) END AS target_node,
+             CASE WHEN o_orderkey % 23 IN (11, 17) THEN 'tgt4'
+                  WHEN o_orderkey % 9 = 1 THEN 'ws-mirror'
+                  WHEN o_orderkey % 9 = 3 THEN
+                    CASE WHEN o_orderkey % 17 = 2
+                           THEN 'gone' || (o_orderkey % 3)
+                         WHEN o_orderkey % 19 = 0 THEN 'ws-stage'
+                         ELSE 'bkt' || (o_orderkey % 3) END
+                  ELSE 'tgt' || (o_orderkey % 5) END AS target_bucket,
+             (o_orderkey % 23 IN (11, 17) OR o_orderkey % 9 <> 2)
+               AS arn_roundtrips,
+             o_orderkey % 2 = 0 AS replicate_delete_markers
+      FROM orders WHERE o_orderkey % 29 = 3
+    ),
+    bucket_catalog AS (
+      SELECT * FROM (VALUES
+        ('bkt0', 'user-a'), ('bkt1', 'user-b'), ('bkt2', 'user-c'),
+        ('ws-stage', 'user-w')) AS t(name, created_by)
+    )
+"""
+
+
+@register(
+    "sync_legacy_migration",
+    oracle=f"""
+    WITH {_RELS_SQL}, {_LEGACY_SQL},
+    staged AS (
+      SELECT l.*, b.created_by AS bucket_owner,
+             CASE WHEN b.name IS NULL THEN 'bucket_missing'
+                  WHEN starts_with(l.bucket, 'ws-') THEN 'ws_source'
+                  WHEN l.target_realm <> 'realmA'
+                    OR starts_with(l.target_bucket, 'ws-')
+                    OR NOT l.arn_roundtrips
+                    OR (l.target_node = 'node1'
+                        AND l.target_bucket = l.bucket)
+                    THEN 'invalid_target'
+                  WHEN EXISTS (
+                    SELECT 1 FROM rels r
+                    WHERE r.mode = 'continuous'
+                      AND r.source_bucket = l.bucket
+                      AND r.source_prefix IS NULL
+                      AND r.target_node = l.target_node
+                      AND r.target_bucket = l.target_bucket
+                  ) THEN 'skipped'
+                  ELSE 'migrated' END AS cls
+      FROM legacy l
+      LEFT JOIN bucket_catalog b ON b.name = l.bucket
+    ),
+    summary AS (
+      SELECT CAST(SUM(CASE WHEN cls = 'migrated' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_migrated,
+             CAST(SUM(CASE WHEN cls = 'skipped' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_skipped,
+             CAST(SUM(CASE WHEN cls NOT IN ('migrated', 'skipped')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+      FROM staged
+    )
+    SELECT s.legacy_id, s.bucket, s.target_node, s.target_bucket,
+           CASE WHEN s.cls IN ('migrated', 'skipped') THEN s.cls
+                ELSE 'failed' END AS outcome,
+           CASE WHEN s.cls NOT IN ('migrated', 'skipped') THEN s.cls
+           END AS reason,
+           CASE WHEN s.cls = 'migrated' THEN substring(sha256(
+             'aruna:legacy-s3-sync:v1|arn:aruna:realmA:node1:s3/'
+             || s.bucket || '|arn:aruna:realmA:' || s.target_node
+             || ':s3/' || s.target_bucket), 1, 26)
+           END AS relationship_id,
+           CASE WHEN s.cls = 'migrated' THEN 'continuous'
+           END AS mode,
+           CASE WHEN s.cls = 'migrated' THEN s.replicate_delete_markers
+           END AS replicate_deletes,
+           CASE WHEN s.cls = 'migrated' THEN s.bucket_owner
+           END AS created_by,
+           m.n_migrated, m.n_skipped, m.n_failed,
+           m.n_failed = 0 AS marks_complete
+    FROM staged s CROSS JOIN summary m
+    """,
+)
+def sync_legacy_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The legacy replication configs through the migration
+    classification (see the section comment). The bucket catalog and
+    the existing-relationship catalog are broadcast sides; the summary
+    is one crossJoined 1-row aggregate; ``marks_complete`` is the
+    failed==0 completion-marker gate (rs:205-207)."""
+    legacy = load_legacy_targets(spark, sf_dir)
+    catalog = spark.createDataFrame(
+        [("bkt0", "user-a"), ("bkt1", "user-b"), ("bkt2", "user-c"),
+         ("ws-stage", "user-w")],
+        "name string, created_by string",
+    )
+    existing = (
+        load_sync_relationships(spark, sf_dir)
+        .filter(
+            (F.col("mode") == "continuous")
+            & F.col("source_prefix").isNull()
+        )
+        .select(
+            F.col("source_bucket").alias("__sb"),
+            F.col("target_node").alias("__tn"),
+            F.col("target_bucket").alias("__tb"),
+            F.lit(True).alias("__exists"),
+        )
+        .distinct()
+    )
+    staged = (
+        legacy.join(
+            F.broadcast(catalog.withColumnRenamed("name", "bucket")),
+            "bucket",
+            "left",
+        )
+        .withColumnRenamed("created_by", "bucket_owner")
+        .join(
+            F.broadcast(existing),
+            (F.col("bucket") == F.col("__sb"))
+            & (F.col("target_node") == F.col("__tn"))
+            & (F.col("target_bucket") == F.col("__tb")),
+            "left",
+        )
+    )
+    invalid_target = (
+        (F.col("target_realm") != "realmA")
+        | F.col("target_bucket").startswith("ws-")
+        | ~F.col("arn_roundtrips")
+        | (
+            (F.col("target_node") == "node1")
+            & (F.col("target_bucket") == F.col("bucket"))
+        )
+    )
+    cls = (
+        F.when(F.col("bucket_owner").isNull(), "bucket_missing")
+        .when(F.col("bucket").startswith("ws-"), "ws_source")
+        .when(invalid_target, "invalid_target")
+        .when(F.col("__exists").isNotNull(), "skipped")
+        .otherwise("migrated")
+    )
+    staged = staged.withColumn("__cls", cls)
+    migrated = F.col("__cls") == "migrated"
+    rel_id = F.substring(
+        F.sha2(
+            F.concat(
+                F.lit("aruna:legacy-s3-sync:v1|arn:aruna:realmA:node1:s3/"),
+                F.col("bucket"),
+                F.lit("|arn:aruna:realmA:"),
+                F.col("target_node"),
+                F.lit(":s3/"),
+                F.col("target_bucket"),
+            ),
+            256,
+        ),
+        1,
+        26,
+    )
+    summary = staged.agg(
+        F.sum(migrated.cast("long")).alias("n_migrated"),
+        F.sum((F.col("__cls") == "skipped").cast("long")).alias(
+            "n_skipped"
+        ),
+        F.sum(
+            (~F.col("__cls").isin("migrated", "skipped")).cast("long")
+        ).alias("n_failed"),
+    )
+    return staged.select(
+        "legacy_id",
+        "bucket",
+        "target_node",
+        "target_bucket",
+        F.when(
+            F.col("__cls").isin("migrated", "skipped"), F.col("__cls")
+        )
+        .otherwise("failed")
+        .alias("outcome"),
+        F.when(
+            ~F.col("__cls").isin("migrated", "skipped"), F.col("__cls")
+        ).alias("reason"),
+        F.when(migrated, rel_id).alias("relationship_id"),
+        F.when(migrated, "continuous").alias("mode"),
+        F.when(migrated, F.col("replicate_delete_markers")).alias(
+            "replicate_deletes"
+        ),
+        F.when(migrated, F.col("bucket_owner")).alias("created_by"),
+    ).crossJoin(
+        F.broadcast(
+            summary.select(
+                "n_migrated",
+                "n_skipped",
+                "n_failed",
+                (F.col("n_failed") == 0).alias("marks_complete"),
+            )
+        )
+    )

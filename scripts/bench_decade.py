@@ -1,0 +1,83 @@
+"""Decade bench: the corpus-shaped headline queries at one sf dir.
+
+Measures the scale-path (``_scaled``) dedup/similarity siblings, the
+corpus sweeps (retention funnel, PII scan, repetition rules, mixing)
+and two documented-linear baselines at a given scale, bench.py
+discipline (untimed warmup builds the stored indexes, then min of two
+timed runs through the noop sink). One invocation = one JVM = one
+scale; run it per scale so no heap holds two scales' store state:
+
+    python scripts/bench_decade.py /root/testdata/sf0.1 sf0.1
+    python scripts/bench_decade.py .localdata/sf1  sf1
+    python scripts/bench_decade.py .localdata/sf10 sf10
+
+Each run upserts its scale into BENCH_DECADE.json:
+{"sf0.1": {query: sec, ...}, "sf1": {...}, "sf10": {...},
+ "loadavg": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from aruna_spark.queries import REGISTRY, load_all
+from aruna_spark.session import get_spark
+
+# documents/embeddings readers only — the sf10 slice carries no other
+# tables (scripts/make_sf10.py)
+DECADE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_scaled",
+    "dedup_clusters_scaled",
+    "dedup_simhash_scaled",
+    "dedup_ngram_scaled",
+    "similarity_neardup_scaled",
+    "similarity_ivf_scaled_topk",
+    "corpus_retention_funnel",
+    "textstats_pii_scan",
+    "textstats_repetition",
+    "corpus_mix_plan",
+    "corpus_mix_sample",
+    "decontam_ngram_overlap",  # documented corpus-linear baseline
+]
+
+OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
+
+
+def main() -> None:
+    sf_dir, label = sys.argv[1], sys.argv[2]
+    load_all()
+    spark = get_spark(f"aruna-decade-{label}")
+    load_start = os.getloadavg()
+    times: dict[str, float] = {}
+    for name in DECADE_QUERIES:
+        fn, _ = REGISTRY[name]
+        # untimed warmup: store materialization + codegen
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+        print(f"{label} {name}: {times[name]}s", flush=True)
+    payload = json.loads(OUT.read_text()) if OUT.exists() else {}
+    payload[label] = times
+    payload.setdefault("loadavg", {})[label] = {
+        "start_1m_5m_15m": [round(x, 2) for x in load_start],
+        "end_1m": round(os.getloadavg()[0], 2),
+    }
+    OUT.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+    print(json.dumps({label: times}))
+
+
+if __name__ == "__main__":
+    main()

@@ -260,3 +260,48 @@ def test_create_coerces_reference_handling(spark, sf_dir):
         r.reference_handling is None and r.reference_serving is None
         for r in rejected
     )
+
+
+def test_legacy_migration_lanes(spark, sf_dir, rels):
+    """migration.rs:52-207 classification: every lane alive at
+    sf0.001, summary conserves, completion marker gates on zero
+    failures."""
+    from aruna_spark.queries.sync_suite import sync_legacy_migration
+
+    rows = sync_legacy_migration(spark, sf_dir).collect()
+    assert {r.outcome for r in rows} == {"migrated", "skipped", "failed"}
+    reasons = {r.reason for r in rows if r.reason}
+    assert reasons == {"bucket_missing", "ws_source", "invalid_target"}
+    head = rows[0]
+    assert head.n_migrated == sum(
+        1 for r in rows if r.outcome == "migrated"
+    )
+    assert head.n_skipped == sum(
+        1 for r in rows if r.outcome == "skipped"
+    )
+    assert head.n_failed == sum(1 for r in rows if r.outcome == "failed")
+    # failures exist at every sf → the marker must not write (rerun
+    # retries them, rs:205-207)
+    assert head.n_failed > 0 and not head.marks_complete
+    # skipped rows genuinely match an existing continuous relationship
+    existing = {
+        (r.source_bucket, r.target_node, r.target_bucket)
+        for r in rels
+        if r.mode == "continuous" and r.source_prefix is None
+    }
+    for r in rows:
+        key = (r.bucket, r.target_node, r.target_bucket)
+        if r.outcome == "skipped":
+            assert key in existing
+        if r.outcome == "migrated":
+            assert key not in existing
+            assert r.mode == "continuous"
+            assert len(r.relationship_id) == 26
+            assert r.created_by in ("user-a", "user-b", "user-c")
+    # deterministic id: same tuple -> same id (idempotence carrier)
+    by_tuple = {}
+    for r in rows:
+        if r.outcome == "migrated":
+            key = (r.bucket, r.target_node, r.target_bucket)
+            assert by_tuple.setdefault(key, r.relationship_id) \
+                == r.relationship_id
