@@ -1373,3 +1373,159 @@ def ivf_pq_topk_params(
         .select("query_id", "vec_id", "score_q", "rnk")
     )
 
+
+
+# ------------------------------------------ sqrt-sized ivf (the real dial)
+# The production "cells ~ sqrt(n)" sizing rule, IMPLEMENTED rather
+# than demonstrated at one geometry: the fixed-64-cell scaled variant
+# above holds exactly one decade (BENCH_DECADE.json measured it 36x
+# sf1->sf10 — lists grow linearly once the corpus outruns the
+# quantizer), while this store re-derives the cell count from the
+# corpus size at every index build. With cells = 2^round(log2 sqrt n)
+# and a FIXED probe count, a query reads ~ nprobe * sqrt(n) vectors —
+# the sqrt growth curve BENCH_DECADE's ivf rows measure across
+# sf0.1 -> sf1 -> sf10 (32 -> 128 -> 512 cells).
+
+N_PROBE_SQRT = 16
+
+
+def sqrt_cells(n: int) -> int:
+    """Power of two nearest sqrt(n), floor 16 (500-vector test scales
+    land on 16 — the oracle below hardcodes that geometry)."""
+    import math
+
+    return 1 << max(4, round(math.log2(math.sqrt(max(n, 1)))))
+
+
+def sqrt_centroids_df(spark: SparkSession, n_cells: int) -> DataFrame:
+    """Centroids as a RELATION (cell, cvec) — assignment joins against
+    it broadcast instead of inlining hundreds of literal vectors into
+    one expression."""
+    rows = [(c, _centroid_vec(c, salt="sq")) for c in range(n_cells)]
+    return spark.createDataFrame(rows, "cell int, cvec array<int>")
+
+
+# test scales hold 500 vectors -> sqrt_cells == 16; nprobe 16 probes
+# every cell there (exact results), while the machinery under test is
+# the same store/probe path that prunes 16-of-512 at sf10
+CENTROIDS_SQRT_TEST = [_centroid_vec(c, salt="sq") for c in range(16)]
+
+
+def ivf_sqrt_topk(
+    spark: SparkSession, sf_dir: str, query_filter: Column | None = None
+) -> DataFrame:
+    """Probe the sqrt-sized stored lists: rank every centroid per
+    query through the broadcast centroid relation (queries x cells
+    rows — both small), take the nprobe nearest, and score only the
+    probed cells' lists. Same scoring/rank tail as every IVF sibling."""
+    from aruna_spark.store import ivf_sqrt_store
+
+    n_cells, assigned = ivf_sqrt_store(spark, sf_dir)
+    cents = sqrt_centroids_df(spark, n_cells)
+    queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0)
+    if query_filter is not None:
+        queries = queries.filter(query_filter)
+    # double accumulation — a per-element long cast truncates float
+    # products to 0 (see the matching comment in store.ivf_sqrt_store)
+    cscore = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("cvec"),
+            lambda a, b: (a * b).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__cscore"), F.col("cell")
+    )
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+            "embedding",
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cscore", cscore)
+        .withColumn("__crnk", F.row_number().over(wq))
+        .filter(F.col("__crnk") <= N_PROBE_SQRT)
+        .select("query_id", "q_emb", "q_norm2", "cell")
+    )
+    scored = (
+        assigned.alias("a")
+        .join(
+            F.broadcast(probes).alias("p"),
+            (F.col("a.cell") == F.col("p.cell"))
+            & (F.col("a.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("vec_id"),
+            _score_q(
+                _dot(F.col("p.q_emb"), F.col("a.embedding")),
+                F.col("p.q_norm2"),
+                F.col("a.norm2"),
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "score_q", "rnk")
+    )
+
+
+@register(
+    "similarity_ivf_sqrt_topk",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    assigned AS (
+      SELECT vec_id,
+             {_d_assign('embedding', 1, CENTROIDS_SQRT_TEST)}[1] AS cell
+      FROM corpus
+    ),
+    probes AS (
+      SELECT c.vec_id AS query_id,
+             UNNEST({_d_assign('c.embedding', N_PROBE_SQRT,
+                               CENTROIDS_SQRT_TEST)}) AS cell
+      FROM corpus c WHERE c.vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_D_SCORE} AS score_q
+      FROM cand
+      JOIN corpus q ON q.vec_id = cand.query_id
+      JOIN corpus c ON c.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, score_q, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_ivf_sqrt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sqrt-sized IVF as a registered, oracle-checked query. The
+    oracle mirrors the 16-cell geometry the sizing rule yields at the
+    500-vector test scales (sqrt_cells(500) == 16) through DuckDB's
+    independent literal-centroid assignment — the Spark side derives
+    the count from the corpus and assigns through the broadcast
+    centroid relation, so a sizing or assignment bug diverges."""
+    return ivf_sqrt_topk(spark, sf_dir)
+
+
+def ivf_sqrt_decade_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decade-bench leg: the FIXED replica-0 query set (the 20
+    sf0.1 query ids exist verbatim at every scale — make_sf1/sf10
+    offset replicas by >= 100k) over the growing corpus, so wall-clock
+    measures per-query probe growth (~nprobe * sqrt n) directly
+    instead of query-count x list-length."""
+    return ivf_sqrt_topk(
+        spark, sf_dir, query_filter=F.col("vec_id") < 2_000
+    )

@@ -612,3 +612,72 @@ def ngram_prefix_store(
     kind = "rep_ngram_prefix" if collapsed else "ngram_prefix"
     dest = _ensure(kind, sf_dir, build)
     return spark.read.parquet(os.path.join(dest, "prefix"))
+
+
+def ivf_sqrt_store(spark: SparkSession, sf_dir: str):
+    """The sqrt-SIZED IVF lists — the production sizing rule made
+    real instead of demonstrated at one geometry: the cell count is
+    chosen from the corpus size at BUILD time (power of two nearest
+    sqrt(n), floor 16), so per-cell list length stays ~sqrt(n) at any
+    scale and a fixed-nprobe probe reads ~nprobe*sqrt(n) vectors per
+    query (the fixed-64-cell ``ivf_scaled_store`` holds one decade —
+    its lists grow linearly past it, measured 36x sf1->sf10 in
+    BENCH_DECADE.json before this store landed).
+
+    Assignment runs as a broadcast join against the centroid RELATION
+    + ``max_by`` argmax (no giant inline literal expression — 512
+    cells at sf10 would blow the codegen expression budget the
+    literal-centroid assign uses at 8/64 cells).
+
+    Returns ``(n_cells, assigned)``; assigned is cell-partitioned
+    parquet exactly like the other IVF stores.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from aruna_spark.catalog import load_table
+    from aruna_spark.queries.similarity import (
+        _with_norm,
+        sqrt_cells,
+        sqrt_centroids_df,
+    )
+
+    def build(tmp: str) -> None:
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        n_cells = sqrt_cells(emb.count())
+        cents = sqrt_centroids_df(spark, n_cells)
+        # accumulate in DOUBLE: embeddings are floats, so a per-element
+        # long cast truncates every product to 0 and collapses the
+        # argmax to cell 0 (caught by the sf1 cell histogram — the
+        # all-16-cells probe at oracle scale cannot see it)
+        score = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cvec"),
+                lambda a, b: (a * b).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # nearest centroid by dot desc, tie -> lower cell id
+        best = (
+            emb.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cell", F.struct(score.alias("s"), (-F.col("cell")).alias("c"))
+                ).alias("cell")
+            )
+        )
+        assigned = emb.join(best, "vec_id")
+        assigned.repartition("cell").write.partitionBy("cell").parquet(
+            os.path.join(tmp, "assigned")
+        )
+        with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
+            json.dump({"n_cells": n_cells}, f)
+
+    dest = _ensure("ivf_sqrt", sf_dir, build, src_name="embeddings.parquet")
+    with open(os.path.join(dest, "meta.json"), encoding="utf-8") as f:
+        n_cells = json.load(f)["n_cells"]
+    return n_cells, spark.read.parquet(os.path.join(dest, "assigned"))

@@ -39,6 +39,10 @@ DECADE_QUERIES = [
     "dedup_ngram_scaled",
     "similarity_neardup_scaled",
     "similarity_ivf_scaled_topk",
+    "similarity_ivf_sqrt_topk",
+    # the per-query probe curve: FIXED 20-query set over the growing
+    # corpus (queries/similarity.py ivf_sqrt_decade_probe)
+    "ivf_sqrt_decade_probe",
     "corpus_retention_funnel",
     "textstats_pii_scan",
     "textstats_repetition",
@@ -50,14 +54,25 @@ DECADE_QUERIES = [
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
 
 
+def _resolve(name: str):
+    if name in REGISTRY:
+        return REGISTRY[name][0]
+    from aruna_spark.queries import similarity
+
+    return getattr(similarity, name)
+
+
 def main() -> None:
     sf_dir, label = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     load_all()
     spark = get_spark(f"aruna-decade-{label}")
     load_start = os.getloadavg()
     times: dict[str, float] = {}
     for name in DECADE_QUERIES:
-        fn, _ = REGISTRY[name]
+        if only is not None and name not in only:
+            continue
+        fn = _resolve(name)
         # untimed warmup: store materialization + codegen
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
@@ -70,7 +85,8 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"{label} {name}: {times[name]}s", flush=True)
     payload = json.loads(OUT.read_text()) if OUT.exists() else {}
-    payload[label] = times
+    # merge (a filtered rerun must not drop earlier rows)
+    payload.setdefault(label, {}).update(times)
     payload.setdefault("loadavg", {})[label] = {
         "start_1m_5m_15m": [round(x, 2) for x in load_start],
         "end_1m": round(os.getloadavg()[0], 2),

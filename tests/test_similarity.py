@@ -100,3 +100,44 @@ def test_trained_ivf_recall_and_determinism(spark, sf_dir):
     for r in trained_rows:
         if (r.query_id, r.vec_id) in scores:
             assert scores[(r.query_id, r.vec_id)] == r.score_q
+
+
+def test_ivf_sqrt_store_sizes_and_balances(spark, sf_dir):
+    """The sqrt sizing rule and the assignment argmax: cells derive
+    from the corpus count, and the ±1-centroid assignment spreads
+    vectors across cells (the float-product truncation bug collapsed
+    EVERYTHING into cell 0 — invisible to the all-cells-probed oracle
+    at this scale, so pin the histogram directly)."""
+    from pyspark.sql import functions as F
+
+    from aruna_spark.queries.similarity import sqrt_cells
+    from aruna_spark.store import ivf_sqrt_store
+
+    assert sqrt_cells(500) == 16
+    assert sqrt_cells(2_000) == 32
+    assert sqrt_cells(20_000) == 128
+    assert sqrt_cells(200_000) == 512
+    n_cells, assigned = ivf_sqrt_store(spark, sf_dir)
+    assert n_cells == 16
+    hist = assigned.groupBy("cell").count().collect()
+    assert len(hist) > n_cells // 2, "assignment must not collapse"
+    assert max(r["count"] for r in hist) < assigned.count() // 2
+
+
+def test_ivf_sqrt_fixed_query_probe_matches_registered(spark, sf_dir):
+    """The decade-bench leg (fixed replica-0 query set) returns the
+    registered query's rows at test scale, where every vec_id < 2000."""
+    from aruna_spark.queries.similarity import (
+        ivf_sqrt_decade_probe,
+        similarity_ivf_sqrt_topk,
+    )
+
+    a = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in similarity_ivf_sqrt_topk(spark, sf_dir).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in ivf_sqrt_decade_probe(spark, sf_dir).collect()
+    }
+    assert a == b and a
