@@ -307,3 +307,134 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_id_checksum"),
     )
+
+
+# =================================================== sequence packing plan
+# Concat-then-chunk packing — the GPT-style pretraining batch
+# assembly: the corpus concatenates in a canonical order with one
+# separator token per document and slices into fixed SEQ_LEN chunks;
+# the PLAN assigns every document its global token offset and the
+# chunk span it lands in. (Beyond-reference training-pipeline
+# operator, same family as corpus_mix_*.)
+#
+# Scale shape: the global cumulative offset is computed WITHOUT an
+# unpartitioned window (the registry's banned plan shape —
+# scripts/window_audit.py): documents cumsum within doc_id-range
+# partitions, and the per-partition prefix totals come from a tiny
+# broadcast theta-join over the partition summary (~corpus/PACK_SPAN
+# rows — the stream_dashboard_epoch pattern). The DuckDB oracle uses
+# a plain global window — an independent mechanism for the same
+# numbers.
+
+SEQ_LEN = 2_048
+PACK_SPAN = 8_192  # doc_id range per cumsum partition
+
+
+@register(
+    "corpus_pack_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                  AS BIGINT) AS token_offset
+      FROM toks
+    ),
+    stats AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST((SUM(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT)
+               AS n_chunks
+      FROM toks
+    )
+    SELECT c.doc_id, c.n_tokens, c.token_offset,
+           CAST(c.token_offset // {SEQ_LEN} AS BIGINT) AS chunk_first,
+           CAST((c.token_offset + c.n_tokens - 1) // {SEQ_LEN} AS BIGINT)
+             AS chunk_last,
+           c.token_offset // {SEQ_LEN}
+             <> (c.token_offset + c.n_tokens - 1) // {SEQ_LEN}
+             AS spans_boundary,
+           s.total_tokens, s.n_chunks,
+           CAST(s.n_chunks * {SEQ_LEN} - s.total_tokens AS BIGINT)
+             AS tail_padding
+    FROM cum c CROSS JOIN stats s
+    """,
+)
+def corpus_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's global token offset and chunk span under
+    concat-then-chunk packing (SEQ_LEN 2048, one separator per doc),
+    plus the corpus envelope (total tokens, chunk count, tail
+    padding). See the section comment for the two-level cumsum."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.size(F.split(F.col("text"), " ")) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    part = (F.col("doc_id") / PACK_SPAN).cast("long")
+    staged = docs.withColumn("__part", part)
+    w = Window.partitionBy("__part").orderBy("doc_id")
+    local = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "__local"
+    )
+    totals = staged.groupBy("__part").agg(
+        F.sum("n_tokens").alias("__ptotal")
+    )
+    # prefix total per partition: tiny theta-join (corpus/PACK_SPAN
+    # rows), broadcast both sides — never an unpartitioned window
+    prefix = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.__part") < F.col("a.__part"),
+            "left",
+        )
+        .groupBy(F.col("a.__part").alias("__part"))
+        .agg(F.coalesce(F.sum("b.__ptotal"), F.lit(0)).alias("__prefix"))
+    )
+    placed = (
+        staged.withColumn("__local", local)
+        .join(F.broadcast(prefix), "__part")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__prefix") + F.col("__local"))
+            .cast("long")
+            .alias("token_offset"),
+        )
+    )
+    # integral division (`div`) — double rounding would drift past
+    # 2^53 total tokens, which a 100 TB corpus exceeds
+    first = F.expr(f"token_offset div {SEQ_LEN}")
+    last = F.expr(f"(token_offset + n_tokens - 1) div {SEQ_LEN}")
+    stats = docs.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens")
+    ).select(
+        "total_tokens",
+        F.expr(f"(total_tokens + {SEQ_LEN} - 1) div {SEQ_LEN}").alias(
+            "n_chunks"
+        ),
+    )
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "token_offset",
+        first.alias("chunk_first"),
+        last.alias("chunk_last"),
+        (first != last).alias("spans_boundary"),
+    ).crossJoin(
+        F.broadcast(
+            stats.select(
+                "total_tokens",
+                "n_chunks",
+                (F.col("n_chunks") * SEQ_LEN - F.col("total_tokens"))
+                .cast("long")
+                .alias("tail_padding"),
+            )
+        )
+    )

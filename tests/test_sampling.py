@@ -67,3 +67,47 @@ def test_stratified_rates_land_near_targets(spark, sf_dir):
         p[1] += r.n_total
     assert abs(pooled[0][0] / pooled[0][1] - 0.25) < 0.1
     assert abs(pooled[1][0] / pooled[1][1] - 0.75) < 0.1
+
+
+def test_pack_plan_offsets_are_contiguous(spark, sf_dir):
+    """Concat-then-chunk invariants: offsets tile the token stream
+    exactly (offset[i+1] = offset[i] + n_tokens[i]), the chunk span
+    is consistent, and the envelope conserves."""
+    from aruna_spark.queries.sampling import SEQ_LEN, corpus_pack_plan
+
+    rows = sorted(
+        corpus_pack_plan(spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows[0].token_offset == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.token_offset == a.token_offset + a.n_tokens
+    total = rows[-1].token_offset + rows[-1].n_tokens
+    head = rows[0]
+    assert head.total_tokens == total
+    assert head.n_chunks == (total + SEQ_LEN - 1) // SEQ_LEN
+    assert head.tail_padding == head.n_chunks * SEQ_LEN - total
+    assert any(r.spans_boundary for r in rows)
+    for r in rows:
+        assert r.chunk_first == r.token_offset // SEQ_LEN
+        assert r.chunk_last == (r.token_offset + r.n_tokens - 1) // SEQ_LEN
+        assert r.spans_boundary == (r.chunk_first != r.chunk_last)
+
+
+def test_pack_plan_has_no_unpartitioned_window(spark, sf_dir):
+    """The global cumsum must come from the partitioned two-level
+    plan, never a single-partition window (the registry's banned
+    shape)."""
+    from aruna_spark.queries.sampling import corpus_pack_plan
+
+    plan = (
+        corpus_pack_plan(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start():m.start() + 400]
+        assert "windowspecdefinition(__part" in tail
