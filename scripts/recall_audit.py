@@ -207,6 +207,7 @@ def main() -> None:
         "similarity_lsh_topk",
         "similarity_ivf_topk",
         "similarity_ivf_scaled_topk",
+        "similarity_ivf_sqrt_topk",
         "similarity_ivf_trained_topk",
         "similarity_ivf_pq_topk",
     ):
