@@ -624,26 +624,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_nprobe(spark, sf_dir, N_PROBE)
 
 
-def ivf_topk_nprobe(
-    spark: SparkSession, sf_dir: str, n_probe: int
-) -> DataFrame:
-    """Fixed-quantizer IVF top-k with a parameterized probe count — the
-    body of ``similarity_ivf_topk`` exposed so the recall audit can
-    measure the nprobe dial as a curve (SCALE.md 'Measured recall')."""
-    from aruna_spark.store import ivf_fixed_store
-
-    assigned = ivf_fixed_store(spark, sf_dir)
-    probes = (
-        assigned.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("norm2").alias("q_norm2"),
-            F.explode(F.expr(_assign_sql_spark("embedding", n_probe))).alias(
-                "cell"
-            ),
-        )
-    )
+def _probe_rank_tail(assigned: DataFrame, probes: DataFrame) -> DataFrame:
+    """Shared IVF tail: score the probed cells' lists against the
+    broadcast probe set (query_id, q_emb, q_norm2, cell) and rank the
+    top-k per query — every IVF variant (fixed / scaled / sqrt) ends
+    here, so the probe geometry is the ONLY thing that differs."""
     scored = (
         assigned.alias("a")
         .join(
@@ -667,6 +652,29 @@ def ivf_topk_nprobe(
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "score_q", "rnk")
     )
+
+
+def ivf_topk_nprobe(
+    spark: SparkSession, sf_dir: str, n_probe: int
+) -> DataFrame:
+    """Fixed-quantizer IVF top-k with a parameterized probe count — the
+    body of ``similarity_ivf_topk`` exposed so the recall audit can
+    measure the nprobe dial as a curve (SCALE.md 'Measured recall')."""
+    from aruna_spark.store import ivf_fixed_store
+
+    assigned = ivf_fixed_store(spark, sf_dir)
+    probes = (
+        assigned.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+            F.explode(F.expr(_assign_sql_spark("embedding", n_probe))).alias(
+                "cell"
+            ),
+        )
+    )
+    return _probe_rank_tail(assigned, probes)
 
 
 
@@ -734,29 +742,7 @@ def similarity_ivf_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell"),
         )
     )
-    scored = (
-        assigned.alias("a")
-        .join(
-            F.broadcast(probes).alias("p"),
-            (F.col("a.cell") == F.col("p.cell"))
-            & (F.col("a.vec_id") != F.col("p.query_id")),
-        )
-        .select(
-            F.col("p.query_id").alias("query_id"),
-            F.col("a.vec_id").alias("vec_id"),
-            _score_q(
-                _dot(F.col("p.q_emb"), F.col("a.embedding")),
-                F.col("p.q_norm2"),
-                F.col("a.norm2"),
-            ).alias("score_q"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "vec_id", "score_q", "rnk")
-    )
+    return _probe_rank_tail(assigned, probes)
 
 
 # ------------------------------------------------- trained ivf (k-means)
@@ -977,29 +963,7 @@ def ivf_trained_topk_nprobe(
             ).alias("cell"),
         )
     )
-    scored = (
-        assigned.alias("a")
-        .join(
-            F.broadcast(probes).alias("p"),
-            (F.col("a.cell") == F.col("p.cell"))
-            & (F.col("a.vec_id") != F.col("p.query_id")),
-        )
-        .select(
-            F.col("p.query_id").alias("query_id"),
-            F.col("a.vec_id").alias("vec_id"),
-            _score_q(
-                _dot(F.col("p.q_emb"), F.col("a.embedding")),
-                F.col("p.q_norm2"),
-                F.col("a.norm2"),
-            ).alias("score_q"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "vec_id", "score_q", "rnk")
-    )
+    return _probe_rank_tail(assigned, probes)
 
 
 # ------------------------------------------------- ivf-pq (asymmetric ADC)
@@ -1451,29 +1415,7 @@ def ivf_sqrt_topk(
         .filter(F.col("__crnk") <= N_PROBE_SQRT)
         .select("query_id", "q_emb", "q_norm2", "cell")
     )
-    scored = (
-        assigned.alias("a")
-        .join(
-            F.broadcast(probes).alias("p"),
-            (F.col("a.cell") == F.col("p.cell"))
-            & (F.col("a.vec_id") != F.col("p.query_id")),
-        )
-        .select(
-            F.col("p.query_id").alias("query_id"),
-            F.col("a.vec_id").alias("vec_id"),
-            _score_q(
-                _dot(F.col("p.q_emb"), F.col("a.embedding")),
-                F.col("p.q_norm2"),
-                F.col("a.norm2"),
-            ).alias("score_q"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "vec_id", "score_q", "rnk")
-    )
+    return _probe_rank_tail(assigned, probes)
 
 
 @register(
