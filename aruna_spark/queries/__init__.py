@@ -89,7 +89,14 @@ PRIORITY_PREFIXES = (
     "similarity_ivf_pq_topk",
     "similarity_ivf_trained_topk",
     "stream_dashboard_epoch",
-    # last driver-checked r6 (the cut lands inside this group)
+    # last driver-checked r6 (the cut lands inside this group; the
+    # ~10 rows past the ~50 cut — rel_sessionize/shipping_priority,
+    # sample_*, search_unified, similarity_ivf_scaled/neardup_scaled,
+    # sparql_arith_if/path_zero_or_one, stream_watch_matches — lead
+    # r11's window together with the four r10-new queries registered
+    # at the tail and never driver-checked: sync_create_validate,
+    # sync_legacy_migration, similarity_ivf_sqrt_topk,
+    # corpus_pack_plan; all are selfcheck-green this round)
     "registry_event_replay",
     "registry_incremental_merge",
     "registry_listing_created",
