@@ -1173,6 +1173,132 @@ class Engine:
             "credential_status": status,
         }
 
+    # ------------------------------------------------- sync relationships
+    def _load_sync(self, relationship_id: int):
+        from aruna_spark.queries.sync_suite import load_sync_relationships
+
+        rows = (
+            load_sync_relationships(self.spark, self.sf_dir)
+            .filter(F.col("relationship_id") == relationship_id)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def get_sync(self, relationship_id: int, caller: str):
+        """GetSync (sync.rs:460-480): load the relationship (Detached
+        stubs 404 exactly like removed ones, sync.rs:901-907), enforce
+        the creator, and return the detail envelope with the pending
+        repair-job stats (load_job_stats). The fixture stores the
+        OUTGOING keyspace; the Incoming fallback is the same read on
+        the other direction."""
+        from aruna_spark.queries.sync_suite import (
+            NOW_MS,
+            load_repair_queue,
+        )
+
+        r = self._load_sync(relationship_id)
+        if r is None or r.state == "detached":
+            return {"status": 404, "error": "NotFound"}
+        if r.created_by != caller:
+            return {"status": 403, "error": "Forbidden"}
+        jobs = (
+            load_repair_queue(self.spark, self.sf_dir)
+            .filter(F.col("relationship_id") == relationship_id)
+            .collect()
+        )
+        oldest = min((j.due_at_ms for j in jobs), default=None)
+        return {
+            "status": 200,
+            "relationship_id": relationship_id,
+            "state": r.state,
+            "failure_reason": r.failure_reason,
+            "mode": r.mode,
+            "reference_handling": r.reference_handling,
+            "replicate_deletes": r.replicate_deletes,
+            "pending_jobs": len(jobs),
+            "oldest_lag_ms": max(NOW_MS - oldest, 0)
+            if oldest is not None
+            else None,
+            "versions_synced": r.versions_synced,
+            "bytes_synced": r.bytes_synced,
+        }
+
+    def update_sync(
+        self, relationship_id: int, caller: str, reference_handling: str
+    ):
+        """UpdateSync (sync.rs:498-565): only the reference handling
+        is mutable; Reference mode requires Preserve (400); an
+        unchanged handling is a NO-OP that stages nothing; a real
+        change ORs the serving capability (set_reference_handling,
+        sync_relationship.rs:79-82 — serving never turns OFF) and
+        stages a mirror Reconcile."""
+        r = self._load_sync(relationship_id)
+        if r is None or r.state == "detached":
+            return {"status": 404, "error": "NotFound"}
+        if r.created_by != caller:
+            return {"status": 403, "error": "Forbidden"}
+        if reference_handling not in ("materialize", "preserve", "skip"):
+            return {"status": 400, "error": "InvalidArgument"}
+        if r.mode == "reference" and reference_handling != "preserve":
+            return {
+                "status": 400,
+                "error": "InvalidArgument",
+                "reason": "reference_mode_requires_preserve",
+            }
+        if r.reference_handling == reference_handling:
+            return {
+                "status": 200,
+                "changed": False,
+                "reference_handling": r.reference_handling,
+                "reference_serving": r.reference_serving,
+            }
+        serving = r.reference_serving or reference_handling == "preserve"
+        return {
+            "status": 200,
+            "changed": True,
+            "reference_handling": reference_handling,
+            "reference_serving": serving,
+            "staged": "reconcile",
+        }
+
+    def run_sync(self, relationship_id: int, caller: str):
+        """RunSync (sync.rs:579-611): queue a backfill; a FAILED
+        relationship first resets to Enabled with its error and
+        consecutive-failure counter cleared, then re-arms the mirror
+        repair. 202 Accepted."""
+        r = self._load_sync(relationship_id)
+        if r is None or r.state == "detached":
+            return {"status": 404, "error": "NotFound"}
+        if r.created_by != caller:
+            return {"status": 403, "error": "Forbidden"}
+        reset = r.state == "failed"
+        return {
+            "status": 202,
+            "relationship_id": relationship_id,
+            "queued": True,
+            "reset_from_failed": reset,
+            "state": "enabled" if reset else r.state,
+            "failure_reason": None if reset else r.failure_reason,
+        }
+
+    def delete_sync(self, relationship_id: int, caller: str):
+        """DeleteSync (sync.rs:628-662): stage the mirror Delete; a
+        relationship SERVING references detaches into a stub (the
+        target retains Reference records that authorize reads through
+        this id — remove_outgoing_relationship,
+        sync_relationship.rs:119-142) while every other mode removes
+        outright. 204 either way; synchronized data is retained."""
+        r = self._load_sync(relationship_id)
+        if r is None or r.state == "detached":
+            return {"status": 404, "error": "NotFound"}
+        if r.created_by != caller:
+            return {"status": 403, "error": "Forbidden"}
+        return {
+            "status": 204,
+            "staged": "delete",
+            "detached_stub": bool(r.reference_serving),
+        }
+
     # ------------------------------------------- bucket routing config
     def _bucket_group(self, bucket: str):
         from aruna_spark.queries.buckets import load_buckets

@@ -1072,3 +1072,77 @@ def test_observability_routes(engine):
     }
     heads = engine.location_summary().collect()
     assert heads and all(r.n_expected >= 1 for r in heads)
+
+
+def test_sync_relationship_routes(engine):
+    """get/update/run/delete over the sync catalog (sync.rs:460-662):
+    detached stubs 404, creator enforced, reference-mode handling
+    guard, no-op update stages nothing, failed reset on run,
+    serving relationships detach instead of delete."""
+    from aruna_spark.queries.sync_suite import load_sync_relationships
+
+    rels = load_sync_relationships(engine.spark, engine.sf_dir).collect()
+    by_state = {}
+    for r in rels:
+        by_state.setdefault(r.state, r)
+    live = by_state["enabled"]
+    owner = live.created_by
+
+    assert engine.get_sync(10**9, owner)["status"] == 404
+    # detached stubs are invisible to the management API
+    det = by_state["detached"]
+    assert engine.get_sync(
+        det.relationship_id, det.created_by
+    )["status"] == 404
+    # creator enforcement
+    assert engine.get_sync(
+        live.relationship_id, "user-nobody"
+    )["status"] == 403
+    got = engine.get_sync(live.relationship_id, owner)
+    assert got["status"] == 200 and got["state"] == "enabled"
+    assert got["pending_jobs"] in (0, 1)
+
+    # reference mode requires preserve
+    ref = next(r for r in rels
+               if r.mode == "reference" and r.state != "detached")
+    bad = engine.update_sync(
+        ref.relationship_id, ref.created_by, "materialize"
+    )
+    assert bad["status"] == 400
+    assert bad["reason"] == "reference_mode_requires_preserve"
+    # no-op: unchanged handling stages nothing
+    noop = engine.update_sync(
+        live.relationship_id, owner, live.reference_handling
+    )
+    assert noop["status"] == 200 and not noop["changed"]
+    assert "staged" not in noop
+    # a real change to preserve turns serving ON and stages reconcile
+    target = "preserve" if live.reference_handling != "preserve" \
+        else "skip"
+    upd = engine.update_sync(live.relationship_id, owner, target)
+    assert upd["status"] == 200 and upd["changed"]
+    assert upd["staged"] == "reconcile"
+    if target == "preserve":
+        assert upd["reference_serving"]
+    else:
+        # serving never turns OFF (set_reference_handling ORs)
+        assert upd["reference_serving"] == live.reference_serving
+
+    # run resets a failed relationship
+    failed = by_state["failed"]
+    ran = engine.run_sync(failed.relationship_id, failed.created_by)
+    assert ran["status"] == 202 and ran["queued"]
+    assert ran["reset_from_failed"] and ran["state"] == "enabled"
+    assert ran["failure_reason"] is None
+    ran = engine.run_sync(live.relationship_id, owner)
+    assert ran["status"] == 202 and not ran["reset_from_failed"]
+
+    # delete: serving relationships leave a detached stub
+    serving = next(r for r in rels
+                   if r.reference_serving and r.state != "detached")
+    out = engine.delete_sync(serving.relationship_id, serving.created_by)
+    assert out["status"] == 204 and out["detached_stub"]
+    plain = next(r for r in rels
+                 if not r.reference_serving and r.state == "enabled")
+    out = engine.delete_sync(plain.relationship_id, plain.created_by)
+    assert out["status"] == 204 and not out["detached_stub"]
