@@ -459,3 +459,38 @@ def test_sync_create_duplicate_scan_broadcasts_catalog(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_refresh_drain_is_bounded_topk_no_python(spark, sf_dir):
+    plan = _plan(spark, "staging_refresh_drain", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_legacy_migration_broadcasts_both_catalogs(spark, sf_dir):
+    """The bucket catalog and the existing-relationship catalog are
+    broadcast sides; the legacy scan never shuffles."""
+    plan = _plan(spark, "sync_legacy_migration", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_routing_config_windows_partition_by_config(spark, sf_dir):
+    """Every window in the validation plan partitions by the config
+    key — configs are tens of rules, so no global window."""
+    import re
+
+    plan = _plan(spark, "s3_bucket_routing_config", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        args = plan[m.end():m.end() + 120]
+        assert args.startswith("bucket"), args[:60]
+
+
+def test_ivf_sqrt_probe_is_dpp_pruned_scan(spark, sf_dir):
+    """The sqrt-IVF scoring scan must carry dynamic partition pruning
+    on the probed cells — never a full-list rescan."""
+    plan = _plan(spark, "similarity_ivf_sqrt_topk", sf_dir)
+    assert "dynamicpruning" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
