@@ -1938,6 +1938,134 @@ class Engine:
             "has_secret_config": bool(out["secret"]),
         }
 
+    # ------------------------------------------- backend catalog lifecycle
+    # the registered-backend catalog (group_backends/query.rs keyed
+    # reads over the GROUP_BACKENDS keyspace); names line up with the
+    # reclaim plane's backend dimension so the status route counts
+    # real queues. Secret configs are NEVER in the response shape
+    # (GroupBackendResponse carries public_config only,
+    # group_backends.rs:132-141).
+    _GROUP_BACKENDS = [
+        {"backend_id": "bk-0", "group_id": "grp-main",
+         "name": "backend-0", "kind": "s3",
+         "public_config": {"endpoint": "https://s3.example",
+                           "bucket": "cold0"},
+         "disabled": False},
+        {"backend_id": "bk-1", "group_id": "grp-main",
+         "name": "backend-1", "kind": "gcs",
+         "public_config": {"bucket": "cold1"},
+         "disabled": False},
+        {"backend_id": "bk-2", "group_id": "grp-main",
+         "name": "backend-2", "kind": "s3",
+         "public_config": {"endpoint": "https://s3.example",
+                           "bucket": "cold2"},
+         "disabled": True},
+        {"backend_id": "bk-3", "group_id": "grp-other",
+         "name": "backend-3", "kind": "s3",
+         "public_config": {"endpoint": "https://s3.example",
+                           "bucket": "other"},
+         "disabled": False},
+    ]
+
+    def _find_backend(self, group_id: str, backend_id: str):
+        """Keyed read + group-ownership filter: a backend another
+        group registered is NotFound, never Forbidden — the route
+        filters on record.group_id (group_backends.rs:290-305)."""
+        for b in self._GROUP_BACKENDS:
+            if b["backend_id"] == backend_id and b["group_id"] == group_id:
+                return dict(b)
+        return None
+
+    def list_group_backends(self, group_id: str):
+        """ListGroupBackends (group_backends.rs:257-272): the group's
+        registered backends, public config only."""
+        return {
+            "status": 200,
+            "backends": [
+                dict(b) for b in self._GROUP_BACKENDS
+                if b["group_id"] == group_id
+            ],
+        }
+
+    def get_group_backend(self, group_id: str, backend_id: str):
+        b = self._find_backend(group_id, backend_id)
+        if b is None:
+            return {"status": 404, "error": "NotFound"}
+        return {"status": 200, **b}
+
+    def delete_group_backend(self, group_id: str, backend_id: str):
+        """DELETE is a soft-disable (group_backends.rs:379-387 routes
+        through set_disabled(true)): writes are refused while the flag
+        is set, reads keep working, and the physical remove happens
+        later via remove_drained_backends once the reclaim queues
+        drain. Idempotent — an already-disabled record is a no-op
+        (disable.rs:109)."""
+        b = self._find_backend(group_id, backend_id)
+        if b is None:
+            return {"status": 404, "error": "NotFound"}
+        return {"status": 204, "changed": not b["disabled"]}
+
+    def enable_group_backend(self, group_id: str, backend_id: str):
+        b = self._find_backend(group_id, backend_id)
+        if b is None:
+            return {"status": 404, "error": "NotFound"}
+        return {
+            "status": 200,
+            **{**b, "disabled": False},
+            "changed": b["disabled"],
+        }
+
+    # reclaim.rs:275-279 — status scan caps: the candidate side is a
+    # bounded prefix scan, the cleanup queue a capped filtered scan
+    STATUS_SCAN_LIMIT = 10_000
+    CLEANUP_SCAN_LIMIT = 1_000
+
+    def backend_reclaim_status(self, group_id: str, backend_id: str):
+        """Per-backend reclaim queue depth, computed from the queues
+        themselves (backend_status, reclaim.rs:283-333): pending
+        candidates by bounded prefix scan, physical deletes still owed
+        (the sweep's freed verdicts awaiting the drain) by capped
+        filtered scan, the oldest enqueue over both, and a truncation
+        flag when a scan hit its cap."""
+        b = self._find_backend(group_id, backend_id)
+        if b is None:
+            return {"status": 404, "error": "NotFound"}
+        from aruna_spark.queries.reclaim import _candidates
+
+        name = b["name"]
+        cand = (
+            _candidates(self.spark, self.sf_dir)
+            .filter(F.col("backend") == name)
+            .limit(self.STATUS_SCAN_LIMIT + 1)
+            .collect()
+        )
+        truncated = len(cand) > self.STATUS_SCAN_LIMIT
+        cand = cand[: self.STATUS_SCAN_LIMIT]
+        from aruna_spark.queries import REGISTRY, load_all
+
+        load_all()
+        swept = REGISTRY["blob_reclaim_sweep"][0](self.spark, self.sf_dir)
+        cleanups = (
+            swept.filter(
+                (F.col("backend") == name)
+                & (F.col("verdict") == "freed")
+            )
+            .limit(self.CLEANUP_SCAN_LIMIT + 1)
+            .collect()
+        )
+        truncated = truncated or len(cleanups) > self.CLEANUP_SCAN_LIMIT
+        cleanups = cleanups[: self.CLEANUP_SCAN_LIMIT]
+        oldest = min(
+            (r.enqueued_at for r in (*cand, *cleanups)), default=None
+        )
+        return {
+            "status": 200,
+            "pending_candidates": len(cand),
+            "queued_cleanups": len(cleanups),
+            "oldest_enqueued_at": oldest,
+            "truncated": truncated,
+        }
+
     # --------------------------------------------------------- quota plane
     def quota_check(
         self, incoming_bytes: int, quota_bytes: int | None = None

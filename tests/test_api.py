@@ -1146,3 +1146,57 @@ def test_sync_relationship_routes(engine):
                  if not r.reference_serving and r.state == "enabled")
     out = engine.delete_sync(plain.relationship_id, plain.created_by)
     assert out["status"] == 204 and not out["detached_stub"]
+
+
+def test_group_backend_lifecycle_routes(engine):
+    """list/get/delete(=disable)/enable/reclaim-status
+    (group_backends.rs:257-480): ownership filters to NotFound,
+    secrets never appear in any response, DELETE is an idempotent
+    soft-disable, and the status route counts the real reclaim
+    queues."""
+    listed = engine.list_group_backends("grp-main")
+    assert {b["backend_id"] for b in listed["backends"]} == {
+        "bk-0", "bk-1", "bk-2",
+    }
+    for b in listed["backends"]:
+        assert "secret_config" not in b and "public_config" in b
+    # cross-group keyed read is NotFound, never Forbidden
+    assert engine.get_group_backend("grp-main", "bk-3")["status"] == 404
+    assert engine.get_group_backend("grp-other", "bk-3")["status"] == 200
+    # delete = soft disable, idempotent
+    out = engine.delete_group_backend("grp-main", "bk-0")
+    assert out["status"] == 204 and out["changed"]
+    out = engine.delete_group_backend("grp-main", "bk-2")
+    assert out["status"] == 204 and not out["changed"]  # already off
+    back = engine.enable_group_backend("grp-main", "bk-2")
+    assert back["status"] == 200 and not back["disabled"]
+    assert back["changed"]
+
+    # reclaim status counts the actual candidate/cleanup queues
+    # (freed verdicts only appear from sf0.01 up — the grace/pin
+    # lanes cover everything at sf0.001 — so status runs there)
+    from aruna_spark.api import Engine
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.reclaim import _candidates
+
+    load_all()
+    big = Engine(engine.spark, "/root/testdata/sf0.01")
+    st = big.backend_reclaim_status("grp-main", "bk-0")
+    assert st["status"] == 200 and not st["truncated"]
+    want_pending = (
+        _candidates(big.spark, big.sf_dir)
+        .filter("backend = 'backend-0'")
+        .count()
+    )
+    assert st["pending_candidates"] == want_pending > 0
+    swept = REGISTRY["blob_reclaim_sweep"][0](big.spark, big.sf_dir)
+    want_cleanups = swept.filter(
+        "backend = 'backend-0' AND verdict = 'freed'"
+    ).count()
+    assert st["queued_cleanups"] == want_cleanups > 0
+    assert st["oldest_enqueued_at"] is not None
+    # backend-2's strategy is retain -> nothing ever frees, but its
+    # candidate queue still reports depth
+    st2 = big.backend_reclaim_status("grp-main", "bk-2")
+    assert st2["queued_cleanups"] == 0
+    assert st2["pending_candidates"] > 0
