@@ -1965,6 +1965,13 @@ class Engine:
          "public_config": {"endpoint": "https://s3.example",
                            "bucket": "other"},
          "disabled": False},
+        # decommissioned: disabled AND holding nothing anywhere — the
+        # remove_drained_backends sweep's removable lane
+        {"backend_id": "bk-4", "group_id": "grp-main",
+         "name": "backend-9", "kind": "s3",
+         "public_config": {"endpoint": "https://s3.example",
+                           "bucket": "drained"},
+         "disabled": True},
     ]
 
     def _find_backend(self, group_id: str, backend_id: str):
@@ -2064,6 +2071,62 @@ class Engine:
             "queued_cleanups": len(cleanups),
             "oldest_enqueued_at": oldest,
             "truncated": truncated,
+        }
+
+    def remove_drained_backends(self):
+        """The physical-removal sweep (group_backends/remove.rs:29-69
+        remove_drained_backends): a DISABLED backend is removed only
+        once NOTHING holds it — no surviving catalog location, no
+        pending reclaim candidate, no owed physical delete
+        (backends_holding_data scans the locations + cleanup
+        keyspaces; the candidate queue empties through the sweep).
+        Everything else stays for the next tick."""
+        from aruna_spark.queries import REGISTRY, load_all
+        from aruna_spark.queries.reclaim import (
+            _backend_of,
+            _candidates,
+            load_object_versions,
+        )
+
+        load_all()
+        disabled = [
+            b for b in self._GROUP_BACKENDS if b["disabled"]
+        ]
+        if not disabled:
+            return {"n_removed": 0, "removed": [], "held": []}
+        holding = {
+            r.backend
+            for r in load_object_versions(self.spark, self.sf_dir)
+            .filter(F.col("blob_hash").isNotNull())
+            .select(_backend_of(F.col("size")).alias("backend"))
+            .distinct()
+            .collect()
+        }
+        holding |= {
+            r.backend
+            for r in _candidates(self.spark, self.sf_dir)
+            .select("backend")
+            .distinct()
+            .collect()
+        }
+        swept = REGISTRY["blob_reclaim_sweep"][0](self.spark, self.sf_dir)
+        holding |= {
+            r.backend
+            for r in swept.filter(F.col("verdict") == "freed")
+            .select("backend")
+            .distinct()
+            .collect()
+        }
+        removed = [
+            b["backend_id"] for b in disabled if b["name"] not in holding
+        ]
+        held = [
+            b["backend_id"] for b in disabled if b["name"] in holding
+        ]
+        return {
+            "n_removed": len(removed),
+            "removed": removed,
+            "held": held,
         }
 
     # --------------------------------------------------------- quota plane

@@ -1156,7 +1156,7 @@ def test_group_backend_lifecycle_routes(engine):
     queues."""
     listed = engine.list_group_backends("grp-main")
     assert {b["backend_id"] for b in listed["backends"]} == {
-        "bk-0", "bk-1", "bk-2",
+        "bk-0", "bk-1", "bk-2", "bk-4",
     }
     for b in listed["backends"]:
         assert "secret_config" not in b and "public_config" in b
@@ -1200,3 +1200,9 @@ def test_group_backend_lifecycle_routes(engine):
     st2 = big.backend_reclaim_status("grp-main", "bk-2")
     assert st2["queued_cleanups"] == 0
     assert st2["pending_candidates"] > 0
+
+    # the physical-removal sweep: only the drained disabled backend
+    # goes; bk-2 is disabled but still holds catalog data
+    sweep = big.remove_drained_backends()
+    assert sweep["removed"] == ["bk-4"]
+    assert "bk-2" in sweep["held"]
