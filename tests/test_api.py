@@ -1069,7 +1069,12 @@ def test_observability_routes(engine):
         "job_schedule",
         "metadata_graph_prune",
         "materialization_dead_letters",
+        "reference_metadata_refresh",
+        "sync_mirror_repair",
     }
+    for q in ("reference_metadata_refresh", "sync_mirror_repair"):
+        assert lag[q].depth > 0 and 0 < lag[q].due <= lag[q].depth
+        assert not lag[q].depth_capped
     heads = engine.location_summary().collect()
     assert heads and all(r.n_expected >= 1 for r in heads)
 
