@@ -48,6 +48,7 @@ DECADE_QUERIES = [
     "textstats_repetition",
     "corpus_mix_plan",
     "corpus_mix_sample",
+    "corpus_pack_plan",
     "decontam_ngram_overlap",  # documented corpus-linear baseline
 ]
 
