@@ -2073,9 +2073,13 @@ class Engine:
         from aruna_spark.queries.reclaim import _candidates
 
         name = b["name"]
+        # scan in enqueue order so a capped page holds the OLDEST
+        # records and oldest_enqueued_at stays exact (the reference
+        # walks key order; an unordered limit keeps arbitrary rows)
         cand = (
             _candidates(self.spark, self.sf_dir)
             .filter(F.col("backend") == name)
+            .orderBy("enqueued_at", "blob_hash")
             .limit(self.STATUS_SCAN_LIMIT + 1)
             .collect()
         )
@@ -2090,6 +2094,7 @@ class Engine:
                 (F.col("backend") == name)
                 & (F.col("verdict") == "freed")
             )
+            .orderBy("enqueued_at", "blob_hash")
             .limit(self.CLEANUP_SCAN_LIMIT + 1)
             .collect()
         )
@@ -2118,7 +2123,7 @@ class Engine:
         from aruna_spark.queries.reclaim import (
             _backend_of,
             _candidates,
-            load_object_versions,
+            post_delete_catalog,
         )
 
         load_all()
@@ -2127,9 +2132,13 @@ class Engine:
         ]
         if not disabled:
             return {"n_removed": 0, "removed": [], "held": []}
+        # the SURVIVING catalog, post-delete — the raw version catalog
+        # still carries the removed rows whose blobs already queued
+        # for reclaim, and counting those as 'holding' would pin a
+        # fully-drained backend forever
         holding = {
             r.backend
-            for r in load_object_versions(self.spark, self.sf_dir)
+            for r in post_delete_catalog(self.spark, self.sf_dir)
             .filter(F.col("blob_hash").isNotNull())
             .select(_backend_of(F.col("size")).alias("backend"))
             .distinct()

@@ -197,6 +197,20 @@ def blob_reclaim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving version are pinned, and only genuinely unreferenced
     copies free their bytes. The oracle re-derives pinning through the
     size-keyed content address independently of the Spark join."""
+    return reclaim_sweep(
+        post_delete_catalog(spark, sf_dir),
+        _candidates(spark, sf_dir),
+        _strategies(spark),
+        SWEEP_TIME,
+    )
+
+
+def post_delete_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVIVING version catalog the sweep pins against: the raw
+    catalog with the versioned-removal batch applied — every consumer
+    of 'what still holds data' (the pin check here, the drained-
+    backend removal sweep in the facade) must read THIS relation, not
+    the pre-delete catalog."""
     from aruna_spark.queries.s3_lifecycle import apply_deletes
 
     versions = load_object_versions(spark, sf_dir)
@@ -216,7 +230,4 @@ def blob_reclaim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
         F.lit("v0").alias("want_version_id"),
     )
-    after = apply_deletes(versions, deletes)
-    return reclaim_sweep(
-        after, _candidates(spark, sf_dir), _strategies(spark), SWEEP_TIME
-    )
+    return apply_deletes(versions, deletes)

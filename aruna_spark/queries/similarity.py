@@ -1369,10 +1369,15 @@ def sqrt_centroids_df(spark: SparkSession, n_cells: int) -> DataFrame:
     return spark.createDataFrame(rows, "cell int, cvec array<int>")
 
 
-# test scales hold 500 vectors -> sqrt_cells == 16; nprobe 16 probes
-# every cell there (exact results), while the machinery under test is
-# the same store/probe path that prunes 16-of-512 at sf10
-CENTROIDS_SQRT_TEST = [_centroid_vec(c, salt="sq") for c in range(16)]
+# Oracle geometries: sqrt_cells yields 16 cells for corpora up to 512
+# vectors (sf0.001/sf0.01 hold 500) and 32 up to 2047 (sf0.1 holds
+# 2000) — the oracle below CASEs between the two literal-centroid
+# arms on COUNT(*), mirroring each test dir's geometry exactly (at 16
+# cells nprobe 16 probes everything; at 32 it prunes half). Larger
+# corpora (sf1+) are bench-only — the oracle is documented valid for
+# n <= 2047.
+CENTROIDS_SQRT_16 = [_centroid_vec(c, salt="sq") for c in range(16)]
+CENTROIDS_SQRT_32 = [_centroid_vec(c, salt="sq") for c in range(32)]
 
 
 def ivf_sqrt_topk(
@@ -1424,13 +1429,20 @@ def ivf_sqrt_topk(
     WITH {_D_CORPUS},
     assigned AS (
       SELECT vec_id,
-             {_d_assign('embedding', 1, CENTROIDS_SQRT_TEST)}[1] AS cell
+             CASE WHEN (SELECT COUNT(*) FROM corpus) <= 512
+               THEN {_d_assign('embedding', 1, CENTROIDS_SQRT_16)}[1]
+               ELSE {_d_assign('embedding', 1, CENTROIDS_SQRT_32)}[1]
+             END AS cell
       FROM corpus
     ),
     probes AS (
       SELECT c.vec_id AS query_id,
-             UNNEST({_d_assign('c.embedding', N_PROBE_SQRT,
-                               CENTROIDS_SQRT_TEST)}) AS cell
+             UNNEST(CASE WHEN (SELECT COUNT(*) FROM corpus) <= 512
+               THEN {_d_assign('c.embedding', N_PROBE_SQRT,
+                               CENTROIDS_SQRT_16)}
+               ELSE {_d_assign('c.embedding', N_PROBE_SQRT,
+                               CENTROIDS_SQRT_32)}
+             END) AS cell
       FROM corpus c WHERE c.vec_id % {QUERY_MOD} = 0
     ),
     cand AS (
@@ -1454,11 +1466,14 @@ def ivf_sqrt_topk(
 )
 def similarity_ivf_sqrt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sqrt-sized IVF as a registered, oracle-checked query. The
-    oracle mirrors the 16-cell geometry the sizing rule yields at the
-    500-vector test scales (sqrt_cells(500) == 16) through DuckDB's
+    oracle CASEs between the 16- and 32-cell geometries the sizing
+    rule yields at the test dirs (sqrt_cells: 500 -> 16, 2000 -> 32;
+    valid for corpora <= 2047 — sf1+ is bench-only) through DuckDB's
     independent literal-centroid assignment — the Spark side derives
     the count from the corpus and assigns through the broadcast
-    centroid relation, so a sizing or assignment bug diverges."""
+    centroid relation, so a sizing or assignment bug diverges; at
+    sf0.1 the probe genuinely prunes half the cells, so the pruning
+    arm is oracle-checked too."""
     return ivf_sqrt_topk(spark, sf_dir)
 
 

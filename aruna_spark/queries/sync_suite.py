@@ -565,9 +565,10 @@ def sync_create_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixture (orders % 29 == 3; discriminators 9, 17, 19, 23 coprime to
 # 29): missing-bucket lane k%17==2, ws-source k%19==0, target lanes
 # k%9 (0 foreign realm, 1 ws target, 2 ARN mismatch, 3 self-target),
-# forced-skip lane k%23 ∈ {11,17} pins the target tuple to a catalog
-# row that exists with mode=continuous at every sf (customer 49:
-# bkt1/node0/tgt4).
+# forced-skip lane k%23 ∈ {11,17} pins the target tuple to catalog
+# row customer 5 — k%4==1, k%9==5 (NO source prefix, so it passes the
+# duplicate scan's prefix-null filter), k%11==5 (continuous), present
+# at every sf: source bkt2 (5%3), target node5 (5%7) / tgt0 (5%5).
 
 MIGRATION_PAGE_SIZE = 128  # migration.rs:26
 
@@ -581,7 +582,7 @@ def load_legacy_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         F.when(k % 17 == 2, F.concat(F.lit("gone"), (k % 3).cast("string")))
         .when(k % 19 == 0, "ws-stage")
-        .when(forced, "bkt1")
+        .when(forced, "bkt2")
         .otherwise(F.concat(F.lit("bkt"), (k % 3).cast("string")))
     )
     return o.select(
@@ -591,11 +592,11 @@ def load_legacy_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 9 == 0, "realmB")
         .otherwise("realmA")
         .alias("target_realm"),
-        F.when(forced, "node0")
+        F.when(forced, "node5")
         .when(k % 9 == 3, "node1")
         .otherwise(F.concat(F.lit("node"), (k % 7).cast("string")))
         .alias("target_node"),
-        F.when(forced, "tgt4")
+        F.when(forced, "tgt0")
         .when(k % 9 == 1, "ws-mirror")
         .when(k % 9 == 3, bucket)
         .otherwise(F.concat(F.lit("tgt"), (k % 5).cast("string")))
@@ -610,15 +611,15 @@ _LEGACY_SQL = """
       SELECT o_orderkey AS legacy_id,
              CASE WHEN o_orderkey % 17 = 2 THEN 'gone' || (o_orderkey % 3)
                   WHEN o_orderkey % 19 = 0 THEN 'ws-stage'
-                  WHEN o_orderkey % 23 IN (11, 17) THEN 'bkt1'
+                  WHEN o_orderkey % 23 IN (11, 17) THEN 'bkt2'
                   ELSE 'bkt' || (o_orderkey % 3) END AS bucket,
              CASE WHEN o_orderkey % 23 IN (11, 17) THEN 'realmA'
                   WHEN o_orderkey % 9 = 0 THEN 'realmB'
                   ELSE 'realmA' END AS target_realm,
-             CASE WHEN o_orderkey % 23 IN (11, 17) THEN 'node0'
+             CASE WHEN o_orderkey % 23 IN (11, 17) THEN 'node5'
                   WHEN o_orderkey % 9 = 3 THEN 'node1'
                   ELSE 'node' || (o_orderkey % 7) END AS target_node,
-             CASE WHEN o_orderkey % 23 IN (11, 17) THEN 'tgt4'
+             CASE WHEN o_orderkey % 23 IN (11, 17) THEN 'tgt0'
                   WHEN o_orderkey % 9 = 1 THEN 'ws-mirror'
                   WHEN o_orderkey % 9 = 3 THEN
                     CASE WHEN o_orderkey % 17 = 2

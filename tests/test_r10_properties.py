@@ -145,3 +145,143 @@ def test_create_validate_matches_literal_port(spark, reqs, rels):
     }
     want = {i: _create_port(r, rels) for i, r in enumerate(reqs)}
     assert got == want
+
+
+# ------------------------------------------------ legacy migration
+def _migrate_port(target, catalog_buckets, existing):
+    """Literal port of the migration classification
+    (migration.rs:52-145): bucket read -> ws guard -> target ARN
+    validation -> idempotent skip on (source, target, Continuous)."""
+    if target["bucket"] not in catalog_buckets:
+        return "bucket_missing"
+    if target["bucket"].startswith("ws-"):
+        return "ws_source"
+    if (
+        target["target_realm"] != "realmA"
+        or target["target_bucket"].startswith("ws-")
+        or not target["arn_roundtrips"]
+        or (
+            target["target_node"] == "node1"
+            and target["target_bucket"] == target["bucket"]
+        )
+    ):
+        return "invalid_target"
+    for e in existing:
+        if (
+            e["mode"] == "continuous"
+            and e["source_prefix"] is None
+            and e["source_bucket"] == target["bucket"]
+            and e["target_node"] == target["target_node"]
+            and e["target_bucket"] == target["target_bucket"]
+        ):
+            return "skipped"
+    return "migrated"
+
+
+_target = st.fixed_dictionaries(
+    {
+        "bucket": st.sampled_from(
+            ["bkt0", "bkt1", "bkt2", "ws-stage", "gone0"]
+        ),
+        "target_realm": st.sampled_from(["realmA", "realmB"]),
+        "target_node": st.sampled_from(_NODES),
+        "target_bucket": st.sampled_from(
+            ["bkt0", "tgt0", "tgt4", "ws-mirror"]
+        ),
+        "arn_roundtrips": st.booleans(),
+    }
+)
+
+_out_rel = st.fixed_dictionaries(
+    {
+        "source_bucket": st.sampled_from(["bkt0", "bkt1", "bkt2"]),
+        "source_prefix": st.sampled_from(_PREFIXES),
+        "target_node": st.sampled_from(_NODES),
+        "target_bucket": st.sampled_from(["tgt0", "tgt4", "bkt0"]),
+        "mode": st.sampled_from(_MODES),
+    }
+)
+
+
+@given(st.lists(_target, min_size=1, max_size=12),
+       st.lists(_out_rel, min_size=0, max_size=8))
+@settings(**SETTINGS)
+def test_legacy_migration_matches_literal_port(spark, targets, rels):
+    catalog_buckets = {"bkt0", "bkt1", "bkt2", "ws-stage"}
+    tgt_df = spark.createDataFrame(
+        [
+            (i, t["bucket"], t["target_realm"], t["target_node"],
+             t["target_bucket"], t["arn_roundtrips"])
+            for i, t in enumerate(targets)
+        ],
+        "legacy_id long, bucket string, target_realm string,"
+        " target_node string, target_bucket string,"
+        " arn_roundtrips boolean",
+    )
+    schema = (
+        "source_bucket string, source_prefix string,"
+        " target_node string, target_bucket string, mode string"
+    )
+    rel_df = spark.createDataFrame(
+        [
+            (r["source_bucket"], r["source_prefix"], r["target_node"],
+             r["target_bucket"], r["mode"])
+            for r in rels
+        ] or [],
+        schema,
+    )
+    catalog = spark.createDataFrame(
+        [(b,) for b in sorted(catalog_buckets)], "name string"
+    )
+    existing = (
+        rel_df.filter(
+            (F.col("mode") == "continuous")
+            & F.col("source_prefix").isNull()
+        )
+        .select(
+            F.col("source_bucket").alias("__sb"),
+            F.col("target_node").alias("__tn"),
+            F.col("target_bucket").alias("__tb"),
+            F.lit(True).alias("__exists"),
+        )
+        .distinct()
+    )
+    staged = (
+        tgt_df.join(
+            F.broadcast(catalog.withColumnRenamed("name", "bucket")
+                        .withColumn("__in_cat", F.lit(True))),
+            "bucket", "left",
+        )
+        .join(
+            F.broadcast(existing),
+            (F.col("bucket") == F.col("__sb"))
+            & (F.col("target_node") == F.col("__tn"))
+            & (F.col("target_bucket") == F.col("__tb")),
+            "left",
+        )
+    )
+    invalid = (
+        (F.col("target_realm") != "realmA")
+        | F.col("target_bucket").startswith("ws-")
+        | ~F.col("arn_roundtrips")
+        | (
+            (F.col("target_node") == "node1")
+            & (F.col("target_bucket") == F.col("bucket"))
+        )
+    )
+    cls = (
+        F.when(F.col("__in_cat").isNull(), "bucket_missing")
+        .when(F.col("bucket").startswith("ws-"), "ws_source")
+        .when(invalid, "invalid_target")
+        .when(F.col("__exists").isNotNull(), "skipped")
+        .otherwise("migrated")
+    )
+    got = {
+        r.legacy_id: r.c
+        for r in staged.select("legacy_id", cls.alias("c")).collect()
+    }
+    want = {
+        i: _migrate_port(t, catalog_buckets, rels)
+        for i, t in enumerate(targets)
+    }
+    assert got == want

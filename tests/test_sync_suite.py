@@ -242,6 +242,27 @@ def test_create_validate_lanes(spark, sf_dir, rels):
     assert detached_ok, "detached-recreate lane must be alive"
 
 
+def test_legacy_forced_skip_lane_hits_its_anchor(spark, sf_dir):
+    """The forced-skip lane pins (bkt2, node5, tgt0) — catalog row
+    customer 5, which is continuous with a NULL source prefix at
+    every sf — so rows that survive the failure lanes MUST classify
+    skipped, never by coincidence (the original bkt1/node0/tgt4
+    anchor named customer 49, whose 'p4/' prefix the duplicate scan
+    filters out)."""
+    from aruna_spark.queries.sync_suite import sync_legacy_migration
+
+    rows = sync_legacy_migration(spark, sf_dir).collect()
+    forced = [
+        r for r in rows
+        if r.legacy_id % 23 in (11, 17) and r.outcome != "failed"
+    ]
+    assert forced, "forced lane must survive at sf0.001"
+    for r in forced:
+        assert r.outcome == "skipped"
+        assert (r.bucket, r.target_node, r.target_bucket) \
+            == ("bkt2", "node5", "tgt0")
+
+
 def test_create_coerces_reference_handling(spark, sf_dir):
     rows = sync_create_validate(spark, sf_dir).collect()
     accepted = [r for r in rows if r.outcome == "accepted"]
