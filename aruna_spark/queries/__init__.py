@@ -44,11 +44,16 @@ def register(name: str, oracle: str | None = None):
 # outside the window is selfcheck-verified at round close
 # (scripts/selfcheck.py full run at sf0.01).
 PRIORITY_PREFIXES = (
-    # new this round (front of the window)
+    # new this round (front of the window — first-time driver checks
+    # take precedence, per the r9 convention)
     "sync_relationship_list",
     "sync_mirror_repair_drain",
+    "sync_create_validate",
+    "sync_legacy_migration",
     "staging_refresh_drain",
     "s3_bucket_routing_config",
+    "similarity_ivf_sqrt_topk",
+    "corpus_pack_plan",
     # last driver-checked r4
     "crdt_clock_relation",
     "multimodal_features",
@@ -90,13 +95,9 @@ PRIORITY_PREFIXES = (
     "similarity_ivf_trained_topk",
     "stream_dashboard_epoch",
     # last driver-checked r6 (the cut lands inside this group; the
-    # ~10 rows past the ~50 cut — rel_sessionize/shipping_priority,
-    # sample_*, search_unified, similarity_ivf_scaled/neardup_scaled,
-    # sparql_arith_if/path_zero_or_one, stream_watch_matches — lead
-    # r11's window together with the four r10-new queries registered
-    # at the tail and never driver-checked: sync_create_validate,
-    # sync_legacy_migration, similarity_ivf_sqrt_topk,
-    # corpus_pack_plan; all are selfcheck-green this round)
+    # ~14 rows past the ~50 cut — rel_range_window_join onward through
+    # stream_watch_matches — lead r11's window; all are
+    # selfcheck-green this round)
     "registry_event_replay",
     "registry_incremental_merge",
     "registry_listing_created",
