@@ -32,6 +32,13 @@ Queues sampled (the repo's modeled durable queues):
 - ``materialization_dead_letters`` — parked letters awaiting requeue
   (:mod:`aruna_spark.queries.matqueue`, NOW 50 000; a depth that only
   grows means documents are failing to materialize — rs:43-45).
+
+The facade's ``Engine.queue_lag`` route additionally samples the two
+queues modeled in round 10 (reference-metadata refresh, sync mirror
+repair) through the same :func:`lag_snapshot`, completing the
+reference's five-keyspace cadence (queue_lag.rs:12-14,63-90); the
+REGISTERED query stays at the three queues its committed oracle
+covers.
 """
 
 from __future__ import annotations
