@@ -2073,13 +2073,15 @@ class Engine:
         from aruna_spark.queries.reclaim import _candidates
 
         name = b["name"]
-        # scan in enqueue order so a capped page holds the OLDEST
-        # records and oldest_enqueued_at stays exact (the reference
-        # walks key order; an unordered limit keeps arbitrary rows)
+        # the candidate keyspace is keyed (backend, blob_hash), so the
+        # reference's bounded prefix scan walks BLOB_HASH order within
+        # the backend and folds oldest_enqueued_at over the scanned
+        # page only (reclaim.rs:288-303) — mirror that key order (an
+        # unordered limit would keep arbitrary, nondeterministic rows)
         cand = (
             _candidates(self.spark, self.sf_dir)
             .filter(F.col("backend") == name)
-            .orderBy("enqueued_at", "blob_hash")
+            .orderBy("blob_hash")
             .limit(self.STATUS_SCAN_LIMIT + 1)
             .collect()
         )
@@ -2089,6 +2091,8 @@ class Engine:
 
         load_all()
         swept = REGISTRY["blob_reclaim_sweep"][0](self.spark, self.sf_dir)
+        # cleanup rows are keyed by generated ULIDs, so THEIR key
+        # order IS enqueue order (reclaim.rs:268-273 cleanup_time)
         cleanups = (
             swept.filter(
                 (F.col("backend") == name)

@@ -94,10 +94,10 @@ PRIORITY_PREFIXES = (
     "similarity_ivf_pq_topk",
     "similarity_ivf_trained_topk",
     "stream_dashboard_epoch",
-    # last driver-checked r6 (the cut lands inside this group; the
-    # ~14 rows past the ~50 cut — rel_range_window_join onward through
-    # stream_watch_matches — lead r11's window; all are
-    # selfcheck-green this round)
+    # last driver-checked r6 (the cut lands inside this group: the
+    # 50-entry window ends at registry_listing_recent, so the 14 rows
+    # from rel_asof_latest_click through stream_watch_matches lead
+    # r11's window; all are selfcheck-green this round)
     "registry_event_replay",
     "registry_incremental_merge",
     "registry_listing_created",

@@ -1354,8 +1354,9 @@ N_PROBE_SQRT = 16
 
 
 def sqrt_cells(n: int) -> int:
-    """Power of two nearest sqrt(n), floor 16 (500-vector test scales
-    land on 16 — the oracle below hardcodes that geometry)."""
+    """Power of two nearest sqrt(n), floor 16 (the test dirs land on
+    16 at 500 vectors and 32 at 2000 — the registered query's oracle
+    CASEs between exactly those two geometries)."""
     import math
 
     return 1 << max(4, round(math.log2(math.sqrt(max(n, 1)))))

@@ -491,8 +491,17 @@ def sync_create_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The duplicate scan is a broadcast left-semi-style join with
     null-safe prefix equality — the catalog side is metadata-sized at
     any corpus scale."""
-    reqs = load_create_requests(spark, sf_dir)
-    rels = load_sync_relationships(spark, sf_dir)
+    return validate_sync_creates(
+        load_create_requests(spark, sf_dir),
+        load_sync_relationships(spark, sf_dir),
+    )
+
+
+def validate_sync_creates(reqs: DataFrame, rels: DataFrame) -> DataFrame:
+    """The ladder itself over ANY request/catalog relations — the
+    registered query instantiates it on the fixtures, and the
+    hypothesis property drives the SAME code over generated pairs
+    against a literal port of the route."""
     existing = rels.filter(F.col("state") != "detached").select(
         F.col("source_bucket").alias("__sb"),
         F.col("source_prefix").alias("__sp"),
@@ -702,14 +711,27 @@ def sync_legacy_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the existing-relationship catalog are broadcast sides; the summary
     is one crossJoined 1-row aggregate; ``marks_complete`` is the
     failed==0 completion-marker gate (rs:205-207)."""
-    legacy = load_legacy_targets(spark, sf_dir)
     catalog = spark.createDataFrame(
         [("bkt0", "user-a"), ("bkt1", "user-b"), ("bkt2", "user-c"),
          ("ws-stage", "user-w")],
         "name string, created_by string",
     )
+    return classify_legacy_targets(
+        load_legacy_targets(spark, sf_dir),
+        catalog,
+        load_sync_relationships(spark, sf_dir),
+    )
+
+
+def classify_legacy_targets(
+    legacy: DataFrame, catalog: DataFrame, rels: DataFrame
+) -> DataFrame:
+    """The classification itself over ANY (targets, bucket catalog,
+    relationship catalog) — the registered query instantiates it on
+    the fixtures, and the hypothesis property drives the SAME code
+    over generated inputs against a literal port of migration.rs."""
     existing = (
-        load_sync_relationships(spark, sf_dir)
+        rels
         .filter(
             (F.col("mode") == "continuous")
             & F.col("source_prefix").isNull()

@@ -73,10 +73,11 @@ _rel = st.fixed_dictionaries(
        st.lists(_rel, min_size=0, max_size=8))
 @settings(**SETTINGS)
 def test_create_validate_matches_literal_port(spark, reqs, rels):
-    from aruna_spark.queries.sync_suite import sync_create_validate  # noqa: F401
+    """Drives the PRODUCTION ladder (validate_sync_creates — the same
+    function the registered query instantiates) over generated
+    request/catalog pairs."""
+    from aruna_spark.queries.sync_suite import validate_sync_creates
 
-    # drive the same ladder the registered query uses, over generated
-    # catalogs instead of the fixture
     req_rows = [
         (
             i,
@@ -99,49 +100,16 @@ def test_create_validate_matches_literal_port(spark, reqs, rels):
         )
         for r in rels
     ]
-    rel_df = spark.createDataFrame(
-        rel_rows,
+    rel_schema = (
         "source_bucket string, source_prefix string,"
         " target_node string, target_bucket string, mode string,"
-        " state string",
-    ) if rel_rows else spark.createDataFrame(
-        [],
-        "source_bucket string, source_prefix string,"
-        " target_node string, target_bucket string, mode string,"
-        " state string",
+        " state string"
     )
+    rel_df = spark.createDataFrame(rel_rows or [], rel_schema)
 
-    existing = rel_df.filter(F.col("state") != "detached").select(
-        F.col("source_bucket").alias("__sb"),
-        F.col("source_prefix").alias("__sp"),
-        F.col("target_node").alias("__tn"),
-        F.col("target_bucket").alias("__tb"),
-        F.col("mode").alias("__m"),
-        F.lit(True).alias("__dup"),
-    ).distinct()
-    joined = req_df.join(
-        F.broadcast(existing),
-        (F.col("source_bucket") == F.col("__sb"))
-        & F.col("source_prefix").eqNullSafe(F.col("__sp"))
-        & (F.col("target_node") == F.col("__tn"))
-        & (F.col("target_bucket") == F.col("__tb"))
-        & (F.col("mode") == F.col("__m")),
-        "left",
-    )
-    same = (
-        (F.col("target_node") == "node1")
-        & (F.col("target_bucket") == F.col("source_bucket"))
-        & F.col("target_prefix").eqNullSafe(F.col("source_prefix"))
-    )
-    outcome = (
-        F.when(F.col("target_bucket") == "", "bad_endpoint")
-        .when(same, "same_endpoint")
-        .when(F.col("__dup").isNotNull(), "duplicate")
-        .otherwise("accepted")
-    )
     got = {
-        r.request_id: r.o
-        for r in joined.select("request_id", outcome.alias("o")).collect()
+        r.request_id: r.outcome
+        for r in validate_sync_creates(req_df, rel_df).collect()
     }
     want = {i: _create_port(r, rels) for i, r in enumerate(reqs)}
     assert got == want
@@ -231,57 +199,25 @@ def test_legacy_migration_matches_literal_port(spark, targets, rels):
         schema,
     )
     catalog = spark.createDataFrame(
-        [(b,) for b in sorted(catalog_buckets)], "name string"
+        [(b, f"owner-{b}") for b in sorted(catalog_buckets)],
+        "name string, created_by string",
     )
-    existing = (
-        rel_df.filter(
-            (F.col("mode") == "continuous")
-            & F.col("source_prefix").isNull()
-        )
-        .select(
-            F.col("source_bucket").alias("__sb"),
-            F.col("target_node").alias("__tn"),
-            F.col("target_bucket").alias("__tb"),
-            F.lit(True).alias("__exists"),
-        )
-        .distinct()
+    from aruna_spark.queries.sync_suite import classify_legacy_targets
+
+    tgt_df = tgt_df.withColumn(
+        "replicate_delete_markers", F.lit(True)
     )
-    staged = (
-        tgt_df.join(
-            F.broadcast(catalog.withColumnRenamed("name", "bucket")
-                        .withColumn("__in_cat", F.lit(True))),
-            "bucket", "left",
-        )
-        .join(
-            F.broadcast(existing),
-            (F.col("bucket") == F.col("__sb"))
-            & (F.col("target_node") == F.col("__tn"))
-            & (F.col("target_bucket") == F.col("__tb")),
-            "left",
-        )
-    )
-    invalid = (
-        (F.col("target_realm") != "realmA")
-        | F.col("target_bucket").startswith("ws-")
-        | ~F.col("arn_roundtrips")
-        | (
-            (F.col("target_node") == "node1")
-            & (F.col("target_bucket") == F.col("bucket"))
-        )
-    )
-    cls = (
-        F.when(F.col("__in_cat").isNull(), "bucket_missing")
-        .when(F.col("bucket").startswith("ws-"), "ws_source")
-        .when(invalid, "invalid_target")
-        .when(F.col("__exists").isNotNull(), "skipped")
-        .otherwise("migrated")
-    )
+    out = classify_legacy_targets(tgt_df, catalog, rel_df).collect()
     got = {
-        r.legacy_id: r.c
-        for r in staged.select("legacy_id", cls.alias("c")).collect()
+        r.legacy_id: (r.reason if r.outcome == "failed" else r.outcome)
+        for r in out
     }
     want = {
         i: _migrate_port(t, catalog_buckets, rels)
         for i, t in enumerate(targets)
     }
     assert got == want
+    # the production summary conserves over the generated batch too
+    head = out[0]
+    assert head.n_migrated + head.n_skipped + head.n_failed == len(out)
+    assert head.marks_complete == (head.n_failed == 0)
