@@ -95,9 +95,10 @@ def test_pack_plan_offsets_are_contiguous(spark, sf_dir):
 
 
 def test_pack_plan_has_no_unpartitioned_window(spark, sf_dir):
-    """The global cumsum must come from the partitioned two-level
+    """The global cumsum must come from the partitioned hierarchical
     plan, never a single-partition window (the registry's banned
-    shape)."""
+    shape): document-level windows partition by __part, totals-level
+    by __super."""
     from aruna_spark.queries.sampling import corpus_pack_plan
 
     plan = (
@@ -110,4 +111,34 @@ def test_pack_plan_has_no_unpartitioned_window(spark, sf_dir):
 
     for m in re.finditer(r"Window \[", plan):
         tail = plan[m.start():m.start() + 400]
-        assert "windowspecdefinition(__part" in tail
+        assert (
+            "windowspecdefinition(__part" in tail
+            or "windowspecdefinition(__super" in tail
+        )
+
+
+def test_pack_plan_prefix_has_no_nested_loop_join(spark, sf_dir):
+    """The cross-partition prefix must be the linear fold
+    (collect-to-array + aggregate), never a theta-join — the r10
+    single-level theta-join was O(P^2) in cumsum-partition count
+    (VERDICT r10 'What's wrong' #2)."""
+    from aruna_spark.queries.sampling import corpus_pack_plan
+
+    plan = (
+        corpus_pack_plan(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    loops = [
+        plan[m.start():].splitlines()[0]
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan)
+    ]
+    # exactly ONE nested loop survives: the conditionless Cross with
+    # the 1-row corpus envelope (total_tokens/n_chunks). The prefix
+    # stage itself must carry no theta nested loop.
+    assert len(loops) == 1, loops
+    assert "Cross" in loops[0] and "<" not in loops[0], loops
+    assert "CartesianProduct" not in plan
