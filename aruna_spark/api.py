@@ -856,42 +856,12 @@ class Engine:
     def queue_lag(self) -> DataFrame:
         """One observability tick over every modeled durable queue
         (queue_lag.rs sample): depth / due / oldest-due-age. The
-        reference probes five keyspaces per cadence (queue_lag.rs:
-        12-14,63-90); the registered sample covers the three
-        round-9-era queues, and this route unions in the two queues
-        modeled since — the reference-metadata refresh jobs and the
-        sync mirror-repair records — each against its own fixture
-        clock, matching probe_queue_depth's per-keyspace snapshots."""
-        from aruna_spark.queries.queue_lag import (
-            lag_snapshot,
-            queue_lag_sample,
-        )
-        from aruna_spark.queries.references import (
-            REFRESH_NOW_MS,
-            load_refresh_jobs,
-        )
-        from aruna_spark.queries.sync_suite import (
-            NOW_MS as SYNC_NOW_MS,
-        )
-        from aruna_spark.queries.sync_suite import load_repair_queue
+        registered sample covers the reference's full five-keyspace
+        cadence (queue_lag.rs:12-14,63-90) as of round 11, so the
+        route is the registered query."""
+        from aruna_spark.queries.queue_lag import queue_lag_sample
 
-        out = queue_lag_sample(self.spark, self.sf_dir)
-        out = out.unionByName(
-            lag_snapshot(
-                "reference_metadata_refresh",
-                load_refresh_jobs(self.spark, self.sf_dir),
-                F.col("due_at_ms"),
-                REFRESH_NOW_MS,
-            )
-        )
-        return out.unionByName(
-            lag_snapshot(
-                "sync_mirror_repair",
-                load_repair_queue(self.spark, self.sf_dir),
-                F.col("due_at_ms"),
-                SYNC_NOW_MS,
-            )
-        )
+        return queue_lag_sample(self.spark, self.sf_dir)
 
     def location_summary(self) -> DataFrame:
         """Per object head: expected replica destinations and queued

@@ -31,14 +31,16 @@ Queues sampled (the repo's modeled durable queues):
   (:mod:`aruna_spark.queries.doc_lifecycle`, NOW 10 000);
 - ``materialization_dead_letters`` — parked letters awaiting requeue
   (:mod:`aruna_spark.queries.matqueue`, NOW 50 000; a depth that only
-  grows means documents are failing to materialize — rs:43-45).
+  grows means documents are failing to materialize — rs:43-45);
+- ``reference_metadata_refresh`` — due reference-refresh jobs
+  (:mod:`aruna_spark.queries.references`, NOW 5 000);
+- ``sync_mirror_repair`` — pending mirror-repair records
+  (:mod:`aruna_spark.queries.sync_suite`, NOW 50 000).
 
-The facade's ``Engine.queue_lag`` route additionally samples the two
-queues modeled in round 10 (reference-metadata refresh, sync mirror
-repair) through the same :func:`lag_snapshot`, completing the
-reference's five-keyspace cadence (queue_lag.rs:12-14,63-90); the
-REGISTERED query stays at the three queues its committed oracle
-covers.
+Five keyspaces per tick, completing the reference's five-queue
+cadence (queue_lag.rs:12-14,63-90) in the REGISTERED oracle-checked
+query (VERDICT r10 Next #2 — previously the last two were
+facade-only).
 """
 
 from __future__ import annotations
@@ -53,6 +55,13 @@ from aruna_spark.queries.jobs import NOW_MS as JOBS_NOW_MS
 from aruna_spark.queries.jobs import _JOBS_SQL, load_jobs
 from aruna_spark.queries.matqueue import NOW_MS as MATQ_NOW_MS
 from aruna_spark.queries.matqueue import _LETTERS_SQL, load_dead_letters
+from aruna_spark.queries.references import (
+    _REFRESH_JOBS_SQL,
+    REFRESH_NOW_MS,
+    load_refresh_jobs,
+)
+from aruna_spark.queries.sync_suite import NOW_MS as SYNC_NOW_MS
+from aruna_spark.queries.sync_suite import _QUEUE_SQL, load_repair_queue
 
 QUEUE_SCAN_PAGE_SIZE = 1_024  # queue_lag.rs:22
 QUEUE_SCAN_PAGE_LIMIT = 8  # queue_lag.rs:23
@@ -140,7 +149,9 @@ def _lag_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
       UNION ALL
       SELECT CAST(doc_id + 1000 AS BIGINT) FROM documents
       WHERE doc_id % 30 = 2
-    )
+    ),
+    {_REFRESH_JOBS_SQL.strip().rstrip()},
+    {_QUEUE_SQL.strip().rstrip()}
     {_lag_oracle("job_schedule",
                  "(SELECT * FROM jobs WHERE state = 'queued')",
                  "due_at_ms", JOBS_NOW_MS)}
@@ -149,13 +160,20 @@ def _lag_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
     UNION ALL
     {_lag_oracle("materialization_dead_letters", "letters",
                  "requeue_at_ms", MATQ_NOW_MS)}
+    UNION ALL
+    {_lag_oracle("reference_metadata_refresh", "refresh_jobs",
+                 "due_at_ms", REFRESH_NOW_MS)}
+    UNION ALL
+    {_lag_oracle("sync_mirror_repair", "repair_queue",
+                 "due_at_ms", SYNC_NOW_MS)}
     """,
 )
 def queue_lag_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One observability tick: every durable queue's depth / due /
-    oldest-due-age snapshot (fixtures are far below the 8,192 scan
-    cap, so depth_capped is false — the cap branch is pinned by a
-    synthetic 10k-row queue in tests/test_queue_lag.py)."""
+    oldest-due-age snapshot, five keyspaces per the reference cadence
+    (fixtures are far below the 8,192 scan cap, so depth_capped is
+    false — the cap branch is pinned by a synthetic 10k-row queue in
+    tests/test_queue_lag.py)."""
     jobs = load_jobs(spark, sf_dir).filter(F.col("state") == "queued")
     out = lag_snapshot(
         "job_schedule", jobs, F.col("due_at_ms"), JOBS_NOW_MS
@@ -168,11 +186,27 @@ def queue_lag_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             PRUNE_NOW_MS,
         )
     )
-    return out.unionByName(
+    out = out.unionByName(
         lag_snapshot(
             "materialization_dead_letters",
             load_dead_letters(spark, sf_dir),
             F.col("requeue_at_ms"),
             MATQ_NOW_MS,
+        )
+    )
+    out = out.unionByName(
+        lag_snapshot(
+            "reference_metadata_refresh",
+            load_refresh_jobs(spark, sf_dir),
+            F.col("due_at_ms"),
+            REFRESH_NOW_MS,
+        )
+    )
+    return out.unionByName(
+        lag_snapshot(
+            "sync_mirror_repair",
+            load_repair_queue(spark, sf_dir),
+            F.col("due_at_ms"),
+            SYNC_NOW_MS,
         )
     )

@@ -23,6 +23,8 @@ def test_sample_covers_every_modeled_queue(sample):
         "job_schedule",
         "metadata_graph_prune",
         "materialization_dead_letters",
+        "reference_metadata_refresh",
+        "sync_mirror_repair",
     }
     for r in sample.values():
         assert r.depth > 0, "fixture queues must be non-empty"
