@@ -1390,6 +1390,96 @@ class Engine:
         return {"status": 200, "bucket": bucket, "rules": [],
                 "warnings": []}
 
+    # --------------------------------------------- group routing record
+    def _group_owned_backends(self, group_id: int) -> set[str]:
+        """The ids the group's prefix scan collects: enabled AND the
+        indexed record matches the group (group_routing.rs:108-115)."""
+        from aruna_spark.queries.routing import load_group_backend_index
+
+        rows = (
+            load_group_backend_index(self.spark, self.sf_dir)
+            .filter(
+                (F.col("group_id") == group_id)
+                & ~F.col("disabled")
+                & (F.col("record_group_id") == F.col("group_id"))
+            )
+            .select("backend_id")
+            .collect()
+        )
+        return {f"bk-{r.backend_id}" for r in rows}
+
+    def put_group_routing(
+        self,
+        group_id: int,
+        target: dict | None = None,
+        updated_by: str = "user-1",
+    ) -> dict:
+        """PutGroupRouting (group_routing.rs:183-300): loads the
+        group's inputs, then validate_tenant_target — a node-backend
+        target is rejected outright, a group backend must be among
+        the ids the group's own scan collected, a class name must
+        match ``[a-z0-9-]{1,32}``. ``target = None`` CLEARS the
+        default: still a write, so the record always records who
+        decided last. ``target``: {"kind": class|group_backend|
+        node_backend, "target": str}."""
+        from aruna_spark.queries.routing import tenant_target_error
+
+        if target is not None:
+            kind = target.get("kind", "class")
+            owned = (
+                self._group_owned_backends(group_id)
+                if kind == "group_backend"
+                else frozenset()
+            )
+            err = tenant_target_error(
+                kind, target.get("target", ""), owned
+            )
+            if err is not None:
+                return {
+                    "status": 400,
+                    "error": "InvalidTarget",
+                    "reason": err,
+                }
+        return {
+            "status": 200,
+            "group_id": group_id,
+            "default_target": target,
+            "updated_by": updated_by,
+        }
+
+    def get_group_routing(self, group_id: int) -> dict:
+        """GetGroupRouting (group_routing.rs:324-326): an absent
+        record is no default, not an error — most groups never set
+        one."""
+        from aruna_spark.queries.routing import (
+            load_group_routing_records,
+        )
+
+        rows = (
+            load_group_routing_records(self.spark, self.sf_dir)
+            .filter(F.col("group_id") == group_id)
+            .collect()
+        )
+        if not rows:
+            return {
+                "status": 200,
+                "group_id": group_id,
+                "present": False,
+                "default_target": None,
+            }
+        r = rows[0]
+        tgt = (
+            None
+            if r.default_kind is None
+            else {"kind": r.default_kind, "target": r.default_target}
+        )
+        return {
+            "status": 200,
+            "group_id": group_id,
+            "present": True,
+            "default_target": tgt,
+        }
+
     # ------------------------------------------- document deletion route
     def delete_document(self, document_id: int):
         """DeleteMetadataDocument (delete_metadata_document.rs): 404

@@ -492,3 +492,215 @@ def s3_bucket_routing_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture configs through PutBucketRouting's validation —
     see :func:`validate_routing_configs`."""
     return validate_routing_configs(load_routing_configs(spark, sf_dir))
+
+
+# ===================================================== group-level routing
+# The GROUP_STORAGE_ROUTING keyspace — one record per group holding the
+# group-wide default write target (VERDICT r10 Next #3). Reference:
+#
+# - ``operations/src/group_routing.rs:41-142``
+#   (``GroupRoutingInputsOperation``) — load-inputs reads the group's
+#   routing record (absent → no default, rs:96-103), then scans the
+#   GROUP_STORAGE_BACKEND_INDEX prefix in pages of BACKEND_PAGE_SIZE
+#   (128, rs:18), keeping backends whose record matches the group AND
+#   is not disabled (rs:108-115) — the index row's record may belong
+#   to another tenant after a racy re-keying, so the group check is a
+#   real filter, and a disabled backend cannot be routed to.
+# - ``storage/src/storage.rs:2078-2094`` (``collect_page``) — a scan
+#   page re-arms only when the page filled AND a peek shows more, so
+#   the scan issues max(1, ceil(scanned/128)) Iter effects.
+# - ``group_routing.rs:183-234`` (``PutGroupRoutingOperation``) — the
+#   put loads the inputs first, then ``validate_tenant_target``
+#   (core routing.rs:558-572): a NODE backend target is
+#   OperatorBackendTarget, a group backend the group does not own is
+#   ForeignBackend, a class name re-validates ``^[a-z0-9-]{1,32}$``.
+#   Clearing is a write with target None, so the record always
+#   records who decided last (rs:183-185).
+# - ``group_routing.rs:324-326`` (``GetGroupRoutingOperation``) — an
+#   absent record is no default, not an error.
+#
+# Fixture: groups are the 25 nation keys. The backend index derives
+# from orders (o_orderkey % 3 == 0; group = o_custkey % 25): disabled
+# lane o_orderkey % 7 == 3, stale-index lane o_orderkey % 11 == 5
+# (the indexed record's group differs — scanned but never collected).
+# Routing records exist for n_nationkey % 3 != 2; kind cycles class /
+# group-backend / CLEARED / class on % 4.
+
+BACKEND_PAGE_SIZE = 128  # group_routing.rs:18
+GROUP_COUNT = 25
+
+
+def load_group_backend_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUP_STORAGE_BACKEND_INDEX keyspace: one row per indexed
+    backend record, prefix-keyed by group."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    )
+    k = F.col("o_orderkey")
+    g = (F.col("o_custkey") % GROUP_COUNT).cast("long")
+    return o.select(
+        g.alias("group_id"),
+        k.cast("long").alias("backend_id"),
+        (k % 7 == 3).alias("disabled"),
+        F.when(k % 11 == 5, (g + 1) % GROUP_COUNT)
+        .otherwise(g)
+        .cast("long")
+        .alias("record_group_id"),
+    )
+
+
+def load_group_routing_records(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GROUP_STORAGE_ROUTING keyspace: at most one record per
+    group; a record with NULL kind/target is a CLEARED default (the
+    write that recorded who decided last)."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") % 3 != 2
+    )
+    g = F.col("n_nationkey").cast("long")
+    kind = F.when((g % 4).isin(0, 3), "class").when(
+        g % 4 == 1, "group_backend"
+    )
+    target = (
+        F.when(g % 4 == 0, F.lit("std"))
+        .when(g % 4 == 1, F.concat(F.lit("bk-"), g.cast("string")))
+        .when(g % 4 == 3, F.concat(F.lit("archive-"), g.cast("string")))
+    )
+    return n.select(
+        g.alias("group_id"),
+        kind.alias("default_kind"),
+        target.alias("default_target"),
+    )
+
+
+_CLASS_NAME_RE = "[a-z0-9-]{1,32}"
+
+
+def tenant_target_error(
+    kind: str, target: str, owned_ids
+) -> str | None:
+    """``validate_tenant_target`` (core routing.rs:558-572): tenants
+    may name a backend their own group registered or a storage class,
+    never an operator (node) backend — node topology must not be
+    bound into replicated records, and a foreign id would reach
+    another tenant's credentials."""
+    import re
+
+    if kind == "node_backend":
+        return "operator_backend_target"
+    if kind == "group_backend":
+        return None if target in owned_ids else "foreign_backend"
+    return (
+        None
+        if re.fullmatch(_CLASS_NAME_RE, target or "")
+        else "invalid_class"
+    )
+
+
+@register(
+    "group_routing_inputs",
+    oracle=f"""
+    WITH idx AS (
+      SELECT CAST(o_custkey % {GROUP_COUNT} AS BIGINT) AS group_id,
+             CAST(o_orderkey AS BIGINT) AS backend_id,
+             o_orderkey % 7 = 3 AS disabled,
+             CAST(CASE WHEN o_orderkey % 11 = 5
+                       THEN (o_custkey % {GROUP_COUNT} + 1)
+                            % {GROUP_COUNT}
+                  ELSE o_custkey % {GROUP_COUNT} END AS BIGINT)
+               AS record_group_id
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    scanned AS (
+      SELECT group_id,
+             COUNT(*) AS n_scanned,
+             CAST(COALESCE(SUM(CASE WHEN NOT disabled
+                                     AND record_group_id = group_id
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS backend_count,
+             CAST(COALESCE(SUM(CASE WHEN NOT disabled
+                                     AND record_group_id = group_id
+                                    THEN backend_id END), 0) AS BIGINT)
+               AS backend_id_checksum
+      FROM idx GROUP BY group_id
+    ),
+    rec AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS group_id,
+             CASE WHEN n_nationkey % 4 IN (0, 3) THEN 'class'
+                  WHEN n_nationkey % 4 = 1 THEN 'group_backend' END
+               AS default_kind,
+             CASE WHEN n_nationkey % 4 = 0 THEN 'std'
+                  WHEN n_nationkey % 4 = 1 THEN 'bk-' || n_nationkey
+                  WHEN n_nationkey % 4 = 3
+                    THEN 'archive-' || n_nationkey END AS default_target
+      FROM nation WHERE n_nationkey % 3 <> 2
+    )
+    SELECT g.group_id,
+           r.group_id IS NOT NULL AS has_record,
+           r.default_kind,
+           r.default_target,
+           CAST(COALESCE(s.backend_count, 0) AS BIGINT) AS backend_count,
+           CAST(COALESCE(s.backend_id_checksum, 0) AS BIGINT)
+             AS backend_id_checksum,
+           CAST(GREATEST(1, (COALESCE(s.n_scanned, 0) + 127)
+                            // {BACKEND_PAGE_SIZE}) AS BIGINT)
+             AS scan_pages
+    FROM (SELECT CAST(n_nationkey AS BIGINT) AS group_id FROM nation) g
+    LEFT JOIN scanned s ON s.group_id = g.group_id
+    LEFT JOIN rec r ON r.group_id = g.group_id
+    """,
+)
+def group_routing_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every group's routing inputs in one pass: the stored default
+    (absent record → no default), the ids of its enabled
+    group-matching backends (count + id checksum standing in for the
+    BTreeSet), and the number of 128-key Iter pages the prefix scan
+    costs. The index aggregates map-side on 25 group keys; the groups
+    and records dimensions broadcast."""
+    groups = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("group_id")
+    )
+    idx = load_group_backend_index(spark, sf_dir)
+    qualifying = ~F.col("disabled") & (
+        F.col("record_group_id") == F.col("group_id")
+    )
+    scanned = idx.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("__scanned"),
+        F.sum(qualifying.cast("long")).cast("long").alias(
+            "backend_count"
+        ),
+        F.coalesce(
+            F.sum(F.when(qualifying, F.col("backend_id"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("backend_id_checksum"),
+    )
+    rec = load_group_routing_records(spark, sf_dir).withColumn(
+        "__has", F.lit(True)
+    )
+    return (
+        groups.join(scanned, "group_id", "left")
+        .join(F.broadcast(rec), "group_id", "left")
+        .select(
+            "group_id",
+            F.coalesce("__has", F.lit(False)).alias("has_record"),
+            "default_kind",
+            "default_target",
+            F.coalesce("backend_count", F.lit(0))
+            .cast("long")
+            .alias("backend_count"),
+            F.coalesce("backend_id_checksum", F.lit(0))
+            .cast("long")
+            .alias("backend_id_checksum"),
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"(coalesce(__scanned, 0) + 127)"
+                    f" div {BACKEND_PAGE_SIZE}"
+                ),
+            )
+            .cast("long")
+            .alias("scan_pages"),
+        )
+    )

@@ -1053,6 +1053,78 @@ def test_bucket_routing_config_routes(engine):
     assert mixed["rule_index"] == 1
 
 
+def test_group_routing_routes(engine):
+    """Put/GetGroupRouting (group_routing.rs:183-300, 324-326):
+    validate_tenant_target gates the put, clearing is a write, an
+    absent record is no default — not an error."""
+    from aruna_spark.queries.routing import load_group_backend_index
+
+    # group 2 (n % 3 == 2): absent record — no default, not an error
+    assert engine.get_group_routing(2) == {
+        "status": 200,
+        "group_id": 2,
+        "present": False,
+        "default_target": None,
+    }
+    # group 0: stored class default
+    got = engine.get_group_routing(0)
+    assert got["present"]
+    assert got["default_target"] == {"kind": "class", "target": "std"}
+    # group 6 (% 4 == 2): CLEARED record — present, target None
+    cleared = engine.get_group_routing(6)
+    assert cleared["present"] and cleared["default_target"] is None
+
+    # put: a valid class stores; clearing stores
+    ok = engine.put_group_routing(3, {"kind": "class", "target": "cold"})
+    assert ok["status"] == 200
+    assert ok["default_target"]["target"] == "cold"
+    assert engine.put_group_routing(3, None)["status"] == 200
+    # a node-backend target always rejects (never bind node topology)
+    nb = engine.put_group_routing(
+        3, {"kind": "node_backend", "target": "nb-1"}
+    )
+    assert nb == {
+        "status": 400,
+        "error": "InvalidTarget",
+        "reason": "operator_backend_target",
+    }
+    # class names re-validate [a-z0-9-]{1,32}
+    bad = engine.put_group_routing(
+        3, {"kind": "class", "target": "BAD_CLASS"}
+    )
+    assert bad["status"] == 400 and bad["reason"] == "invalid_class"
+
+    # group backends: the group's own enabled backend stores; the same
+    # id from another group is ForeignBackend; a disabled backend is
+    # never collected by the scan, so it too is foreign
+    idx = load_group_backend_index(engine.spark, engine.sf_dir)
+    row = (
+        idx.filter(
+            ~F.col("disabled")
+            & (F.col("record_group_id") == F.col("group_id"))
+        )
+        .orderBy("backend_id")
+        .first()
+    )
+    mine = engine.put_group_routing(
+        row.group_id,
+        {"kind": "group_backend", "target": f"bk-{row.backend_id}"},
+    )
+    assert mine["status"] == 200
+    foreign = engine.put_group_routing(
+        (row.group_id + 1) % 25,
+        {"kind": "group_backend", "target": f"bk-{row.backend_id}"},
+    )
+    assert foreign["status"] == 400
+    assert foreign["reason"] == "foreign_backend"
+    drow = idx.filter(F.col("disabled")).orderBy("backend_id").first()
+    dis = engine.put_group_routing(
+        drow.group_id,
+        {"kind": "group_backend", "target": f"bk-{drow.backend_id}"},
+    )
+    assert dis["status"] == 400 and dis["reason"] == "foreign_backend"
+
+
 def test_delete_document_route(engine):
     # doc 0 ≡ 0 mod 3 → live → deletable
     out = engine.delete_document(0)
