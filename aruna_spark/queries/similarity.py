@@ -680,7 +680,7 @@ def ivf_topk_nprobe(
 
 # ------------------------------------------ corpus-scaled ivf (64 cells)
 @register(
-    "similarity_ivf_scaled_topk",
+    "similarity_ivf_fixed64_demo",
     oracle=f"""
     WITH {_D_CORPUS},
     assigned AS (
@@ -712,16 +712,19 @@ def ivf_topk_nprobe(
     SELECT query_id, vec_id, score_q, rnk FROM ranked WHERE rnk <= {TOP_K}
     """,
 )
-def similarity_ivf_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with the CORPUS-SCALED cell count (64 cells, nprobe 16 — the
-    same 1/4 probed fraction as the registered 8-cell default): the
-    production "cells ~ sqrt(n)" sizing rule as a registered,
-    oracle-checked query, exactly like the 12-bit bucket demonstrates
-    the neardup BITS dial. Finer cells hold 8x fewer vectors each, so
-    the probed lists stay flat as the corpus grows (the 8-cell fixed
-    quantizer measured 5.6x at sf1 because its lists grow with the
-    corpus), and granularity buys recall at an unchanged scan fraction.
-    Served from the STORED cell-partitioned lists
+def similarity_ivf_fixed64_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a FIXED 64-cell quantizer (nprobe 16) — registered as
+    a DEMONSTRATION dial, not the production one (renamed from
+    ``similarity_ivf_scaled_topk`` in r11, VERDICT r10 Next #4). It
+    improves on the 8-cell default (8x finer occupancy at the same
+    1/4 probed fraction) but any fixed cell count is a one-decade
+    geometry: its lists grow linearly with the corpus, and
+    BENCH_DECADE measured it at 36x in the sf1 -> sf10 decade. The
+    production sizing rule is ``similarity_ivf_sqrt_topk`` (cells
+    re-derived as 2^round(log2 sqrt(n)) at every build), which holds
+    ~sqrt(n) per-query work across both measured decades. Kept
+    registered as the measured counterexample that motivated the sqrt
+    store. Served from the STORED cell-partitioned lists
     (``store.ivf_scaled_store``); same probe-join/rank tail as
     ``similarity_ivf_topk``."""
     from aruna_spark.store import ivf_scaled_store

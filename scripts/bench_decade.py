@@ -38,7 +38,7 @@ DECADE_QUERIES = [
     "dedup_simhash_scaled",
     "dedup_ngram_scaled",
     "similarity_neardup_scaled",
-    "similarity_ivf_scaled_topk",
+    "similarity_ivf_fixed64_demo",
     "similarity_ivf_sqrt_topk",
     # the per-query probe curve: FIXED 20-query set over the growing
     # corpus (queries/similarity.py ivf_sqrt_decade_probe)

@@ -206,7 +206,7 @@ def main() -> None:
     for name in (
         "similarity_lsh_topk",
         "similarity_ivf_topk",
-        "similarity_ivf_scaled_topk",
+        "similarity_ivf_fixed64_demo",
         "similarity_ivf_sqrt_topk",
         "similarity_ivf_trained_topk",
         "similarity_ivf_pq_topk",
