@@ -1969,6 +1969,178 @@ class Engine:
             "has_secret_config": bool(secret_config),
         }
 
+    # ------------------------------------------- connector record CRUD
+    # the stored source-connector records the staging bindings name
+    # (core source_connector.rs:37-46). conn-0..conn-3 carry fixture
+    # bindings (queries/staging_suite.py); conn-4 is registered but
+    # unbound — the deletable lane. Secret configs live in a SEPARATE
+    # record (SourceConnectorSecret) and NEVER echo in any response
+    # shape; only has_secret_config does (has_secret_config.rs).
+    _SOURCE_CONNECTORS = [
+        {"connector_id": "conn-0", "group_id": "grp-main",
+         "name": "refdata-s3", "kind": "s3",
+         "public_config": {"endpoint": "https://s3.example.com",
+                           "bucket": "reads", "region": "eu-central-1"},
+         "secret_config": {"access_key_id": "AK0",
+                           "secret_access_key": "stored-secret-0"}},
+        {"connector_id": "conn-1", "group_id": "grp-main",
+         "name": "mirror-http", "kind": "http",
+         "public_config": {"endpoint": "https://data.example.com"},
+         "secret_config": {}},
+        {"connector_id": "conn-2", "group_id": "grp-main",
+         "name": "archive-s3", "kind": "s3",
+         "public_config": {"endpoint": "https://s3.example.com",
+                           "bucket": "archive", "region": "eu-central-1"},
+         "secret_config": {"access_key_id": "AK2",
+                           "secret_access_key": "stored-secret-2"}},
+        {"connector_id": "conn-3", "group_id": "grp-other",
+         "name": "foreign-http", "kind": "http",
+         "public_config": {"endpoint": "https://other.example.com"},
+         "secret_config": {}},
+        {"connector_id": "conn-4", "group_id": "grp-main",
+         "name": "scratch-http", "kind": "http",
+         "public_config": {"endpoint": "https://scratch.example.com"},
+         "secret_config": {}},
+    ]
+
+    def _find_connector(self, group_id: str, connector_id: str):
+        """Keyed read scoped by group: another group's connector is
+        NotFound, never Forbidden (get_source_connector.rs:84-103
+        reads the group-prefixed key)."""
+        for c in self._SOURCE_CONNECTORS:
+            if (
+                c["connector_id"] == connector_id
+                and c["group_id"] == group_id
+            ):
+                return dict(c)
+        return None
+
+    def _connector_referenced(self, connector_id: str) -> bool:
+        """``blob_version_references_connector`` over the staged
+        bindings (repository.rs:175-180): only versions still in
+        Reference STATE hold the connector — snapshot/sync bindings
+        materialized, so they don't pin it."""
+        from aruna_spark.catalog import load_table
+
+        n = (
+            load_table(self.spark, self.sf_dir, "documents")
+            .filter(
+                (F.col("doc_id") % 11 == 5)
+                & (
+                    F.concat(
+                        F.lit("conn-"),
+                        (F.col("doc_id") % 4).cast("string"),
+                    )
+                    == connector_id
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        return n > 0
+
+    @staticmethod
+    def _connector_envelope(c: dict, status: int = 200) -> dict:
+        return {
+            "status": status,
+            "connector_id": c["connector_id"],
+            "group_id": c["group_id"],
+            "name": c["name"],
+            "kind": c["kind"],
+            "public_config": dict(c["public_config"]),
+            "has_secret_config": bool(c["secret_config"]),
+        }
+
+    def get_source_connector(
+        self, group_id: str, connector_id: str
+    ) -> dict:
+        """GetSourceConnector (get_source_connector.rs): the public
+        record plus a has_secret_config probe of the separate secret
+        record — the secret itself never enters the response shape."""
+        c = self._find_connector(group_id, connector_id)
+        if c is None:
+            return {"status": 404, "error": "NotFound"}
+        return self._connector_envelope(c)
+
+    def list_source_connectors(self, group_id: str) -> dict:
+        """ListSourceConnectors (list_source_connectors.rs): the
+        group's connectors with per-row has_secret_config probes."""
+        return {
+            "status": 200,
+            "connectors": [
+                self._connector_envelope(dict(c))
+                for c in self._SOURCE_CONNECTORS
+                if c["group_id"] == group_id
+            ],
+        }
+
+    def replace_source_connector(
+        self,
+        group_id: str,
+        connector_id: str,
+        name: str,
+        kind: str,
+        public_config: dict[str, str] | None = None,
+        secret_config: dict[str, str] | None = None,
+    ) -> dict:
+        """ReplaceSourceConnector (replace_source_connector.rs):
+        validates the input FIRST (rs:130-137), 404 on an absent or
+        foreign record, then — only when the secret config CHANGED
+        (rs:179-193, including changing to empty, which deletes the
+        secret record) — scans the reference-state versions and
+        aborts 409 ReferencedByObjectVersion if any still reaches its
+        source through this connector. identity (connector_id,
+        group_id, created_at, created_by) is preserved; name, kind
+        and both configs come from the input (rs:160-177)."""
+        from aruna_spark.ops.connector_validation import (
+            validate_connector_input,
+        )
+
+        public_config = dict(public_config or {})
+        secret_config = dict(secret_config or {})
+        err = validate_connector_input(
+            name, kind, public_config, secret_config
+        )
+        if err is not None:
+            code, key = err
+            return {"status": 400, "error": code, "key": key}
+        c = self._find_connector(group_id, connector_id)
+        if c is None:
+            return {"status": 404, "error": "NotFound"}
+        if secret_config != c["secret_config"] and (
+            self._connector_referenced(connector_id)
+        ):
+            return {
+                "status": 409,
+                "error": "ReferencedByObjectVersion",
+            }
+        replaced = {
+            **c,
+            "name": name,
+            "kind": kind,
+            "public_config": public_config,
+            "secret_config": secret_config,
+        }
+        return self._connector_envelope(replaced)
+
+    def delete_source_connector(
+        self, group_id: str, connector_id: str
+    ) -> dict:
+        """DeleteSourceConnector (delete_source_connector.rs): 404 on
+        absent/foreign, 409 while any reference-state version still
+        reaches its source through the connector; the delete removes
+        the record AND its secret in one transaction (rs:504-530)."""
+        c = self._find_connector(group_id, connector_id)
+        if c is None:
+            return {"status": 404, "error": "NotFound"}
+        if self._connector_referenced(connector_id):
+            return {"status": 409, "error": "ReferencedByObjectVersion"}
+        return {
+            "status": 204,
+            "connector_id": connector_id,
+            "deleted_secret": bool(c["secret_config"]),
+        }
+
     def create_group_backend(
         self,
         name: str,

@@ -1125,6 +1125,99 @@ def test_group_routing_routes(engine):
     assert dis["status"] == 400 and dis["reason"] == "foreign_backend"
 
 
+def test_connector_crud_routes(engine):
+    """get/replace/delete source connector (get/replace/
+    delete_source_connector.rs): group-scoped reads, secrets never
+    echo, validation precedes the read, the reference-version guard
+    fires only on secret CHANGE (replace) and always (delete)."""
+    # get: group-scoped — another group's connector is NotFound
+    got = engine.get_source_connector("grp-main", "conn-0")
+    assert got["status"] == 200 and got["has_secret_config"]
+    assert "secret_config" not in got
+    assert "stored-secret" not in repr(got)
+    assert engine.get_source_connector("grp-main", "conn-3") == {
+        "status": 404, "error": "NotFound",
+    }
+    assert (
+        engine.get_source_connector("grp-other", "conn-3")["status"]
+        == 200
+    )
+    assert (
+        engine.get_source_connector("grp-main", "nope")["status"] == 404
+    )
+    listed = engine.list_source_connectors("grp-main")
+    assert {c["connector_id"] for c in listed["connectors"]} == {
+        "conn-0", "conn-1", "conn-2", "conn-4",
+    }
+    assert "stored-secret" not in repr(listed)
+
+    # replace: validation runs BEFORE the read (rs:130-137) — an
+    # invalid input on an unknown id is 400, not 404
+    bad = engine.replace_source_connector(
+        "grp-main", "nope", "x", "s3", {"bucket": "b"}, {}
+    )
+    assert bad["status"] == 400
+    assert (
+        engine.replace_source_connector(
+            "grp-main", "nope", "x", "http",
+            {"endpoint": "https://ok.example.com"}, {},
+        )["status"]
+        == 404
+    )
+    # conn-0 is referenced (doc fixture binds reference-strategy
+    # versions to conn-0..3): same secret -> no scan, stores; changed
+    # secret -> 409
+    same = engine.replace_source_connector(
+        "grp-main", "conn-0", "refdata-renamed", "s3",
+        {"endpoint": "https://s3.example.com", "bucket": "reads2"},
+        {"access_key_id": "AK0", "secret_access_key": "stored-secret-0"},
+    )
+    assert same["status"] == 200
+    assert same["name"] == "refdata-renamed"
+    assert same["public_config"]["bucket"] == "reads2"
+    assert "stored-secret" not in repr(same)
+    rotated = engine.replace_source_connector(
+        "grp-main", "conn-0", "refdata-s3", "s3",
+        {"endpoint": "https://s3.example.com", "bucket": "reads"},
+        {"access_key_id": "AK9", "secret_access_key": "rotated"},
+    )
+    assert rotated == {
+        "status": 409, "error": "ReferencedByObjectVersion",
+    }
+    # adding a secret where none was stored is also a CHANGE
+    add = engine.replace_source_connector(
+        "grp-main", "conn-1", "mirror-http", "http",
+        {"endpoint": "https://data.example.com"},
+        {"token": "t0"},
+    )
+    assert add["status"] == 409
+    # conn-4 is unbound: secret changes store; empty secret deletes
+    # the secret record (has_secret_config false)
+    put = engine.replace_source_connector(
+        "grp-main", "conn-4", "scratch-http", "http",
+        {"endpoint": "https://scratch.example.com"},
+        {"token": "t1"},
+    )
+    assert put["status"] == 200 and put["has_secret_config"]
+    drop = engine.replace_source_connector(
+        "grp-main", "conn-4", "scratch-http", "http",
+        {"endpoint": "https://scratch.example.com"}, {},
+    )
+    assert drop["status"] == 200 and not drop["has_secret_config"]
+
+    # delete: referenced connectors 409; the unbound one deletes with
+    # its secret in the same transaction
+    assert engine.delete_source_connector("grp-main", "conn-0") == {
+        "status": 409, "error": "ReferencedByObjectVersion",
+    }
+    gone = engine.delete_source_connector("grp-main", "conn-4")
+    assert gone["status"] == 204 and gone["deleted_secret"] is False
+    assert (
+        engine.delete_source_connector("grp-main", "nope")["status"]
+        == 404
+    )
+
+
 def test_delete_document_route(engine):
     # doc 0 ≡ 0 mod 3 → live → deletable
     out = engine.delete_document(0)
