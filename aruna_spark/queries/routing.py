@@ -599,6 +599,128 @@ def tenant_target_error(
 
 
 @register(
+    "group_routing_put_validate",
+    oracle=f"""
+    WITH idx AS (
+      SELECT CAST(o_custkey % {GROUP_COUNT} AS BIGINT) AS group_id,
+             CAST(o_orderkey AS BIGINT) AS backend_id
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+        AND o_orderkey % 7 <> 3
+        AND o_orderkey % 11 <> 5
+    ),
+    puts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS put_id,
+             CAST(c_custkey % {GROUP_COUNT} AS BIGINT) AS group_id,
+             CASE WHEN c_custkey % 7 = 0 THEN 'node_backend'
+                  WHEN c_custkey % 7 IN (1, 2) THEN 'group_backend'
+                  WHEN c_custkey % 7 = 6 THEN 'clear'
+                  ELSE 'class' END AS target_kind,
+             CASE WHEN c_custkey % 7 = 0 THEN 'nb-' || (c_custkey % 3)
+                  WHEN c_custkey % 7 IN (1, 2)
+                    THEN 'bk-' || (c_custkey * 3)
+                  WHEN c_custkey % 7 = 3 THEN 'std'
+                  WHEN c_custkey % 7 = 4 THEN 'BAD_CLASS'
+                  WHEN c_custkey % 7 = 5
+                    THEN 'archive-' || (c_custkey % 9) END AS target
+      FROM customer WHERE c_custkey % 4 = 2
+    )
+    SELECT p.put_id, p.group_id, p.target_kind, p.target,
+           CASE WHEN p.target_kind = 'clear' THEN 'stored'
+                WHEN p.target_kind = 'node_backend'
+                  THEN 'operator_backend_target'
+                WHEN p.target_kind = 'group_backend' THEN
+                  CASE WHEN EXISTS (
+                         SELECT 1 FROM idx i
+                         WHERE i.group_id = p.group_id
+                           AND 'bk-' || i.backend_id = p.target)
+                       THEN 'stored' ELSE 'foreign_backend' END
+                WHEN regexp_matches(p.target, '^[a-z0-9-]{{1,32}}$')
+                  THEN 'stored'
+                ELSE 'invalid_class' END AS outcome
+    FROM puts p
+    """,
+)
+def group_routing_put_validate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A batch of PutGroupRouting requests through
+    ``validate_tenant_target`` (core routing.rs:558-572) as relational
+    algebra: clears always store (a clear is a write, never
+    validated), node-backend targets reject outright, group-backend
+    targets left-join the requesting group's OWN collected backend
+    ids (enabled + group-matching — the load-inputs scan), class
+    names re-validate. The owned set broadcasts per (group, id) —
+    one equi-join, no per-request driver work. Oracle decides via an
+    EXISTS subquery (independent mechanism)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 4 == 2
+    )
+    k = F.col("c_custkey")
+    puts = c.select(
+        k.cast("long").alias("put_id"),
+        (k % GROUP_COUNT).cast("long").alias("group_id"),
+        F.when(k % 7 == 0, "node_backend")
+        .when((k % 7).isin(1, 2), "group_backend")
+        .when(k % 7 == 6, "clear")
+        .otherwise("class")
+        .alias("target_kind"),
+        F.when(
+            k % 7 == 0, F.concat(F.lit("nb-"), (k % 3).cast("string"))
+        )
+        .when(
+            (k % 7).isin(1, 2),
+            F.concat(F.lit("bk-"), (k * 3).cast("string")),
+        )
+        .when(k % 7 == 3, F.lit("std"))
+        .when(k % 7 == 4, F.lit("BAD_CLASS"))
+        .when(
+            k % 7 == 5,
+            F.concat(F.lit("archive-"), (k % 9).cast("string")),
+        )
+        .alias("target"),
+    )
+    owned = (
+        load_group_backend_index(spark, sf_dir)
+        .filter(
+            ~F.col("disabled")
+            & (F.col("record_group_id") == F.col("group_id"))
+        )
+        .select(
+            "group_id",
+            F.concat(F.lit("bk-"), F.col("backend_id").cast("string"))
+            .alias("target"),
+            F.lit(True).alias("__owned"),
+        )
+    )
+    joined = puts.join(
+        F.broadcast(owned), ["group_id", "target"], "left"
+    )
+    outcome = (
+        F.when(F.col("target_kind") == "clear", "stored")
+        .when(
+            F.col("target_kind") == "node_backend",
+            "operator_backend_target",
+        )
+        .when(
+            F.col("target_kind") == "group_backend",
+            F.when(F.col("__owned"), "stored").otherwise(
+                "foreign_backend"
+            ),
+        )
+        .when(F.col("target").rlike(f"^{_CLASS_NAME_RE}$"), "stored")
+        .otherwise("invalid_class")
+    )
+    return joined.select(
+        "put_id",
+        "group_id",
+        "target_kind",
+        "target",
+        outcome.alias("outcome"),
+    )
+
+
+@register(
     "group_routing_inputs",
     oracle=f"""
     WITH idx AS (

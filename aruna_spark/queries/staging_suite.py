@@ -312,3 +312,73 @@ def staging_list_connectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sync"),
     )
+
+
+# The registered connector catalog the CRUD routes serve (conn-0..3
+# carry bindings; conn-4 is registered but unbound — the deletable
+# lane in tests/test_api.py::test_connector_crud_routes).
+CONNECTOR_CATALOG = (
+    ("conn-0", True),
+    ("conn-1", False),
+    ("conn-2", True),
+    ("conn-3", False),
+    ("conn-4", False),
+)
+
+
+@register(
+    "connector_reference_guard",
+    oracle="""
+    WITH catalog(connector_id, has_secret) AS (
+      VALUES ('conn-0', TRUE), ('conn-1', FALSE), ('conn-2', TRUE),
+             ('conn-3', FALSE), ('conn-4', FALSE)
+    ),
+    refs AS (
+      SELECT 'conn-' || (doc_id % 4) AS connector_id,
+             CAST(COUNT(*) AS BIGINT) AS n_reference
+      FROM documents WHERE doc_id % 11 = 5
+      GROUP BY 1
+    )
+    SELECT c.connector_id, c.has_secret,
+           CAST(COALESCE(r.n_reference, 0) AS BIGINT) AS n_reference,
+           r.n_reference IS NOT NULL AS referenced,
+           r.n_reference IS NULL AS deletable
+    FROM catalog c LEFT JOIN refs r USING (connector_id)
+    """,
+)
+def connector_reference_guard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The delete/replace guard relation behind the connector CRUD
+    routes (delete_source_connector.rs:184-199,
+    replace_source_connector.rs:231-249 via
+    ``blob_version_references_connector``, repository.rs:175-180):
+    per registered connector, how many versions are still in
+    Reference STATE through it — any makes delete (and
+    secret-changing replace) refuse 409; zero makes it deletable
+    together with its secret record. Only reference-strategy bindings
+    pin a connector: snapshot/sync versions materialized. The binding
+    roll-up is one map-side-combinable groupBy; the 5-row catalog
+    broadcasts."""
+    from aruna_spark.catalog import load_table
+
+    catalog = spark.createDataFrame(
+        list(CONNECTOR_CATALOG), "connector_id string, has_secret boolean"
+    )
+    refs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 5)
+        .groupBy(
+            F.concat(
+                F.lit("conn-"), (F.col("doc_id") % 4).cast("string")
+            ).alias("connector_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    return refs.join(F.broadcast(catalog), "connector_id", "right").select(
+        "connector_id",
+        "has_secret",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_reference"),
+        F.col("__n").isNotNull().alias("referenced"),
+        F.col("__n").isNull().alias("deletable"),
+    )
