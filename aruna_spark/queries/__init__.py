@@ -29,79 +29,28 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 10 (VERDICT r9 Next #1-2,4-5): the queries
-# whose plans are NEW this round lead (bucket sync relationships + the
-# mirror-repair queue drain, the bounded reference-refresh drain tick,
-# the bucket-routing config plane), then the 56 stalest queries in
-# last-driver-check order — the r4 group (crdt clock, all 5
-# multimodal_, 6 rel_, 6 stream debounce/window), the r5 group
-# (archive/ingest/graph, registry doc-count/path-claims/snapshot,
-# rocrate, the BM25 + enrichment search family, the 2 stale trained-
-# index similarity rows, dashboard epoch), and the r6 group (registry
-# event/listing, the remaining rel_ six, samples, unified search,
-# scaled similarity, 2 sparql rows, watch matches). The window cuts at
-# ~50, so the final few r6 rows queue first for r11; every query
-# outside the window is selfcheck-verified at round close
-# (scripts/selfcheck.py full run at sf0.01).
+# window on a cycle. Round 11 (VERDICT r10 Next #1): queries whose
+# plans are NEW or CHANGED this round lead (group routing inputs +
+# put-validate, the connector delete/replace guard, the five-queue lag
+# oracle, the hierarchical-prefix pack plan, the renamed fixed-64 IVF
+# demo), then the 15 queued-stale r5/r6 rows the r10 verdict pinned,
+# then the stalest r7 family — the S3 data plane (not driver-checked
+# since r7) and the dedup/similarity block. The cut at ~50 leaves the
+# remaining r7 rows (similarity_neardup_pairs, similarity_topk_
+# bruteforce, textstats_*, usage_*, corpus_rollup/approx, decontam,
+# backlinks_*, stream_inbox_prune/mark_read/notifications_page) to
+# lead r12's window; every query outside the window is
+# selfcheck-verified at round close (scripts/selfcheck.py at sf0.01).
 PRIORITY_PREFIXES = (
-    # new this round (front of the window — first-time driver checks
-    # take precedence, per the r9 convention)
-    "sync_relationship_list",
-    "sync_mirror_repair_drain",
-    "sync_create_validate",
-    "sync_legacy_migration",
-    "staging_refresh_drain",
-    "s3_bucket_routing_config",
-    "similarity_ivf_sqrt_topk",
+    # new or changed this round (front of the window — first-time
+    # driver checks take precedence, per the r9 convention)
+    "group_routing_inputs",
+    "group_routing_put_validate",
+    "connector_reference_guard",
+    "queue_lag_sample",
     "corpus_pack_plan",
-    # last driver-checked r4
-    "crdt_clock_relation",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_png_roundtrip",
-    "multimodal_resize_plan",
-    "multimodal_wav_roundtrip",
-    "rel_agg_kinds",
-    "rel_events_hourly",
-    "rel_exists_semi_anti",
-    "rel_keyset_page",
-    "rel_latest_order_per_customer",
-    "rel_setops",
-    "stream_debounce_sessions",
-    "stream_debounce_timer",
-    "stream_debounce_windows",
-    "stream_lww_registry",
-    "stream_sliding_window_counts",
-    "stream_unread_counts",
-    # last driver-checked r5
-    "archive_import_rewrite",
-    "crdt_orset_replay",
-    "distributed_select_merge",
-    "graph_snapshot_orphan_skip",
-    "ingest_jsonld_typing",
-    "registry_doc_count",
-    "registry_path_claims",
-    "registry_snapshot_asof",
-    "rocrate_export_page",
-    "rocrate_export_summary",
-    "search_bm25_page2",
-    "search_bm25_topk",
-    "search_conformsto_scoped",
-    "search_describe_hits",
-    "search_hits_enriched",
-    "search_perfield_rank_shift",
-    "search_substring_customers",
-    "similarity_ivf_pq_topk",
-    "similarity_ivf_trained_topk",
-    "stream_dashboard_epoch",
-    # last driver-checked r6 (the cut lands inside this group: the
-    # 50-entry window ends at registry_listing_recent, so the 14 rows
-    # from rel_asof_latest_click through stream_watch_matches lead
-    # r11's window; all are selfcheck-green this round)
-    "registry_event_replay",
-    "registry_incremental_merge",
-    "registry_listing_created",
-    "registry_listing_recent",
+    "similarity_ivf_fixed64_demo",
+    # queued-stale from the r10 cut (last driver-checked r5/r6)
     "rel_asof_latest_click",
     "rel_pricing_summary",
     "rel_range_window_join",
@@ -111,11 +60,45 @@ PRIORITY_PREFIXES = (
     "sample_split_summary",
     "sample_stratified_summary",
     "search_unified",
-    "similarity_ivf_scaled_topk",
+    # (similarity_neardup_collapsed from the r10 verdict's stale list
+    # is not a registry name: the r6 rework folded the collapse INTO
+    # similarity_neardup_scaled — see COVERAGE.md)
     "similarity_neardup_scaled",
     "sparql_arith_if",
     "sparql_path_zero_or_one",
     "stream_watch_matches",
+    # last driver-checked r7: the S3 data plane first, then the
+    # dedup/similarity block
+    "autoindex_parse_entries",
+    "listing_v2_flat",
+    "listing_v2_leaf_page",
+    "listing_v2_root",
+    "listing_versions",
+    "listing_versions_page2",
+    "s3_abort_multipart",
+    "s3_get_object",
+    "s3_head_object",
+    "s3_list_parts_page",
+    "s3_list_uploads_page",
+    "s3_multipart_complete",
+    "s3_object_attributes",
+    "s3_put_upsert",
+    "s3_upload_part_replace",
+    "drs_object_lookup",
+    "staging_list_level",
+    "staging_list_recursive",
+    "perm_visible_summary",
+    "dedup_clusters",
+    "dedup_clusters_scaled",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_scaled",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_scaled",
+    "dedup_simhash_buckets",
+    "dedup_simhash_scaled",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
 )
 
 
