@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.text import (
     DUCK_HASH64,
+    SPARK_HASH64,
     duck_minhash_item_sql,
     duck_shingles_sql,
     minhash_signature,
@@ -896,4 +897,141 @@ def dedup_ngram_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.join(ca, "doc_a").join(cb, "doc_b").select(
         "doc_a", "doc_b", "jaccard_permille", "copies_a", "copies_b"
+    )
+
+
+# ----------------------------------------------- exact duplicate spans
+# Span-level exact-substring duplication (the substring-dedup pass of
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499 — published method: suffix arrays). The
+# Spark-native shape is WINNOWING (Schleimer/Wilkerson/Aiken 2003, the
+# MOSS fingerprinter): hash every W-token window (stride 1, narrow map
+# — never materialized beyond a per-doc array), then in every run of
+# S consecutive window-hashes select the minimum (ties → leftmost) as
+# an ANCHOR. Selection is CONTENT-defined, so two copies of a run
+# select the same anchors regardless of token offset — a plain
+# stride-S sample has no such guarantee (two copies offset by p, q
+# with p != q mod S share NO sampled window, however long the run).
+# The winnowing theorem gives the deterministic version: any
+# duplicated run of >= W + S - 1 tokens contains a full S-window of
+# identical hashes in both copies, whose argmin depends only on those
+# S values — both docs select it, so both emit the same fingerprint.
+#
+# Scale (100 TB): per doc everything up to the anchor list is ONE
+# narrow map over higher-order functions (transform / slice /
+# array_min — no shuffle, no UDF); expected anchor density is
+# 2/(S+1) ~ 22% of positions, so the exploded relation is
+# corpus-token-linear with a ~4.5x reduction. The key aggregation and
+# the rollup join shuffle 8-byte hash64 keys, both map-side
+# combinable. Self-repeats within one document are
+# textstats_repetition's domain; the flag is on distinct DOCUMENT
+# count, so a phrase repeated inside a single doc never marks it.
+
+SPAN_W = 16  # fingerprint window length (tokens)
+SPAN_S = 8  # winnowing window (hash positions)
+# guaranteed-detected duplicated-run length: SPAN_W + SPAN_S - 1 = 23
+
+_H_SPARK = (
+    f"transform(sequence(0, size(t) - {SPAN_W}), i -> "
+    + SPARK_HASH64.format(
+        x=f"concat_ws(' ', slice(t, i + 1, {SPAN_W}))"
+    )
+    + ")"
+)
+_SEL_SPARK = (
+    f"array_distinct(transform("
+    f"sequence(0, greatest(0, size(h) - {SPAN_S})), "
+    f"j -> j + array_position(slice(h, j + 1, {SPAN_S}), "
+    f"array_min(slice(h, j + 1, {SPAN_S}))) - 1))"
+)
+
+_DUCK_WIN_HASH = DUCK_HASH64.format(
+    x=(
+        "array_to_string(t[CAST(i AS BIGINT) : "
+        f"CAST(i + {SPAN_W} - 1 AS BIGINT)], ' ')"
+    )
+)
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+      WHERE len(string_split(text, ' ')) >= {SPAN_W}
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {SPAN_W} + 2),
+                            i -> {_DUCK_WIN_HASH}) AS h
+      FROM toks
+    ),
+    sel AS (
+      SELECT doc_id, h,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(h) - {SPAN_S} + 1) + 1),
+               j -> j + list_position(
+                      h[CAST(j AS BIGINT)
+                        : CAST(j + {SPAN_S} - 1 AS BIGINT)],
+                      list_min(h[CAST(j AS BIGINT)
+                                 : CAST(j + {SPAN_S} - 1 AS BIGINT)]))
+                    - 1)) AS anchors
+      FROM hs
+    ),
+    win AS (
+      SELECT doc_id, h[CAST(a AS BIGINT)] AS key
+      FROM sel, UNNEST(anchors) AS u(a)
+    ),
+    keys AS (
+      SELECT key, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY key
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_anchors,
+           CAST(SUM(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_fraction
+    FROM win w JOIN keys k USING (key)
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus duplicated-span profile: how many of
+    the document's winnowing anchors (content-selected W-token window
+    fingerprints) also occur in another document, and the duplicated
+    fraction — the span-level signal the substring-dedup pass cuts on
+    (see the section comment for the guarantee). The planted corpus
+    exercises both lanes: exact copies duplicate every anchor, near
+    copies everything clear of the appended tail."""
+    c = corpus(spark, sf_dir)
+    toks = c.select("doc_id", ws_tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    anchored = toks.select(
+        "doc_id", F.expr(_H_SPARK).alias("h")
+    ).select("doc_id", "h", F.expr(_SEL_SPARK).alias("anchors"))
+    win = anchored.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(anchors,"
+                " a -> element_at(h, CAST(a + 1 AS INT)))"
+            )
+        ).alias("key"),
+    )
+    keys = win.groupBy("key").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = (F.col("nd") > 1).cast("long")
+    return (
+        win.join(keys, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            F.sum(dup).cast("long").alias("n_dup_anchors"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_fraction"
+            ),
+        )
     )

@@ -145,3 +145,45 @@ def test_simhash_bit_test_true_for_negative_hashes(spark):
         assert bool(bit) == bool((h >> j) & 1), (h, j)
     # sanity: a negative hash contributes at least one set bit
     assert any(got[(-6, j)] for j in range(32))
+
+
+def test_duplicate_spans_winnowing_guarantee(spark):
+    """The winnowing theorem made a test: every duplicated run of
+    >= W + S - 1 tokens is detected at EVERY relative token offset
+    (content-defined anchors — a positional stride-S sample provably
+    misses copies whose offsets differ mod S), and a phrase repeated
+    only WITHIN one document never flags (distinct-doc gate)."""
+    import aruna_spark.queries.dedup as dd
+    from aruna_spark.queries.dedup import (
+        SPAN_S,
+        SPAN_W,
+        dedup_duplicate_spans,
+    )
+
+    run_len = SPAN_W + SPAN_S - 1  # 23: the guaranteed length
+    shared = " ".join(f"s{i}" for i in range(run_len))
+    # plant the shared run at every offset phase in doc A while doc B
+    # keeps it at offset 1 — positional striding would miss most pairs
+    docs = []
+    for phase in range(SPAN_S):
+        pad_a = " ".join(f"a{phase}x{i}" for i in range(20 + phase))
+        pad_b = " ".join(f"b{phase}x{i}" for i in range(23))
+        docs.append((100 + phase, f"{pad_a} {shared} {pad_b}"))
+        docs.append((200 + phase, f"z{phase} {shared} tail{phase}"))
+    # doc 300: a 40-token phrase repeated TWICE within itself only
+    selfrep = " ".join(f"r{i}" for i in range(40))
+    docs.append((300, f"{selfrep} {selfrep}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    orig = dd.corpus
+    dd.corpus = lambda s, d: df
+    try:
+        rows = {r.doc_id: r for r in
+                dedup_duplicate_spans(spark, "unused").collect()}
+    finally:
+        dd.corpus = orig
+    for phase in range(SPAN_S):
+        assert rows[100 + phase].n_dup_anchors > 0, phase
+        assert rows[200 + phase].n_dup_anchors > 0, phase
+    assert rows[300].n_dup_anchors == 0
+    assert rows[300].dup_fraction == 0.0
