@@ -37,6 +37,7 @@ DECADE_QUERIES = [
     "dedup_clusters_scaled",
     "dedup_simhash_scaled",
     "dedup_ngram_scaled",
+    "dedup_duplicate_spans",  # r11: winnowing substring-dedup pass
     "similarity_neardup_scaled",
     "similarity_ivf_fixed64_demo",
     "similarity_ivf_sqrt_topk",
