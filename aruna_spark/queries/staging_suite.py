@@ -375,7 +375,9 @@ def connector_reference_guard(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
-    return refs.join(F.broadcast(catalog), "connector_id", "right").select(
+    # right outer preserves the catalog; the aggregated refs side
+    # (<= 4 rows) is the broadcastable build side
+    return F.broadcast(refs).join(catalog, "connector_id", "right").select(
         "connector_id",
         "has_secret",
         F.coalesce("__n", F.lit(0)).cast("long").alias("n_reference"),
