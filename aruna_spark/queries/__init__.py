@@ -51,6 +51,7 @@ PRIORITY_PREFIXES = (
     "corpus_pack_plan",
     "similarity_ivf_fixed64_demo",
     "dedup_duplicate_spans",
+    "textstats_char_lm_quality",
     # queued-stale from the r10 cut (last driver-checked r5/r6)
     "rel_asof_latest_click",
     "rel_pricing_summary",

@@ -657,3 +657,116 @@ def textstats_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n_emails > 0) | (n_phones > 0) | (n_ipv4 > 0)).alias("has_pii"),
         masked.alias("masked_text"),
     )
+
+
+# ------------------------------------------- char-LM quality proxy
+# LM-perplexity quality filtering (the CCNet recipe — Wenzek et al.
+# 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+# Crawl Data", arXiv:1911.00359 — buckets web text by language-model
+# perplexity; Gopher and most modern pretraining pipelines keep a
+# variant). The Spark-native proxy: a character-trigram unigram model
+# TRAINED ON THE CORPUS ITSELF in one aggregation pass, then every
+# document scored by its mean trigram frequency — gibberish, binary
+# spill and wrong-charset text sit far below the corpus mean, which
+# is the signal the perplexity bucket cuts on. All arithmetic is
+# integer fixed-point (ppm with BIGINT `div`), so Spark and DuckDB
+# produce bit-identical scores — no float log-likelihood divergence.
+#
+# Scale (100 TB): the model vocabulary is bounded by charset^3 (~1e6
+# for printable ASCII — broadcastable forever, independent of corpus
+# size); training is one map-side-combinable groupBy over the
+# exploded trigrams; scoring is a second corpus pass with a broadcast
+# model join and a per-doc aggregate. Two linear passes, no window,
+# no driver loop.
+
+TRI_PPM_SCALE = 1_000_000
+
+
+@register(
+    "textstats_char_lm_quality",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 3
+    ),
+    tri AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 3) AS tri
+      FROM docs, UNNEST(range(1, length(text) - 1)) AS u(i)
+    ),
+    model AS (
+      SELECT tri, CAST(COUNT(*) AS BIGINT) AS cnt FROM tri GROUP BY tri
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM model),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST(SUM(m.cnt * {TRI_PPM_SCALE} // tot.total)
+                  // COUNT(*) AS BIGINT) AS typicality_ppm
+      FROM tri t JOIN model m USING (tri) CROSS JOIN tot
+      GROUP BY t.doc_id
+    ),
+    avg_t AS (
+      SELECT CAST(SUM(typicality_ppm) // COUNT(*) AS BIGINT) AS mean_t
+      FROM scored
+    )
+    SELECT s.doc_id, s.n_trigrams, s.typicality_ppm,
+           s.typicality_ppm < a.mean_t AS below_corpus_mean
+    FROM scored s CROSS JOIN avg_t a
+    """,
+)
+def textstats_char_lm_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document corpus-typicality score — the perplexity-bucket
+    quality signal (see the section comment): mean frequency (ppm,
+    exact integer) of the document's character trigrams under the
+    corpus-trained trigram model, plus the below-corpus-mean flag the
+    filter cuts on. Documents shorter than one trigram are excluded
+    (no model evidence either way)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    )
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    model = tri.groupBy("tri").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = model.agg(F.sum("cnt").cast("long").alias("total"))
+    model_ppm = model.crossJoin(F.broadcast(tot)).select(
+        "tri",
+        F.expr(f"cnt * {TRI_PPM_SCALE} div total").alias("freq_ppm"),
+    )
+    scored = (
+        tri.join(F.broadcast(model_ppm), "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("freq_ppm").alias("__ppm_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.expr("CAST(__ppm_sum div n_trigrams AS BIGINT)").alias(
+                "typicality_ppm"
+            ),
+        )
+    )
+    mean_t = scored.agg(
+        F.expr(
+            "CAST(sum(typicality_ppm) div count(1) AS BIGINT)"
+        ).alias("__mean_t")
+    )
+    return scored.crossJoin(F.broadcast(mean_t)).select(
+        "doc_id",
+        "n_trigrams",
+        "typicality_ppm",
+        (F.col("typicality_ppm") < F.col("__mean_t")).alias(
+            "below_corpus_mean"
+        ),
+    )

@@ -21,3 +21,36 @@ def test_max_multiplicity_edge_cases(spark):
         "id", max_multiplicity(F.col("arr")).alias("m")
     )
     assert {r["id"]: r["m"] for r in df.collect()} == want
+
+
+def test_char_lm_quality_discriminates_gibberish(spark, sf_dir):
+    """The corpus-typicality score must rank planted gibberish (rare
+    trigrams) below planted typical text (trigrams resampled from the
+    corpus' own shape) — the perplexity-bucket signal. Verified by
+    patching two synthetic docs into the corpus loader."""
+    import aruna_spark.queries.textstats as ts
+    from aruna_spark.catalog import load_table
+    from aruna_spark.queries.textstats import textstats_char_lm_quality
+
+    real = load_table(spark, sf_dir, "documents")
+    # typical: a sample of real corpus text; gibberish: rare trigrams
+    sample = " ".join(r.text[:60] for r in real.limit(4).collect())
+    gibberish = "zq9#x@7!kj^w%v&m*zq9#x@7!kj^w%v&m*" * 4
+    extra = spark.createDataFrame(
+        [(9_000_001, sample), (9_000_002, gibberish)],
+        "doc_id long, text string",
+    )
+    orig = ts.load_table
+    ts.load_table = lambda s, d, t: real.select(
+        "doc_id", "text"
+    ).unionByName(extra)
+    try:
+        rows = {
+            r.doc_id: r
+            for r in textstats_char_lm_quality(spark, sf_dir).collect()
+        }
+    finally:
+        ts.load_table = orig
+    typical, gib = rows[9_000_001], rows[9_000_002]
+    assert gib.typicality_ppm < typical.typicality_ppm
+    assert gib.below_corpus_mean
