@@ -124,3 +124,135 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flagged_id_checksum"),
         )
     )
+
+
+# ------------------------------------- embedding-overlap decontamination
+# The semantic sibling of the n-gram check: benchmark items leak into
+# web scrapes verbatim AND lightly edited, where no exact n-gram
+# survives but the embedding stays ~identical — modern pipelines
+# therefore also decontaminate by eval-set embedding similarity. Every
+# training vector scores its nearest held-out benchmark embedding
+# (cosine, quantized 1e6 like the whole similarity plane); >= 0.95
+# flags it contaminated.
+#
+# Scale (100 TB): the eval side is a FIXED benchmark — thousands of
+# vectors regardless of corpus size — so the brute-force scoring join
+# broadcasts the eval set and stays corpus-LINEAR (one pass over the
+# training vectors, map-side-combinable max). That asymmetry is why
+# brute force IS the production shape here, unlike corpus-vs-corpus
+# similarity where the bucketed/IVF variants take over. The planted
+# leak lane perturbs each eval vector ~0.03% per component (the
+# similarity plane's planting pattern) — cosine ~0.9997, no shared
+# n-gram required. Nearest-eval ties break deterministically by
+# encoding (score, eval_id) into one BIGINT and taking MAX (max_by is
+# tie-nondeterministic in both engines).
+
+EVAL_MOD = 97  # vec_id % EVAL_MOD == 0 is the held-out benchmark set
+LEAK_OFFSET = 3_000_000
+_ENC_BASE = 10_000_000  # eval ids stay far below this
+
+
+def _register_embedding_overlap() -> None:
+    from aruna_spark.queries.similarity import (
+        _PERTURB_DUCK,
+        _PERTURB_SPARK,
+        NEARDUP_SCORE_Q,
+        _d_dot,
+        _dot,
+        _score_q,
+        _with_norm,
+    )
+
+    score_sql = (
+        f"CAST(floor({_d_dot('t.embedding', 'e.embedding')}"
+        " / sqrt(t.norm2 * e.norm2) * 1e6) AS BIGINT)"
+    )
+    oracle = f"""
+    WITH eval_set AS (
+      SELECT vec_id, embedding,
+             {_d_dot('embedding', 'embedding')} AS norm2
+      FROM embeddings WHERE vec_id % {EVAL_MOD} = 0
+    ),
+    train AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {EVAL_MOD} <> 0
+      UNION ALL
+      SELECT vec_id + {LEAK_OFFSET}, {_PERTURB_DUCK}
+      FROM embeddings WHERE vec_id % {EVAL_MOD} = 0
+    ),
+    train_n AS (
+      SELECT vec_id, embedding,
+             {_d_dot('embedding', 'embedding')} AS norm2
+      FROM train
+    ),
+    enc AS (
+      SELECT t.vec_id AS train_id,
+             MAX(({score_sql} + 1000000) * {_ENC_BASE} + e.vec_id)
+               AS best
+      FROM train_n t CROSS JOIN eval_set e
+      GROUP BY t.vec_id
+    )
+    SELECT train_id,
+           CAST(best // {_ENC_BASE} - 1000000 AS BIGINT)
+             AS max_eval_score_q,
+           CAST(best % {_ENC_BASE} AS BIGINT) AS nearest_eval_id,
+           best // {_ENC_BASE} - 1000000 >= {NEARDUP_SCORE_Q}
+             AS contaminated
+    FROM enc
+    """
+
+    @register("decontam_embedding_overlap", oracle=oracle)
+    def decontam_embedding_overlap(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per training vector: its nearest held-out benchmark
+        embedding (deterministic tie-break), the quantized cosine, and
+        the >= 0.95 contamination flag — the embedding-overlap
+        decontamination pass (see the section comment). The planted
+        leak lane guarantees flagged rows; the natural corpus the
+        clean lane."""
+        base = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        eval_set = _with_norm(
+            base.filter(F.col("vec_id") % EVAL_MOD == 0)
+        ).select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("emb_e"),
+            F.col("norm2").alias("norm2_e"),
+        )
+        leaked = base.filter(F.col("vec_id") % EVAL_MOD == 0).select(
+            (F.col("vec_id") + LEAK_OFFSET).alias("vec_id"),
+            F.expr(_PERTURB_SPARK).alias("embedding"),
+        )
+        train = _with_norm(
+            base.filter(F.col("vec_id") % EVAL_MOD != 0).unionByName(
+                leaked
+            )
+        )
+        score = _score_q(
+            _dot(F.col("embedding"), F.col("emb_e")),
+            F.col("norm2"),
+            F.col("norm2_e"),
+        )
+        enc = (score + 1_000_000) * _ENC_BASE + F.col("eval_id")
+        best = (
+            train.crossJoin(F.broadcast(eval_set))
+            .groupBy(F.col("vec_id").alias("train_id"))
+            .agg(F.max(enc).alias("__best"))
+        )
+        return best.select(
+            "train_id",
+            F.expr(f"CAST(__best div {_ENC_BASE} - 1000000 AS BIGINT)")
+            .alias("max_eval_score_q"),
+            (F.col("__best") % _ENC_BASE).cast("long").alias(
+                "nearest_eval_id"
+            ),
+            F.expr(
+                f"__best div {_ENC_BASE} - 1000000"
+                f" >= {NEARDUP_SCORE_Q}"
+            ).alias("contaminated"),
+        )
+
+
+_register_embedding_overlap()

@@ -51,6 +51,7 @@ DECADE_QUERIES = [
     "corpus_mix_sample",
     "corpus_pack_plan",
     "decontam_ngram_overlap",  # documented corpus-linear baseline
+    "textstats_char_lm_quality",  # r11: CCNet-style quality proxy
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"

@@ -44,3 +44,22 @@ def test_benchmark_docs_never_flagged(spark, sf_dir):
     assert (
         out.agg(F.sum("n_contaminated")).collect()[0][0] == total_flagged
     )
+
+
+def test_embedding_overlap_flags_exactly_the_planted_leaks(spark, sf_dir):
+    """Every planted leaked benchmark copy (cosine ~0.9997 against its
+    eval original, no shared n-gram needed) must flag, pointing at its
+    own original; the natural corpus must not reach 0.95."""
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.decontam import EVAL_MOD, LEAK_OFFSET
+
+    load_all()
+    fn, _ = REGISTRY["decontam_embedding_overlap"]
+    rows = fn(spark, sf_dir).collect()
+    leaks = [r for r in rows if r.train_id >= LEAK_OFFSET]
+    natural = [r for r in rows if r.train_id < LEAK_OFFSET]
+    assert leaks and all(r.contaminated for r in leaks)
+    for r in leaks:
+        assert r.nearest_eval_id == r.train_id - LEAK_OFFSET
+        assert r.nearest_eval_id % EVAL_MOD == 0
+    assert natural and not any(r.contaminated for r in natural)
