@@ -53,6 +53,7 @@ PRIORITY_PREFIXES = (
     "dedup_duplicate_spans",
     "textstats_char_lm_quality",
     "decontam_embedding_overlap",
+    "corpus_shard_manifest",
     # queued-stale from the r10 cut (last driver-checked r5/r6)
     "rel_asof_latest_click",
     "rel_pricing_summary",

@@ -498,3 +498,90 @@ def corpus_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ================================================== shard manifest
+# The provenance inversion of the packing plan: training output is
+# written as fixed-size shards of SEQ_LEN chunks, and reproducing or
+# auditing any shard (a loss spike at step k, a contamination report
+# against shard s) needs the document ranges it was assembled from.
+# Each document's chunk span maps to a shard span (chunk div
+# CHUNKS_PER_SHARD); documents crossing a shard boundary appear in
+# both manifests with the carried-in flag. One corpus-sized explode
+# (docs span <= 2 shards at sane dials, so ~1 row out per row in) and
+# one map-side-combinable groupBy; the pack plan's own scale story
+# (hierarchical prefix) carries over unchanged.
+
+CHUNKS_PER_SHARD = 4  # test-scale dial; a production run sets ~1024
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                  AS BIGINT) AS token_offset
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(token_offset // {SEQ_LEN} AS BIGINT) AS cf,
+             CAST((token_offset + n_tokens - 1) // {SEQ_LEN} AS BIGINT)
+               AS cl
+      FROM cum
+    ),
+    sh AS (
+      SELECT doc_id, cf,
+             UNNEST(generate_series(cf // {CHUNKS_PER_SHARD},
+                                    cl // {CHUNKS_PER_SHARD}))
+               AS shard_id
+      FROM spans
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           CAST(SUM(CASE WHEN cf // {CHUNKS_PER_SHARD} < shard_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS carried_in_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+    FROM sh GROUP BY shard_id
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per output shard: the document ranges it was assembled from
+    (count, id range, id checksum) and how many documents carried in
+    across its leading boundary — the audit/reproduce surface over
+    concat-then-chunk packing (see the section comment). Derives from
+    :func:`corpus_pack_plan`'s offsets, so the oracle reuses the
+    independent global-window mechanism."""
+    plan = corpus_pack_plan(spark, sf_dir)
+    spans = plan.select(
+        "doc_id",
+        F.col("chunk_first").alias("cf"),
+        F.explode(
+            F.expr(
+                f"sequence(chunk_first div {CHUNKS_PER_SHARD},"
+                f" chunk_last div {CHUNKS_PER_SHARD})"
+            )
+        ).alias("shard_id"),
+    )
+    return spans.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+        F.sum(
+            (
+                F.expr(f"cf div {CHUNKS_PER_SHARD}")
+                < F.col("shard_id")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("carried_in_docs"),
+        F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+    )
