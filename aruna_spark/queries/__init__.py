@@ -44,6 +44,10 @@ def register(name: str, oracle: str | None = None):
 PRIORITY_PREFIXES = (
     # new or changed this round (front of the window — first-time
     # driver checks take precedence, per the r9 convention)
+    "sync_placement_status",
+    "sync_outbox_drain_plan",
+    "sync_apply_decision",
+    "native_reference_serve",
     "group_routing_inputs",
     "group_routing_put_validate",
     "connector_reference_guard",
@@ -176,6 +180,7 @@ def load_all() -> None:
         submit,
         sparql_suite,
         streaming_suite,
+        sync_outbox,
         sync_suite,
         textstats,
         usage,

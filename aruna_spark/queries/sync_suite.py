@@ -830,3 +830,170 @@ def classify_legacy_targets(
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Native reference serving — the source-side request ladder
+# ---------------------------------------------------------------------------
+
+# Buckets registered in the serving node's bucket catalog; 'bkt2'
+# relationships exist but the bucket record is gone — the NotFound
+# rung AFTER validate passes (native_reference.rs:326-340).
+NATIVE_SERVE_BUCKETS = ("bkt0", "bkt1")
+
+
+@register(
+    "native_reference_serve",
+    oracle=f"""
+    WITH {_RELS_SQL},
+    requests AS (
+      SELECT c_custkey AS request_id,
+             c_custkey AS relationship_id,
+             c_custkey % 3 = 0 AS head,
+             'node' || (CASE WHEN c_custkey % 23 = 7
+                             THEN (c_custkey + 1) % 7
+                             ELSE c_custkey % 7 END) AS peer,
+             'bkt' || (CASE WHEN c_custkey % 23 = 11
+                            THEN (c_custkey + 1) % 3
+                            ELSE c_custkey % 3 END) AS bucket,
+             CASE WHEN c_custkey % 23 = 15 THEN 'zz-' || c_custkey
+                  WHEN c_custkey % 9 IN (4, 7)
+                    THEN 'p' || (c_custkey % 5) || '/obj-' || c_custkey
+                  ELSE 'obj-' || c_custkey END AS key
+      FROM customer WHERE c_custkey % 4 IN (1, 3)
+    ),
+    laddered AS (
+      SELECT q.request_id, q.head, q.peer, q.bucket, q.key,
+             CASE
+               WHEN r.relationship_id IS NULL THEN 'relationship'
+               WHEN NOT r.reference_serving
+                    OR r.state NOT IN ('enabled', 'detached')
+                    OR r.target_node <> q.peer
+                    OR r.source_bucket <> q.bucket
+                    OR NOT (r.source_prefix IS NULL
+                            OR starts_with(q.key, r.source_prefix))
+                 THEN 'validate'
+               WHEN q.bucket NOT IN ('bkt0', 'bkt1') THEN 'bucket'
+               WHEN q.request_id % 17 = 3 THEN 'permission'
+               WHEN q.request_id % 19 IN (5, 6) THEN 'object'
+             END AS reject_stage
+      FROM requests q
+      LEFT JOIN rels r ON r.relationship_id = q.relationship_id
+    )
+    SELECT request_id, head, peer, bucket, key, reject_stage,
+           CASE reject_stage
+             WHEN 'relationship' THEN 'access_denied'
+             WHEN 'validate' THEN 'access_denied'
+             WHEN 'bucket' THEN 'not_found'
+             WHEN 'permission' THEN 'access_denied'
+             WHEN 'object' THEN 'not_found'
+             ELSE 'content' END AS verdict
+    FROM laddered
+    """,
+)
+def native_reference_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source node's native-reference request ladder
+    (``prepare_reference`` + ``validate_relationship``,
+    native_reference.rs:313-440):
+
+    1. relationship lookup — a MISSING relationship maps to
+       AccessDenied, not NotFound (``map_relationship_error``,
+       rs:441-446: existence must not leak through the reject);
+    2. ``validate_relationship`` (rs:414-440) — must serve references
+       (``reference_serving``), state Enabled OR Detached (a detached
+       stub keeps serving the reference records the target retained —
+       every other non-enabled state refuses), the requesting peer is
+       the relationship's target node, the requested bucket is the
+       relationship's source bucket, and the key passes the optional
+       source prefix gate (``is_none_or(starts_with)``); the source
+       realm/node equalities hold by construction here — the OUT
+       keyspace only stores relationships the serving node owns;
+    3. the bucket-info lookup — NotFound once validate passed
+       (rs:326-340);
+    4. the permission check at ``blob_object_permission_path`` with
+       READ — denial also marks the relationship AccessDenied-failed
+       (rs:341-364, the ``mark_access_denied`` side effect is the
+       catalog update, not modeled in this projection);
+    5. head/get — NoSuchKey / NoSuchVersion / DeleteMarker all map to
+       NotFound (``map_get_error``/``map_head_error``, rs:447-475);
+       both verbs share the reject mapping, so ``head`` only selects
+       the verb.
+
+    The relationship catalog is metadata-sized → broadcast build side;
+    the ladder is one CASE chain over the joined row, exercised by
+    mismatch lanes on every rung (missing rel, wrong peer, wrong
+    bucket, prefix violation, missing bucket record via the ``bkt2``
+    family, permission, object)."""
+    k = F.col("c_custkey")
+    requests = (
+        load_table(spark, sf_dir, "customer")
+        .filter((k % 4).isin(1, 3))
+        .select(
+            k.alias("request_id"),
+            k.alias("relationship_id"),
+            (k % 3 == 0).alias("head"),
+            F.concat(
+                F.lit("node"),
+                F.when(k % 23 == 7, (k + 1) % 7)
+                .otherwise(k % 7)
+                .cast("string"),
+            ).alias("peer"),
+            F.concat(
+                F.lit("bkt"),
+                F.when(k % 23 == 11, (k + 1) % 3)
+                .otherwise(k % 3)
+                .cast("string"),
+            ).alias("bucket"),
+            F.when(k % 23 == 15, F.concat(F.lit("zz-"), k.cast("string")))
+            .when(
+                (k % 9).isin(4, 7),
+                F.concat(
+                    F.lit("p"),
+                    (k % 5).cast("string"),
+                    F.lit("/obj-"),
+                    k.cast("string"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("obj-"), k.cast("string")))
+            .alias("key"),
+        )
+    )
+    rels = load_sync_relationships(spark, sf_dir).select(
+        "relationship_id",
+        "source_bucket",
+        "source_prefix",
+        "target_node",
+        "reference_serving",
+        "state",
+    )
+    joined = requests.join(F.broadcast(rels), "relationship_id", "left")
+    validate_ok = (
+        F.col("reference_serving")
+        & F.col("state").isin("enabled", "detached")
+        & (F.col("target_node") == F.col("peer"))
+        & (F.col("source_bucket") == F.col("bucket"))
+        & (
+            F.col("source_prefix").isNull()
+            | F.col("key").startswith(F.col("source_prefix"))
+        )
+    )
+    stage = (
+        F.when(F.col("source_bucket").isNull(), "relationship")
+        .when(~validate_ok, "validate")
+        .when(~F.col("bucket").isin(*NATIVE_SERVE_BUCKETS), "bucket")
+        .when(F.col("request_id") % 17 == 3, "permission")
+        .when((F.col("request_id") % 19).isin(5, 6), "object")
+    )
+    return joined.select(
+        "request_id",
+        "head",
+        "peer",
+        "bucket",
+        "key",
+        stage.alias("reject_stage"),
+        F.when(stage.isin("relationship", "validate", "permission"),
+               "access_denied")
+        .when(stage.isin("bucket", "object"), "not_found")
+        .otherwise("content")
+        .alias("verdict"),
+    )
