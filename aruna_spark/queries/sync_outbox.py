@@ -632,3 +632,187 @@ def sync_apply_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i_base_event"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# pending-placement reconcile sweep (process_placements.rs)
+# ---------------------------------------------------------------------------
+
+RECONCILE_REALM = "realm1"  # the sweep scans one realm's prefix
+RECONCILE_LOCAL = "n4"  # the reconciling node
+PULL_RETRY_AFTER_MS = 250  # SHARD_TOPIC_PULL_RETRY_AFTER, sync_placement.rs:39
+PLACEMENT_RETRY_AFTER_MS = 30_000  # SYNC_PLACEMENT_RETRY_AFTER, rs:15
+
+_RECONCILE_ORACLE = f"""
+WITH base AS (
+  SELECT p_partkey AS k FROM part WHERE p_partkey % 4 = 1
+),
+recs AS (
+  SELECT k,
+         'realm' || (k % 3) AS realm_id,
+         'strat' || (k % 5) AS strategy_id,
+         CAST({_EPOCH_LANE} AS BIGINT) AS epoch,
+         CAST(k % 11 AS INT) AS shard,
+         CAST(k % 5 AS INT) AS strat,
+         CAST((k % 11 * 5 + k % 5) % 9 AS INT) AS h
+  FROM base
+),
+env AS (
+  SELECT *,
+         CASE WHEN k % 13 = 2 THEN ['{RECONCILE_LOCAL}']
+              ELSE ['n' || h, 'n' || ((h + 1) % 9), 'n' || ((h + 3) % 9)]
+         END AS holders,
+         (shard + strat) % 5 = 3 AS genesis_absent,
+         (shard * 3 + strat) % 7 = 5 AS membership_fail
+  FROM recs
+  WHERE realm_id = '{RECONCILE_REALM}'
+),
+classified AS (
+  SELECT realm_id, strategy_id, epoch, shard,
+         holders[1] = '{RECONCILE_LOCAL}' AS rank0,
+         COALESCE(array_to_string(list_sort(list_filter(
+           holders, n -> n <> '{RECONCILE_LOCAL}')), ','), '')
+           AS co_holders,
+         CASE
+           WHEN NOT list_contains(holders, '{RECONCILE_LOCAL}')
+             THEN 'dropped_not_holder'
+           WHEN len(list_filter(holders, n -> n <> '{RECONCILE_LOCAL}')) = 0
+             THEN 'dropped_solo'
+           WHEN genesis_absent THEN 'kept_awaiting_genesis'
+           WHEN membership_fail THEN 'kept_membership_incomplete'
+           ELSE 'satisfied'
+         END AS action
+  FROM env
+),
+envelope AS (
+  SELECT CAST(SUM(CASE WHEN action LIKE 'kept%' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+         BOOL_OR(action LIKE 'kept%') AS retry_needed,
+         CASE WHEN BOOL_OR(action = 'kept_awaiting_genesis')
+                THEN {PULL_RETRY_AFTER_MS}
+              WHEN BOOL_OR(action LIKE 'kept%')
+                THEN {PLACEMENT_RETRY_AFTER_MS} END AS retry_after_ms
+  FROM classified
+)
+SELECT c.*, e.n_kept, e.retry_needed,
+       CAST(e.retry_after_ms AS BIGINT) AS retry_after_ms
+FROM classified c CROSS JOIN envelope e
+"""
+
+
+@register("sync_placement_reconcile", oracle=_RECONCILE_ORACLE)
+def sync_placement_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ``process_shard_placements`` sweep as a relation
+    (process_placements.rs:344-540): every pending placement record in
+    the realm's prefix re-resolves its shard's holder set from the
+    LIVE config, then classifies —
+
+    - the local node no longer holds the shard → the record AND its
+      shard-verification marker are dropped (rs:440-449);
+    - no co-holders remain (solo holder) → dropped, nothing to top up
+      (rs:450-458);
+    - the shard topic's genesis is not local yet (a rank-0 create
+      withheld, or a non-rank-0 holder still awaiting gossip) → the
+      record is refreshed and KEPT — never force-created into a fork
+      (rs:463-490);
+    - membership reconcile incomplete → refreshed and kept
+      (rs:505-517);
+    - every co-holder admitted → satisfied, record removed (rs:500).
+
+    ``rank0`` marks records whose holder list ranks the local node
+    first — genesis creation is rank-0's job (exactly one origin per
+    shard); every other holder pulls (join-before-create,
+    rs:23-37). The envelope arms the retry timer: a pending pull
+    (a held topic without local genesis) retries on the short 250 ms
+    cadence, a membership gap waits out the full 30 s interval
+    (rs:521-537 — re-probing a down co-holder is expensive).
+
+    The placement keyspace is metadata-sized (one record per
+    not-fully-replicated shard); classification is pure column
+    algebra, the envelope one partial aggregate broadcast back.
+    ``record.realm_id != realm_id`` rows never reach the loop — the
+    prefix scan already scopes the realm (the in-loop check is
+    belt-and-braces, rs:434-436)."""
+    k = F.col("k")
+    recs = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 4 == 1)
+        .select(F.col("p_partkey").alias("k"))
+        .select(
+            k.alias("k"),
+            F.concat(F.lit("realm"), (k % 3).cast("string")).alias(
+                "realm_id"
+            ),
+            F.concat(F.lit("strat"), (k % 5).cast("string")).alias(
+                "strategy_id"
+            ),
+            F.when(k % 7 == 0, 0)
+            .when(k % 7 == 1, 1)
+            .when(k % 7 == 2, 255)
+            .when(k % 7 == 3, 256)
+            .when(k % 7 == 4, 511)
+            .when(k % 7 == 5, 65536)
+            .otherwise(16777216)
+            .cast("long")
+            .alias("epoch"),
+            (k % 11).cast("int").alias("shard"),
+            (k % 5).cast("int").alias("strat"),
+            ((k % 11 * 5 + k % 5) % 9).cast("int").alias("h"),
+        )
+        .filter(F.col("realm_id") == RECONCILE_REALM)
+    )
+    h = F.col("h")
+    env = recs.select(
+        "realm_id",
+        "strategy_id",
+        "epoch",
+        "shard",
+        F.when(
+            k % 13 == 2, F.array(F.lit(RECONCILE_LOCAL))
+        )
+        .otherwise(
+            F.array(
+                F.concat(F.lit("n"), h.cast("string")),
+                F.concat(F.lit("n"), ((h + 1) % 9).cast("string")),
+                F.concat(F.lit("n"), ((h + 3) % 9).cast("string")),
+            )
+        )
+        .alias("holders"),
+        ((F.col("shard") + F.col("strat")) % 5 == 3).alias("genesis_absent"),
+        ((F.col("shard") * 3 + F.col("strat")) % 7 == 5).alias(
+            "membership_fail"
+        ),
+    )
+    local = F.lit(RECONCILE_LOCAL)
+    co = F.filter(F.col("holders"), lambda n: n != local)
+    classified = env.select(
+        "realm_id",
+        "strategy_id",
+        "epoch",
+        "shard",
+        (F.element_at("holders", 1) == local).alias("rank0"),
+        F.array_join(F.array_sort(co), ",").alias("co_holders"),
+        F.when(
+            ~F.array_contains("holders", RECONCILE_LOCAL),
+            "dropped_not_holder",
+        )
+        .when(F.size(co) == 0, "dropped_solo")
+        .when(F.col("genesis_absent"), "kept_awaiting_genesis")
+        .when(F.col("membership_fail"), "kept_membership_incomplete")
+        .otherwise("satisfied")
+        .alias("action"),
+    )
+    kept = F.col("action").startswith("kept")
+    envelope = classified.agg(
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.max(kept).alias("retry_needed"),
+        F.when(
+            F.max((F.col("action") == "kept_awaiting_genesis").cast("int"))
+            == 1,
+            PULL_RETRY_AFTER_MS,
+        )
+        .when(F.max(kept.cast("int")) == 1, PLACEMENT_RETRY_AFTER_MS)
+        .cast("long")
+        .alias("retry_after_ms"),
+    )
+    return classified.crossJoin(F.broadcast(envelope))

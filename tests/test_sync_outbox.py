@@ -296,3 +296,56 @@ def test_placement_drops_authoritative_and_dedups(spark):
     # rs:218-223: one peer + holder at desired 3 → missing 1
     assert out["n1"]["peers"] == "n5"
     assert out["n1"]["missing"] == 1 and not out["n1"]["satisfied"]
+
+
+# ---------------------------------------------------------------------------
+# placement reconcile sweep (process_placements.rs:344-540)
+# ---------------------------------------------------------------------------
+
+
+def test_reconcile_lane_coverage_and_envelope(spark, sf_dir):
+    from aruna_spark.queries.sync_outbox import (
+        PLACEMENT_RETRY_AFTER_MS,
+        PULL_RETRY_AFTER_MS,
+        RECONCILE_REALM,
+        sync_placement_reconcile,
+    )
+
+    rows = sync_placement_reconcile(spark, sf_dir).collect()
+    assert rows and all(r["realm_id"] == RECONCILE_REALM for r in rows)
+    actions = {r["action"] for r in rows}
+    # the sweep's full ladder is populated at the test scale
+    assert {
+        "dropped_not_holder",
+        "kept_awaiting_genesis",
+        "kept_membership_incomplete",
+        "satisfied",
+    } <= actions
+    kept = [r for r in rows if r["action"].startswith("kept")]
+    env = rows[0]
+    assert env["n_kept"] == len(kept)
+    assert env["retry_needed"] is True
+    # a pending pull (awaiting genesis) wins the SHORT retry cadence
+    assert env["retry_after_ms"] == PULL_RETRY_AFTER_MS
+    assert PULL_RETRY_AFTER_MS == 250
+    assert PLACEMENT_RETRY_AFTER_MS == 30_000
+
+
+def test_reconcile_rank0_is_first_holder(spark, sf_dir):
+    from aruna_spark.queries.sync_outbox import (
+        RECONCILE_LOCAL,
+        sync_placement_reconcile,
+    )
+
+    rows = sync_placement_reconcile(spark, sf_dir).collect()
+    # rank0 ⇔ the local node leads the resolved holder list; solo
+    # records (holders == [local]) are rank0 by construction
+    for r in rows:
+        if r["action"] == "dropped_not_holder":
+            assert not r["rank0"]
+        if r["action"] == "dropped_solo":
+            assert r["rank0"] and r["co_holders"] == ""
+    # co_holders never contain the local node
+    assert all(
+        RECONCILE_LOCAL not in r["co_holders"].split(",") for r in rows
+    )
