@@ -45,6 +45,8 @@ PRIORITY_PREFIXES = (
     # new or changed this round (front of the window — first-time
     # driver checks take precedence, per the r9 convention)
     "sync_placement_status",
+    "sync_placement_reconcile",
+    "dedup_semantic_cells",
     "sync_outbox_drain_plan",
     "sync_apply_decision",
     "native_reference_serve",

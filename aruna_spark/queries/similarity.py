@@ -1490,3 +1490,195 @@ def ivf_sqrt_decade_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_sqrt_topk(
         spark, sf_dir, query_filter=F.col("vec_id") < 2_000
     )
+
+
+# ------------------------------------------------- SemDeDup on sqrt cells
+# Abbas et al. 2023 (SemDeDup, arXiv:2303.09540): cluster the embedding
+# space, call same-cluster pairs above a cosine threshold semantic
+# duplicates, and KEEP the group member least similar to its cluster
+# centroid (pruning toward cluster edges preserves diversity; the
+# paper's k-means is this engine's sqrt-sized IVF geometry, so the
+# dedup pass and the ANN index share one partitioning). Within-cell
+# pairwise work is (n/cells)^2 * cells = n^1.5 at cells ~ sqrt(n) —
+# the published configuration's shape — and the exact-collapse
+# pre-pass (the r5 lesson every _scaled dedup applies) keeps replica
+# copies from squaring inside a cell.
+SEMDEDUP_THRESHOLD_Q = 950_000  # cos >= 0.95, quantized like every sibling
+
+_SEM_CENTS_32 = (
+    "[" + ", ".join(
+        "[" + ", ".join(str(x) for x in c) + "]" for c in CENTROIDS_SQRT_32
+    ) + "]"
+)
+_SEM_CNORM_32 = (
+    "[" + ", ".join(
+        str(sum(x * x for x in c)) for c in CENTROIDS_SQRT_32
+    ) + "]"
+)
+
+
+@register(
+    "dedup_semantic_cells",
+    oracle=f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, {_PERTURB_DUCK}
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    uniq AS (
+      SELECT MIN(vec_id) AS vec_id, embedding,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM planted GROUP BY embedding
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, n_copies,
+             {_d_dot('embedding', 'embedding')} AS norm2
+      FROM uniq
+    ),
+    enriched AS (
+      SELECT vec_id, embedding, n_copies, norm2,
+             CASE WHEN (SELECT COUNT(*) FROM corpus) <= 512
+               THEN {_d_assign('embedding', 1, CENTROIDS_SQRT_16)}[1]
+               ELSE {_d_assign('embedding', 1, CENTROIDS_SQRT_32)}[1]
+             END AS cell
+      FROM corpus
+    ),
+    simmed AS (
+      -- the 32-centroid literal serves both geometries: its first 16
+      -- entries ARE the 16-cell centroids (same salt, same order)
+      SELECT *,
+             CAST(floor(
+               {_d_dot('embedding', f'({_SEM_CENTS_32})[cell + 1]')}
+               / sqrt(norm2 * ({_SEM_CNORM_32})[cell + 1]) * 1e6
+             ) AS BIGINT) AS centroid_sim_q
+      FROM enriched
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, a.centroid_sim_q AS ca,
+             b.vec_id AS vb, b.centroid_sim_q AS cb
+      FROM simmed a JOIN simmed b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE CAST(floor({_d_dot('a.embedding', 'b.embedding')}
+                 / sqrt(a.norm2 * b.norm2) * 1e6) AS BIGINT)
+            >= {SEMDEDUP_THRESHOLD_Q}
+    )
+    SELECT s.vec_id, CAST(s.cell AS INT) AS cell, s.n_copies,
+           s.centroid_sim_q,
+           CAST(COALESCE(COUNT(p.vb), 0) AS BIGINT) AS n_near_dups,
+           COALESCE(BOOL_OR(p.cb < s.centroid_sim_q
+                            OR (p.cb = s.centroid_sim_q
+                                AND p.vb < s.vec_id)), FALSE) AS pruned
+    FROM simmed s LEFT JOIN pairs p ON p.va = s.vec_id
+    GROUP BY s.vec_id, s.cell, s.n_copies, s.centroid_sim_q
+    """,
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the sqrt-IVF cells: exact-collapse, assign every
+    unique vector to its nearest sqrt-cell centroid, call same-cell
+    pairs at quantized cosine >= 0.95 semantic duplicates, and keep
+    the duplicate-group member LEAST similar to the centroid (prune v
+    iff some same-cell near-dup u has (centroid_sim, vec_id) strictly
+    below v's — the keep-the-edge rule, deterministic via the id
+    tie-break). The planted perturbed-copy lane (cos ~0.9997)
+    guarantees both prune outcomes populate at every SF.
+
+    Scale: assignment is a broadcast centroid join (cells ~ sqrt n);
+    the pairwise stage shuffles once on cell and compares only within
+    cells — n^1.5 total at the paper's geometry, with byte-identical
+    copies collapsed first so replicas never square inside a cell.
+    The same stored cell partitioning serves the ANN probes
+    (store.ivf_sqrt_store), so a corpus pays the assignment once."""
+    base = load_table(spark, sf_dir, "embeddings")
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK).alias("embedding"),
+    )
+    uniq = (
+        base.select("vec_id", "embedding")
+        .unionByName(planted)
+        .groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+    emb = uniq.select(
+        "vec_id",
+        "embedding",
+        "n_copies",
+        _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    n_cells = sqrt_cells(emb.count())
+    cents = sqrt_centroids_df(spark, n_cells).select(
+        "cell",
+        "cvec",
+        _dot(F.col("cvec"), F.col("cvec")).alias("cnorm2"),
+    )
+    cscore = _dot(F.col("embedding"), F.col("cvec"))
+    csim_q = F.floor(
+        cscore / F.sqrt(F.col("norm2") * F.col("cnorm2")) * 1e6
+    ).cast("long")
+    # nearest centroid by dot desc (norm2 is per-vector constant, so
+    # the dot argmax IS the cosine argmax), tie -> lower cell id;
+    # carry the chosen cell's quantized centroid similarity along
+    best = (
+        emb.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("cell").alias("cell"),
+                    csim_q.alias("centroid_sim_q"),
+                ),
+                F.struct(cscore.alias("s"), (-F.col("cell")).alias("c")),
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cell").alias("cell"),
+                F.col("b.centroid_sim_q").alias("centroid_sim_q"))
+    )
+    simmed = emb.join(best, "vec_id")
+    a = simmed.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("norm2").alias("na"),
+        F.col("centroid_sim_q").alias("ca"),
+        "cell",
+    )
+    b = simmed.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("norm2").alias("nb"),
+        F.col("centroid_sim_q").alias("cb"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(
+            _score_q(
+                _dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            )
+            >= SEMDEDUP_THRESHOLD_Q
+        )
+        .select("va", "ca", "vb", "cb")
+    )
+    verdicts = pairs.groupBy("va").agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dups"),
+        F.max(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("vb") < F.col("va")))
+        ).alias("pruned"),
+    )
+    return simmed.join(
+        verdicts, simmed["vec_id"] == verdicts["va"], "left"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "n_copies",
+        "centroid_sim_q",
+        F.coalesce("n_near_dups", F.lit(0)).cast("long").alias(
+            "n_near_dups"
+        ),
+        F.coalesce("pruned", F.lit(False)).alias("pruned"),
+    )

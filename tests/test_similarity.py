@@ -141,3 +141,36 @@ def test_ivf_sqrt_fixed_query_probe_matches_registered(spark, sf_dir):
         for r in ivf_sqrt_decade_probe(spark, sf_dir).collect()
     }
     assert a == b and a
+
+
+def test_semdedup_prunes_exactly_one_per_planted_pair(spark, sf_dir):
+    """SemDeDup keep-the-edge rule: each planted perturbed copy forms
+    one same-cell near-dup pair with its original; exactly one member
+    prunes, and the kept one has the LOWER (centroid_sim, vec_id)."""
+    from aruna_spark.queries.similarity import dedup_semantic_cells
+
+    rows = {
+        r["vec_id"]: r.asDict()
+        for r in dedup_semantic_cells(spark, sf_dir).collect()
+    }
+    planted = [v for v in rows if v >= 1_000_000]
+    assert planted
+    paired = 0
+    for pv in planted:
+        ov = pv - 1_000_000
+        p, o = rows[pv], rows[ov]
+        if p["n_near_dups"] == 0:
+            continue  # pair split across a cell boundary — no claim
+        paired += 1
+        assert o["n_near_dups"] >= 1
+        assert p["pruned"] != o["pruned"]  # exactly one survives
+        kept, cut = (o, p) if p["pruned"] else (p, o)
+        assert (kept["centroid_sim_q"], kept["vec_id"]) < (
+            cut["centroid_sim_q"],
+            cut["vec_id"],
+        )
+    assert paired > 0  # the planted lane actually exercises the rule
+    # vectors without any near-dup never prune
+    assert all(
+        not r["pruned"] for r in rows.values() if r["n_near_dups"] == 0
+    )
