@@ -47,6 +47,9 @@ PRIORITY_PREFIXES = (
     "sync_placement_status",
     "sync_placement_reconcile",
     "dedup_semantic_cells",
+    "onboarding_secret_listing",
+    "onboarding_reserve_validate",
+    "onboarding_consume_validate",
     "sync_outbox_drain_plan",
     "sync_apply_decision",
     "native_reference_serve",
@@ -161,6 +164,7 @@ def load_all() -> None:
         matqueue,
         multimodal,
         notify_routing,
+        onboarding,
         permissions,
         placement,
         principals,
