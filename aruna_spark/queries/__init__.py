@@ -50,6 +50,7 @@ PRIORITY_PREFIXES = (
     "onboarding_secret_listing",
     "onboarding_reserve_validate",
     "onboarding_consume_validate",
+    "role_mutation_validate",
     "sync_outbox_drain_plan",
     "sync_apply_decision",
     "native_reference_serve",
@@ -175,6 +176,7 @@ def load_all() -> None:
         routing,
         registry,
         relational,
+        roles,
         s3_lifecycle,
         s3_multipart,
         s3_suite,
