@@ -51,6 +51,7 @@ PRIORITY_PREFIXES = (
     "onboarding_reserve_validate",
     "onboarding_consume_validate",
     "role_mutation_validate",
+    "realm_placement_mutation_validate",
     "sync_outbox_drain_plan",
     "sync_apply_decision",
     "native_reference_serve",

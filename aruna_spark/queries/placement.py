@@ -670,3 +670,257 @@ def placement_resolve_override(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_overrides(spark, sf_dir),
         REPLICA_COUNT,
     )
+
+
+# ---------------------------------------------------------------------------
+# realm placement-config mutation validation (mutate_realm_placement.rs)
+# ---------------------------------------------------------------------------
+
+# The strategy catalog the mutations validate against: exists?, does a
+# realm-scoped Metadata binding exist in the binding directory?, is the
+# strategy referenced (default / strategy binding / placement binding /
+# override)? st3 additionally carries the ONE group-scoped metadata
+# binding (g1). st6+ are unknown ids.
+STRATEGY_CATALOG = (
+    # (strategy, realm_meta_binding, group1_meta_binding, referenced)
+    ("st0", True, False, True),   # the default strategy
+    ("st1", True, False, False),
+    ("st2", True, False, False),
+    ("st3", False, True, True),   # bound for group g1
+    ("st4", False, False, True),  # referenced by an override
+    ("st5", False, False, False),
+)
+
+# Current placement-map entries; n6 is absent (the defaults branch of
+# the drain freeze check). DEFAULT_LOCATION="default",
+# DEFAULT_NODE_WEIGHT=100 (core/src/structs/placement.rs:10-11).
+NODE_CATALOG = tuple(
+    (f"n{i}", f"dc{i % 3}", 100 + i * 10, i % 2 == 0) for i in range(6)
+)
+
+_MUT_KINDS = (
+    "upsert_node_draining",
+    "upsert_node",
+    "upsert_strategy",
+    "remove_strategy",
+    "set_default_strategy",
+    "set_binding",
+    "set_override",
+    "remove_entry",
+)
+
+
+def _duck_placement_mutations_sql() -> str:
+    strat_values = ", ".join(
+        f"('{s}', {str(m).upper()}, {str(g).upper()}, {str(r).upper()})"
+        for s, m, g, r in STRATEGY_CATALOG
+    )
+    node_values = ", ".join(
+        f"('{n}', '{loc}', {w}, {str(full).upper()})"
+        for n, loc, w, full in NODE_CATALOG
+    )
+    kinds = " ".join(
+        f"WHEN {i} THEN '{k}'" for i, k in enumerate(_MUT_KINDS)
+    )
+    return f"""
+    WITH strategies(strategy, realm_meta, g1_meta, referenced) AS (
+      VALUES {strat_values}
+    ),
+    nodes(node, location, weight, is_full) AS (VALUES {node_values}),
+    reqs AS (
+      SELECT p_partkey AS k,
+             CASE ((p_partkey - 5) % 64) // 8 {kinds} END AS mutation,
+             'n' || (p_partkey % 7) AS node_id,
+             'st' || (p_partkey % 9) AS strategy_id,
+             CASE p_partkey % 5 WHEN 0 THEN 'group:g1'
+                  WHEN 1 THEN 'group:g2' WHEN 2 THEN 'realm'
+                  WHEN 3 THEN 'path-prefix' ELSE 'class:blob' END AS scope,
+             p_partkey % 5 = 2 AS weight_diverges,
+             p_partkey % 5 = 3 AS location_diverges,
+             p_partkey % 9 = 4 AS zero_replicas,
+             p_partkey % 3 > 0 AS override_has_strategy
+      FROM part WHERE p_partkey % 8 = 5
+    ),
+    joined AS (
+      SELECT q.*, s.strategy IS NOT NULL AS strategy_exists,
+             COALESCE(s.realm_meta, FALSE) AS realm_meta,
+             COALESCE(s.g1_meta, FALSE) AS g1_meta,
+             COALESCE(s.referenced, FALSE) AS referenced
+      FROM reqs q LEFT JOIN strategies s ON s.strategy = q.strategy_id
+    ),
+    classified AS (
+      SELECT k AS request_id, mutation, node_id, strategy_id, scope,
+             CASE mutation
+               WHEN 'upsert_node_draining' THEN
+                 CASE WHEN weight_diverges OR location_diverges
+                        THEN 'frozen_attributes' ELSE 'ok' END
+               WHEN 'upsert_strategy' THEN
+                 CASE WHEN zero_replicas THEN 'zero_replica_count'
+                      ELSE 'ok' END
+               WHEN 'remove_strategy' THEN
+                 CASE WHEN referenced THEN 'strategy_referenced'
+                      ELSE 'ok' END
+               WHEN 'set_default_strategy' THEN
+                 CASE WHEN NOT strategy_exists THEN 'missing_strategy'
+                      WHEN NOT realm_meta THEN 'no_metadata_binding'
+                      ELSE 'ok' END
+               WHEN 'set_binding' THEN
+                 CASE WHEN NOT strategy_exists THEN 'missing_strategy'
+                      WHEN scope = 'class:blob' THEN 'ok'
+                      WHEN scope = 'group:g1'
+                           AND (g1_meta OR realm_meta) THEN 'ok'
+                      WHEN scope <> 'group:g1' AND realm_meta THEN 'ok'
+                      ELSE 'no_metadata_binding' END
+               WHEN 'set_override' THEN
+                 CASE WHEN override_has_strategy AND NOT strategy_exists
+                        THEN 'missing_strategy' ELSE 'ok' END
+               ELSE 'ok'
+             END AS outcome
+      FROM joined
+    )
+    SELECT request_id, mutation, node_id, strategy_id, scope, outcome,
+           CASE WHEN outcome = 'ok' THEN NULL
+                WHEN outcome = 'strategy_referenced'
+                  THEN 'strategy_referenced'
+                ELSE 'invalid_input' END AS error_class
+    FROM classified
+    """
+
+
+@register(
+    "realm_placement_mutation_validate",
+    oracle=_duck_placement_mutations_sql(),
+)
+def realm_placement_mutation_validate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-mutation validation ladder of
+    ``RealmPlacementMutation::validate``
+    (mutate_realm_placement.rs:104-215), batch-classified:
+
+    - ``UpsertNode`` with ``draining`` set freezes placement
+      attributes — location/weight/full/labels must equal the current
+      entry (or the defaults ``("default", 100, false, {})`` when the
+      node has no entry yet) until the node un-drains or is removed;
+      the fixture's divergence lanes cover weight and location against
+      both the present (n0-n5) and absent (n6) branches;
+    - ``UpsertStrategy`` rejects ``replica_count == Some(0)``;
+    - ``SetDefaultStrategy`` requires the strategy to exist AND a
+      realm-scoped Metadata binding in the binding directory
+      (``require_metadata_binding`` — the default strategy must be
+      resolvable for metadata documents);
+    - ``SetBinding`` requires the strategy, then the metadata-binding
+      gate mapped by scope: group scopes accept an exact group binding
+      OR the realm fallback, realm/path-prefix/Metadata-class map to
+      the realm scope, and non-metadata classes skip the gate;
+    - ``RemoveStrategy`` rejects while referenced — as the default, by
+      any strategy binding, placement binding, or override;
+    - ``SetOverride`` with a strategy requires it to exist; a
+      strategy-less override (pin/exclude only) always validates;
+    - plain upserts and the Remove* mutations validate trivially.
+
+    ``error_class`` mirrors the error enum (every rung above is
+    ``InvalidInput`` except ``StrategyReferenced``). The APPLY-time
+    transition guards (drain-time holder-set freeze, disjoint-holder
+    transition, empty referenced shard — rs:421-446) re-resolve
+    rendezvous holders over the pre/post configs; that resolution
+    plane is covered by ``placement_resolve_holders``. The
+    ``AppendPlacementBinding`` handle/provenance rungs live in the
+    handle-range directory (allocate_handle.rs) — excluded with the
+    orchestration plane. Both catalogs broadcast; one CASE chain."""
+    strategies = spark.createDataFrame(
+        list(STRATEGY_CATALOG),
+        "strategy string, realm_meta boolean, g1_meta boolean, "
+        "referenced boolean",
+    )
+    k = F.col("p_partkey")
+    reqs = (
+        load_table(spark, sf_dir, "part")
+        .filter(k % 8 == 5)
+        .select(
+            k.alias("request_id"),
+            F.element_at(
+                F.array(*[F.lit(m) for m in _MUT_KINDS]),
+                (((k - 5) % 64) / 8).cast("int") + 1,
+            ).alias("mutation"),
+            F.concat(F.lit("n"), (k % 7).cast("string")).alias("node_id"),
+            F.concat(F.lit("st"), (k % 9).cast("string")).alias(
+                "strategy_id"
+            ),
+            F.when(k % 5 == 0, "group:g1")
+            .when(k % 5 == 1, "group:g2")
+            .when(k % 5 == 2, "realm")
+            .when(k % 5 == 3, "path-prefix")
+            .otherwise("class:blob")
+            .alias("scope"),
+            (k % 5 == 2).alias("weight_diverges"),
+            (k % 5 == 3).alias("location_diverges"),
+            (k % 9 == 4).alias("zero_replicas"),
+            (k % 3 > 0).alias("override_has_strategy"),
+        )
+    )
+    j = reqs.join(
+        F.broadcast(strategies),
+        reqs["strategy_id"] == strategies["strategy"],
+        "left",
+    )
+    exists = F.col("strategy").isNotNull()
+    realm_meta = F.coalesce("realm_meta", F.lit(False))
+    g1_meta = F.coalesce("g1_meta", F.lit(False))
+    referenced = F.coalesce("referenced", F.lit(False))
+    m = F.col("mutation")
+    outcome = (
+        F.when(
+            m == "upsert_node_draining",
+            F.when(
+                F.col("weight_diverges") | F.col("location_diverges"),
+                "frozen_attributes",
+            ).otherwise("ok"),
+        )
+        .when(
+            m == "upsert_strategy",
+            F.when(F.col("zero_replicas"), "zero_replica_count").otherwise(
+                "ok"
+            ),
+        )
+        .when(
+            m == "remove_strategy",
+            F.when(referenced, "strategy_referenced").otherwise("ok"),
+        )
+        .when(
+            m == "set_default_strategy",
+            F.when(~exists, "missing_strategy")
+            .when(~realm_meta, "no_metadata_binding")
+            .otherwise("ok"),
+        )
+        .when(
+            m == "set_binding",
+            F.when(~exists, "missing_strategy")
+            .when(F.col("scope") == "class:blob", "ok")
+            .when(
+                (F.col("scope") == "group:g1") & (g1_meta | realm_meta),
+                "ok",
+            )
+            .when((F.col("scope") != "group:g1") & realm_meta, "ok")
+            .otherwise("no_metadata_binding"),
+        )
+        .when(
+            m == "set_override",
+            F.when(
+                F.col("override_has_strategy") & ~exists, "missing_strategy"
+            ).otherwise("ok"),
+        )
+        .otherwise("ok")
+    )
+    return j.select(
+        "request_id",
+        "mutation",
+        "node_id",
+        "strategy_id",
+        "scope",
+        outcome.alias("outcome"),
+        F.when(outcome == "ok", F.lit(None))
+        .when(outcome == "strategy_referenced", "strategy_referenced")
+        .otherwise("invalid_input")
+        .alias("error_class"),
+    )

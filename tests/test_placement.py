@@ -341,3 +341,41 @@ def test_resolve_override_equals_python_port(spark):
             assert sorted(got[s]) == want_ranked, (s, got[s], want_ranked)
 
     prop()
+
+
+def test_placement_mutation_ladder_lanes(spark):
+    """mutate_realm_placement.rs:104-215 — every mutation kind's
+    accept/reject rungs populate, and error_class mirrors the enum
+    (all InvalidInput except StrategyReferenced)."""
+    from aruna_spark.queries.placement import (
+        realm_placement_mutation_validate,
+    )
+
+    rows = realm_placement_mutation_validate(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_mut: dict[str, set[str]] = {}
+    for r in rows:
+        by_mut.setdefault(r["mutation"], set()).add(r["outcome"])
+        if r["outcome"] == "ok":
+            assert r["error_class"] is None
+        elif r["outcome"] == "strategy_referenced":
+            assert r["error_class"] == "strategy_referenced"
+        else:
+            assert r["error_class"] == "invalid_input"
+    assert by_mut["upsert_node_draining"] == {"ok", "frozen_attributes"}
+    assert by_mut["upsert_strategy"] == {"ok", "zero_replica_count"}
+    assert by_mut["remove_strategy"] == {"ok", "strategy_referenced"}
+    assert by_mut["set_default_strategy"] == {
+        "ok",
+        "missing_strategy",
+        "no_metadata_binding",
+    }
+    assert by_mut["set_binding"] == {
+        "ok",
+        "missing_strategy",
+        "no_metadata_binding",
+    }
+    assert by_mut["set_override"] == {"ok", "missing_strategy"}
+    assert by_mut["upsert_node"] == {"ok"}
+    assert by_mut["remove_entry"] == {"ok"}
