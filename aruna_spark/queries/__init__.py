@@ -52,6 +52,8 @@ PRIORITY_PREFIXES = (
     "onboarding_consume_validate",
     "role_mutation_validate",
     "realm_placement_mutation_validate",
+    "handle_range_directory",
+    "handle_allocation_walk",
     "sync_outbox_drain_plan",
     "sync_apply_decision",
     "native_reference_serve",
@@ -156,6 +158,7 @@ def load_all() -> None:
         drs,
         export_plan,
         dedup,
+        handles,
         hashpaths,
         hidden,
         inbox_placement,

@@ -39,6 +39,7 @@ DECADE_QUERIES = [
     "dedup_ngram_scaled",
     "dedup_duplicate_spans",  # r11: winnowing substring-dedup pass
     "similarity_neardup_scaled",
+    "dedup_semantic_cells",  # r11: SemDeDup on the sqrt cells
     "similarity_ivf_fixed64_demo",
     "similarity_ivf_sqrt_topk",
     # the per-query probe curve: FIXED 20-query set over the growing
