@@ -54,6 +54,8 @@ PRIORITY_PREFIXES = (
     "realm_placement_mutation_validate",
     "handle_range_directory",
     "handle_allocation_walk",
+    "user_resolve_safe",
+    "user_update_validate",
     "sync_outbox_drain_plan",
     "sync_apply_decision",
     "native_reference_serve",
@@ -197,6 +199,7 @@ def load_all() -> None:
         textstats,
         usage,
         user_access,
+        users,
     )
 
     _reorder()
