@@ -30,17 +30,21 @@ def register(name: str, oracle: str | None = None):
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
 # window on a cycle. Round 11 (VERDICT r10 Next #1): queries whose
-# plans are NEW or CHANGED this round lead (group routing inputs +
-# put-validate, the connector delete/replace guard, the five-queue lag
-# oracle, the hierarchical-prefix pack plan, the renamed fixed-64 IVF
-# demo), then the 15 queued-stale r5/r6 rows the r10 verdict pinned,
-# then the stalest r7 family — the S3 data plane (not driver-checked
-# since r7) and the dedup/similarity block. The cut at ~50 leaves the
-# remaining r7 rows (similarity_neardup_pairs, similarity_topk_
-# bruteforce, textstats_*, usage_*, corpus_rollup/approx, decontam,
-# backlinks_*, stream_inbox_prune/mark_read/notifications_page) to
-# lead r12's window; every query outside the window is
-# selfcheck-verified at round close (scripts/selfcheck.py at sf0.01).
+# plans are NEW or CHANGED this round lead — the replication-plane
+# kernels (placement status/reconcile, outbox drain plan, apply
+# decision, native-reference serve), SemDeDup, the onboarding-secret
+# ladders, role CRUD, realm placement mutations, handle ranges, user
+# resolve/update, plus the earlier-session group routing + connector
+# guard + five-queue lag + pack plan + fixed-64 demo + winnowing +
+# char-LM + embedding-decontam + shard manifest — then the 13
+# queued-stale r5/r6 rows the r10 verdict pinned, then as much of the
+# stalest r7 S3 family as fits. The cut at ~50 leaves the remaining
+# r7 rows (the rest of the S3/listing family, similarity_neardup_
+# pairs, similarity_topk_bruteforce, textstats_*, usage_*,
+# corpus_rollup/approx, decontam_ngram, backlinks_*,
+# stream_inbox_prune/mark_read/notifications_page) to lead r12's
+# window; every query outside the window is selfcheck-verified at
+# round close (scripts/selfcheck.py at sf0.01).
 PRIORITY_PREFIXES = (
     # new or changed this round (front of the window — first-time
     # driver checks take precedence, per the r9 convention)
