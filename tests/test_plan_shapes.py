@@ -494,3 +494,47 @@ def test_ivf_sqrt_probe_is_dpp_pruned_scan(spark, sf_dir):
     assert "dynamicpruning" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_global_scan_pos_has_no_unpartitioned_window(spark, sf_dir):
+    """ops/ordering.global_scan_pos (the r11 replication-plane scan
+    positions): the total-order rank must compose from a PARTITIONED
+    row_number plus broadcast fold-prefixed offsets — no window spec
+    without partition columns anywhere in the plan, and the offsets
+    relation joins back broadcast."""
+    import re
+
+    for name in ("sync_placement_status", "sync_outbox_drain_plan"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+            first_arg = m.group(1).split(",")[0]
+            # partition columns render WITHOUT a sort direction
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                name,
+                m.group(0),
+            )
+
+
+def test_semdedup_shuffles_once_on_cell_and_broadcasts_centroids(
+    spark, sf_dir
+):
+    plan = _plan(spark, "dedup_semantic_cells", sf_dir)
+    # centroid assignment is a broadcast join; the pairwise stage may
+    # shuffle on the cell key but never nested-loops the corpus
+    # against itself without the cell equi-key
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_validation_ladders_broadcast_their_catalogs(spark, sf_dir):
+    for name in (
+        "role_mutation_validate",
+        "realm_placement_mutation_validate",
+        "onboarding_reserve_validate",
+        "user_resolve_safe",
+        "handle_allocation_walk",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "BatchEvalPython" not in plan, name
