@@ -148,6 +148,11 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-nondeterministic in both engines).
 
 EVAL_MOD = 97  # vec_id % EVAL_MOD == 0 is the held-out benchmark set
+# A real benchmark is a FIXED artifact: the eval slice caps at a fixed
+# id so its size stops growing with the corpus (the r11 bench pair
+# measured the uncapped modulo slice at 51.7x for 10x data — corpus x
+# evals = 100x work; capped, the sweep is corpus-linear as documented)
+EVAL_CAP = 2_000
 LEAK_OFFSET = 3_000_000
 _ENC_BASE = 10_000_000  # eval ids stay far below this
 
@@ -172,13 +177,15 @@ def _register_embedding_overlap() -> None:
       SELECT vec_id, embedding,
              {_d_dot('embedding', 'embedding')} AS norm2
       FROM embeddings WHERE vec_id % {EVAL_MOD} = 0
+        AND vec_id <= {EVAL_CAP}
     ),
     train AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % {EVAL_MOD} <> 0
+      WHERE vec_id % {EVAL_MOD} <> 0 OR vec_id > {EVAL_CAP}
       UNION ALL
       SELECT vec_id + {LEAK_OFFSET}, {_PERTURB_DUCK}
-      FROM embeddings WHERE vec_id % {EVAL_MOD} = 0
+      FROM embeddings
+      WHERE vec_id % {EVAL_MOD} = 0 AND vec_id <= {EVAL_CAP}
     ),
     train_n AS (
       SELECT vec_id, embedding,
@@ -215,20 +222,27 @@ def _register_embedding_overlap() -> None:
             "vec_id", "embedding"
         )
         eval_set = _with_norm(
-            base.filter(F.col("vec_id") % EVAL_MOD == 0)
+            base.filter(
+                (F.col("vec_id") % EVAL_MOD == 0)
+                & (F.col("vec_id") <= EVAL_CAP)
+            )
         ).select(
             F.col("vec_id").alias("eval_id"),
             F.col("embedding").alias("emb_e"),
             F.col("norm2").alias("norm2_e"),
         )
-        leaked = base.filter(F.col("vec_id") % EVAL_MOD == 0).select(
+        leaked = base.filter(
+            (F.col("vec_id") % EVAL_MOD == 0)
+            & (F.col("vec_id") <= EVAL_CAP)
+        ).select(
             (F.col("vec_id") + LEAK_OFFSET).alias("vec_id"),
             F.expr(_PERTURB_SPARK).alias("embedding"),
         )
         train = _with_norm(
-            base.filter(F.col("vec_id") % EVAL_MOD != 0).unionByName(
-                leaked
-            )
+            base.filter(
+                (F.col("vec_id") % EVAL_MOD != 0)
+                | (F.col("vec_id") > EVAL_CAP)
+            ).unionByName(leaked)
         )
         score = _score_q(
             _dot(F.col("embedding"), F.col("emb_e")),
