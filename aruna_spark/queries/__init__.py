@@ -60,6 +60,7 @@ PRIORITY_PREFIXES = (
     "handle_allocation_walk",
     "user_resolve_safe",
     "user_update_validate",
+    "realm_nodes_info",
     "sync_outbox_drain_plan",
     "sync_apply_decision",
     "native_reference_serve",
@@ -180,6 +181,7 @@ def load_all() -> None:
         placement,
         principals,
         queue_lag,
+        realm_info,
         reclaim,
         references,
         replication,
