@@ -2407,6 +2407,188 @@ class Engine:
             "held": held,
         }
 
+    # ------------------------------------------- onboarding secret routes
+    # The enrollment keyspace's admin/bootstrap surface
+    # (api/src/routes/onboarding.rs + {create,reserve,consume,delete,
+    # list}_onboarding_secret.rs). The ladders mirror the
+    # oracle-checked queries in queries/onboarding.py
+    # (classify_reserve / classify_consume); the facade keeps a
+    # per-Engine record store like the reference's ONBOARDING
+    # keyspace. The secret hash is sha256 (the repo's standing blake3
+    # stand-in). The plaintext secret echoes exactly ONCE — at create
+    # (the GetUserAccess redaction convention).
+
+    def _onboarding(self) -> dict:
+        if not hasattr(self, "_onboarding_secrets"):
+            self._onboarding_secrets: dict[str, dict] = {}
+        return self._onboarding_secrets
+
+    def create_onboarding_secret(
+        self, mode: str, expires_in_s: int, now_ms: int
+    ) -> dict:
+        """201 with the plaintext secret — its only echo; the store
+        keeps the hash. Every admin route first prunes stale secrets
+        (onboarding.rs prune_stale_onboarding_secrets)."""
+        import hashlib
+        import secrets as _secrets
+
+        if mode not in ("Management", "Server", "Local"):
+            return {"status": 400, "error": "InvalidMode"}
+        self._prune_onboarding(now_ms)
+        store = self._onboarding()
+        enrollment_id = f"enr-{len(store):06d}-{now_ms}"
+        secret = _secrets.token_hex(16)
+        store[enrollment_id] = {
+            "enrollment_id": enrollment_id,
+            "secret_hash": hashlib.sha256(secret.encode()).hexdigest(),
+            "mode": mode,
+            "expires_at": now_ms + expires_in_s * 1000,
+            "state": "available",
+            "state_node": None,
+            "reservation_expires_at": None,
+        }
+        return {
+            "status": 201,
+            "enrollment_id": enrollment_id,
+            "secret": secret,
+            "mode": mode,
+            "expires_at": store[enrollment_id]["expires_at"],
+        }
+
+    def _prune_onboarding(self, now_ms: int) -> None:
+        # expired secrets delete UNLESS mid-finalize — a bootstrapping
+        # node keeps its secret past the TTL (onboarding.rs test:
+        # list_prunes_expired_available_but_keeps_expired_finalizing)
+        store = self._onboarding()
+        for eid in [
+            e
+            for e, r in store.items()
+            if r["expires_at"] < now_ms and r["state"] != "finalizing"
+        ]:
+            del store[eid]
+
+    def list_onboarding_secrets(self, now_ms: int) -> dict:
+        self._prune_onboarding(now_ms)
+        secrets = sorted(
+            self._onboarding().values(), key=lambda r: r["expires_at"]
+        )
+        return {
+            "status": 200,
+            "secrets": [
+                {
+                    "enrollment_id": r["enrollment_id"],
+                    "mode": r["mode"],
+                    "expires_at": r["expires_at"],
+                    "claimed_node_id": r["state_node"],
+                }
+                for r in secrets
+            ],
+        }
+
+    def revoke_onboarding_secret(self, enrollment_id: str) -> dict:
+        store = self._onboarding()
+        if enrollment_id not in store:
+            return {"status": 404, "error": "NotFound"}
+        del store[enrollment_id]
+        return {"status": 204}
+
+    @staticmethod
+    def _secret_matches(record: dict, secret: str) -> bool:
+        import hashlib
+
+        return (
+            hashlib.sha256(secret.encode()).hexdigest()
+            == record["secret_hash"]
+        )
+
+    def reserve_onboarding_secret(
+        self,
+        enrollment_id: str,
+        secret: str,
+        node_id: str,
+        now_ms: int,
+        reservation_expires_at: int,
+        finalizing: bool = False,
+    ) -> dict:
+        """reserve_onboarding_secret.rs:86-146,246-258 — see
+        queries/onboarding.py classify_reserve for the ladder."""
+        r = self._onboarding().get(enrollment_id)
+        if r is None:
+            return {"status": 404, "error": "NotFound"}
+        if not self._secret_matches(r, secret):
+            return {"status": 403, "error": "InvalidSecret"}
+        state, holder = r["state"], r["state_node"]
+        if state == "available":
+            if r["expires_at"] < now_ms:
+                return {"status": 410, "error": "Expired"}
+        elif state == "reserved" and holder != node_id:
+            if r["reservation_expires_at"] >= now_ms:
+                return {"status": 409, "error": "AlreadyClaimed"}
+            if r["expires_at"] < now_ms:
+                return {"status": 410, "error": "Expired"}
+        elif state in ("finalizing", "consumed"):
+            if holder != node_id:
+                return {"status": 409, "error": "AlreadyClaimed"}
+            # Ok(None): success, nothing writes
+            return {
+                "status": 200,
+                "outcome": "noop",
+                "claimed_node_id": node_id,
+            }
+        # write path: Finalizing for a mid-bootstrap caller, else a
+        # deadline-stamped Reservation (same-node re-reserve included)
+        r["state"] = "finalizing" if finalizing else "reserved"
+        r["state_node"] = node_id
+        r["reservation_expires_at"] = (
+            None if finalizing else reservation_expires_at
+        )
+        return {
+            "status": 200,
+            "outcome": "reserved",
+            "claimed_node_id": node_id,
+            "written_state": r["state"],
+        }
+
+    def consume_onboarding_secret(
+        self, enrollment_id: str, secret: str, node_id: str, now_ms: int
+    ) -> dict:
+        """consume_onboarding_secret.rs:160-245 — expiry BEFORE hash,
+        with the engagement override; Consumed-by-caller is an
+        idempotent success with consumed_now=False."""
+        r = self._onboarding().get(enrollment_id)
+        if r is None:
+            return {"status": 404, "error": "NotFound"}
+        state, holder = r["state"], r["state_node"]
+        engaged = holder == node_id and (
+            state in ("finalizing", "consumed")
+            or (
+                state == "reserved"
+                and r["reservation_expires_at"] >= now_ms
+            )
+        )
+        if r["expires_at"] < now_ms and not engaged:
+            return {"status": 410, "error": "Expired"}
+        if not self._secret_matches(r, secret):
+            return {"status": 403, "error": "InvalidSecret"}
+        if state == "consumed":
+            if holder == node_id:
+                return {
+                    "status": 200,
+                    "outcome": "idempotent",
+                    "consumed_now": False,
+                }
+            return {"status": 409, "error": "AlreadyClaimed"}
+        if state in ("reserved", "finalizing") and holder != node_id:
+            return {"status": 409, "error": "AlreadyClaimed"}
+        r["state"] = "consumed"
+        r["state_node"] = node_id
+        r["reservation_expires_at"] = None
+        return {
+            "status": 200,
+            "outcome": "consumed",
+            "consumed_now": True,
+        }
+
     # --------------------------------------------------------- quota plane
     def quota_check(
         self, incoming_bytes: int, quota_bytes: int | None = None

@@ -1376,3 +1376,82 @@ def test_group_backend_lifecycle_routes(engine):
     sweep = big.remove_drained_backends()
     assert sweep["removed"] == ["bk-4"]
     assert "bk-2" in sweep["held"]
+
+
+def test_onboarding_secret_routes(engine):
+    now = 1_000_000
+    created = engine.create_onboarding_secret("Server", 3600, now)
+    assert created["status"] == 201
+    eid, secret = created["enrollment_id"], created["secret"]
+    # the plaintext secret echoes exactly once: never in the listing
+    listing = engine.list_onboarding_secrets(now)
+    row = next(
+        s for s in listing["secrets"] if s["enrollment_id"] == eid
+    )
+    assert "secret" not in row and "secret_hash" not in row
+    assert row["claimed_node_id"] is None
+
+    # reserve ladder: wrong secret 403, then node-a reserves, node-b
+    # rejects on the live reservation, then steals after it lapses
+    assert (
+        engine.reserve_onboarding_secret(eid, "wrong", "a", now, now + 20)[
+            "status"
+        ]
+        == 403
+    )
+    ok = engine.reserve_onboarding_secret(eid, secret, "a", now, now + 20)
+    assert ok["status"] == 200 and ok["written_state"] == "reserved"
+    clash = engine.reserve_onboarding_secret(
+        eid, secret, "b", now + 10, now + 40
+    )
+    assert clash["status"] == 409
+    steal = engine.reserve_onboarding_secret(
+        eid, secret, "b", now + 30, now + 60
+    )
+    assert steal["status"] == 200 and steal["claimed_node_id"] == "b"
+
+    # consume: the holder consumes, re-consume is idempotent, another
+    # node rejects
+    done = engine.consume_onboarding_secret(eid, secret, "b", now + 40)
+    assert done["status"] == 200 and done["consumed_now"] is True
+    again = engine.consume_onboarding_secret(eid, secret, "b", now + 50)
+    assert again["outcome"] == "idempotent" and not again["consumed_now"]
+    assert (
+        engine.consume_onboarding_secret(eid, secret, "a", now + 50)[
+            "status"
+        ]
+        == 409
+    )
+
+    assert engine.revoke_onboarding_secret(eid)["status"] == 204
+    assert engine.revoke_onboarding_secret(eid)["status"] == 404
+    assert engine.create_onboarding_secret("Weird", 10, now)["status"] == 400
+
+
+def test_onboarding_prune_keeps_expired_finalizing(engine):
+    # api/routes/onboarding.rs:
+    # list_prunes_expired_available_but_keeps_expired_finalizing
+    now = 2_000_000
+    avail = engine.create_onboarding_secret("Local", 1, now)
+    fin = engine.create_onboarding_secret("Local", 1, now)
+    engine.reserve_onboarding_secret(
+        fin["enrollment_id"],
+        fin["secret"],
+        "n",
+        now,
+        now + 10_000,
+        finalizing=True,
+    )
+    late = now + 100_000  # both secrets' TTLs lapsed
+    ids = {
+        s["enrollment_id"]
+        for s in engine.list_onboarding_secrets(late)["secrets"]
+    }
+    assert fin["enrollment_id"] in ids  # mid-finalize survives
+    assert avail["enrollment_id"] not in ids  # expired available pruned
+    # the engagement override: the finalizing node still consumes the
+    # EXPIRED secret and finishes its bootstrap
+    done = engine.consume_onboarding_secret(
+        fin["enrollment_id"], fin["secret"], "n", late
+    )
+    assert done["status"] == 200 and done["consumed_now"] is True
