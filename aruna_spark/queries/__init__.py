@@ -61,6 +61,7 @@ PRIORITY_PREFIXES = (
     "user_resolve_safe",
     "user_update_validate",
     "realm_nodes_info",
+    "egress_screen",
     "sync_outbox_drain_plan",
     "sync_apply_decision",
     "native_reference_serve",
@@ -163,6 +164,7 @@ def load_all() -> None:
         doc_lifecycle,
         doc_update,
         drs,
+        egress,
         export_plan,
         dedup,
         handles,
