@@ -855,10 +855,11 @@ class Engine:
 
     def queue_lag(self) -> DataFrame:
         """One observability tick over every modeled durable queue
-        (queue_lag.rs sample): depth / due / oldest-due-age. The
-        registered sample covers the reference's full five-keyspace
-        cadence (queue_lag.rs:12-14,63-90) as of round 11, so the
-        route is the registered query."""
+        (queue_lag.rs sample): depth / due / oldest-age with the
+        per-keyspace semantics. The registered sample covers the
+        reference's exact five keyspaces (queue_lag.rs:12-16) plus
+        the repo-modeled extras under a ``repo:`` label (round 12),
+        so the route is the registered query."""
         from aruna_spark.queries.queue_lag import queue_lag_sample
 
         return queue_lag_sample(self.spark, self.sf_dir)
@@ -2587,6 +2588,36 @@ class Engine:
             "status": 200,
             "outcome": "consumed",
             "consumed_now": True,
+        }
+
+    def inspect_onboarding_secret(
+        self, enrollment_id: str, secret: str, node_id: str, now_ms: int
+    ) -> dict:
+        """inspect_onboarding_secret.rs:150-168 — a pure READ with its
+        own rung order: foreign-Finalizing rejects AlreadyClaimed
+        BEFORE expiry, the expiry override is Finalizing-by-caller
+        only, the hash is checked LAST; survivors return the record,
+        nothing writes. See queries/onboarding.py classify_inspect."""
+        r = self._onboarding().get(enrollment_id)
+        if r is None:
+            return {"status": 404, "error": "NotFound"}
+        state, holder = r["state"], r["state_node"]
+        finalizing_self = state == "finalizing" and holder == node_id
+        if state == "finalizing" and holder != node_id:
+            return {"status": 409, "error": "AlreadyClaimed"}
+        if r["expires_at"] < now_ms and not finalizing_self:
+            return {"status": 410, "error": "Expired"}
+        if not self._secret_matches(r, secret):
+            return {"status": 403, "error": "InvalidSecret"}
+        return {
+            "status": 200,
+            "record": {
+                "enrollment_id": enrollment_id,
+                "mode": r["mode"],
+                "expires_at": r["expires_at"],
+                "claimed_node_id": holder,
+                "state": state,
+            },
         }
 
     # --------------------------------------------------------- quota plane

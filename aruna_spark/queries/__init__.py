@@ -29,81 +29,33 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 11 (VERDICT r10 Next #1): queries whose
-# plans are NEW or CHANGED this round lead — the replication-plane
-# kernels (placement status/reconcile, outbox drain plan, apply
-# decision, native-reference serve), SemDeDup, the onboarding-secret
-# ladders, role CRUD, realm placement mutations, handle ranges, user
-# resolve/update, plus the earlier-session group routing + connector
-# guard + five-queue lag + pack plan + fixed-64 demo + winnowing +
-# char-LM + embedding-decontam + shard manifest — then the 13
-# queued-stale r5/r6 rows the r10 verdict pinned, then as much of the
-# stalest r7 S3 family as fits. The cut at ~50 leaves the remaining
-# r7 rows (the rest of the S3/listing family, similarity_neardup_
-# pairs, similarity_topk_bruteforce, textstats_*, usage_*,
-# corpus_rollup/approx, decontam_ngram, backlinks_*,
-# stream_inbox_prune/mark_read/notifications_page) to lead r12's
-# window; every query outside the window is selfcheck-verified at
-# round close (scripts/selfcheck.py at sf0.01).
+# window on a cycle. Round 12 (VERDICT r11 Next #1): queries whose
+# plans are NEW or CHANGED this round lead — the keyspace-aligned
+# five-queue lag sample, the blob-replication job queue family
+# (drain plan/result, relationship stats, obligation sweep), the
+# blob-holders refresh/get pair, and the onboarding inspect envelope —
+# then the stale r7/r8 families the r11 verdict pinned: the remaining
+# S3/listing + staging rows the r11 window didn't reach,
+# similarity_neardup_pairs / similarity_topk_bruteforce, the
+# textstats/usage/corpus-rollup blocks, decontam_ngram_overlap, the
+# backlinks family, and the inbox trio. The cut at ~50 leaves the
+# CRDT pair, the SPARQL suite, the search/BM25 family, the registry
+# listings/projections, the jobs plane, staging sync/snapshot, and
+# multimodal to lead r13's window; every query outside the window is
+# selfcheck-verified at round close (scripts/selfcheck.py at sf0.01).
 PRIORITY_PREFIXES = (
     # new or changed this round (front of the window — first-time
     # driver checks take precedence, per the r9 convention)
-    "sync_placement_status",
-    "sync_placement_reconcile",
-    "dedup_semantic_cells",
-    "onboarding_secret_listing",
-    "onboarding_reserve_validate",
-    "onboarding_consume_validate",
-    "role_mutation_validate",
-    "realm_placement_mutation_validate",
-    "handle_range_directory",
-    "handle_allocation_walk",
-    "user_resolve_safe",
-    "user_update_validate",
-    "realm_nodes_info",
-    "egress_screen",
-    "sync_outbox_drain_plan",
-    "sync_apply_decision",
-    "native_reference_serve",
-    "group_routing_inputs",
-    "group_routing_put_validate",
-    "connector_reference_guard",
     "queue_lag_sample",
-    "corpus_pack_plan",
-    "similarity_ivf_fixed64_demo",
-    "dedup_duplicate_spans",
-    "textstats_char_lm_quality",
-    "decontam_embedding_overlap",
-    "corpus_shard_manifest",
-    # queued-stale from the r10 cut (last driver-checked r5/r6)
-    "rel_asof_latest_click",
-    "rel_pricing_summary",
-    "rel_range_window_join",
-    "rel_region_revenue",
-    "rel_sessionize",
-    "rel_shipping_priority",
-    "sample_split_summary",
-    "sample_stratified_summary",
-    "search_unified",
-    # (similarity_neardup_collapsed from the r10 verdict's stale list
-    # is not a registry name: the r6 rework folded the collapse INTO
-    # similarity_neardup_scaled — see COVERAGE.md)
-    "similarity_neardup_scaled",
-    "sparql_arith_if",
-    "sparql_path_zero_or_one",
-    "stream_watch_matches",
-    # last driver-checked r7: the S3 data plane first, then the
-    # dedup/similarity block
-    "autoindex_parse_entries",
-    "listing_v2_flat",
-    "listing_v2_leaf_page",
-    "listing_v2_root",
-    "listing_versions",
-    "listing_versions_page2",
-    "s3_abort_multipart",
-    "s3_get_object",
-    "s3_head_object",
-    "s3_list_parts_page",
+    "blob_replication_drain_plan",
+    "blob_replication_drain_result",
+    "blob_repl_relationship_stats",
+    "blob_repl_obligation_sweep",
+    "blob_holders_refresh",
+    "blob_holders_get",
+    "onboarding_inspect_validate",
+    # queued-stale from the r11 cut: the rest of the S3/listing data
+    # plane (last driver-checked r7)
     "s3_list_uploads_page",
     "s3_multipart_complete",
     "s3_object_attributes",
@@ -113,17 +65,45 @@ PRIORITY_PREFIXES = (
     "staging_list_level",
     "staging_list_recursive",
     "perm_visible_summary",
-    "dedup_clusters",
-    "dedup_clusters_scaled",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_minhash_scaled",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_scaled",
-    "dedup_simhash_buckets",
-    "dedup_simhash_scaled",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
+    "s3_list_buckets",
+    "s3_bucket_info",
+    "s3_search_buckets",
+    "s3_checksum_family",
+    "s3_cors_preflight_match",
+    "listing_v2_stored",
+    "listing_v2_referenced",
+    "s3_reference_head",
+    "s3_delete_marker",
+    "s3_delete_mixed_batch",
+    "s3_copy_object",
+    "s3_upload_part_copy",
+    # the exact-baseline similarity pair the r11 verdict named
+    "similarity_neardup_pairs",
+    "similarity_topk_bruteforce",
+    # textstats / usage / corpus-rollup blocks (last checked r7)
+    "textstats_profile",
+    "textstats_lang_summary",
+    "textstats_quality_topk",
+    "textstats_repetition",
+    "textstats_pii_scan",
+    "usage_counters_by_group",
+    "usage_counters_global",
+    "usage_quota_gate",
+    "usage_counters_by_backend",
+    "usage_snapshot_realms",
+    "corpus_rollup_stats",
+    "corpus_approx_distinct",
+    "decontam_ngram_overlap",
+    # backlinks + inbox trio + CRDT pair
+    "backlinks_grouped",
+    "backlinks_references",
+    "backlinks_live_grouped",
+    "stream_inbox_prune",
+    "stream_mark_read",
+    "stream_notifications_page",
+    # (the CRDT pair from the r11 stale list moved to the r13 queue —
+    # the two extra r12-new blob-replication queries take their window
+    # slots; both stay selfcheck-verified at round close)
 )
 
 
@@ -156,6 +136,8 @@ def load_all() -> None:
     from aruna_spark.queries import (  # noqa: F401
         backlinks,
         bindings,
+        blob_holders,
+        blob_repl_queue,
         buckets,
         checksums_suite,
         cors,

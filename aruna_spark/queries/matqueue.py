@@ -313,3 +313,41 @@ def matq_requeue_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop instead of regressing, and the rest requeue immediately with
     one failure of remaining budget and their park count intact."""
     return requeue_sweep(load_dead_letters(spark, sf_dir), NOW_MS)
+
+
+# The LIVE materialization job queue — keys are
+# ``be64(due_at_ms) ‖ document_id ‖ event_id``
+# (materialization_queue.rs:2037-2052 materialization_job_key_parts:
+# a 40-byte key whose leading 8 bytes are the big-endian due
+# timestamp), so the keyspace scans in due order. The lag probe
+# (queue_lag.rs:225-268) counts the scanned page, the jobs already
+# due, and ages the oldest due job. Fixture: documents % 13 == 3;
+# due lane k%27 (40 000 + 800·(k%27): due iff k%27 ≤ 12 at the
+# plane's NOW 50 000).
+_MAT_JOBS_SQL = """
+    mat_jobs AS (
+      SELECT 'doc-' || doc_id AS document_id,
+             CAST(doc_id % 7 AS INT) AS event_n,
+             CAST(40000 + (doc_id % 27) * 800 AS BIGINT) AS due_at_ms,
+             CAST(doc_id % 5 AS INT) AS attempts
+      FROM documents WHERE doc_id % 13 = 3
+    )
+"""
+
+
+def load_mat_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The METADATA_MATERIALIZATION_JOB keyspace: pending jobs on the
+    due-prefixed key order."""
+    k = F.col("doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(k % 13 == 3)
+        .select(
+            F.concat(F.lit("doc-"), k.cast("string")).alias("document_id"),
+            (k % 7).cast("int").alias("event_n"),
+            (F.lit(40_000) + (k % 27) * 800).cast("long").alias(
+                "due_at_ms"
+            ),
+            (k % 5).cast("int").alias("attempts"),
+        )
+    )

@@ -445,3 +445,150 @@ def classify_consume(joined: DataFrame, now: int = NOW) -> DataFrame:
         .when(idempotent, F.lit(False))
         .cast("boolean"),
     )
+
+
+_INSPECT_REQS_SQL = """
+    inspect_reqs AS (
+      SELECT c_custkey AS request_id,
+             c_custkey AS enrollment_id,
+             'nd' || (CASE WHEN c_custkey % 23 < 15 THEN c_custkey % 5
+                           ELSE (c_custkey + 1) % 5 END) AS node_id,
+             CASE WHEN c_custkey % 29 = 5 THEN 'bad'
+                  ELSE 'h' || (c_custkey % 19) END AS req_hash
+      FROM customer WHERE c_custkey % 8 IN (1, 3)
+    )
+"""
+
+
+@register(
+    "onboarding_inspect_validate",
+    oracle=f"""
+    WITH {_SECRETS_SQL},
+    {_INSPECT_REQS_SQL}
+    SELECT q.request_id, q.enrollment_id, q.node_id,
+           CASE
+             WHEN s.enrollment_id IS NULL THEN 'not_found'
+             WHEN s.state = 'finalizing' AND s.state_node <> q.node_id
+               THEN 'already_claimed'
+             WHEN s.expires_at < {NOW} AND NOT (
+                  s.state = 'finalizing' AND s.state_node = q.node_id)
+               THEN 'expired'
+             WHEN q.req_hash <> s.secret_hash THEN 'invalid_secret'
+             ELSE 'ok'
+           END AS outcome,
+           CASE
+             WHEN s.enrollment_id IS NOT NULL
+                  AND NOT (s.state = 'finalizing'
+                           AND s.state_node <> q.node_id)
+                  AND NOT (s.expires_at < {NOW} AND NOT (
+                       s.state = 'finalizing'
+                       AND s.state_node = q.node_id))
+                  AND q.req_hash = s.secret_hash
+               THEN s.mode END AS mode,
+           CASE
+             WHEN s.enrollment_id IS NOT NULL
+                  AND NOT (s.state = 'finalizing'
+                           AND s.state_node <> q.node_id)
+                  AND NOT (s.expires_at < {NOW} AND NOT (
+                       s.state = 'finalizing'
+                       AND s.state_node = q.node_id))
+                  AND q.req_hash = s.secret_hash
+               THEN s.expires_at END AS expires_at,
+           CASE
+             WHEN s.enrollment_id IS NOT NULL
+                  AND NOT (s.state = 'finalizing'
+                           AND s.state_node <> q.node_id)
+                  AND NOT (s.expires_at < {NOW} AND NOT (
+                       s.state = 'finalizing'
+                       AND s.state_node = q.node_id))
+                  AND q.req_hash = s.secret_hash
+               THEN s.state_node END AS claimed_node_id
+    FROM inspect_reqs q LEFT JOIN secrets s USING (enrollment_id)
+    """,
+)
+def onboarding_inspect_validate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The keyed inspect envelope over a request batch
+    (inspect_onboarding_secret.rs:150-168 + the NotFound rung at
+    rs:122-126) — a pure READ: state resolution without mutation,
+    completing the onboarding admin surface (VERDICT r11 Next #4).
+    The rung ORDER differs from both reserve and consume and is the
+    point:
+
+    - a secret another node is FINALIZING rejects ``already_claimed``
+      FIRST — even before expiry (an expired foreign claim must not
+      read as merely ``expired``: the inspecting node could retry a
+      bootstrap that would then collide);
+    - expiry rejects next, with the override narrowed to
+      Finalizing-BY-CALLER only (reserve/consume honor wider
+      engagement; inspect's caller holds nothing mid-flight unless it
+      is the finalizing node itself);
+    - the hash mismatch is checked LAST (rs:164), so a caller with a
+      wrong secret still learns claim/expiry state — the route is
+      admin-gated (routes/onboarding.rs), not an oracle for secret
+      guessing;
+    - survivors return the record itself (mode, expires_at,
+      claimed_node_id), nothing writes.
+    """
+    reqs = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 8).isin(1, 3))
+        .select(F.col("c_custkey").alias("k"))
+        .select(
+            F.col("k").alias("request_id"),
+            F.col("k").alias("enrollment_id"),
+            F.concat(
+                F.lit("nd"),
+                F.when(F.col("k") % 23 < 15, F.col("k") % 5)
+                .otherwise((F.col("k") + 1) % 5)
+                .cast("string"),
+            ).alias("node_id"),
+            F.when(F.col("k") % 29 == 5, "bad")
+            .otherwise(
+                F.concat(F.lit("h"), (F.col("k") % 19).cast("string"))
+            )
+            .alias("req_hash"),
+        )
+    )
+    s = load_secrets(spark, sf_dir)
+    joined = reqs.join(F.broadcast(s), "enrollment_id", "left")
+    return classify_inspect(joined).select(
+        "request_id",
+        "enrollment_id",
+        "node_id",
+        "outcome",
+        "mode",
+        "expires_at",
+        "claimed_node_id",
+    )
+
+
+def classify_inspect(joined: DataFrame, now: int = NOW) -> DataFrame:
+    """Append the inspect ladder's verdict columns — AlreadyClaimed
+    (foreign Finalizing) BEFORE expiry, the expiry override narrowed
+    to Finalizing-by-caller, hash LAST
+    (inspect_onboarding_secret.rs:150-168). Parameterized on the
+    clock so tests can feed the reference's own vectors."""
+    missing = F.col("secret_hash").isNull()
+    finalizing = F.col("state") == "finalizing"
+    same_node = F.col("state_node") == F.col("node_id")
+    claimed = finalizing & ~same_node
+    expired = (F.col("expires_at") < now) & ~(finalizing & same_node)
+    bad_hash = F.col("req_hash") != F.col("secret_hash")
+    ok = ~missing & ~claimed & ~expired & ~bad_hash
+    out = joined.withColumn(
+        "outcome",
+        F.when(missing, "not_found")
+        .when(claimed, "already_claimed")
+        .when(expired, "expired")
+        .when(bad_hash, "invalid_secret")
+        .otherwise("ok"),
+    )
+    return (
+        out.withColumn("mode", F.when(ok, F.col("mode")))
+        .withColumn(
+            "expires_at", F.when(ok, F.col("expires_at")).cast("long")
+        )
+        .withColumn("claimed_node_id", F.when(ok, F.col("state_node")))
+    )

@@ -1,46 +1,62 @@
-"""Durable-queue lag sampling — the observability probe over every
-modeled work queue (``operations/src/queue_lag.rs``).
+"""Durable-queue lag sampling — the observability probe over the
+reference's five traced keyspaces (``operations/src/queue_lag.rs``).
 
 Reference surface:
 
+- rs:12-16 — the sampled keyspaces: BLOB_REPLICATION_JOB,
+  DOCUMENT_SYNC_OUTBOX, METADATA_MATERIALIZATION_DEAD_LETTER,
+  METADATA_MATERIALIZATION_JOB, REFERENCE_METADATA_REFRESH_JOB.
 - rs:22-38 — a probe scans a queue keyspace in key order, at most
   QUEUE_SCAN_PAGE_LIMIT (8) pages of QUEUE_SCAN_PAGE_SIZE (1,024) =
   8,192 keys; ``QueueLagSnapshot { depth, depth_capped,
   oldest_age_ms, due }``.
-- rs:183-218 (``probe_outbox_lag``) — depth + oldest-enqueue age from
-  the scanned keys' timestamps.
-- rs:220+ (``probe_materialization_lag``) — depth, the count already
-  DUE (due_at <= now), and the age of the oldest due job.
-- rs:165-175 — a queue that exceeds the page budget reports
-  ``depth_capped`` with depth pinned at the cap (the probe is an
-  O(cap) scan, never a full count — idle cost one limit-1 read).
+- rs:183-221 (``probe_outbox_lag``) — the outbox snapshot ages the
+  OLDEST ENQUEUE over the scanned page (outbox keys end in the
+  record's ULID, whose timestamp is the enqueue time); ``due`` is
+  always 0.
+- rs:225-268 (``probe_materialization_lag``) — job keys lead with the
+  big-endian due timestamp; the snapshot counts the jobs already DUE
+  (due_at <= now) and ages the oldest due one.
+- rs:270-292 (``probe_queue_depth``) — the other three keyspaces are
+  DEPTH-ONLY probes: ``oldest_age_ms`` and ``due`` are 0 by contract
+  (blob-replication keys are identity-serialized, dead letters and
+  refresh jobs have no record-age semantics at the probe layer).
+- rs:294-301 / 305-325 — the first page of an idle queue reads a
+  single key; a scan that exceeds the page budget reports
+  ``depth_capped`` with depth pinned at the cap — the probe is
+  O(cap), never a full count.
 
-Spark mapping: the probe's bounded key-ordered scan is a
-TakeOrderedAndProject page (keys sort by time, so the page holds the
-oldest records and the min-time / due statistics computed over it
-equal the true ones whenever depth <= cap); the snapshot is a 1-row
-aggregate per queue, unioned into one sample relation. Each queue
-keeps ITS OWN fixture clock (the planes' NOW constants), mirroring
-the reference's per-keyspace probes sharing one sample instant.
+Spark mapping: each probe page is a bounded TakeOrderedAndProject in
+the queue's own key order (the capped flag probes ONE key past the
+budget); the snapshot is a 1-row aggregate per queue, unioned into
+one sample relation. Each queue keeps ITS OWN fixture clock (the
+planes' NOW constants), mirroring the reference's per-keyspace probes
+sharing one sample instant.
 
-Queues sampled (the repo's modeled durable queues):
+Rows (the reference's five, in DurableQueueLagSample field order —
+rs:41-48 — then the repo's three modeled extra queues, clearly
+labeled with a ``repo:`` prefix: the reference does not trace them,
+the repo models their planes and keeps their lag oracle-checked):
 
-- ``job_schedule``       — queued jobs on the due-time index
-  (:mod:`aruna_spark.queries.jobs`, NOW 30 000);
-- ``metadata_graph_prune`` — the r9 prune queue
-  (:mod:`aruna_spark.queries.doc_lifecycle`, NOW 10 000);
-- ``materialization_dead_letters`` — parked letters awaiting requeue
-  (:mod:`aruna_spark.queries.matqueue`, NOW 50 000; a depth that only
-  grows means documents are failing to materialize — rs:43-45);
+- ``document_sync_outbox``     — :mod:`~aruna_spark.queries.sync_outbox`
+  keys + ULID clocks (NOW 50 000);
+- ``metadata_materialization`` — :mod:`~aruna_spark.queries.matqueue`
+  live jobs on the due-prefixed index (NOW 50 000);
+- ``materialization_dead_letters`` — parked letters (depth-only —
+  a depth that only grows means documents are failing to
+  materialize, rs:43-45);
+- ``blob_replication``         — :mod:`~aruna_spark.queries.blob_repl_queue`
+  raw stored records, identity dups included (depth-only);
 - ``reference_metadata_refresh`` — due reference-refresh jobs
-  (:mod:`aruna_spark.queries.references`, NOW 5 000);
-- ``sync_mirror_repair`` — pending mirror-repair records
-  (:mod:`aruna_spark.queries.sync_suite`, NOW 50 000).
+  (depth-only);
+- ``repo:job_schedule`` / ``repo:metadata_graph_prune`` /
+  ``repo:sync_mirror_repair`` — repo-modeled planes, due-style
+  snapshots on their schedule indexes.
 
-Five keyspaces per tick, completing the reference's five-queue
-cadence (queue_lag.rs:12-14,63-90) in the REGISTERED oracle-checked
-query (VERDICT r10 Next #2 — previously the last two were
-facade-only).
+VERDICT r11 Next #2: the sample now covers the reference's exact
+keyspace list (previously two repo queues substituted for the outbox
+and blob-replication slots), with the per-keyspace snapshot semantics
+(age-of-enqueue vs due-count vs depth-only) matched rung-for-rung.
 """
 
 from __future__ import annotations
@@ -49,17 +65,23 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.queries import register
+from aruna_spark.queries.blob_repl_queue import (
+    _BLOB_JOBS_RAW_SQL,
+    load_blob_jobs,
+)
 from aruna_spark.queries.doc_lifecycle import NOW_MS as PRUNE_NOW_MS
 from aruna_spark.queries.doc_lifecycle import prune_jobs
 from aruna_spark.queries.jobs import NOW_MS as JOBS_NOW_MS
 from aruna_spark.queries.jobs import _JOBS_SQL, load_jobs
 from aruna_spark.queries.matqueue import NOW_MS as MATQ_NOW_MS
-from aruna_spark.queries.matqueue import _LETTERS_SQL, load_dead_letters
-from aruna_spark.queries.references import (
-    _REFRESH_JOBS_SQL,
-    REFRESH_NOW_MS,
-    load_refresh_jobs,
+from aruna_spark.queries.matqueue import (
+    _LETTERS_SQL,
+    _MAT_JOBS_SQL,
+    load_dead_letters,
+    load_mat_jobs,
 )
+from aruna_spark.queries.references import _REFRESH_JOBS_SQL, load_refresh_jobs
+from aruna_spark.queries.sync_outbox import _OUTBOX_KEYS_SQL, load_outbox_keys
 from aruna_spark.queries.sync_suite import NOW_MS as SYNC_NOW_MS
 from aruna_spark.queries.sync_suite import _QUEUE_SQL, load_repair_queue
 
@@ -68,24 +90,63 @@ QUEUE_SCAN_PAGE_LIMIT = 8  # queue_lag.rs:23
 SCAN_CAP = QUEUE_SCAN_PAGE_SIZE * QUEUE_SCAN_PAGE_LIMIT
 
 
-def lag_snapshot(
-    queue: str, df: DataFrame, time_col: Column, now_ms: int
-) -> DataFrame:
-    """One queue's ``QueueLagSnapshot`` as a 1-row relation.
-
-    The probe page is the SCAN_CAP oldest records (bounded
-    TakeOrderedAndProject — the reference walks key order, and queue
-    keys embed the time); depth/due/oldest compute over that page, so
-    a queue deeper than the cap reports depth = cap with
-    ``depth_capped`` (rs:165-175), and the min-time statistics stay
-    exact because the page holds the oldest keys."""
-    keyed = df.select(time_col.cast("long").alias("__t"))
-    page = keyed.orderBy("__t").limit(SCAN_CAP)
-    # the capped flag probes ONE key past the budget, never a full
-    # count (queue_lag.rs:165-175 — the probe is O(cap) total)
-    probed = keyed.limit(SCAN_CAP + 1).agg(
+def _capped_probe(df: DataFrame) -> DataFrame:
+    """The capped flag probes ONE key past the budget, never a full
+    count (queue_lag.rs:165-175 advance — the probe is O(cap))."""
+    return df.limit(SCAN_CAP + 1).agg(
         (F.count(F.lit(1)) > SCAN_CAP).alias("depth_capped")
     )
+
+
+def _emit(
+    queue: str, snap: DataFrame, probed: DataFrame, due: Column, oldest: Column
+) -> DataFrame:
+    return snap.crossJoin(F.broadcast(probed)).select(
+        F.lit(queue).alias("queue"),
+        F.col("__n").cast("long").alias("depth"),
+        "depth_capped",
+        due.cast("long").alias("due"),
+        oldest.cast("long").alias("oldest_age_ms"),
+    )
+
+
+def depth_snapshot(queue: str, df: DataFrame) -> DataFrame:
+    """``probe_queue_depth`` (queue_lag.rs:270-292): depth + capped
+    only; ``oldest_age_ms`` and ``due`` are 0 by contract."""
+    snap = df.limit(SCAN_CAP).agg(F.count(F.lit(1)).alias("__n"))
+    return _emit(queue, snap, _capped_probe(df), F.lit(0), F.lit(0))
+
+
+def outbox_snapshot(queue: str, df: DataFrame, now_ms: int) -> DataFrame:
+    """``probe_outbox_lag`` (queue_lag.rs:183-221): the scanned page
+    follows the physical key order (kind bytes, admin origin, origin
+    seq, ULID); ``oldest_age_ms`` ages the page's oldest ULID enqueue
+    timestamp, saturating at 0 on an empty queue; ``due`` is 0."""
+    page = df.orderBy(
+        "kind", "origin_node", "origin_seq", "outbox_id"
+    ).limit(SCAN_CAP)
+    snap = page.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("enqueued_ms").alias("__oldest"),
+    )
+    return _emit(
+        queue,
+        snap,
+        _capped_probe(df),
+        F.lit(0),
+        F.coalesce(F.lit(now_ms) - F.col("__oldest"), F.lit(0)),
+    )
+
+
+def due_snapshot(
+    queue: str, df: DataFrame, time_col: Column, now_ms: int
+) -> DataFrame:
+    """``probe_materialization_lag`` (queue_lag.rs:225-268): the key
+    leads with the big-endian due timestamp, so the page holds the
+    oldest-due records; ``due`` counts the jobs already mature and
+    ``oldest_age_ms`` ages the oldest of them."""
+    keyed = df.select(time_col.cast("long").alias("__t"))
+    page = keyed.orderBy("__t").limit(SCAN_CAP)
     snap = page.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum((F.col("__t") <= now_ms).cast("long")).alias("__due"),
@@ -93,29 +154,52 @@ def lag_snapshot(
             "__oldest_due"
         ),
     )
-    return (
-        snap.crossJoin(F.broadcast(probed))
-        .select(
-            F.lit(queue).alias("queue"),
-            F.col("__n").cast("long").alias("depth"),
-            "depth_capped",
-            F.coalesce(F.col("__due"), F.lit(0))
-            .cast("long")
-            .alias("due"),
-            F.coalesce(
-                F.lit(now_ms) - F.col("__oldest_due"), F.lit(0)
-            )
-            .cast("long")
-            .alias("oldest_due_age_ms"),
-        )
+    return _emit(
+        queue,
+        snap,
+        _capped_probe(keyed),
+        F.coalesce(F.col("__due"), F.lit(0)),
+        F.coalesce(F.lit(now_ms) - F.col("__oldest_due"), F.lit(0)),
     )
 
 
-def _lag_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
-    """One queue's oracle snapshot: statistics over the first SCAN_CAP
-    rows in key (time) order, the capped flag from a cap+1-limited
-    probe — the oracle mirrors the BOUNDED scan, so impl and oracle
-    keep agreeing even if a fixture queue ever outgrows the cap."""
+def _depth_oracle(queue: str, rel: str) -> str:
+    return f"""
+    SELECT '{queue}' AS queue,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT 1 FROM {rel} LIMIT {SCAN_CAP})) AS depth,
+           (SELECT COUNT(*) FROM (SELECT 1 FROM {rel}
+                                  LIMIT {SCAN_CAP + 1}))
+             > {SCAN_CAP} AS depth_capped,
+           CAST(0 AS BIGINT) AS due,
+           CAST(0 AS BIGINT) AS oldest_age_ms
+    """
+
+
+def _outbox_oracle(queue: str, rel: str, now: int) -> str:
+    return f"""
+    SELECT '{queue}' AS queue,
+           CAST(COUNT(*) AS BIGINT) AS depth,
+           (SELECT COUNT(*) FROM (SELECT 1 FROM {rel}
+                                  LIMIT {SCAN_CAP + 1}))
+             > {SCAN_CAP} AS depth_capped,
+           CAST(0 AS BIGINT) AS due,
+           CAST(COALESCE({now} - MIN(enqueued_ms), 0) AS BIGINT)
+             AS oldest_age_ms
+    FROM (SELECT enqueued_ms FROM (
+            SELECT enqueued_ms,
+                   row_number() OVER (ORDER BY kind, origin_node,
+                                      origin_seq, outbox_id) AS rn
+            FROM {rel})
+          WHERE rn <= {SCAN_CAP})
+    """
+
+
+def _due_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
+    """Statistics over the first SCAN_CAP rows in key (due-time)
+    order, the capped flag from a cap+1-limited probe — the oracle
+    mirrors the BOUNDED scan, so impl and oracle keep agreeing even if
+    a fixture queue ever outgrows the cap."""
     return f"""
     SELECT '{queue}' AS queue,
            CAST(COUNT(*) AS BIGINT) AS depth,
@@ -125,7 +209,7 @@ def _lag_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
            CAST(COALESCE(SUM(CASE WHEN t <= {now} THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS due,
            CAST(COALESCE({now} - MIN(CASE WHEN t <= {now} THEN t END), 0)
-                AS BIGINT) AS oldest_due_age_ms
+                AS BIGINT) AS oldest_age_ms
     FROM (SELECT t FROM (
             SELECT {tcol} AS t,
                    row_number() OVER (ORDER BY {tcol}) AS rn
@@ -137,8 +221,12 @@ def _lag_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
 @register(
     "queue_lag_sample",
     oracle=f"""
-    WITH jobs AS ({_JOBS_SQL}),
+    WITH {_OUTBOX_KEYS_SQL.strip()},
+    {_MAT_JOBS_SQL.strip()},
     letters AS ({_LETTERS_SQL}),
+    {_BLOB_JOBS_RAW_SQL.strip()},
+    {_REFRESH_JOBS_SQL.strip().rstrip()},
+    jobs AS ({_JOBS_SQL}),
     prune AS (
       SELECT CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id + 70000
                   ELSE doc_id + 1000 END AS BIGINT) AS t
@@ -150,61 +238,82 @@ def _lag_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
       SELECT CAST(doc_id + 1000 AS BIGINT) FROM documents
       WHERE doc_id % 30 = 2
     ),
-    {_REFRESH_JOBS_SQL.strip().rstrip()},
     {_QUEUE_SQL.strip().rstrip()}
-    {_lag_oracle("job_schedule",
+    {_outbox_oracle("document_sync_outbox", "outbox_keys", SYNC_NOW_MS)}
+    UNION ALL
+    {_due_oracle("metadata_materialization", "mat_jobs",
+                 "due_at_ms", MATQ_NOW_MS)}
+    UNION ALL
+    {_depth_oracle("materialization_dead_letters", "letters")}
+    UNION ALL
+    {_depth_oracle("blob_replication", "blob_jobs_raw")}
+    UNION ALL
+    {_depth_oracle("reference_metadata_refresh", "refresh_jobs")}
+    UNION ALL
+    {_due_oracle("repo:job_schedule",
                  "(SELECT * FROM jobs WHERE state = 'queued')",
                  "due_at_ms", JOBS_NOW_MS)}
     UNION ALL
-    {_lag_oracle("metadata_graph_prune", "prune", "t", PRUNE_NOW_MS)}
+    {_due_oracle("repo:metadata_graph_prune", "prune", "t", PRUNE_NOW_MS)}
     UNION ALL
-    {_lag_oracle("materialization_dead_letters", "letters",
-                 "requeue_at_ms", MATQ_NOW_MS)}
-    UNION ALL
-    {_lag_oracle("reference_metadata_refresh", "refresh_jobs",
-                 "due_at_ms", REFRESH_NOW_MS)}
-    UNION ALL
-    {_lag_oracle("sync_mirror_repair", "repair_queue",
+    {_due_oracle("repo:sync_mirror_repair", "repair_queue",
                  "due_at_ms", SYNC_NOW_MS)}
     """,
 )
 def queue_lag_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One observability tick: every durable queue's depth / due /
-    oldest-due-age snapshot, five keyspaces per the reference cadence
-    (fixtures are far below the 8,192 scan cap, so depth_capped is
-    false — the cap branch is pinned by a synthetic 10k-row queue in
-    tests/test_queue_lag.py)."""
-    jobs = load_jobs(spark, sf_dir).filter(F.col("state") == "queued")
-    out = lag_snapshot(
-        "job_schedule", jobs, F.col("due_at_ms"), JOBS_NOW_MS
+    """One observability tick: the reference's five durable-queue
+    snapshots with their per-keyspace semantics (enqueue-age /
+    due-count / depth-only — queue_lag.rs:60-104), plus the repo's
+    three modeled extra queues under a ``repo:`` label. Fixtures are
+    far below the 8,192 scan cap, so depth_capped is false — the cap
+    branch is pinned by a synthetic 10k-row queue in
+    tests/test_queue_lag.py."""
+    out = outbox_snapshot(
+        "document_sync_outbox",
+        load_outbox_keys(spark, sf_dir),
+        SYNC_NOW_MS,
     )
     out = out.unionByName(
-        lag_snapshot(
-            "metadata_graph_prune",
+        due_snapshot(
+            "metadata_materialization",
+            load_mat_jobs(spark, sf_dir),
+            F.col("due_at_ms"),
+            MATQ_NOW_MS,
+        )
+    )
+    out = out.unionByName(
+        depth_snapshot(
+            "materialization_dead_letters",
+            load_dead_letters(spark, sf_dir),
+        )
+    )
+    out = out.unionByName(
+        depth_snapshot("blob_replication", load_blob_jobs(spark, sf_dir))
+    )
+    out = out.unionByName(
+        depth_snapshot(
+            "reference_metadata_refresh", load_refresh_jobs(spark, sf_dir)
+        )
+    )
+    out = out.unionByName(
+        due_snapshot(
+            "repo:job_schedule",
+            load_jobs(spark, sf_dir).filter(F.col("state") == "queued"),
+            F.col("due_at_ms"),
+            JOBS_NOW_MS,
+        )
+    )
+    out = out.unionByName(
+        due_snapshot(
+            "repo:metadata_graph_prune",
             prune_jobs(spark, sf_dir),
             F.col("due_at_ms"),
             PRUNE_NOW_MS,
         )
     )
-    out = out.unionByName(
-        lag_snapshot(
-            "materialization_dead_letters",
-            load_dead_letters(spark, sf_dir),
-            F.col("requeue_at_ms"),
-            MATQ_NOW_MS,
-        )
-    )
-    out = out.unionByName(
-        lag_snapshot(
-            "reference_metadata_refresh",
-            load_refresh_jobs(spark, sf_dir),
-            F.col("due_at_ms"),
-            REFRESH_NOW_MS,
-        )
-    )
     return out.unionByName(
-        lag_snapshot(
-            "sync_mirror_repair",
+        due_snapshot(
+            "repo:sync_mirror_repair",
             load_repair_queue(spark, sf_dir),
             F.col("due_at_ms"),
             SYNC_NOW_MS,

@@ -816,3 +816,61 @@ def sync_placement_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("retry_after_ms"),
     )
     return classified.crossJoin(F.broadcast(envelope))
+
+
+# The outbox PHYSICAL KEY set with each record's ULID enqueue
+# timestamp — the lag probe's view of the keyspace
+# (queue_lag.rs:183-221 probe_outbox_lag: keys end in the record's
+# ULID, whose embedded timestamp is the enqueue time). Same record
+# lanes as the drain-plan fixture (orders % 32 == 5, kind k%23, admin
+# origin k%7 / seq k%13); enqueue_ms is a new lane (k%53 — coprime to
+# the row filter and every kind lane) because the drain plan never
+# reads the ULID clock.
+OUTBOX_ENQ_BASE_MS = 40_000
+
+_OUTBOX_KEYS_SQL = """
+    outbox_keys AS (
+      SELECT o_orderkey AS outbox_id,
+             CASE WHEN o_orderkey % 23 <= 10 THEN 'upsert'
+                  WHEN o_orderkey % 23 <= 17 THEN 'delete'
+                  ELSE 'admin-operation' END AS kind,
+             CASE WHEN o_orderkey % 23 > 17
+                  THEN 'node' || (o_orderkey % 7) ELSE '' END AS origin_node,
+             CASE WHEN o_orderkey % 23 > 17
+                  THEN CAST(o_orderkey % 13 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS origin_seq,
+             CAST(40000 + (o_orderkey % 53) * 137 AS BIGINT)
+               AS enqueued_ms
+      FROM orders WHERE o_orderkey % 32 = 5
+    )
+"""
+
+
+def load_outbox_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOCUMENT_SYNC_OUTBOX keyspace's keys + ULID enqueue clocks,
+    in the drain's physical component order (kind bytes, admin origin,
+    origin seq, ULID)."""
+    k = F.col("o_orderkey")
+    is_admin = k % 23 > 17
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k % 32 == 5)
+        .select(
+            k.alias("outbox_id"),
+            F.when(k % 23 <= 10, "upsert")
+            .when(k % 23 <= 17, "delete")
+            .otherwise("admin-operation")
+            .alias("kind"),
+            F.when(
+                is_admin, F.concat(F.lit("node"), (k % 7).cast("string"))
+            )
+            .otherwise("")
+            .alias("origin_node"),
+            F.when(is_admin, (k % 13).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("origin_seq"),
+            (F.lit(OUTBOX_ENQ_BASE_MS) + (k % 53) * 137)
+            .cast("long")
+            .alias("enqueued_ms"),
+        )
+    )

@@ -53,6 +53,11 @@ DECADE_QUERIES = [
     "corpus_pack_plan",
     "decontam_ngram_overlap",  # documented corpus-linear baseline
     "textstats_char_lm_quality",  # r11: CCNet-style quality proxy
+    # r12: the blob-plane sweeps are corpus-shaped (one location per
+    # stored blob) — the once-per-hash refresh and the lookup
+    # classification both ride the documents table
+    "blob_holders_refresh",
+    "blob_holders_get",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"

@@ -1231,14 +1231,21 @@ def test_delete_document_route(engine):
 def test_observability_routes(engine):
     lag = {r.queue: r for r in engine.queue_lag().collect()}
     assert set(lag) == {
-        "job_schedule",
-        "metadata_graph_prune",
+        # the reference's five keyspaces (queue_lag.rs:12-16) ...
+        "document_sync_outbox",
+        "metadata_materialization",
         "materialization_dead_letters",
+        "blob_replication",
         "reference_metadata_refresh",
-        "sync_mirror_repair",
+        # ... plus the repo-modeled extras, clearly labeled
+        "repo:job_schedule",
+        "repo:metadata_graph_prune",
+        "repo:sync_mirror_repair",
     }
-    for q in ("reference_metadata_refresh", "sync_mirror_repair"):
-        assert lag[q].depth > 0 and 0 < lag[q].due <= lag[q].depth
+    assert 0 < lag["metadata_materialization"].due
+    assert lag["metadata_materialization"].due <= lag["metadata_materialization"].depth
+    for q in ("reference_metadata_refresh", "repo:sync_mirror_repair"):
+        assert lag[q].depth > 0
         assert not lag[q].depth_capped
     heads = engine.location_summary().collect()
     assert heads and all(r.n_expected >= 1 for r in heads)

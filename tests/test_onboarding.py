@@ -217,3 +217,112 @@ def test_listing_keeps_expired_finalizing_secret(spark, sf_dir):
     assert any(
         r["expires_at"] < NOW and r["state"] == "finalizing" for r in rows
     )
+
+
+# --- inspect (inspect_onboarding_secret.rs:150-168 + tests:277-313) ---
+
+INSPECT_SCHEMA = (
+    "enrollment_id long, node_id string, req_hash string, "
+    "secret_hash string, mode string, expires_at long, "
+    "state string, state_node string"
+)
+
+
+def _inspect(spark, row, now):
+    from aruna_spark.queries.onboarding import classify_inspect
+
+    df = spark.createDataFrame([row], INSPECT_SCHEMA)
+    r = classify_inspect(df, now=now).collect()[0]
+    return r["outcome"], r["claimed_node_id"]
+
+
+def _irow(
+    node="node-a",
+    req_hash="abc",
+    state="available",
+    state_node=None,
+    expires=100,
+    present=True,
+):
+    return (
+        1,
+        node,
+        req_hash,
+        "abc" if present else None,
+        "Server" if present else None,
+        expires if present else None,
+        state if present else None,
+        state_node,
+    )
+
+
+def test_inspect_expired_finalizing_secret_same_node_ok(spark):
+    """rs tests:277-293 — expires_at 100, Finalizing by node-a,
+    now 101: the finalizing node itself still inspects Ok and gets
+    the record back."""
+    row = _irow(state="finalizing", state_node="node-a")
+    assert _inspect(spark, row, now=101) == ("ok", "node-a")
+
+
+def test_inspect_expired_finalizing_secret_rejects_other_node(spark):
+    """rs tests:296-313 — same secret inspected by node-b is
+    AlreadyClaimed, NOT Expired: the foreign-claim rung precedes the
+    expiry rung (rs:150-156)."""
+    row = _irow(node="node-b", state="finalizing", state_node="node-a")
+    assert _inspect(spark, row, now=101)[0] == "already_claimed"
+
+
+def test_inspect_rung_order_distinctions(spark):
+    # hash is checked LAST: a wrong secret still learns the claim /
+    # expiry state (rs:164 sits after both rejections)
+    row = _irow(req_hash="bad", state="finalizing", state_node="node-b")
+    assert _inspect(spark, row, now=50)[0] == "already_claimed"
+    row = _irow(req_hash="bad", expires=10)
+    assert _inspect(spark, row, now=50)[0] == "expired"
+    row = _irow(req_hash="bad")
+    assert _inspect(spark, row, now=50)[0] == "invalid_secret"
+    # the expiry override is Finalizing-by-caller ONLY — an expired
+    # record held by the caller's own live RESERVATION still rejects
+    # (unlike consume's wider engagement override)
+    row = _irow(state="reserved", state_node="node-a", expires=10)
+    assert _inspect(spark, row, now=50)[0] == "expired"
+    # missing record
+    assert _inspect(spark, _irow(present=False), now=50)[0] == "not_found"
+    # consumed-by-caller is NOT a special case for inspect: it reads Ok
+    row = _irow(state="consumed", state_node="node-a")
+    assert _inspect(spark, row, now=50) == ("ok", "node-a")
+
+
+def test_inspect_route_reads_without_mutation(spark, sf_dir):
+    from aruna_spark.api import Engine
+
+    eng = Engine(spark, sf_dir)
+    made = eng.create_onboarding_secret("Server", 100, now_ms=0)
+    eid, secret = made["enrollment_id"], made["secret"]
+    before = dict(eng._onboarding()[eid])
+    out = eng.inspect_onboarding_secret(eid, secret, "node-a", now_ms=50)
+    assert out["status"] == 200
+    assert out["record"]["mode"] == "Server"
+    assert eng._onboarding()[eid] == before, "inspect must not write"
+    assert (
+        eng.inspect_onboarding_secret(eid, "wrong", "node-a", 50)["status"]
+        == 403
+    )
+    assert (
+        eng.inspect_onboarding_secret("nope", secret, "node-a", 50)[
+            "status"
+        ]
+        == 404
+    )
+    # the reference's own fixture: reserve finalizing as node-a, let
+    # the record expire — node-a inspects Ok, node-b AlreadyClaimed
+    eng.reserve_onboarding_secret(
+        eid, secret, "node-a", now_ms=10,
+        reservation_expires_at=20, finalizing=True,
+    )
+    late = before["expires_at"] + 1
+    same = eng.inspect_onboarding_secret(eid, secret, "node-a", late)
+    assert same["status"] == 200
+    assert same["record"]["claimed_node_id"] == "node-a"
+    other = eng.inspect_onboarding_secret(eid, secret, "node-b", late)
+    assert other == {"status": 409, "error": "AlreadyClaimed"}

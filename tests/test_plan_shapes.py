@@ -85,6 +85,12 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "registry_subject_conflicts",
         "registry_resolve_users",
         "placement_resolve_override",
+        "queue_lag_sample",
+        "blob_replication_drain_plan",
+        "blob_replication_drain_result",
+        "blob_holders_refresh",
+        "blob_holders_get",
+        "onboarding_inspect_validate",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
