@@ -103,7 +103,11 @@ PRIORITY_PREFIXES = (
     "stream_notifications_page",
     # (the CRDT pair from the r11 stale list moved to the r13 queue —
     # the two extra r12-new blob-replication queries take their window
-    # slots; both stay selfcheck-verified at round close)
+    # slots; both stay selfcheck-verified at round close. The two
+    # late-r12 additions `search_users_page` and
+    # `dsir_importance_select` also queue to LEAD r13's window: the
+    # 50-slot cut was spent on the verdict-named stale families, and
+    # both are selfcheck-verified at round close.)
 )
 
 
@@ -152,6 +156,7 @@ def load_all() -> None:
         handles,
         hashpaths,
         hidden,
+        importance,
         inbox_placement,
         ingest_suite,
         jobs,

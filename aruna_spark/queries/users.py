@@ -311,3 +311,122 @@ def user_update_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_name").isNotNull() & ~name_bad, trimmed
         ).alias("applied_name"),
     )
+
+
+# ------------------------------------------------- user substring search
+# ``operations/src/search_users.rs``: the realm-prefixed USER keyspace
+# walks in user-id key order (rs:107-116, page limit max(limit+1, 64));
+# a record matches when the lowercased NAME contains the query OR the
+# lowercased EMAIL attribute does (rs:134-140 ``matches_query``) — the
+# search may match on email, but the output shape is (user_id, name)
+# only (rs:20-23): the redacted field can select a row yet never
+# surfaces, the same contract resolve_users pins. Pagination
+# (rs:164-176): matches collect until limit+1, truncate to limit, and
+# ``next_start_after`` is the LAST returned user id — present exactly
+# when a further match exists; an exhausted scan returns no cursor.
+
+USER_SEARCH_QUERY = "3@e"  # matches EMails '..3@example.org' only —
+# no fixture NAME ('user <k>') contains it, isolating the email lane
+USER_SEARCH_LIMIT = 12
+
+
+def load_user_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The USER keyspace rows (same fixture as user_resolve_safe:
+    name 'user <k>', email '<k>@example.org' on every record, realm
+    'other' on the k%17 lane the prefix scan excludes)."""
+    k = F.col("c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(k % 6 == 1)
+        .select(
+            k.cast("long").alias("user_id"),
+            F.concat(F.lit("user "), k.cast("string")).alias("name"),
+            F.when(k % 17 == 3, "other").otherwise(REALM).alias(
+                "realm_id"
+            ),
+            F.concat(k.cast("string"), F.lit("@example.org")).alias(
+                "email"
+            ),
+        )
+    )
+
+
+_USER_RECORDS_SQL = """
+    user_records AS (
+      SELECT CAST(c_custkey AS BIGINT) AS user_id,
+             'user ' || c_custkey AS name,
+             CASE WHEN c_custkey % 17 = 3 THEN 'other'
+                  ELSE 'realm1' END AS realm_id,
+             c_custkey || '@example.org' AS email
+      FROM customer WHERE c_custkey % 6 = 1
+    )
+"""
+
+
+def search_users_of(
+    users: DataFrame,
+    query: str,
+    limit: int,
+    start_after: int | None = None,
+) -> DataFrame:
+    """The search page: realm-scoped key-order walk, name-or-email
+    containment, bounded head + a cursor minted only when a further
+    match exists (search_users.rs:134-176). The output carries NO
+    email column — matching on a redacted field must not leak it."""
+    q = query.lower()
+    matches = users.filter(
+        (F.col("realm_id") == REALM)
+        & (
+            F.lower(F.col("name")).contains(q)
+            | F.lower(F.col("email")).contains(q)
+        )
+    )
+    if start_after is not None:
+        matches = matches.filter(F.col("user_id") > start_after)
+    page = matches.orderBy("user_id").limit(limit)
+    env = (
+        matches.limit(limit + 1)
+        .agg((F.count(F.lit(1)) > limit).alias("__more"))
+        .crossJoin(
+            F.broadcast(page.agg(F.max("user_id").alias("__last")))
+        )
+        .select(
+            F.when(F.col("__more"), F.col("__last"))
+            .cast("long")
+            .alias("next_start_after")
+        )
+    )
+    return page.select("user_id", "name").crossJoin(F.broadcast(env))
+
+
+@register(
+    "search_users_page",
+    oracle=f"""
+    WITH {_USER_RECORDS_SQL.strip()},
+    matches AS (
+      SELECT * FROM user_records
+      WHERE realm_id = '{REALM}'
+        AND (contains(lower(name), '{USER_SEARCH_QUERY}')
+             OR contains(lower(email), '{USER_SEARCH_QUERY}'))
+    ),
+    page AS (
+      SELECT * FROM matches ORDER BY user_id LIMIT {USER_SEARCH_LIMIT}
+    )
+    SELECT p.user_id, p.name,
+           CASE WHEN (SELECT COUNT(*) FROM matches)
+                     > {USER_SEARCH_LIMIT}
+                THEN (SELECT MAX(user_id) FROM page)
+           END AS next_start_after
+    FROM page p
+    """,
+)
+def search_users_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form pinned at the fixture query/limit — the query
+    matches ONLY the email attribute (no fixture name contains
+    ``3@e``), exercising the match-on-redacted-field lane; the
+    parameterized operator is :func:`search_users_of`."""
+    return search_users_of(
+        load_user_records(spark, sf_dir),
+        USER_SEARCH_QUERY,
+        USER_SEARCH_LIMIT,
+    )
