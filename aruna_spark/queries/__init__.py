@@ -164,6 +164,7 @@ def load_all() -> None:
         location_summary,
         matqueue,
         multimodal,
+        node_info,
         notify_routing,
         onboarding,
         permissions,
