@@ -770,3 +770,177 @@ def textstats_char_lm_quality(
             "below_corpus_mean"
         ),
     )
+
+
+# ------------------------------------------- C4 cleaning rules
+# The C4 corpus-cleaning pass (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning with a Unified Text-to-Text
+# Transformer", arXiv:1910.10683 §2.2 — the rules behind the C4
+# dataset, still the template most web-corpus cleanups start from):
+#
+# - retain only LINES ending in terminal punctuation;
+# - drop lines with fewer than 3 words, and lines containing the word
+#   "javascript" (boilerplate warning banners);
+# - drop PAGES with fewer than 5 sentences, pages containing
+#   "lorem ipsum", and pages containing a curly brace (code);
+# - (the three-sentence-span dedup rule is the winnowing pass —
+#   `dedup_duplicate_spans`; the bad-words list is licensing-encumbered
+#   and stays out, like the reference's own exclusions.)
+#
+# The synthetic corpus has no lines or punctuation, so the FIXTURE
+# plants them deterministically (the pii-scan precedent: plant the
+# pattern, keep the scanner generic): each document's token stream
+# chunks into 8-token lines; lane h = doc_id + line_idx appends '.'
+# (h%4 ∈ {0,1}), '?' (h%4 = 2) or nothing; page-level plants: 'lorem
+# ipsum' into line 0 when doc_id%31 = 9, a '{' into line 1 when
+# doc_id%29 = 11, 'javascript' into line 2 when doc_id%37 = 13. The
+# classifier below reads only the line TEXT — any real corpus with
+# real lines runs through it unchanged.
+#
+# Scale: one explode to lines (corpus-linear), pure regexp/size
+# column algebra per line, one groupBy(doc) — map-side combinable,
+# no window, no UDF.
+
+C4_LINE_TOKENS = 8
+C4_MIN_WORDS_PER_LINE = 3  # arXiv:1910.10683 §2.2
+C4_MIN_SENTENCES = 5
+
+
+def load_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, line_idx, line) — the planted-line fixture."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform("
+                f" sequence(0, CAST(ceil(size(split(text, ' ')) / {C4_LINE_TOKENS}.0) AS INT) - 1),"
+                " i -> array_join(slice(split(text, ' '),"
+                f" i * {C4_LINE_TOKENS} + 1, {C4_LINE_TOKENS}), ' '))"
+            )
+        ).alias("line_idx", "base"),
+    )
+    k, i = F.col("doc_id"), F.col("line_idx")
+    planted = F.concat(
+        F.col("base"),
+        F.when((k % 31 == 9) & (i == 0), " lorem ipsum").otherwise(""),
+        F.when((k % 29 == 11) & (i == 1), " {code}").otherwise(""),
+        F.when((k % 37 == 13) & (i == 2), " javascript banner").otherwise(
+            ""
+        ),
+        F.when((k + i) % 4 <= 1, ".")
+        .when((k + i) % 4 == 2, "?")
+        .otherwise(""),
+    )
+    return lines.select("doc_id", "line_idx", planted.alias("line"))
+
+
+_C4_LINES_SQL = """
+    c4_lines AS (
+      SELECT doc_id, CAST(u.i AS INT) AS line_idx,
+             array_to_string(list_slice(string_split(text, ' '),
+               CAST(u.i AS INT) * 8 + 1, CAST(u.i AS INT) * 8 + 8), ' ')
+             || CASE WHEN doc_id % 31 = 9 AND u.i = 0
+                     THEN ' lorem ipsum' ELSE '' END
+             || CASE WHEN doc_id % 29 = 11 AND u.i = 1
+                     THEN ' {code}' ELSE '' END
+             || CASE WHEN doc_id % 37 = 13 AND u.i = 2
+                     THEN ' javascript banner' ELSE '' END
+             || CASE WHEN (doc_id + u.i) % 4 <= 1 THEN '.'
+                     WHEN (doc_id + u.i) % 4 = 2 THEN '?'
+                     ELSE '' END AS line
+      FROM documents,
+           UNNEST(range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                         AS INT))) u(i)
+    )
+"""
+
+
+def c4_page_filter(lines: DataFrame) -> DataFrame:
+    """The generic C4 classifier over a (doc_id, line) relation:
+    per-line keep rule (terminal punctuation, >= 3 words, no
+    'javascript'), page verdict (lorem ipsum > curly brace > too few
+    sentences > kept — the paper applies the rules independently, so
+    the booleans are all emitted and the label is just a priority
+    over them)."""
+    ends_terminal = F.col("line").rlike('[.!?"]$')
+    n_words = F.size(F.split(F.col("line"), " "))
+    has_js = F.lower(F.col("line")).contains("javascript")
+    kept_line = (
+        ends_terminal & (n_words >= C4_MIN_WORDS_PER_LINE) & ~has_js
+    )
+    per_line = lines.select(
+        "doc_id",
+        kept_line.alias("kept"),
+        F.when(kept_line, F.regexp_count(F.col("line"), F.lit("[.!?]")))
+        .otherwise(F.lit(0))
+        .alias("sentences"),
+        F.when(kept_line, n_words).otherwise(F.lit(0)).alias("words"),
+        F.lower(F.col("line")).contains("lorem ipsum").alias("lorem"),
+        F.col("line").contains("{").alias("brace"),
+    )
+    agg = per_line.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept_lines"),
+        F.sum("sentences").cast("long").alias("n_sentences"),
+        F.sum("words").cast("long").alias("retained_words"),
+        F.max("lorem").alias("has_lorem"),
+        F.max("brace").alias("has_brace"),
+    )
+    verdict = (
+        F.when(F.col("has_lorem"), "lorem_ipsum")
+        .when(F.col("has_brace"), "curly_brace")
+        .when(F.col("n_sentences") < C4_MIN_SENTENCES, "too_few_sentences")
+        .otherwise("kept")
+    )
+    return agg.withColumn("verdict", verdict)
+
+
+@register(
+    "textstats_c4_rules",
+    oracle=f"""
+    WITH {_C4_LINES_SQL.strip()},
+    per_line AS (
+      SELECT doc_id,
+             regexp_matches(line, '[.!?"]$')
+               AND len(string_split(line, ' ')) >= {C4_MIN_WORDS_PER_LINE}
+               AND NOT contains(lower(line), 'javascript') AS kept,
+             contains(lower(line), 'lorem ipsum') AS lorem,
+             contains(line, '{{') AS brace,
+             CASE WHEN regexp_matches(line, '[.!?"]$')
+               AND len(string_split(line, ' ')) >= {C4_MIN_WORDS_PER_LINE}
+               AND NOT contains(lower(line), 'javascript')
+               THEN CAST(len(regexp_extract_all(line, '[.!?]')) AS BIGINT)
+               ELSE 0 END AS sentences,
+             CASE WHEN regexp_matches(line, '[.!?"]$')
+               AND len(string_split(line, ' ')) >= {C4_MIN_WORDS_PER_LINE}
+               AND NOT contains(lower(line), 'javascript')
+               THEN CAST(len(string_split(line, ' ')) AS BIGINT)
+               ELSE 0 END AS words
+      FROM c4_lines
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_lines,
+             CAST(SUM(sentences) AS BIGINT) AS n_sentences,
+             CAST(SUM(words) AS BIGINT) AS retained_words,
+             MAX(lorem) AS has_lorem,
+             MAX(brace) AS has_brace
+      FROM per_line GROUP BY doc_id
+    )
+    SELECT *,
+           CASE WHEN has_lorem THEN 'lorem_ipsum'
+                WHEN has_brace THEN 'curly_brace'
+                WHEN n_sentences < {C4_MIN_SENTENCES}
+                  THEN 'too_few_sentences'
+                ELSE 'kept' END AS verdict
+    FROM agg
+    """,
+)
+def textstats_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass per document (see the section comment):
+    line keep counts, retained sentence/word totals, the page-level
+    plants, and the verdict label."""
+    return c4_page_filter(load_c4_lines(spark, sf_dir))

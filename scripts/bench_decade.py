@@ -58,6 +58,9 @@ DECADE_QUERIES = [
     # classification both ride the documents table
     "blob_holders_refresh",
     "blob_holders_get",
+    # r12: two corpus-linear document sweeps (bounded broadcast models)
+    "dsir_importance_select",
+    "textstats_c4_rules",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"

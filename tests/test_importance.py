@@ -156,3 +156,51 @@ def test_search_users_name_query_matches_names(spark, sf_dir):
     users = load_user_records(spark, sf_dir)
     rows = search_users_of(users, "user 1", 5).collect()
     assert rows and all(r.name.startswith("user 1") for r in rows)
+
+
+# ------------------------------------------------------- C4 rules
+
+
+def test_c4_every_verdict_lane_populated(spark, sf_dir):
+    fn, _ = REGISTRY["textstats_c4_rules"]
+    rows = fn(spark, sf_dir).collect()
+    verdicts = {r.verdict for r in rows}
+    assert verdicts == {
+        "kept",
+        "too_few_sentences",
+        "lorem_ipsum",
+        "curly_brace",
+    }
+    for r in rows:
+        assert 0 <= r.n_kept_lines <= r.n_lines
+        assert r.n_sentences <= r.n_kept_lines  # <=1 terminal per line
+        if r.verdict == "kept":
+            assert r.n_sentences >= 5 and not r.has_lorem and not r.has_brace
+
+
+def test_c4_classifier_on_handwritten_page(spark):
+    """arXiv:1910.10683 §2.2 on a literal page: terminal-punctuation
+    and word-count line rules, the javascript line drop, and the page
+    plants."""
+    from aruna_spark.queries.textstats import c4_page_filter
+
+    lines = [
+        (1, "This sentence ends with a period."),
+        (1, "Short one."),  # 2 words -> dropped
+        (1, "No terminal punctuation here"),  # dropped
+        (1, "Please enable JavaScript to continue."),  # dropped
+        (1, "Another proper sentence right here?"),
+        (1, "And a third proper sentence follows."),
+        (1, "Sentence four is also fine."),
+        (1, "Sentence five makes the page keepable."),
+        (1, "Sentence six for margin."),
+        (2, "This page mentions lorem ipsum filler."),
+        (2, "Otherwise a fine sentence."),
+        (3, "function f() { return 1; } is code."),
+    ]
+    df = spark.createDataFrame(lines, "doc_id long, line string")
+    out = {r.doc_id: r for r in c4_page_filter(df).collect()}
+    assert out[1].verdict == "kept"
+    assert out[1].n_kept_lines == 6  # 9 lines - short - no-punct - js
+    assert out[2].verdict == "lorem_ipsum"
+    assert out[3].verdict == "curly_brace"
