@@ -138,6 +138,7 @@ def _reorder() -> None:
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from aruna_spark.queries import (  # noqa: F401
+        backend_removal,
         backlinks,
         bindings,
         blob_holders,

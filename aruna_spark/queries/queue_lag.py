@@ -42,7 +42,8 @@ the repo models their planes and keeps their lag oracle-checked):
   keys + ULID clocks (NOW 50 000);
 - ``metadata_materialization`` — :mod:`~aruna_spark.queries.matqueue`
   live jobs on the due-prefixed index (NOW 50 000);
-- ``materialization_dead_letters`` — parked letters (depth-only —
+- ``metadata_materialization_dead_letters`` — parked letters
+  (the reference Prometheus label, api/src/ops.rs:53) (depth-only —
   a depth that only grows means documents are failing to
   materialize, rs:43-45);
 - ``blob_replication``         — :mod:`~aruna_spark.queries.blob_repl_queue`
@@ -244,7 +245,7 @@ def _due_oracle(queue: str, rel: str, tcol: str, now: int) -> str:
     {_due_oracle("metadata_materialization", "mat_jobs",
                  "due_at_ms", MATQ_NOW_MS)}
     UNION ALL
-    {_depth_oracle("materialization_dead_letters", "letters")}
+    {_depth_oracle("metadata_materialization_dead_letters", "letters")}
     UNION ALL
     {_depth_oracle("blob_replication", "blob_jobs_raw")}
     UNION ALL
@@ -283,7 +284,7 @@ def queue_lag_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.unionByName(
         depth_snapshot(
-            "materialization_dead_letters",
+            "metadata_materialization_dead_letters",
             load_dead_letters(spark, sf_dir),
         )
     )

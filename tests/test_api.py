@@ -1234,7 +1234,7 @@ def test_observability_routes(engine):
         # the reference's five keyspaces (queue_lag.rs:12-16) ...
         "document_sync_outbox",
         "metadata_materialization",
-        "materialization_dead_letters",
+        "metadata_materialization_dead_letters",
         "blob_replication",
         "reference_metadata_refresh",
         # ... plus the repo-modeled extras, clearly labeled

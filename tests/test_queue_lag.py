@@ -19,7 +19,7 @@ REFERENCE_QUEUES = {
     # queue_lag.rs:41-48 DurableQueueLagSample field order
     "document_sync_outbox",
     "metadata_materialization",
-    "materialization_dead_letters",
+    "metadata_materialization_dead_letters",
     "blob_replication",
     "reference_metadata_refresh",
 }
@@ -48,7 +48,7 @@ def test_depth_only_probes_zero_age_and_due(sample):
     blob-replication and reference-refresh probes carry no record-age
     semantics — due and oldest_age_ms are 0 by contract."""
     for q in (
-        "materialization_dead_letters",
+        "metadata_materialization_dead_letters",
         "blob_replication",
         "reference_metadata_refresh",
     ):
