@@ -103,11 +103,15 @@ PRIORITY_PREFIXES = (
     "stream_notifications_page",
     # (the CRDT pair from the r11 stale list moved to the r13 queue —
     # the two extra r12-new blob-replication queries take their window
-    # slots; both stay selfcheck-verified at round close. The two
-    # late-r12 additions `search_users_page` and
-    # `dsir_importance_select` also queue to LEAD r13's window: the
-    # 50-slot cut was spent on the verdict-named stale families, and
-    # both are selfcheck-verified at round close.)
+    # slots. The late-r12 additions `search_users_page`,
+    # `dsir_importance_select`, `textstats_c4_rules`,
+    # `node_info_heartbeat` and `group_backends_removal_sweep` also
+    # queue to LEAD r13's window (first driver checks): the 50-slot
+    # cut was spent on the verdict-named stale families; all of them
+    # are selfcheck-verified at round close. After those, r13
+    # continues with the stale r7/r8 remainder: the SPARQL suite, the
+    # search/BM25 family, registry listings/projections, the jobs
+    # plane, staging sync/snapshot, and multimodal.)
 )
 
 
