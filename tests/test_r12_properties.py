@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 SETTINGS = dict(max_examples=15, deadline=None)
 
