@@ -2142,6 +2142,42 @@ class Engine:
             "deleted_secret": bool(c["secret_config"]),
         }
 
+    def create_group(
+        self,
+        actor_id: str,
+        display_name: str,
+        owner_cap: int | None,
+        owned_count: int,
+        group_id: str = "g-new",
+    ) -> dict:
+        """CreateGroup through the owner-cap gate (create_group.rs:
+        354-370 then 93-115): exempt actors (cap None — realm admins)
+        create without counting, cap 0 rejects before the scan, and a
+        positive cap rejects when the bounded owner-index count reaches
+        it. 201 with the group + seeded default roles (admin/user/
+        viewer, owner assigned to admin — rs ``test_group_creation``),
+        409 ``OwnedGroupLimitReached`` with the echoed limit."""
+        from aruna_spark.queries.create_group import (
+            DEFAULT_GROUP_ROLES,
+            create_group_gate,
+        )
+
+        created, limit = create_group_gate(owner_cap, owned_count)
+        if not created:
+            return {
+                "status": 409,
+                "error": "OwnedGroupLimitReached",
+                "limit": limit,
+            }
+        return {
+            "status": 201,
+            "group_id": group_id,
+            "display_name": display_name,
+            "owner": actor_id,
+            "roles": list(DEFAULT_GROUP_ROLES),
+            "admin_assigned_users": [actor_id],
+        }
+
     def create_group_backend(
         self,
         name: str,

@@ -29,89 +29,79 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 12 (VERDICT r11 Next #1): queries whose
-# plans are NEW or CHANGED this round lead — the keyspace-aligned
-# five-queue lag sample, the blob-replication job queue family
-# (drain plan/result, relationship stats, obligation sweep), the
-# blob-holders refresh/get pair, and the onboarding inspect envelope —
-# then the stale r7/r8 families the r11 verdict pinned: the remaining
-# S3/listing + staging rows the r11 window didn't reach,
-# similarity_neardup_pairs / similarity_topk_bruteforce, the
-# textstats/usage/corpus-rollup blocks, decontam_ngram_overlap, the
-# backlinks family, and the inbox trio. The cut at ~50 leaves the
-# CRDT pair, the SPARQL suite, the search/BM25 family, the registry
-# listings/projections, the jobs plane, staging sync/snapshot, and
-# multimodal to lead r13's window; every query outside the window is
-# selfcheck-verified at round close (scripts/selfcheck.py at sf0.01).
+# window on a cycle. Round 13 (VERDICT r12 Next #1): first-time driver
+# checks lead — the two r13-new queries (the create_group.rs owner-cap
+# gate and the admin-document create-seed replay), then the five
+# late-r12 additions that were selfcheck-green but never driver-checked
+# (search_users_page, dsir_importance_select, textstats_c4_rules,
+# node_info_heartbeat, group_backends_removal_sweep) and the CRDT pair
+# the r12 registration comment queued. Then the stalest families: the
+# 11 dedup/similarity rows last driver-checked r7, and 30 of the 32
+# rows last checked r8 (jobs plane, placement, staging sweeps,
+# principals/subject resolution, matq, routing, reclaim). The 50-slot
+# cut defers stream_watch_no_retroactive and corpus_retention_funnel —
+# they LEAD r14's window (VERDICT r12 Next #7) together with the
+# r9-stale blocks: the SPARQL suite, the search/BM25 + search_groups
+# family, registry listings/projections/lifecycle, corpus_mix, the
+# s3_user_access trio, and s3_replication_validate. Every query
+# outside the window is selfcheck-verified at round close
+# (scripts/selfcheck.py at sf0.01).
 PRIORITY_PREFIXES = (
-    # new or changed this round (front of the window — first-time
-    # driver checks take precedence, per the r9 convention)
-    "queue_lag_sample",
-    "blob_replication_drain_plan",
-    "blob_replication_drain_result",
-    "blob_repl_relationship_stats",
-    "blob_repl_obligation_sweep",
-    "blob_holders_refresh",
-    "blob_holders_get",
-    "onboarding_inspect_validate",
-    # queued-stale from the r11 cut: the rest of the S3/listing data
-    # plane (last driver-checked r7)
-    "s3_list_uploads_page",
-    "s3_multipart_complete",
-    "s3_object_attributes",
-    "s3_put_upsert",
-    "s3_upload_part_replace",
-    "drs_object_lookup",
-    "staging_list_level",
-    "staging_list_recursive",
-    "perm_visible_summary",
-    "s3_list_buckets",
-    "s3_bucket_info",
-    "s3_search_buckets",
-    "s3_checksum_family",
-    "s3_cors_preflight_match",
-    "listing_v2_stored",
-    "listing_v2_referenced",
-    "s3_reference_head",
-    "s3_delete_marker",
-    "s3_delete_mixed_batch",
-    "s3_copy_object",
-    "s3_upload_part_copy",
-    # the exact-baseline similarity pair the r11 verdict named
-    "similarity_neardup_pairs",
-    "similarity_topk_bruteforce",
-    # textstats / usage / corpus-rollup blocks (last checked r7)
-    "textstats_profile",
-    "textstats_lang_summary",
-    "textstats_quality_topk",
-    "textstats_repetition",
-    "textstats_pii_scan",
-    "usage_counters_by_group",
-    "usage_counters_global",
-    "usage_quota_gate",
-    "usage_counters_by_backend",
-    "usage_snapshot_realms",
-    "corpus_rollup_stats",
-    "corpus_approx_distinct",
-    "decontam_ngram_overlap",
-    # backlinks + inbox trio + CRDT pair
-    "backlinks_grouped",
-    "backlinks_references",
-    "backlinks_live_grouped",
-    "stream_inbox_prune",
-    "stream_mark_read",
-    "stream_notifications_page",
-    # (the CRDT pair from the r11 stale list moved to the r13 queue —
-    # the two extra r12-new blob-replication queries take their window
-    # slots. The late-r12 additions `search_users_page`,
-    # `dsir_importance_select`, `textstats_c4_rules`,
-    # `node_info_heartbeat` and `group_backends_removal_sweep` also
-    # queue to LEAD r13's window (first driver checks): the 50-slot
-    # cut was spent on the verdict-named stale families; all of them
-    # are selfcheck-verified at round close. After those, r13
-    # continues with the stale r7/r8 remainder: the SPARQL suite, the
-    # search/BM25 family, registry listings/projections, the jobs
-    # plane, staging sync/snapshot, and multimodal.)
+    # --- r13-new (first driver checks take precedence, r9 convention)
+    "registry_create_group_gate",
+    "crdt_admin_seed_replay",
+    # --- late-r12, never driver-checked (VERDICT r12 Next #1)
+    "search_users_page",
+    "dsir_importance_select",
+    "textstats_c4_rules",
+    "node_info_heartbeat",
+    "group_backends_removal_sweep",
+    # --- the CRDT pair queued since the r11 stale list
+    "crdt_clock_relation",
+    "crdt_orset_replay",
+    # --- r7-stale dedup/similarity family (11 rows)
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_buckets",
+    "dedup_clusters",
+    "dedup_minhash_scaled",
+    "dedup_clusters_scaled",
+    "dedup_simhash_scaled",
+    "dedup_ngram_scaled",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    # --- r8-stale blocks (30 of 32; the deferred two lead r14)
+    "jobs_drain_page",
+    "jobs_reconcile_lost",
+    "jobs_prune_page",
+    "jobs_drain_class_budget",
+    "jobs_queue_lag",
+    "jobs_recovery_actions",
+    "jobs_submit_batch",
+    "placement_strategy_binding",
+    "placement_resolve_holders",
+    "placement_shard_assignment",
+    "placement_resolve_override",
+    "blob_permission_paths",
+    "blobs_hidden_sweep",
+    "blob_reclaim_sweep",
+    "shard_verification_sweep",
+    "notify_inbox_holders",
+    "notify_route_resource_events",
+    "matq_finish_batch",
+    "matq_requeue_sweep",
+    "perm_allows_matrix",
+    "registry_list_groups",
+    "registry_list_users",
+    "registry_subject_conflicts",
+    "registry_subject_merges",
+    "registry_resolve_users",
+    "staging_refresh_sweep",
+    "staging_snapshot_materialize",
+    "staging_sync_drift",
+    "staging_list_connectors",
+    "storage_routing_resolve",
 )
 
 
@@ -151,6 +141,7 @@ def load_all() -> None:
         checksums_suite,
         cors,
         crdt_suite,
+        create_group,
         decontam,
         doc_lifecycle,
         doc_update,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
 from aruna_spark.ingest.doc_triples import DOC_NS, GRAPH_NS
+from aruna_spark.ops.admin_reduce import reduce_admin_paths
 from aruna_spark.ops.crdt import clock_relation, orset_replay
 from aruna_spark.queries import register
 from aruna_spark.sparql.terms import SCHEMA
@@ -184,3 +185,337 @@ def crdt_orset_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(add(quads.filter(F.col("doc_id") % 5 == 0), "b", 1))
     )
     return orset_replay(ops)
+
+
+# -- admin-document create-seed replay ----------------------------------------
+# The group/realm-create operations seed a reduced admin document in the
+# same transaction that writes the group (create_group.rs:181-252:
+# GroupCreated + one GroupRoleCreated per default role sorted by name +
+# GroupRoleUserAssignmentAdded(admin, owner); create_realm.rs:174-197 +
+# claim_initial_realm_admin.rs: RealmRoleCreated(realm_admin) + the
+# claimer's RealmRoleUserAssignmentAdded). Later mutations replay into
+# the same per-path reducer (core/src/admin_document_reducer.rs). The
+# fixture feeds one seeded group document per document row plus one of
+# four mutation lanes (doc_id % 5 — documents has no row filter, so the
+# selector is congruence-safe):
+#   lane 1: a causally-later assignment ADD on the user role (n1
+#           observed the whole seed) — one extra active assignment.
+#   lane 2: a causally-later assignment REMOVE of the owner's admin
+#           assignment — tombstone (reducer rs:1133-1144 value None).
+#   lane 3: a CONCURRENT GroupCreated from n2 (observed nothing):
+#           differing display_name -> fail-closed conflict
+#           (rs:1404-1419), equal realm/owner -> merged dots, no
+#           conflict (rs:1421-1422).
+#   lane 4: a causally-later GroupRoleRemoved(admin) — the seed's
+#           admin assignment stays live but materializes as inactive
+#           because its role is gone (the active-role filter,
+#           rs:775-801).
+# plus the realm-create seed + initial-admin claim per realm.
+_SEED_NODES = ("n0", "n1", "n2")
+
+
+def _admin_seed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    gid = F.concat(F.lit("grp-"), F.col("doc_id").cast("string"))
+    owner = F.concat(F.lit("user-"), (F.col("doc_id") % 7).cast("string"))
+    lane = F.col("doc_id") % 5
+
+    def obs(**pairs) -> F.Column:
+        if not pairs:
+            return F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<bigint>"),
+            )
+        return F.map_from_arrays(
+            F.array(*[F.lit(n) for n in pairs]),
+            F.array(*[F.lit(s).cast("long") for s in pairs.values()]),
+        )
+
+    def ev(df, path, value, node, seq, observed):
+        return df.select(
+            F.lit("group").alias("target_kind"),
+            gid.alias("target_id"),
+            path.alias("path"),
+            value.cast("string").alias("value"),
+            F.lit(node).alias("origin_node"),
+            F.lit(seq).cast("long").alias("origin_seq"),
+            observed.alias("observed"),
+        )
+
+    admin_assign_path = F.concat(
+        F.lit("group.roles.admin.assigned_users."), owner
+    )
+    seed = [
+        # GroupCreated (n0 seq 1) writes its three paths under one dot
+        ev(docs, F.lit("group.display_name"),
+           F.concat(F.lit("name-"), F.col("doc_id").cast("string")),
+           "n0", 1, obs()),
+        ev(docs, F.lit("group.realm_id"),
+           F.concat(F.lit("realm-"), (F.col("doc_id") % 3).cast("string")),
+           "n0", 1, obs()),
+        ev(docs, F.lit("group.owner"), owner, "n0", 1, obs()),
+        # default roles, name-sorted (create_group.rs:475-483)
+        ev(docs, F.lit("group.roles.admin"), F.lit("role:admin"),
+           "n0", 2, obs(n0=1)),
+        ev(docs, F.lit("group.roles.user"), F.lit("role:user"),
+           "n0", 3, obs(n0=2)),
+        ev(docs, F.lit("group.roles.viewer"), F.lit("role:viewer"),
+           "n0", 4, obs(n0=3)),
+        # owner into admin (create_group.rs:214-226)
+        ev(docs, admin_assign_path, owner, "n0", 5, obs(n0=4)),
+    ]
+    l1 = docs.filter(lane == 1)
+    l2 = docs.filter(lane == 2)
+    l3 = docs.filter(lane == 3)
+    l4 = docs.filter(lane == 4)
+    extra_user = F.concat(F.lit("user-x"), F.col("doc_id").cast("string"))
+    muts = [
+        ev(l1,
+           F.concat(F.lit("group.roles.user.assigned_users."), extra_user),
+           extra_user, "n1", 1, obs(n0=5)),
+        ev(l2, admin_assign_path, F.lit(None), "n1", 1, obs(n0=5)),
+        ev(l3, F.lit("group.display_name"),
+           F.concat(F.lit("alt-"), F.col("doc_id").cast("string")),
+           "n2", 1, obs()),
+        ev(l3, F.lit("group.realm_id"),
+           F.concat(F.lit("realm-"), (F.col("doc_id") % 3).cast("string")),
+           "n2", 1, obs()),
+        ev(l3, F.lit("group.owner"), owner, "n2", 1, obs()),
+        ev(l4, F.lit("group.roles.admin"), F.lit(None), "n1", 1, obs(n0=5)),
+    ]
+    realms = docs.select(
+        (F.col("doc_id") % 7).cast("string").alias("realm_n")
+    ).distinct()
+    claimer = F.concat(F.lit("user-r"), F.col("realm_n"))
+
+    def rev(path, value, node, seq, observed):
+        return realms.select(
+            F.lit("realm").alias("target_kind"),
+            F.concat(F.lit("realm-"), F.col("realm_n")).alias("target_id"),
+            path.alias("path"),
+            value.cast("string").alias("value"),
+            F.lit(node).alias("origin_node"),
+            F.lit(seq).cast("long").alias("origin_seq"),
+            observed.alias("observed"),
+        )
+
+    realm_events = [
+        rev(F.lit("realm.roles.realm_admin"), F.lit("role:realm_admin"),
+            "n0", 1, obs()),
+        rev(F.concat(F.lit("realm.roles.realm_admin.assigned_users."),
+                     claimer),
+            claimer, "n1", 1, obs(n0=1)),
+    ]
+    out = seed[0]
+    for part in (*seed[1:], *muts, *realm_events):
+        out = out.unionByName(part)
+    return out
+
+
+_ADMIN_SEED_ORACLE = """
+    WITH groups AS (
+      SELECT doc_id,
+             'grp-' || doc_id AS target_id,
+             'name-' || doc_id AS seed_name,
+             'realm-' || (doc_id % 3) AS seed_realm,
+             'user-' || (doc_id % 7) AS owner,
+             doc_id % 5 AS lane
+      FROM documents
+    ),
+    events AS (
+      -- seed (n0 seq 1..5; observed = own clock before the event)
+      SELECT 'group' AS target_kind, target_id, 'group.display_name' AS path,
+             seed_name AS value, 'n0' AS origin_node, 1 AS origin_seq,
+             0 AS obs_n0, 0 AS obs_n1, 0 AS obs_n2 FROM groups
+      UNION ALL
+      SELECT 'group', target_id, 'group.realm_id', seed_realm,
+             'n0', 1, 0, 0, 0 FROM groups
+      UNION ALL
+      SELECT 'group', target_id, 'group.owner', owner,
+             'n0', 1, 0, 0, 0 FROM groups
+      UNION ALL
+      SELECT 'group', target_id, 'group.roles.admin', 'role:admin',
+             'n0', 2, 1, 0, 0 FROM groups
+      UNION ALL
+      SELECT 'group', target_id, 'group.roles.user', 'role:user',
+             'n0', 3, 2, 0, 0 FROM groups
+      UNION ALL
+      SELECT 'group', target_id, 'group.roles.viewer', 'role:viewer',
+             'n0', 4, 3, 0, 0 FROM groups
+      UNION ALL
+      SELECT 'group', target_id,
+             'group.roles.admin.assigned_users.' || owner, owner,
+             'n0', 5, 4, 0, 0 FROM groups
+      -- lane 1: later assignment add on the user role
+      UNION ALL
+      SELECT 'group', target_id,
+             'group.roles.user.assigned_users.user-x' || doc_id,
+             'user-x' || doc_id, 'n1', 1, 5, 0, 0
+      FROM groups WHERE lane = 1
+      -- lane 2: later remove of the owner's admin assignment
+      UNION ALL
+      SELECT 'group', target_id,
+             'group.roles.admin.assigned_users.' || owner, NULL,
+             'n1', 1, 5, 0, 0 FROM groups WHERE lane = 2
+      -- lane 3: concurrent GroupCreated from n2 (observed nothing)
+      UNION ALL
+      SELECT 'group', target_id, 'group.display_name', 'alt-' || doc_id,
+             'n2', 1, 0, 0, 0 FROM groups WHERE lane = 3
+      UNION ALL
+      SELECT 'group', target_id, 'group.realm_id', seed_realm,
+             'n2', 1, 0, 0, 0 FROM groups WHERE lane = 3
+      UNION ALL
+      SELECT 'group', target_id, 'group.owner', owner,
+             'n2', 1, 0, 0, 0 FROM groups WHERE lane = 3
+      -- lane 4: later GroupRoleRemoved(admin)
+      UNION ALL
+      SELECT 'group', target_id, 'group.roles.admin', NULL,
+             'n1', 1, 5, 0, 0 FROM groups WHERE lane = 4
+      -- realm-create seed + initial-admin claim
+      UNION ALL
+      SELECT 'realm', 'realm-' || realm_n, 'realm.roles.realm_admin',
+             'role:realm_admin', 'n0', 1, 0, 0, 0
+      FROM (SELECT DISTINCT doc_id % 7 AS realm_n FROM documents)
+      UNION ALL
+      SELECT 'realm', 'realm-' || realm_n,
+             'realm.roles.realm_admin.assigned_users.user-r' || realm_n,
+             'user-r' || realm_n, 'n1', 1, 1, 0, 0
+      FROM (SELECT DISTINCT doc_id % 7 AS realm_n FROM documents)
+    ),
+    live AS (
+      SELECT a.* FROM events a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.target_kind = a.target_kind
+          AND b.target_id = a.target_id AND b.path = a.path
+          AND ((CASE a.origin_node WHEN 'n0' THEN b.obs_n0
+                                   WHEN 'n1' THEN b.obs_n1
+                                   ELSE b.obs_n2 END) >= a.origin_seq
+               OR (b.origin_node = a.origin_node
+                   AND b.origin_seq > a.origin_seq))
+      )
+    ),
+    paths AS (
+      SELECT target_kind, target_id, path,
+             CAST(COUNT(*) AS BIGINT) AS n_dots,
+             COUNT(DISTINCT COALESCE(value, '<tombstone>')) AS n_vals,
+             MAX(value) AS mval
+      FROM live GROUP BY 1, 2, 3
+    ),
+    reduced AS (
+      SELECT target_kind, target_id, path,
+             CASE WHEN n_vals = 1 THEN mval END AS value,
+             n_vals > 1 AS is_conflict,
+             n_vals = 1 AND mval IS NOT NULL AS is_live,
+             n_dots,
+             string_split(path, '.') AS parts
+      FROM paths
+    ),
+    active_roles AS (
+      SELECT target_kind, target_id, parts[3] AS role
+      FROM reduced WHERE len(parts) = 3 AND parts[2] = 'roles' AND is_live
+    ),
+    assigns AS (
+      SELECT target_kind, target_id, parts[3] AS role, value AS member
+      FROM reduced
+      WHERE len(parts) = 5 AND parts[4] = 'assigned_users' AND is_live
+    ),
+    active_assigns AS (
+      SELECT s.* FROM assigns s
+      JOIN active_roles r USING (target_kind, target_id, role)
+    ),
+    base AS (
+      SELECT target_kind, target_id,
+             MAX(CASE WHEN path = 'group.display_name' THEN value END)
+               AS display_name,
+             MAX(CASE WHEN path = 'group.owner' THEN value END) AS owner,
+             CAST(SUM(CASE WHEN is_conflict THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conflict_paths,
+             CAST(SUM(n_dots) AS BIGINT) AS n_dots_total
+      FROM reduced GROUP BY 1, 2
+    ),
+    role_counts AS (
+      SELECT target_kind, target_id, CAST(COUNT(*) AS BIGINT) AS n_roles
+      FROM active_roles GROUP BY 1, 2
+    ),
+    assign_counts AS (
+      SELECT target_kind, target_id,
+             CAST(COUNT(*) AS BIGINT) AS n_assignments,
+             BOOL_OR(role IN ('admin', 'realm_admin')) AS admin_assigned
+      FROM active_assigns GROUP BY 1, 2
+    )
+    SELECT b.target_kind, b.target_id, b.display_name, b.owner,
+           COALESCE(r.n_roles, 0) AS n_roles,
+           COALESCE(a.n_assignments, 0) AS n_assignments,
+           COALESCE(a.admin_assigned, FALSE) AS admin_assigned,
+           b.n_conflict_paths, b.n_dots_total
+    FROM base b
+    LEFT JOIN role_counts r USING (target_kind, target_id)
+    LEFT JOIN assign_counts a USING (target_kind, target_id)
+"""
+
+
+@register("crdt_admin_seed_replay", oracle=_ADMIN_SEED_ORACLE)
+def crdt_admin_seed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the create-seed + mutation event feed through the
+    admin-document path reducer and materialize one envelope per
+    group/realm document: the scalar fields (NULL when a concurrent
+    write conflicted them), the active role count, the active
+    assignment count with the admin-role membership flag (inactive
+    roles filter their assignments — reducer rs:775-801), the
+    conflict-path count, and the total merged dots (equal concurrent
+    values merge instead of conflicting — rs:1421-1422)."""
+    events = _admin_seed_events(spark, sf_dir)
+    reduced = reduce_admin_paths(events, ["target_kind", "target_id"])
+    key = ["target_kind", "target_id"]
+    # F.get (not []) — ANSI mode raises on out-of-range [] even behind
+    # a size() filter (the projection can evaluate before the filter
+    # prunes short paths); get() is the documented null-safe accessor
+    reduced = reduced.withColumn("parts", F.split("path", "\\."))
+    part = lambda i: F.get(F.col("parts"), i)  # noqa: E731
+    is_role = (F.size("parts") == 3) & (part(1) == "roles")
+    is_assign = (F.size("parts") == 5) & (part(3) == "assigned_users")
+    active_roles = reduced.filter(is_role & F.col("is_live")).select(
+        *key, part(2).alias("role")
+    )
+    assigns = reduced.filter(is_assign & F.col("is_live")).select(
+        *key, part(2).alias("role"), F.col("value").alias("member")
+    )
+    active_assigns = assigns.join(active_roles, [*key, "role"])
+    base = reduced.groupBy(*key).agg(
+        F.max(
+            F.when(F.col("path") == "group.display_name", F.col("value"))
+        ).alias("display_name"),
+        F.max(
+            F.when(F.col("path") == "group.owner", F.col("value"))
+        ).alias("owner"),
+        F.sum(F.col("is_conflict").cast("long")).alias("n_conflict_paths"),
+        F.sum("n_dots").alias("n_dots_total"),
+    )
+    role_counts = active_roles.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("n_roles")
+    )
+    assign_counts = active_assigns.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("n_assignments"),
+        F.max(F.col("role").isin("admin", "realm_admin")).alias(
+            "admin_assigned"
+        ),
+    )
+    return (
+        base.join(role_counts, key, "left")
+        .join(assign_counts, key, "left")
+        .select(
+            *key,
+            "display_name",
+            "owner",
+            F.coalesce(F.col("n_roles"), F.lit(0)).alias("n_roles"),
+            F.coalesce(F.col("n_assignments"), F.lit(0)).alias(
+                "n_assignments"
+            ),
+            F.coalesce(F.col("admin_assigned"), F.lit(False)).alias(
+                "admin_assigned"
+            ),
+            "n_conflict_paths",
+            "n_dots_total",
+        )
+    )
