@@ -135,7 +135,13 @@ def blob_holders_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish positions from the two-level partitioned rank (the hash's
     first hex char is the partition prefix of both sort keys) — no
     unpartitioned window, no driver paging loop."""
-    locs = load_locations(spark, sf_dir).withColumn(
+    return refresh_of(load_locations(spark, sf_dir))
+
+
+def refresh_of(locations: DataFrame) -> DataFrame:
+    """The refresh pipeline over any BLOB_LOCATIONS relation
+    (blob_hash, backend) — see :func:`blob_holders_refresh`."""
+    locs = locations.withColumn(
         "__bucket", F.substring("blob_hash", 1, 1)
     )
     keyed = global_scan_pos(
@@ -255,7 +261,14 @@ def blob_holders_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SELF exclusion, and the sort + dedup that yields the holder
     list (rs:253-259) — every lane counted so the lookup's shrinkage
     from raw entries to served holders is auditable."""
-    e = load_dht_entries(spark, sf_dir)
+    return holders_get_of(load_dht_entries(spark, sf_dir))
+
+
+def holders_get_of(entries: DataFrame) -> DataFrame:
+    """The lookup classification over any DHT-entry relation
+    (blob_hash, node_id, realm_id, expires_at) — see
+    :func:`blob_holders_get`."""
+    e = entries
     lane = (
         F.when(F.col("realm_id") != REALM, "wrong_realm")
         .when(F.col("expires_at") <= DHT_NOW_MS, "expired")
@@ -284,3 +297,68 @@ def blob_holders_get(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(F.collect_list(live_node))), ","
         ).alias("holders"),
     )
+
+
+# -------------------------------------------- decade-harness fixtures
+# The registered fixtures key blobs by n_chars, whose distinct domain
+# SATURATES across decades (SCALE.md r12 caveat: the flat decade rows
+# measured per-hash cost over a bounded hash population, not the
+# corpus-linear scan). These variants key one blob per DOCUMENT, so
+# the locations keyspace and the DHT entry table grow with the corpus
+# and the decade rows measure the production shape: one scan + one
+# once-per-hash groupBy (refresh), one explode + groupBy (lookup).
+# Measured by scripts/bench_decade.py; NOT registered (the sf0.01
+# oracle keeps the n_chars fixture so driver-checked results are
+# unchanged).
+def blob_holders_refresh_decade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hash_of = F.md5(
+        F.concat(F.lit("blob:doc:"), F.col("doc_id").cast("string"))
+    )
+    primary = d.select(
+        hash_of.alias("blob_hash"),
+        F.concat(F.lit("backend-"), (F.col("doc_id") % 3).cast("string"))
+        .alias("backend"),
+    )
+    replica = d.filter(F.col("doc_id") % 7 == 1).select(
+        hash_of.alias("blob_hash"),
+        F.concat(
+            F.lit("backend-"), ((F.col("doc_id") + 1) % 3).cast("string")
+        ).alias("backend"),
+    )
+    cold = d.filter(F.col("doc_id") % 11 == 5).select(
+        hash_of.alias("blob_hash"), F.lit("cold").alias("backend")
+    )
+    return refresh_of(
+        primary.unionByName(replica).unionByName(cold).distinct()
+    )
+
+
+def blob_holders_get_decade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    seeds = d.select(
+        F.col("doc_id").alias("h"),
+        F.md5(
+            F.concat(F.lit("blob:doc:"), F.col("doc_id").cast("string"))
+        ).alias("blob_hash"),
+    )
+    h, j = F.col("h"), F.col("j")
+    entries = seeds.select(
+        "blob_hash",
+        "h",
+        F.explode(F.sequence(F.lit(0), h % 4)).alias("j"),
+    ).select(
+        "blob_hash",
+        F.concat(
+            F.lit("node"), ((h + (j % 3) * 2) % 8).cast("string")
+        ).alias("node_id"),
+        F.when((h + j) % 5 == 3, "realm-1").otherwise(REALM).alias(
+            "realm_id"
+        ),
+        (F.lit(90_000) + ((h + j) % 7) * 5_000)
+        .cast("long")
+        .alias("expires_at"),
+    )
+    return holders_get_of(entries)

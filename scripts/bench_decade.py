@@ -53,14 +53,22 @@ DECADE_QUERIES = [
     "corpus_pack_plan",
     "decontam_ngram_overlap",  # documented corpus-linear baseline
     "textstats_char_lm_quality",  # r11: CCNet-style quality proxy
-    # r12: the blob-plane sweeps are corpus-shaped (one location per
-    # stored blob) — the once-per-hash refresh and the lookup
-    # classification both ride the documents table
-    "blob_holders_refresh",
-    "blob_holders_get",
+    # r13 (VERDICT r12 Next #3): the registered blob-holder fixtures
+    # key hashes by n_chars, whose distinct domain saturates across
+    # decades — these corpus-proportional variants (one blob per
+    # document, queries/blob_holders.py decade fixtures) measure the
+    # actual corpus-linear scan + once-per-hash groupBy. The r12 rows
+    # under the registered names remain in BENCH_DECADE.json as the
+    # per-hash-cost (saturating) history.
+    "blob_holders_refresh_decade",
+    "blob_holders_get_decade",
     # r12: two corpus-linear document sweeps (bounded broadcast models)
     "dsir_importance_select",
     "textstats_c4_rules",
+    # r13: the admin-document create-seed replay is event-log-sized
+    # (≈8 events per document) — the antichain reduction's domination
+    # join + per-path groupBy both ride the (target, path) key
+    "crdt_admin_seed_replay",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
@@ -69,9 +77,12 @@ OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
 def _resolve(name: str):
     if name in REGISTRY:
         return REGISTRY[name][0]
-    from aruna_spark.queries import similarity
+    from aruna_spark.queries import blob_holders, similarity
 
-    return getattr(similarity, name)
+    for mod in (similarity, blob_holders):
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise KeyError(name)
 
 
 def main() -> None:
