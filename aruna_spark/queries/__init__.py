@@ -39,7 +39,8 @@ def register(name: str, oracle: str | None = None):
 # 11 dedup/similarity rows last driver-checked r7, and 30 of the 32
 # rows last checked r8 (jobs plane, placement, staging sweeps,
 # principals/subject resolution, matq, routing, reclaim). The 50-slot
-# cut defers stream_watch_no_retroactive and corpus_retention_funnel —
+# cut defers stream_watch_no_retroactive, corpus_retention_funnel and
+# storage_routing_resolve —
 # they LEAD r14's window (VERDICT r12 Next #7) together with the
 # r9-stale blocks: the SPARQL suite, the search/BM25 + search_groups
 # family, registry listings/projections/lifecycle, corpus_mix, the
@@ -50,6 +51,7 @@ PRIORITY_PREFIXES = (
     # --- r13-new (first driver checks take precedence, r9 convention)
     "registry_create_group_gate",
     "crdt_admin_seed_replay",
+    "registry_create_doc_placement",
     # --- late-r12, never driver-checked (VERDICT r12 Next #1)
     "search_users_page",
     "dsir_importance_select",
@@ -101,7 +103,9 @@ PRIORITY_PREFIXES = (
     "staging_snapshot_materialize",
     "staging_sync_drift",
     "staging_list_connectors",
-    "storage_routing_resolve",
+    # (storage_routing_resolve was cut when registry_create_doc_placement
+    # joined the r13-new leads — it joins the deferred pair at the head
+    # of the r14 queue.)
 )
 
 
@@ -144,6 +148,7 @@ def load_all() -> None:
         create_group,
         decontam,
         doc_lifecycle,
+        doc_placement,
         doc_update,
         drs,
         egress,

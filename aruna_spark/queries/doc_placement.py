@@ -1,0 +1,482 @@
+"""Metadata-create placement resolution: the id-mint and supplied-id
+validation ladders of ``operations/src/create_metadata_document.rs``.
+
+Reference surface (the last uncovered query-shaped kernel of the
+create path — the transaction/fence/retry state machine around it is
+orchestration):
+
+- ``create_handle`` (rs:686-712): the pre-provisioned binding handle
+  for ``(scope, Metadata, strategy)`` — GROUP scope preferred, realm
+  scope as fallback, ``PlacementBindingUnavailable`` when neither is
+  provisioned. ``handle_for`` (core binding_directory.rs:151-165)
+  returns the numerically LOWEST handle bound to the tuple, and a
+  CONFLICTED handle "is a valid alias for nothing" (rs:106) — it never
+  satisfies the lookup, so a group whose only binding handle is
+  conflicted falls through to the realm rung.
+- ``choose_origin_bucket`` (placement/mod.rs:404-424): a local create
+  stamps the best-ranked bucket the RECEIVING NODE already holds
+  (weighted rendezvous of the held buckets on the document subject,
+  weight 1 each), so the origin can always publish onto the bucket's
+  topic; ``None`` → ``OriginHoldsNoBucket`` (the caller forwards to a
+  holder). ``held_buckets`` is empty for a node unknown to the config
+  (rs:384-385).
+- forwarded creates (``mint_forward_document``, rs:623-630 +
+  resolve_create_placement rs:671-676): the bucket is the BLIND hash
+  ``shard_for_subject(subject, shard_count)`` — every holder the
+  forwarder may try stamps the same bucket.
+- ``resolve_metadata_id`` (rs:507-542) for caller-supplied ids, rung
+  order exactly: handle resolve (Unknown / Conflicted fail closed,
+  binding_directory.rs:140-147) → strategy lookup (UnknownStrategy) →
+  ``validate_bucket`` against the strategy's bucket count
+  (BucketOutOfRange) → document class must be Metadata → placement
+  scope must match the create target (Realm(id) == realm;
+  Group(id) == group).
+- subject = realm ‖ group ‖ normalized path (``meta_bucket_subject``,
+  resolver.rs:244-251; this repo's string-subject convention joins
+  with '|'), path normalization = trim + trim_matches('/')
+  (metadata_registry.rs:35-37).
+
+The governing-STRATEGY resolution rung (``strategy_for_target``) is
+the ``placement_strategy_binding`` query's plane (queries/bindings.py)
+and is not re-modeled here — the fixture assigns each request its
+resolved strategy directly.
+
+Spark shape: the binding directory is a config-sized literal that
+broadcasts; the handle rungs are two broadcast left joins; the local
+bucket pick joins requests against the (node-held buckets) relation on
+the strategy key and takes a per-request min of the rendezvous score
+struct — candidates per request are bounded by one node's held-bucket
+count (≈ shard_count · replicas / nodes), never the shard space, and
+nothing here scans per request.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aruna_spark.catalog import load_table
+from aruna_spark.ops.placement import (
+    ROLE_SHARD,
+    duck_neg_log2_cte,
+    duck_selector_hash,
+    duck_shard_sql,
+    neg_log2_q24,
+    selector_hash,
+    shard_for_subject,
+)
+from aruna_spark.queries import register
+from aruna_spark.queries.node_info import (
+    HELD_CTE_SQL,
+    SHARD_COUNT,
+    held_buckets,
+)
+
+REALM = "realm-0"
+SELF_NODE = "node-05"  # the create-receiving node (placement.py ids)
+UNKNOWN_NODE = "node-99"  # not in the cluster view: holds nothing
+SPARSE_NODE = "node-22"  # holds strat-a buckets but none of strat-b
+
+#: The binding directory: (handle, scope_kind, scope_value, class,
+#: strategy, state). Handle 2 duplicates handle 1's tuple (lowest
+#: wins); handle 6 is CONFLICTED (aliases nothing — grp-5's group rung
+#: falls through to realm); handle 7 names a blob tuple; handle 8 a
+#: strategy the config no longer carries.
+DIRECTORY = [
+    (1, "group", "grp-3", "metadata", "strat-a", "bound"),
+    (2, "group", "grp-3", "metadata", "strat-a", "bound"),
+    (5, "group", "grp-7", "metadata", "strat-b", "bound"),
+    (3, "realm", REALM, "metadata", "strat-a", "bound"),
+    (4, "realm", REALM, "metadata", "strat-b", "bound"),
+    (6, "group", "grp-5", "metadata", "strat-a", "conflicted"),
+    (7, "realm", REALM, "blob", "strat-a", "bound"),
+    (8, "realm", REALM, "metadata", "strat-ghost", "bound"),
+]
+#: Strategies the realm config actually carries (bucket_count_of —
+#: strat-ghost resolves a tuple but then fails UnknownStrategy).
+KNOWN_STRATEGIES = ("strat-a", "strat-b")
+
+_DIR_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({h}, '{sk}', '{sv}', '{cl}', '{st}', '{state}')"
+        for h, sk, sv, cl, st, state in DIRECTORY
+    )
+    + ") d(handle, scope_kind, scope_value, doc_class, strategy, state)"
+)
+
+
+def load_directory(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        DIRECTORY,
+        "handle int, scope_kind string, scope_value string, doc_class string,"
+        " strategy string, state string",
+    )
+
+
+def load_create_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A create batch over orders (k % 9 == 4): mode lane local /
+    forward / supplied from t % 3 (t = the filtered row index), the
+    governing strategy by parity with a bindingless strat-c lane
+    (k % 17 == 2), an unknown-origin lane (k % 23 == 7) plus a
+    sparse-origin lane (k % 23 == 15 — a node holding buckets of one
+    strategy only, so its strat-b locals hit OriginHoldsNoBucket while
+    its strat-a locals mint), a
+    needs-normalization path lane (k % 13 == 1), and seven supplied-id
+    sub-lanes from (t // 3) % 7 covering every resolve_metadata_id
+    rung (sub 0 alternates group-scope and realm-scope matches)."""
+    k = F.col("o_orderkey")
+    t = F.floor((k - 4) / 9)
+    mode = (
+        F.when(t % 3 == 0, "local")
+        .when(t % 3 == 1, "forward")
+        .otherwise("supplied")
+    )
+    sub = F.floor(t / 3) % 7
+    # k % 7, NOT parity: the group digit (k % 10) fixes parity under
+    # the k % 9 == 4 filter, so a parity-based strategy would never
+    # pair grp-3 with strat-a (CRT) — 7/9/10/17 are pairwise coprime
+    strat = F.when(k % 17 == 2, "strat-c").otherwise(
+        F.when(k % 7 <= 2, "strat-a").otherwise("strat-b")
+    )
+    group = F.when(
+        mode == "supplied",
+        F.when(sub.isin(0, 3), "grp-3")
+        .when(sub == 6, "grp-9")
+        .otherwise(F.concat(F.lit("grp-"), (k % 10).cast("string"))),
+    ).otherwise(F.concat(F.lit("grp-"), (k % 10).cast("string")))
+    raw_path = F.when(
+        k % 13 == 1,
+        F.concat(
+            F.lit("/projects/p"),
+            (k % 5).cast("string"),
+            F.lit("/run-"),
+            k.cast("string"),
+            F.lit("/"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("projects/p"),
+            (k % 5).cast("string"),
+            F.lit("/run-"),
+            k.cast("string"),
+        )
+    )
+    norm = F.regexp_replace(F.trim(raw_path), "^/+|/+$", "")
+    sup_handle = (
+        F.when(sub == 0, F.when(k % 2 == 0, 1).otherwise(3))
+        .when(sub == 1, 99)
+        .when(sub == 2, 6)
+        .when(sub == 3, 1)
+        .when(sub == 4, 7)
+        .when(sub == 5, 8)
+        .otherwise(1)
+    )
+    sup_bucket = F.when(sub == 3, 64 + (k % 10)).otherwise(k % 64)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k % 9 == 4)
+        .select(
+            k.alias("request_id"),
+            mode.alias("mode"),
+            strat.alias("req_strategy"),
+            group.alias("group_id"),
+            F.when(k % 23 == 7, UNKNOWN_NODE)
+            .when(k % 23 == 15, SPARSE_NODE)
+            .otherwise(SELF_NODE)
+            .alias("origin"),
+            F.concat(
+                F.lit(REALM + "|"), group, F.lit("|"), norm
+            ).alias("subject"),
+            F.when(mode == "supplied", sup_handle)
+            .cast("int")
+            .alias("sup_handle"),
+            F.when(mode == "supplied", sup_bucket)
+            .cast("int")
+            .alias("sup_bucket"),
+        )
+    )
+
+
+def classify_creates(
+    requests: DataFrame, directory: DataFrame, held: DataFrame
+) -> DataFrame:
+    """Run a create batch through the mint/resolve ladders — see the
+    module doc for the rung order each mode follows."""
+    bound = directory.filter(F.col("state") == "bound")
+    tuple_min = bound.groupBy(
+        "scope_kind", "scope_value", "doc_class", "strategy"
+    ).agg(F.min("handle").alias("rung_handle"))
+    g = tuple_min.filter(
+        (F.col("scope_kind") == "group") & (F.col("doc_class") == "metadata")
+    ).select(
+        F.col("scope_value").alias("group_id"),
+        F.col("strategy").alias("req_strategy"),
+        F.col("rung_handle").alias("g_handle"),
+    )
+    r = tuple_min.filter(
+        (F.col("scope_kind") == "realm")
+        & (F.col("scope_value") == REALM)
+        & (F.col("doc_class") == "metadata")
+    ).select(
+        F.col("strategy").alias("req_strategy"),
+        F.col("rung_handle").alias("r_handle"),
+    )
+    minted = (
+        requests.filter(F.col("mode") != "supplied")
+        .join(F.broadcast(g), ["group_id", "req_strategy"], "left")
+        .join(F.broadcast(r), ["req_strategy"], "left")
+        .withColumn("handle", F.coalesce("g_handle", "r_handle"))
+        .withColumn(
+            "handle_scope",
+            F.when(F.col("g_handle").isNotNull(), "group").when(
+                F.col("r_handle").isNotNull(), "realm"
+            ),
+        )
+    )
+    # local bucket pick: rendezvous among the origin's held buckets
+    cand_id = F.lpad(F.col("shard").cast("string"), 2, "0")
+    scored_held = held.select(
+        "strategy",
+        F.col("node_id"),
+        F.col("shard"),
+        cand_id.alias("cand_id"),
+    )
+    local = minted.filter(
+        (F.col("mode") == "local") & F.col("handle").isNotNull()
+    )
+    cands = local.join(
+        scored_held,
+        (scored_held["strategy"] == local["req_strategy"])
+        & (scored_held["node_id"] == local["origin"]),
+    ).withColumn(
+        "l_score",
+        neg_log2_q24(
+            selector_hash(ROLE_SHARD, F.col("subject"), F.col("cand_id"))
+        ),
+    )
+    chosen = cands.groupBy("request_id").agg(
+        F.min(F.struct("l_score", "cand_id", "shard")).alias("__best")
+    ).select("request_id", F.col("__best.shard").alias("picked_shard"))
+    minted = minted.join(F.broadcast(chosen), "request_id", "left")
+    minted_out = minted.select(
+        "request_id",
+        "mode",
+        F.when(F.col("handle").isNull(), "no_binding")
+        .when(
+            (F.col("mode") == "local") & F.col("picked_shard").isNull(),
+            "origin_holds_no_bucket",
+        )
+        .otherwise("ok")
+        .alias("verdict"),
+        F.col("handle").cast("int").alias("handle"),
+        F.when(F.col("handle").isNotNull(), F.col("handle_scope")).alias(
+            "handle_scope"
+        ),
+        F.col("req_strategy").alias("strategy"),
+        F.when(
+            F.col("mode") == "local", F.col("picked_shard")
+        )
+        .otherwise(shard_for_subject(F.col("subject"), SHARD_COUNT))
+        .alias("raw_shard"),
+    ).withColumn(
+        "shard",
+        F.when(F.col("verdict") == "ok", F.col("raw_shard")).cast("int"),
+    ).drop("raw_shard")
+
+    # supplied-id validation (resolve_metadata_id rung order)
+    resolve = directory.groupBy("handle").agg(
+        F.max(F.col("state") == "conflicted").alias("is_conflicted"),
+        F.max("scope_kind").alias("t_scope_kind"),
+        F.max("scope_value").alias("t_scope_value"),
+        F.max("doc_class").alias("t_class"),
+        F.max("strategy").alias("t_strategy"),
+    )
+    s = (
+        requests.filter(F.col("mode") == "supplied")
+        .join(
+            F.broadcast(resolve),
+            requests["sup_handle"] == resolve["handle"],
+            "left",
+        )
+        .drop("handle")
+    )
+    resolved_bound = F.col("t_scope_kind").isNotNull() & ~F.col(
+        "is_conflicted"
+    )
+    scope_ok = F.when(
+        F.col("t_scope_kind") == "realm", F.col("t_scope_value") == REALM
+    ).otherwise(F.col("t_scope_value") == F.col("group_id"))
+    verdict = (
+        F.when(F.col("t_scope_kind").isNull(), "unknown_handle")
+        .when(F.col("is_conflicted"), "conflicted_handle")
+        .when(
+            ~F.col("t_strategy").isin(*KNOWN_STRATEGIES), "unknown_strategy"
+        )
+        .when(F.col("sup_bucket") >= SHARD_COUNT, "bucket_out_of_range")
+        .when(F.col("t_class") != "metadata", "wrong_class")
+        .when(~scope_ok, "scope_mismatch")
+        .otherwise("ok")
+    )
+    supplied_out = s.select(
+        "request_id",
+        "mode",
+        verdict.alias("verdict"),
+        F.col("sup_handle").alias("handle"),
+        F.when(resolved_bound, F.col("t_scope_kind")).alias("handle_scope"),
+        F.when(resolved_bound, F.col("t_strategy")).alias("strategy"),
+        F.when(verdict == "ok", F.col("sup_bucket"))
+        .cast("int")
+        .alias("shard"),
+    )
+    return minted_out.unionByName(supplied_out)
+
+
+@register(
+    "registry_create_doc_placement",
+    oracle=f"""
+    WITH RECURSIVE {HELD_CTE_SQL},
+    dir AS ({_DIR_SQL}),
+    reqs0 AS (
+      SELECT o_orderkey AS request_id,
+             (o_orderkey - 4) // 9 AS t,
+             o_orderkey % 2 AS par,
+             o_orderkey AS k
+      FROM orders WHERE o_orderkey % 9 = 4
+    ),
+    reqs AS (
+      SELECT request_id, k,
+        CASE t % 3 WHEN 0 THEN 'local' WHEN 1 THEN 'forward'
+                   ELSE 'supplied' END AS mode,
+        (t // 3) % 7 AS sub,
+        CASE WHEN k % 17 = 2 THEN 'strat-c'
+             WHEN k % 7 <= 2 THEN 'strat-a' ELSE 'strat-b' END
+          AS req_strategy,
+        CASE WHEN t % 3 = 2 AND (t // 3) % 7 IN (0, 3) THEN 'grp-3'
+             WHEN t % 3 = 2 AND (t // 3) % 7 = 6 THEN 'grp-9'
+             ELSE 'grp-' || (k % 10) END AS group_id,
+        CASE WHEN k % 23 = 7 THEN '{UNKNOWN_NODE}'
+             WHEN k % 23 = 15 THEN '{SPARSE_NODE}'
+             ELSE '{SELF_NODE}' END AS origin,
+        CASE WHEN t % 3 = 2 THEN
+          CASE (t // 3) % 7
+            WHEN 0 THEN CASE WHEN par = 0 THEN 1 ELSE 3 END
+            WHEN 1 THEN 99 WHEN 2 THEN 6 WHEN 3 THEN 1
+            WHEN 4 THEN 7 WHEN 5 THEN 8 ELSE 1 END
+        END AS sup_handle,
+        CASE WHEN t % 3 = 2 THEN
+          CASE WHEN (t // 3) % 7 = 3 THEN 64 + (k % 10) ELSE k % 64 END
+        END AS sup_bucket,
+        '{REALM}|'
+          || (CASE WHEN t % 3 = 2 AND (t // 3) % 7 IN (0, 3) THEN 'grp-3'
+                   WHEN t % 3 = 2 AND (t // 3) % 7 = 6 THEN 'grp-9'
+                   ELSE 'grp-' || (k % 10) END)
+          || '|'
+          || trim(trim(CASE WHEN k % 13 = 1
+               THEN '/projects/p' || (k % 5) || '/run-' || k || '/'
+               ELSE 'projects/p' || (k % 5) || '/run-' || k END), '/')
+          AS subject
+      FROM reqs0
+    ),
+    rungs AS (
+      SELECT r.*,
+        (SELECT MIN(handle) FROM dir
+          WHERE state = 'bound' AND scope_kind = 'group'
+            AND scope_value = r.group_id AND doc_class = 'metadata'
+            AND strategy = r.req_strategy) AS g_handle,
+        (SELECT MIN(handle) FROM dir
+          WHERE state = 'bound' AND scope_kind = 'realm'
+            AND scope_value = '{REALM}' AND doc_class = 'metadata'
+            AND strategy = r.req_strategy) AS r_handle
+      FROM reqs r WHERE mode <> 'supplied'
+    ),
+    cands AS (
+      SELECT g.request_id, g.subject, h.shard,
+             lpad(CAST(h.shard AS VARCHAR), 2, '0') AS cand_id
+      FROM rungs g JOIN held h
+        ON h.strategy = g.req_strategy AND h.node_id = g.origin
+      WHERE g.mode = 'local'
+        AND COALESCE(g.g_handle, g.r_handle) IS NOT NULL
+    ),
+    {duck_neg_log2_cte(
+        "cands",
+        duck_selector_hash(ROLE_SHARD, "subject", "cand_id"),
+        "request_id, shard, cand_id",
+        "sh",
+    )},
+    picked AS (
+      SELECT s.request_id, s.shard
+      FROM sh_scored s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sh_scored o
+        WHERE o.request_id = s.request_id AND o.shard <> s.shard
+          AND (o.l_score < s.l_score
+               OR (o.l_score = s.l_score AND o.cand_id < s.cand_id))
+      )
+    ),
+    minted AS (
+      SELECT g.request_id, g.mode,
+        CASE WHEN COALESCE(g.g_handle, g.r_handle) IS NULL
+               THEN 'no_binding'
+             WHEN g.mode = 'local' AND p.shard IS NULL
+               THEN 'origin_holds_no_bucket'
+             ELSE 'ok' END AS verdict,
+        CAST(COALESCE(g.g_handle, g.r_handle) AS INT) AS handle,
+        CASE WHEN g.g_handle IS NOT NULL THEN 'group'
+             WHEN g.r_handle IS NOT NULL THEN 'realm' END AS handle_scope,
+        g.req_strategy AS strategy,
+        CASE WHEN g.mode = 'local' THEN p.shard
+             ELSE {duck_shard_sql("g.subject", SHARD_COUNT)} END AS raw_shard
+      FROM rungs g LEFT JOIN picked p USING (request_id)
+    ),
+    supplied AS (
+      SELECT r.request_id, r.mode,
+        CASE WHEN d.handle IS NULL THEN 'unknown_handle'
+             WHEN d.state = 'conflicted' THEN 'conflicted_handle'
+             WHEN d.strategy NOT IN ('strat-a', 'strat-b')
+               THEN 'unknown_strategy'
+             WHEN r.sup_bucket >= {SHARD_COUNT} THEN 'bucket_out_of_range'
+             WHEN d.doc_class <> 'metadata' THEN 'wrong_class'
+             WHEN NOT (CASE WHEN d.scope_kind = 'realm'
+                            THEN d.scope_value = '{REALM}'
+                            ELSE d.scope_value = r.group_id END)
+               THEN 'scope_mismatch'
+             ELSE 'ok' END AS verdict,
+        r.sup_handle AS handle,
+        CASE WHEN d.handle IS NOT NULL AND d.state = 'bound'
+             THEN d.scope_kind END AS handle_scope,
+        CASE WHEN d.handle IS NOT NULL AND d.state = 'bound'
+             THEN d.strategy END AS strategy,
+        r.sup_bucket AS raw_shard
+      FROM reqs r
+      LEFT JOIN (SELECT handle, MAX(scope_kind) AS scope_kind,
+                        MAX(scope_value) AS scope_value,
+                        MAX(doc_class) AS doc_class, MAX(strategy) AS strategy,
+                        MAX(state) AS state
+                 FROM dir GROUP BY handle) d
+        ON d.handle = r.sup_handle
+      WHERE r.mode = 'supplied'
+    ),
+    unioned AS (
+      SELECT * FROM minted UNION ALL SELECT * FROM supplied
+    )
+    SELECT request_id, mode, verdict, handle, handle_scope, strategy,
+           CAST(CASE WHEN verdict = 'ok' THEN raw_shard END AS INT)
+             AS shard
+    FROM unioned
+    """,
+)
+def registry_create_doc_placement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fixture batch through :func:`classify_creates` — every rung
+    of both ladders populated: group-preferred/realm-fallback handle
+    lookup (with the conflicted-handle fall-through), the
+    held-bucket rendezvous pick vs the forwarded blind hash, the
+    unknown-origin OriginHoldsNoBucket lane, and all seven supplied-id
+    resolve_metadata_id outcomes in the reference's rung order."""
+    return classify_creates(
+        load_create_requests(spark, sf_dir),
+        load_directory(spark),
+        held_buckets(spark, sf_dir),
+    )

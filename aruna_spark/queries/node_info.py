@@ -134,10 +134,11 @@ _DOCS_SQL = f"""
 """
 
 
-@register(
-    "node_info_heartbeat",
-    oracle=f"""
-    WITH RECURSIVE nodes AS ({_NODES_SQL}),
+# The full held-bucket derivation as a reusable WITH RECURSIVE body
+# (nodes -> rendezvous node/location ranking -> held (strategy, shard,
+# node_id)). Shared with queries/doc_placement.py, whose oracle ranks a
+# create's held buckets through the same plane.
+HELD_CTE_SQL = f"""nodes AS ({_NODES_SQL}),
     locs AS (
       SELECT location,
              CAST(SUM(CASE WHEN passes_filters THEN eff_weight
@@ -197,7 +198,13 @@ _DOCS_SQL = f"""
       SELECT s.strategy, s.shard, r.node_id
       FROM ranked r JOIN subjects s USING (subject)
       WHERE r.rnk <= {REPLICA_COUNT}
-    ),
+    )"""
+
+
+@register(
+    "node_info_heartbeat",
+    oracle=f"""
+    WITH RECURSIVE {HELD_CTE_SQL},
     docs AS ({_DOCS_SQL}),
     nil_total AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs WHERE is_nil

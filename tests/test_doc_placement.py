@@ -1,0 +1,154 @@
+"""Metadata-create placement resolution
+(create_metadata_document.rs:507-542,648-712 +
+placement/mod.rs:404-424; queries/doc_placement.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aruna_spark.queries import REGISTRY, load_all
+from aruna_spark.queries.doc_placement import (
+    REALM,
+    SELF_NODE,
+    SPARSE_NODE,
+    classify_creates,
+    load_create_requests,
+    load_directory,
+)
+from aruna_spark.queries.node_info import held_buckets
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def rows(spark, sf_dir):
+    fn, _ = REGISTRY["registry_create_doc_placement"]
+    return fn(spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def held(spark, sf_dir):
+    return {
+        (r.strategy, r.node_id, r.shard)
+        for r in held_buckets(spark, sf_dir).collect()
+    }
+
+
+def test_lowest_bound_handle_wins(rows):
+    """binding_directory.rs:151-165 — grp-3 strat-a has handles {1,2};
+    handle_for returns 1."""
+    grp3 = [
+        r for r in rows
+        if r.mode != "supplied" and r.handle_scope == "group"
+        and r.strategy == "strat-a"
+    ]
+    assert grp3 and all(r.handle == 1 for r in grp3)
+
+
+def test_conflicted_handle_falls_through_to_realm(spark, sf_dir):
+    """rs:106 — a conflicted handle aliases nothing: grp-5's only
+    group binding (handle 6) never satisfies the group rung, so its
+    strat-a creates take the realm handle 3."""
+    reqs = load_create_requests(spark, sf_dir).filter(
+        (F.col("mode") != "supplied")
+        & (F.col("group_id") == "grp-5")
+        & (F.col("req_strategy") == "strat-a")
+    )
+    out = classify_creates(
+        reqs, load_directory(spark), held_buckets(spark, sf_dir)
+    ).collect()
+    assert out
+    assert all(
+        r.handle == 3 and r.handle_scope == "realm" for r in out
+    )
+
+
+def test_sparse_origin_splits_by_strategy(rows):
+    """placement/mod.rs:384-401 — node-22 holds strat-a buckets but no
+    strat-b bucket: its strat-a locals mint, its strat-b locals hit
+    OriginHoldsNoBucket."""
+    sparse = [
+        r for r in rows
+        if r.mode == "local" and r.request_id % 23 == 15
+        and r.verdict != "no_binding"
+    ]
+    assert sparse
+    for r in sparse:
+        if r.strategy == "strat-a":
+            assert r.verdict == "ok"
+        else:
+            assert r.verdict == "origin_holds_no_bucket"
+
+
+def test_local_pick_is_a_held_bucket(rows, held):
+    """rs:404-409 — the origin always holds the bucket it stamps."""
+    locals_ok = [r for r in rows if r.mode == "local" and r.verdict == "ok"]
+    assert locals_ok
+    for r in locals_ok:
+        origin = SPARSE_NODE if r.request_id % 23 == 15 else SELF_NODE
+        assert (r.strategy, origin, r.shard) in held
+    # rendezvous on the subject spreads one node's documents across its
+    # held buckets (rs:406-407) — not everything lands in one shard
+    a_shards = {
+        r.shard for r in locals_ok
+        if r.strategy == "strat-a" and r.request_id % 23 != 15
+    }
+    assert len(a_shards) > 1
+
+
+def test_unknown_origin_never_mints(rows):
+    unknown = [
+        r for r in rows
+        if r.mode == "local" and r.request_id % 23 == 7
+        and r.verdict != "no_binding"
+    ]
+    assert unknown
+    assert all(r.verdict == "origin_holds_no_bucket" for r in unknown)
+
+
+def test_supplied_rung_order(spark, sf_dir):
+    """resolve_metadata_id rs:507-542: strategy lookup precedes bucket
+    validation (handle 8 with an out-of-range bucket is
+    unknown_strategy, not bucket_out_of_range); class check precedes
+    scope (handle 7 from a mismatched group is wrong_class)."""
+    reqs = spark.createDataFrame(
+        [
+            (1, "supplied", "strat-a", "grp-0", SELF_NODE, "s", 8, 999),
+            (2, "supplied", "strat-a", "grp-0", SELF_NODE, "s", 7, 5),
+            (3, "supplied", "strat-a", "grp-3", SELF_NODE, "s", 2, 5),
+        ],
+        "request_id long, mode string, req_strategy string,"
+        " group_id string, origin string, subject string,"
+        " sup_handle int, sup_bucket int",
+    )
+    out = {
+        r.request_id: r
+        for r in classify_creates(
+            reqs, load_directory(spark), held_buckets(spark, sf_dir)
+        ).collect()
+    }
+    assert out[1].verdict == "unknown_strategy"
+    assert out[2].verdict == "wrong_class"
+    # handle 2 is the HIGHER duplicate of grp-3's tuple — still a valid
+    # bound handle for resolution even though handle_for never mints it
+    assert out[3].verdict == "ok" and out[3].strategy == "strat-a"
+
+
+def test_forward_is_blind_and_deterministic(rows):
+    """rs:164-171 — every holder a forwarder tries stamps the SAME
+    bucket: the blind hash depends only on the subject."""
+    fwd = [r for r in rows if r.mode == "forward" and r.verdict == "ok"]
+    assert fwd
+    assert all(r.shard is not None and 0 <= r.shard < 64 for r in fwd)
+
+
+def test_realm_scope_matches_any_group(rows):
+    """Realm-scoped supplied ids (sub 0, odd keys -> handle 3) resolve
+    ok for the fixture realm regardless of group."""
+    realm_ok = [
+        r for r in rows
+        if r.mode == "supplied" and r.verdict == "ok" and r.handle == 3
+    ]
+    assert realm_ok
+    assert all(r.handle_scope == "realm" for r in realm_ok)

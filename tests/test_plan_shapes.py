@@ -93,6 +93,7 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "onboarding_inspect_validate",
         "registry_create_group_gate",
         "crdt_admin_seed_replay",
+        "registry_create_doc_placement",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
