@@ -52,6 +52,8 @@ PRIORITY_PREFIXES = (
     "registry_create_group_gate",
     "crdt_admin_seed_replay",
     "registry_create_doc_placement",
+    "usage_quota_status_resolved",
+    "realm_user_group_caps",
     # --- late-r12, never driver-checked (VERDICT r12 Next #1)
     "search_users_page",
     "dsir_importance_select",
@@ -101,11 +103,10 @@ PRIORITY_PREFIXES = (
     "registry_resolve_users",
     "staging_refresh_sweep",
     "staging_snapshot_materialize",
-    "staging_sync_drift",
-    "staging_list_connectors",
-    # (storage_routing_resolve was cut when registry_create_doc_placement
-    # joined the r13-new leads — it joins the deferred pair at the head
-    # of the r14 queue.)
+    # (storage_routing_resolve, staging_sync_drift and
+    # staging_list_connectors were cut as the r13-new lead count grew
+    # to five — they join the deferred pair at the head of the r14
+    # queue.)
 )
 
 
@@ -172,6 +173,7 @@ def load_all() -> None:
         placement,
         principals,
         queue_lag,
+        quota,
         realm_info,
         reclaim,
         references,
