@@ -306,8 +306,40 @@ def _admin_seed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      claimer),
             claimer, "n1", 1, obs(n0=1)),
     ]
+
+    # user-target seeds (register_or_get_oidc_user.rs:447-464:
+    # UserNameSet then UserSubjectIdAdded under one origin); mutation
+    # lanes: u % 3 == 1 renames (LWW supersede), u % 3 == 2 removes
+    # the seeded subject (tombstone)
+    users = docs.select(
+        (F.col("doc_id") % 11).cast("string").alias("u")
+    ).distinct()
+    subject_path = F.concat(F.lit("user.subject_ids.oidc|sub-"), F.col("u"))
+    ulane = F.col("u").cast("int") % 3
+
+    def uev(df, path, value, node, seq, observed):
+        return df.select(
+            F.lit("user").alias("target_kind"),
+            F.concat(F.lit("user-u"), F.col("u")).alias("target_id"),
+            path.alias("path"),
+            value.cast("string").alias("value"),
+            F.lit(node).alias("origin_node"),
+            F.lit(seq).cast("long").alias("origin_seq"),
+            observed.alias("observed"),
+        )
+
+    user_events = [
+        uev(users, F.lit("user.name"),
+            F.concat(F.lit("Name "), F.col("u")), "n0", 1, obs()),
+        uev(users, subject_path,
+            F.concat(F.lit("oidc|sub-"), F.col("u")), "n0", 2, obs(n0=1)),
+        uev(users.filter(ulane == 1), F.lit("user.name"),
+            F.concat(F.lit("Renamed "), F.col("u")), "n1", 1, obs(n0=2)),
+        uev(users.filter(ulane == 2), subject_path, F.lit(None),
+            "n1", 1, obs(n0=2)),
+    ]
     out = seed[0]
-    for part in (*seed[1:], *muts, *realm_events):
+    for part in (*seed[1:], *muts, *realm_events, *user_events):
         out = out.unionByName(part)
     return out
 
@@ -381,6 +413,25 @@ _ADMIN_SEED_ORACLE = """
              'realm.roles.realm_admin.assigned_users.user-r' || realm_n,
              'user-r' || realm_n, 'n1', 1, 1, 0, 0
       FROM (SELECT DISTINCT doc_id % 7 AS realm_n FROM documents)
+      -- user-target seeds (register_or_get_oidc_user.rs:447-464)
+      UNION ALL
+      SELECT 'user', 'user-u' || u, 'user.name', 'Name ' || u,
+             'n0', 1, 0, 0, 0
+      FROM (SELECT DISTINCT doc_id % 11 AS u FROM documents)
+      UNION ALL
+      SELECT 'user', 'user-u' || u, 'user.subject_ids.oidc|sub-' || u,
+             'oidc|sub-' || u, 'n0', 2, 1, 0, 0
+      FROM (SELECT DISTINCT doc_id % 11 AS u FROM documents)
+      UNION ALL
+      SELECT 'user', 'user-u' || u, 'user.name', 'Renamed ' || u,
+             'n1', 1, 2, 0, 0
+      FROM (SELECT DISTINCT doc_id % 11 AS u FROM documents)
+      WHERE u % 3 = 1
+      UNION ALL
+      SELECT 'user', 'user-u' || u, 'user.subject_ids.oidc|sub-' || u,
+             NULL, 'n1', 1, 2, 0, 0
+      FROM (SELECT DISTINCT doc_id % 11 AS u FROM documents)
+      WHERE u % 3 = 2
     ),
     live AS (
       SELECT a.* FROM events a
@@ -429,6 +480,10 @@ _ADMIN_SEED_ORACLE = """
              MAX(CASE WHEN path = 'group.display_name' THEN value END)
                AS display_name,
              MAX(CASE WHEN path = 'group.owner' THEN value END) AS owner,
+             MAX(CASE WHEN path = 'user.name' THEN value END) AS user_name,
+             CAST(SUM(CASE WHEN len(parts) = 3
+                            AND parts[2] = 'subject_ids' AND is_live
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_subjects,
              CAST(SUM(CASE WHEN is_conflict THEN 1 ELSE 0 END) AS BIGINT)
                AS n_conflict_paths,
              CAST(SUM(n_dots) AS BIGINT) AS n_dots_total
@@ -445,6 +500,7 @@ _ADMIN_SEED_ORACLE = """
       FROM active_assigns GROUP BY 1, 2
     )
     SELECT b.target_kind, b.target_id, b.display_name, b.owner,
+           b.user_name, b.n_subjects,
            COALESCE(r.n_roles, 0) AS n_roles,
            COALESCE(a.n_assignments, 0) AS n_assignments,
            COALESCE(a.admin_assigned, FALSE) AS admin_assigned,
@@ -489,6 +545,16 @@ def crdt_admin_seed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(F.col("path") == "group.owner", F.col("value"))
         ).alias("owner"),
+        F.max(
+            F.when(F.col("path") == "user.name", F.col("value"))
+        ).alias("user_name"),
+        F.sum(
+            (
+                (F.size("parts") == 3)
+                & (F.get(F.col("parts"), 1) == "subject_ids")
+                & F.col("is_live")
+            ).cast("long")
+        ).alias("n_subjects"),
         F.sum(F.col("is_conflict").cast("long")).alias("n_conflict_paths"),
         F.sum("n_dots").alias("n_dots_total"),
     )
@@ -508,6 +574,8 @@ def crdt_admin_seed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             *key,
             "display_name",
             "owner",
+            "user_name",
+            "n_subjects",
             F.coalesce(F.col("n_roles"), F.lit(0)).alias("n_roles"),
             F.coalesce(F.col("n_assignments"), F.lit(0)).alias(
                 "n_assignments"

@@ -304,7 +304,8 @@ def test_seed_replay_lanes(spark, sf_dir):
     }
     groups = {k: v for k, v in rows.items() if k[0] == "group"}
     realms = {k: v for k, v in rows.items() if k[0] == "realm"}
-    assert groups and len(realms) == 7
+    users = {k: v for k, v in rows.items() if k[0] == "user"}
+    assert groups and len(realms) == 7 and len(users) == 11
     for (_, tid), r in groups.items():
         doc_id = int(tid.removeprefix("grp-"))
         lane = doc_id % 5
@@ -335,5 +336,19 @@ def test_seed_replay_lanes(spark, sf_dir):
                 3, 1, True)
     for (_, tid), r in realms.items():
         assert r.display_name is None and r.owner is None
+        assert r.user_name is None and r.n_subjects == 0
         assert (r.n_roles, r.n_assignments, r.admin_assigned) == (1, 1, True)
         assert r.n_conflict_paths == 0 and r.n_dots_total == 2
+    for (_, tid), r in users.items():
+        # register_or_get_oidc_user.rs:447-464 seed + the rename /
+        # subject-removal mutation lanes
+        u = int(tid.removeprefix("user-u"))
+        assert (r.n_roles, r.n_assignments, r.admin_assigned) == (
+            0, 0, False)
+        assert r.n_conflict_paths == 0
+        if u % 3 == 1:
+            assert r.user_name == f"Renamed {u}" and r.n_subjects == 1
+        elif u % 3 == 2:
+            assert r.user_name == f"Name {u}" and r.n_subjects == 0
+        else:
+            assert r.user_name == f"Name {u}" and r.n_subjects == 1
