@@ -54,6 +54,7 @@ PRIORITY_PREFIXES = (
     "registry_create_doc_placement",
     "usage_quota_status_resolved",
     "realm_user_group_caps",
+    "user_token_canonical_check",
     # --- late-r12, never driver-checked (VERDICT r12 Next #1)
     "search_users_page",
     "dsir_importance_select",
@@ -102,11 +103,10 @@ PRIORITY_PREFIXES = (
     "registry_subject_merges",
     "registry_resolve_users",
     "staging_refresh_sweep",
-    "staging_snapshot_materialize",
-    # (storage_routing_resolve, staging_sync_drift and
-    # staging_list_connectors were cut as the r13-new lead count grew
-    # to five — they join the deferred pair at the head of the r14
-    # queue.)
+    # (storage_routing_resolve, staging_snapshot_materialize,
+    # staging_sync_drift and staging_list_connectors were cut as the
+    # r13-new lead count grew to six — they join the deferred pair at
+    # the head of the r14 queue.)
 )
 
 

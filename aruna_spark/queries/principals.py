@@ -526,3 +526,189 @@ def registry_resolve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return req.join(directory, "user_id").select(
         "user_id", "name", *SAFE_USER_ATTRIBUTE_KEYS
     )
+
+
+# --------------------------------------- canonical token-subject check
+# operations/src/ensure_canonical_user_token_subject.rs: a token naming
+# user U is only valid while U is the CANONICAL record for every
+# subject it lists. Rung order (rs:101-158): the USER read — missing
+# record (rs:108-110) or a stored record whose user_id disagrees with
+# its key (rs:115-117) → Unauthorized; an EMPTY subject list finishes
+# Ok (rs:121-123); then every subject's USER_SUBJECT_INDEX entry —
+# missing (rs:139-141) or pointing at a DIFFERENT user (rs:146-148,
+# i.e. the subject was merged into another canonical record) →
+# Forbidden. The index side is exactly the min-claimant winner the
+# subject-conflict queries derive (user_subject_index.rs:232-301), so
+# merge losers' tokens go Forbidden here — the enforcement edge of
+# registry_subject_merges.
+#
+# Fixture lanes over the shared load_subject_claims relation: merge
+# losers (non-min claimants) → forbidden; every c % 4 == 1 claimant
+# also lists an UNINDEXED extra subject → forbidden even for winners;
+# c % 4 == 2 users carry an empty subject list → ok with no index
+# reads; the stored-record user_id is corrupted on c % 4 == 3 →
+# unauthorized_mismatch BEFORE any subject read; requests also name
+# three unknown ids → unauthorized_missing.
+_TOKEN_REQS_SQL = """
+    SELECT 'user-' || c_custkey AS user_id FROM customer
+    WHERE c_custkey % 23 = 9
+    UNION ALL
+    SELECT 'user-ghost-' || r.i FROM range(3) r(i)
+"""
+
+_TOKEN_USERS_SQL = """
+    SELECT 'user-' || c_custkey AS user_id,
+           CASE WHEN c_custkey % 4 = 3
+                THEN 'user-corrupt-' || c_custkey
+                ELSE 'user-' || c_custkey END AS stored_user_id,
+           CASE WHEN c_custkey % 4 = 2 THEN []
+                WHEN c_custkey % 4 = 1
+                THEN ['sub-' || (c_custkey % 40),
+                      'sub-' || ((c_custkey * 7) % 40),
+                      'sub-x-' || c_custkey]
+                ELSE ['sub-' || (c_custkey % 40),
+                      'sub-' || ((c_custkey * 7) % 40)]
+           END AS subject_ids
+    FROM customer WHERE c_custkey % 23 = 9
+"""
+
+
+def load_token_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("c_custkey")
+    base_subs = F.array(
+        F.concat(F.lit("sub-"), (c % 40).cast("string")),
+        F.concat(F.lit("sub-"), ((c * 7) % 40).cast("string")),
+    )
+    subs = (
+        F.when(c % 4 == 2, F.array().cast("array<string>"))
+        .when(
+            c % 4 == 1,
+            F.concat(
+                base_subs,
+                F.array(F.concat(F.lit("sub-x-"), c.cast("string"))),
+            ),
+        )
+        .otherwise(base_subs)
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(c % 23 == 9)
+        .select(
+            F.concat(F.lit("user-"), c.cast("string")).alias("user_id"),
+            F.when(
+                c % 4 == 3,
+                F.concat(F.lit("user-corrupt-"), c.cast("string")),
+            )
+            .otherwise(F.concat(F.lit("user-"), c.cast("string")))
+            .alias("stored_user_id"),
+            subs.alias("subject_ids"),
+        )
+    )
+
+
+@register(
+    "user_token_canonical_check",
+    oracle=f"""
+    WITH claims AS ({_CLAIMS_SQL}),
+    idx AS (
+      SELECT subject_id, MIN(user_id) AS canonical_user
+      FROM (SELECT DISTINCT user_id, UNNEST(subject_ids) AS subject_id
+            FROM claims)
+      GROUP BY subject_id
+    ),
+    users AS ({_TOKEN_USERS_SQL}),
+    reqs AS ({_TOKEN_REQS_SQL}),
+    pairs AS (
+      SELECT u.user_id, s.subject_id, i.canonical_user
+      FROM users u, UNNEST(u.subject_ids) s(subject_id)
+      LEFT JOIN idx i USING (subject_id)
+    ),
+    checks AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             CAST(COUNT(*) FILTER (WHERE canonical_user IS NULL)
+               AS BIGINT) AS n_unindexed,
+             CAST(COUNT(*) FILTER (WHERE canonical_user IS NOT NULL
+                                     AND canonical_user <> user_id)
+               AS BIGINT) AS n_noncanonical
+      FROM pairs GROUP BY user_id
+    )
+    SELECT r.user_id,
+           CASE WHEN u.user_id IS NULL THEN 'unauthorized_missing'
+                WHEN u.stored_user_id <> r.user_id
+                  THEN 'unauthorized_mismatch'
+                WHEN COALESCE(c.n_unindexed, 0)
+                     + COALESCE(c.n_noncanonical, 0) > 0 THEN 'forbidden'
+                ELSE 'ok' END AS verdict,
+           COALESCE(c.n_subjects, 0) AS n_subjects,
+           COALESCE(c.n_unindexed, 0) AS n_unindexed,
+           COALESCE(c.n_noncanonical, 0) AS n_noncanonical
+    FROM reqs r
+    LEFT JOIN users u USING (user_id)
+    LEFT JOIN checks c ON c.user_id = r.user_id
+    """,
+)
+def user_token_canonical_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-classify token principals through the canonical-subject
+    ladder — Unauthorized rungs strictly before the per-subject
+    Forbidden rungs; empty subject lists pass without touching the
+    index; the index is the live min-claimant winner relation, so this
+    is the read-side enforcement of the subject merges."""
+    claims = load_subject_claims(spark, sf_dir)
+    idx = (
+        claims.select(
+            "user_id", F.explode("subject_ids").alias("subject_id")
+        )
+        .distinct()
+        .groupBy("subject_id")
+        .agg(F.min("user_id").alias("canonical_user"))
+    )
+    users = load_token_users(spark, sf_dir)
+    reqs = users.select("user_id").unionByName(
+        load_table(spark, sf_dir, "customer")
+        .limit(1)
+        .select(F.explode(F.array(*[
+            F.lit(f"user-ghost-{i}") for i in range(3)
+        ])).alias("user_id"))
+    )
+    pairs = users.select(
+        "user_id", F.explode("subject_ids").alias("subject_id")
+    ).join(F.broadcast(idx), "subject_id", "left")
+    checks = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum(F.col("canonical_user").isNull().cast("long")).alias(
+            "n_unindexed"
+        ),
+        F.sum(
+            (
+                F.col("canonical_user").isNotNull()
+                & (F.col("canonical_user") != F.col("user_id"))
+            ).cast("long")
+        ).alias("n_noncanonical"),
+    )
+    u = users.select(
+        "user_id", "stored_user_id", F.lit(True).alias("__exists")
+    )
+    j = (
+        reqs.join(F.broadcast(u), "user_id", "left")
+        .join(F.broadcast(checks), "user_id", "left")
+    )
+    bad = F.coalesce(F.col("n_unindexed"), F.lit(0)) + F.coalesce(
+        F.col("n_noncanonical"), F.lit(0)
+    )
+    return j.select(
+        "user_id",
+        F.when(F.col("__exists").isNull(), "unauthorized_missing")
+        .when(
+            F.col("stored_user_id") != F.col("user_id"),
+            "unauthorized_mismatch",
+        )
+        .when(bad > 0, "forbidden")
+        .otherwise("ok")
+        .alias("verdict"),
+        F.coalesce(F.col("n_subjects"), F.lit(0)).alias("n_subjects"),
+        F.coalesce(F.col("n_unindexed"), F.lit(0)).alias("n_unindexed"),
+        F.coalesce(F.col("n_noncanonical"), F.lit(0)).alias(
+            "n_noncanonical"
+        ),
+    )

@@ -176,3 +176,44 @@ def test_search_groups_two_page_walk(spark, sf_dir):
         "platform" in r.display_name.lower()
         for r in search_groups_of(groups, "PLATFORM", 5).collect()
     )
+
+
+# ---------------------------------- canonical token-subject enforcement
+def test_token_canonical_check_lanes(spark, sf_dir):
+    """ensure_canonical_user_token_subject.rs: Unauthorized rungs
+    strictly before Forbidden; empty subject lists pass without index
+    reads; merge losers' tokens go Forbidden."""
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.principals import load_subject_claims
+
+    load_all()
+    fn, _ = REGISTRY["user_token_canonical_check"]
+    rows = {r.user_id: r for r in fn(spark, sf_dir).collect()}
+    # ghosts: no user record at all
+    for i in range(3):
+        assert rows[f"user-ghost-{i}"].verdict == "unauthorized_missing"
+    claims = {
+        r.user_id: list(r.subject_ids)
+        for r in load_subject_claims(spark, sf_dir).collect()
+    }
+    # canonical winner per subject = min claimant
+    canon: dict[str, str] = {}
+    for u, subs in claims.items():
+        for s in subs:
+            canon[s] = min(canon.get(s, u), u)
+    for uid, r in rows.items():
+        if uid.startswith("user-ghost"):
+            continue
+        c = int(uid.removeprefix("user-"))
+        if c % 4 == 3:
+            # corrupted stored record wins over any subject problem
+            assert r.verdict == "unauthorized_mismatch"
+        elif c % 4 == 2:
+            assert r.verdict == "ok" and r.n_subjects == 0
+        elif c % 4 == 1:
+            # the planted unindexed extra subject forbids even winners
+            assert r.verdict == "forbidden" and r.n_unindexed >= 1
+        else:
+            loser = any(canon[s] != uid for s in claims[uid])
+            assert r.verdict == ("forbidden" if loser else "ok")
+            assert (r.n_noncanonical > 0) == loser
