@@ -513,3 +513,141 @@ def registry_listing_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
     ).orderBy("document_id")
+
+
+# ------------------------------------------------- document serve gate
+# operations/src/get_metadata_document.rs:114-192 — serving one
+# document walks three keyed reads in order:
+#   1. the registry record (missing → DocumentNotFound, rs:132);
+#   2. the graph-lifecycle record (a DELETED one → DocumentNotFound,
+#      rs:138-140 — absence defaults live);
+#   3. the materialization status. The subtle rung (rs:108-111,157-165
+#      + the reference's own ``withholds_stale_status`` test):
+#      "registry rows can replicate ahead of the document event, so
+#      only a status recorded for EXACTLY this cursor proves the graph
+#      matches the record" — the read is withheld (GraphNotFound) ONLY
+#      when a status exists for the record's last_event_id AND is not
+#      Materialized. NO status at all serves, and a status for an
+#      OLDER cursor also serves — the asymmetry this query's
+#      status_lane column makes visible.
+# Status lanes via doc_id % 5 (coprime to the % 3 tombstone selector):
+# 1 → current-cursor pending (withheld), 2 → current-cursor
+# materialized, 3 → stale-cursor pending (served), 0/4 → no status.
+@register(
+    "doc_serve_gate",
+    oracle=f"""
+    WITH {_D_DELETED.strip()},
+    records AS (
+      SELECT doc_id,
+             'https://w3id.org/aruna/' || doc_id AS graph_iri,
+             'ev-' || doc_id || '-' || (doc_id % 4) AS last_event_id
+      FROM documents
+    ),
+    statuses AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 3 THEN 'ev-' || doc_id || '-old'
+                  ELSE 'ev-' || doc_id || '-' || (doc_id % 4) END
+               AS status_event_id,
+             CASE WHEN doc_id % 5 = 2 THEN 'materialized'
+                  ELSE 'pending' END AS state
+      FROM documents WHERE doc_id % 5 IN (1, 2, 3)
+    ),
+    reqs AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT -(r.i + 1) FROM range(3) r(i)
+    )
+    SELECT q.doc_id,
+           CASE WHEN r.doc_id IS NULL THEN 'not_found_missing'
+                WHEN d.document_id IS NOT NULL THEN 'not_found_deleted'
+                WHEN s.doc_id IS NOT NULL
+                     AND s.status_event_id = r.last_event_id
+                     AND s.state <> 'materialized'
+                  THEN 'withheld_stale'
+                ELSE 'served' END AS verdict,
+           CASE WHEN r.doc_id IS NULL THEN NULL
+                WHEN s.doc_id IS NULL THEN 'none'
+                WHEN s.status_event_id <> r.last_event_id
+                  THEN 'stale_cursor'
+                WHEN s.state = 'materialized' THEN 'current_materialized'
+                ELSE 'current_pending' END AS status_lane,
+           CASE WHEN r.doc_id IS NOT NULL AND d.document_id IS NULL
+                     AND NOT (s.doc_id IS NOT NULL
+                              AND s.status_event_id = r.last_event_id
+                              AND s.state <> 'materialized')
+                THEN r.graph_iri END AS graph_iri
+    FROM reqs q
+    LEFT JOIN records r USING (doc_id)
+    LEFT JOIN deleted d ON d.document_id = q.doc_id
+    LEFT JOIN statuses s ON s.doc_id = q.doc_id
+    """,
+)
+def doc_serve_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-classify document reads through the serve gate — rung
+    order record → tombstone → cursor-exact withhold; the served rows
+    carry the graph IRI the RO-Crate export stage would read."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    records = docs.select(
+        k.alias("doc_id"),
+        _graph(k).alias("graph_iri"),
+        F.concat(
+            F.lit("ev-"), k.cast("string"), F.lit("-"),
+            (k % 4).cast("string"),
+        ).alias("last_event_id"),
+    )
+    statuses = docs.filter((k % 5).isin(1, 2, 3)).select(
+        k.alias("doc_id"),
+        F.when(
+            k % 5 == 3,
+            F.concat(F.lit("ev-"), k.cast("string"), F.lit("-old")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("ev-"), k.cast("string"), F.lit("-"),
+                (k % 4).cast("string"),
+            )
+        )
+        .alias("status_event_id"),
+        F.when(k % 5 == 2, "materialized")
+        .otherwise("pending")
+        .alias("state"),
+    )
+    ghosts = spark.range(3).select((-(F.col("id") + 1)).alias("doc_id"))
+    reqs = docs.select("doc_id").unionByName(ghosts)
+    tomb = deleted_lifecycle(spark, sf_dir).select(
+        F.col("document_id").alias("doc_id"), F.lit(True).alias("__deleted")
+    )
+    j = (
+        reqs.join(records.withColumn("__rec", F.lit(True)), "doc_id", "left")
+        .join(F.broadcast(tomb), "doc_id", "left")
+        .join(statuses.withColumn("__st", F.lit(True)), "doc_id", "left")
+    )
+    withheld = (
+        F.col("__st").isNotNull()
+        & (F.col("status_event_id") == F.col("last_event_id"))
+        & (F.col("state") != "materialized")
+    )
+    return j.select(
+        "doc_id",
+        F.when(F.col("__rec").isNull(), "not_found_missing")
+        .when(F.col("__deleted").isNotNull(), "not_found_deleted")
+        .when(withheld, "withheld_stale")
+        .otherwise("served")
+        .alias("verdict"),
+        F.when(F.col("__rec").isNull(), F.lit(None).cast("string"))
+        .when(F.col("__st").isNull(), "none")
+        .when(
+            F.col("status_event_id") != F.col("last_event_id"),
+            "stale_cursor",
+        )
+        .when(F.col("state") == "materialized", "current_materialized")
+        .otherwise("current_pending")
+        .alias("status_lane"),
+        F.when(
+            F.col("__rec").isNotNull()
+            & F.col("__deleted").isNull()
+            & ~withheld,
+            F.col("graph_iri"),
+        ).alias("graph_iri"),
+    )

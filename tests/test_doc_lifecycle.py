@@ -302,3 +302,35 @@ def test_listing_live_skips_tombstoned(spark, sf_dir):
         .count()
     )
     assert tombed > 0
+
+
+# ------------------------------------------------- document serve gate
+def test_serve_gate_cursor_exact_withhold(spark, sf_dir):
+    """get_metadata_document.rs:108-111,157-165 — only a status for
+    EXACTLY the record's cursor withholds; no status and stale-cursor
+    statuses both serve; tombstones reject before the status rung."""
+    from aruna_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["doc_serve_gate"]
+    rows = {r.doc_id: r for r in fn(spark, sf_dir).collect()}
+    for i in (-1, -2, -3):
+        assert rows[i].verdict == "not_found_missing"
+    for did, r in rows.items():
+        if did < 0:
+            continue
+        if did % 3 == 1:
+            assert r.verdict == "not_found_deleted"
+            assert r.graph_iri is None
+        elif did % 5 == 1:
+            assert r.verdict == "withheld_stale"
+            assert r.status_lane == "current_pending"
+        elif did % 5 == 3:
+            # a PENDING status for an older cursor must NOT withhold
+            assert r.verdict == "served"
+            assert r.status_lane == "stale_cursor"
+            assert r.graph_iri is not None
+        elif did % 5 == 2:
+            assert r.verdict == "served"
+            assert r.status_lane == "current_materialized"
+        else:
+            assert r.verdict == "served" and r.status_lane == "none"

@@ -97,6 +97,7 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "usage_quota_status_resolved",
         "realm_user_group_caps",
         "user_token_canonical_check",
+        "doc_serve_gate",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
