@@ -56,6 +56,7 @@ PRIORITY_PREFIXES = (
     "realm_user_group_caps",
     "user_token_canonical_check",
     "doc_serve_gate",
+    "handle_pool_transfer_slice",
     # --- late-r12, never driver-checked (VERDICT r12 Next #1)
     "search_users_page",
     "dsir_importance_select",
@@ -102,8 +103,8 @@ PRIORITY_PREFIXES = (
     "registry_list_users",
     "registry_subject_conflicts",
     "registry_subject_merges",
-    "registry_resolve_users",
-    # (staging_refresh_sweep, storage_routing_resolve,
+    # (registry_resolve_users, staging_refresh_sweep,
+    # storage_routing_resolve,
     # staging_snapshot_materialize,
     # staging_sync_drift and staging_list_connectors were cut as the
     # r13-new lead count grew to six — they join the deferred pair at

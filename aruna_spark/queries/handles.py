@@ -333,3 +333,235 @@ def handle_allocation_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("handle"),
         F.col("range_id").isNull().alias("exhausted"),
     )
+
+
+# ---------------------------------------------- band-pool transfer slice
+# ensure_realm_config.rs:580-610 (pool_transfer_slice + its
+# pools_stay_disjoint / transfer_splits_pool / missing_pool_fails
+# tests): when a new coordinator joins, it receives the UPPER HALF of
+# the LARGEST run of free 1024-handle bands across the realm's spans —
+# a band is free iff no consumed range intersects it; ties keep the
+# FIRST largest run (strictly-greater comparison, spans scanned in
+# order, bands ascending); the split keeps floor(n/2) bands and
+# transfers from start + ceil(n/2)·SIZE to the run end; fewer than two
+# bands in the largest run → no pool (the new coordinator starts
+# without one). Runs are the classic gaps-and-islands grouping —
+# band_index − free_rank per (realm, span), a PARTITIONED window.
+_POOL_REALMS = 8
+
+
+def load_pool_spans(spark: SparkSession) -> DataFrame:
+    rows = []
+    for r in range(_POOL_REALMS):
+        b0 = 1 if r == 7 else 4 + r % 5
+        b1 = 1 if r == 7 else 3 + r % 3
+        rows.append((f"realm-{r}", 0, 0, b0 * HANDLE_RANGE_SIZE))
+        rows.append(
+            (f"realm-{r}", 1, 102_400, 102_400 + b1 * HANDLE_RANGE_SIZE)
+        )
+    return spark.createDataFrame(
+        rows, "realm_id string, span_idx int, span_start long, span_end long"
+    )
+
+
+def load_pool_consumed(spark: SparkSession) -> DataFrame:
+    """Consumed HandleRanges: tiny grants whose intersection with a
+    band consumes the whole band (the overlap rule rs:589-592)."""
+    rows = []
+    for r in range(_POOL_REALMS):
+        spans = {0: 1 if r == 7 else 4 + r % 5, 1: 1 if r == 7 else 3 + r % 3}
+        for j in range(2):
+            if (r + j) % 3 == 2 and r != 7:
+                continue  # lane without this grant
+            si = j % 2 if r != 7 else 0
+            start0 = 0 if si == 0 else 102_400
+            band = (r * 2 + j) % spans[si]
+            s = start0 + band * HANDLE_RANGE_SIZE + 10
+            rows.append((f"realm-{r}", s, s + 2))
+    return spark.createDataFrame(
+        rows, "realm_id string, start long, end long"
+    )
+
+
+def pool_transfer_slice_py(
+    spans: list[tuple[int, int]], consumed: list[tuple[int, int]]
+) -> tuple[int, int] | None:
+    """Literal port of ensure_realm_config.rs:582-610 for tests."""
+    best = None
+    for span_start, span_end in spans:
+        run_start = None
+        bands = max(span_end - span_start, 0) // HANDLE_RANGE_SIZE
+        for band in range(bands + 1):
+            start = span_start + band * HANDLE_RANGE_SIZE
+            free = band < bands and not any(
+                cs < start + HANDLE_RANGE_SIZE and start < ce
+                for cs, ce in consumed
+            )
+            if free and run_start is None:
+                run_start = start
+            elif not free and run_start is not None:
+                if best is None or start - run_start > best[1] - best[0]:
+                    best = (run_start, start)
+                run_start = None
+    if best is None:
+        return None
+    start, end = best
+    bands = (end - start) // HANDLE_RANGE_SIZE
+    if bands < 2:
+        return None
+    return (start + -(-bands // 2) * HANDLE_RANGE_SIZE, end)
+
+
+@register(
+    "handle_pool_transfer_slice",
+    oracle=f"""
+    WITH spans AS (
+      SELECT 'realm-' || r.i AS realm_id, s.i AS span_idx,
+             CAST(CASE WHEN s.i = 0 THEN 0 ELSE 102400 END AS BIGINT)
+               AS span_start,
+             CAST(CASE WHEN s.i = 0
+                  THEN (CASE WHEN r.i = 7 THEN 1
+                        ELSE 4 + r.i % 5 END) * {HANDLE_RANGE_SIZE}
+                  ELSE 102400 + (CASE WHEN r.i = 7 THEN 1
+                        ELSE 3 + r.i % 3 END) * {HANDLE_RANGE_SIZE} END
+               AS BIGINT) AS span_end
+      FROM range({_POOL_REALMS}) r(i), range(2) s(i)
+    ),
+    consumed AS (
+      SELECT 'realm-' || r.i AS realm_id,
+             CAST((CASE WHEN (CASE WHEN r.i = 7 THEN 0
+                              ELSE j.i % 2 END) = 0
+                   THEN 0 ELSE 102400 END)
+                  + ((r.i * 2 + j.i) % (CASE
+                      WHEN r.i = 7 THEN 1
+                      WHEN (CASE WHEN r.i = 7 THEN 0 ELSE j.i % 2 END) = 0
+                        THEN 4 + r.i % 5
+                      ELSE 3 + r.i % 3 END)) * {HANDLE_RANGE_SIZE}
+                  + 10 AS BIGINT) AS start
+      FROM range({_POOL_REALMS}) r(i), range(2) j(i)
+      WHERE NOT ((r.i + j.i) % 3 = 2 AND r.i <> 7)
+    ),
+    bands AS (
+      SELECT s.realm_id, s.span_idx, s.span_start,
+             b.i AS band,
+             s.span_start + b.i * {HANDLE_RANGE_SIZE} AS band_start
+      FROM spans s, range(12) b(i)
+      WHERE b.i < (s.span_end - s.span_start) // {HANDLE_RANGE_SIZE}
+    ),
+    free AS (
+      SELECT b.* FROM bands b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM consumed c
+        WHERE c.realm_id = b.realm_id
+          AND c.start < b.band_start + {HANDLE_RANGE_SIZE}
+          AND b.band_start < c.start + 2
+      )
+    ),
+    islands AS (
+      SELECT *, band - ROW_NUMBER() OVER (
+               PARTITION BY realm_id, span_idx ORDER BY band) AS grp
+      FROM free
+    ),
+    distinct_runs AS (
+      SELECT realm_id, span_idx,
+             MIN(band_start) AS run_start,
+             MAX(band_start) + {HANDLE_RANGE_SIZE} AS run_end,
+             CAST(COUNT(*) AS BIGINT) AS run_bands
+      FROM islands GROUP BY realm_id, span_idx, grp
+    ),
+    best AS (
+      SELECT r.* FROM distinct_runs r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM distinct_runs o
+        WHERE o.realm_id = r.realm_id
+          AND (o.run_bands > r.run_bands
+               OR (o.run_bands = r.run_bands
+                   AND (o.span_idx < r.span_idx
+                        OR (o.span_idx = r.span_idx
+                            AND o.run_start < r.run_start))))
+          AND (o.span_idx, o.run_start) <> (r.span_idx, r.run_start)
+      )
+    )
+    SELECT a.realm_id,
+           CAST(b.span_idx AS INT) AS best_span,
+           CAST(COALESCE(b.run_bands, 0) AS BIGINT) AS best_run_bands,
+           CAST(CASE WHEN b.run_bands >= 2
+                THEN b.run_start
+                     + ((b.run_bands + 1) // 2) * {HANDLE_RANGE_SIZE}
+                END AS BIGINT) AS slice_start,
+           CAST(CASE WHEN b.run_bands >= 2 THEN b.run_end END AS BIGINT)
+             AS slice_end,
+           COALESCE(b.run_bands >= 2, FALSE) AS has_pool
+    FROM (SELECT DISTINCT realm_id FROM spans) a
+    LEFT JOIN best b USING (realm_id)
+    """,
+)
+def handle_pool_transfer_slice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per realm: the largest free band run across its spans (first
+    wins ties) and the upper-half transfer slice, NULL when fewer than
+    two free bands remain in that run."""
+    from pyspark.sql.window import Window
+
+    spans = load_pool_spans(spark)
+    consumed = load_pool_consumed(spark)
+    bands = spans.select(
+        "realm_id",
+        "span_idx",
+        "span_start",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    (F.col("span_end") - F.col("span_start"))
+                    / HANDLE_RANGE_SIZE
+                ).cast("int")
+                - 1,
+            )
+        ).alias("band"),
+    ).withColumn(
+        "band_start",
+        F.col("span_start") + F.col("band") * HANDLE_RANGE_SIZE,
+    )
+    free = bands.join(
+        F.broadcast(consumed),
+        (bands["realm_id"] == consumed["realm_id"])
+        & (consumed["start"] < bands["band_start"] + HANDLE_RANGE_SIZE)
+        & (bands["band_start"] < consumed["end"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("realm_id", "span_idx").orderBy("band")
+    islands = free.withColumn(
+        "grp", F.col("band") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("realm_id", "span_idx", "grp").agg(
+        F.min("band_start").alias("run_start"),
+        (F.max("band_start") + HANDLE_RANGE_SIZE).alias("run_end"),
+        F.count(F.lit(1)).alias("run_bands"),
+    )
+    pick = Window.partitionBy("realm_id").orderBy(
+        F.col("run_bands").desc(), "span_idx", "run_start"
+    )
+    best = (
+        runs.withColumn("__rk", F.row_number().over(pick))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "grp")
+    )
+    realms = spans.select("realm_id").distinct()
+    out = realms.join(F.broadcast(best), "realm_id", "left")
+    has_pool = F.coalesce(F.col("run_bands") >= 2, F.lit(False))
+    return out.select(
+        "realm_id",
+        F.col("span_idx").cast("int").alias("best_span"),
+        F.coalesce(F.col("run_bands"), F.lit(0)).alias("best_run_bands"),
+        F.when(
+            has_pool,
+            F.col("run_start")
+            + F.ceil(F.col("run_bands") / 2) * HANDLE_RANGE_SIZE,
+        )
+        .cast("long")
+        .alias("slice_start"),
+        F.when(has_pool, F.col("run_end")).cast("long").alias("slice_end"),
+        has_pool.alias("has_pool"),
+    )

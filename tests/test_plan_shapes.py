@@ -98,6 +98,7 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "realm_user_group_caps",
         "user_token_canonical_check",
         "doc_serve_gate",
+        "handle_pool_transfer_slice",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
