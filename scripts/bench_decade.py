@@ -69,6 +69,10 @@ DECADE_QUERIES = [
     # (≈8 events per document) — the antichain reduction's domination
     # join + per-path groupBy both ride the (target, path) key
     "crdt_admin_seed_replay",
+    # r13: the serve gate is corpus-sized (one request per document,
+    # three keyed left joins); the other r13 operators are request- or
+    # config-sized and read tables absent from the sf10 slice
+    "doc_serve_gate",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
