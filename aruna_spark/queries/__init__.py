@@ -36,11 +36,14 @@ def register(name: str, oracle: str | None = None):
 # (search_users_page, dsir_importance_select, textstats_c4_rules,
 # node_info_heartbeat, group_backends_removal_sweep) and the CRDT pair
 # the r12 registration comment queued. Then the stalest families: the
-# 11 dedup/similarity rows last driver-checked r7, and 30 of the 32
-# rows last checked r8 (jobs plane, placement, staging sweeps,
-# principals/subject resolution, matq, routing, reclaim). The 50-slot
-# cut defers stream_watch_no_retroactive, corpus_retention_funnel and
-# storage_routing_resolve —
+# 11 dedup/similarity rows last driver-checked r7, and 24 of the 32
+# rows last checked r8 (jobs plane, placement, blob sweeps,
+# principals/subject resolution, matq). As the r13-new lead count grew
+# to EIGHT, the 50-slot cut deferred eight r8-stale rows
+# (stream_watch_no_retroactive, corpus_retention_funnel,
+# storage_routing_resolve, staging_snapshot_materialize,
+# staging_sync_drift, staging_list_connectors, staging_refresh_sweep,
+# registry_resolve_users) —
 # they LEAD r14's window (VERDICT r12 Next #7) together with the
 # r9-stale blocks: the SPARQL suite, the search/BM25 + search_groups
 # family, registry listings/projections/lifecycle, corpus_mix, the
@@ -103,12 +106,8 @@ PRIORITY_PREFIXES = (
     "registry_list_users",
     "registry_subject_conflicts",
     "registry_subject_merges",
-    # (registry_resolve_users, staging_refresh_sweep,
-    # storage_routing_resolve,
-    # staging_snapshot_materialize,
-    # staging_sync_drift and staging_list_connectors were cut as the
-    # r13-new lead count grew to six — they join the deferred pair at
-    # the head of the r14 queue.)
+    # (the eight deferred r8-stale rows listed in the header comment
+    # join the r14 queue head.)
 )
 
 

@@ -342,8 +342,9 @@ def handle_allocation_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the LARGEST run of free 1024-handle bands across the realm's spans —
 # a band is free iff no consumed range intersects it; ties keep the
 # FIRST largest run (strictly-greater comparison, spans scanned in
-# order, bands ascending); the split keeps floor(n/2) bands and
-# transfers from start + ceil(n/2)·SIZE to the run end; fewer than two
+# order, bands ascending); the split keeps ceil(n/2) bands and
+# transfers the remaining floor(n/2) — from start + ceil(n/2)·SIZE to
+# the run end; fewer than two
 # bands in the largest run → no pool (the new coordinator starts
 # without one). Runs are the classic gaps-and-islands grouping —
 # band_index − free_rank per (realm, span), a PARTITIONED window.
@@ -506,6 +507,13 @@ def handle_pool_transfer_slice(
 
     spans = load_pool_spans(spark)
     consumed = load_pool_consumed(spark)
+    # spans shorter than one band contribute nothing (rs:586-589: the
+    # band loop's free test requires band < bands = 0) — filter them
+    # BEFORE the sequence explode, which would otherwise auto-step
+    # DOWNWARD for sequence(0, -1) and fabricate a phantom band
+    spans = spans.filter(
+        F.col("span_end") - F.col("span_start") >= HANDLE_RANGE_SIZE
+    )
     bands = spans.select(
         "realm_id",
         "span_idx",
@@ -548,7 +556,7 @@ def handle_pool_transfer_slice(
         .filter(F.col("__rk") == 1)
         .drop("__rk", "grp")
     )
-    realms = spans.select("realm_id").distinct()
+    realms = load_pool_spans(spark).select("realm_id").distinct()
     out = realms.join(F.broadcast(best), "realm_id", "left")
     has_pool = F.coalesce(F.col("run_bands") >= 2, F.lit(False))
     return out.select(

@@ -664,13 +664,12 @@ def user_token_canonical_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("user_id").alias("canonical_user"))
     )
     users = load_token_users(spark, sf_dir)
-    reqs = users.select("user_id").unionByName(
-        load_table(spark, sf_dir, "customer")
-        .limit(1)
-        .select(F.explode(F.array(*[
-            F.lit(f"user-ghost-{i}") for i in range(3)
-        ])).alias("user_id"))
+    ghosts = spark.range(3).select(
+        F.concat(F.lit("user-ghost-"), F.col("id").cast("string")).alias(
+            "user_id"
+        )
     )
+    reqs = users.select("user_id").unionByName(ghosts)
     pairs = users.select(
         "user_id", F.explode("subject_ids").alias("subject_id")
     ).join(F.broadcast(idx), "subject_id", "left")

@@ -330,7 +330,11 @@ def realm_user_group_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     216-224: override — None = unlimited — else the realm default 3),
     with the actor's owned-group count from the create_group owner
     index and the remaining headroom (NULL = unlimited). This is the
-    resolution that SUPPLIES create_group.rs its ``owner_cap``."""
+    resolution create_group.rs CONSUMES for its ``owner_cap`` — the
+    two registered fixtures assign caps independently (this one by the
+    override table, the gate's by its actor lane), so their cap values
+    for one actor id intentionally differ; the coupling is the shared
+    actor population and owner index, not the cap numbers."""
     from aruna_spark.queries.create_group import (
         load_create_requests,
         load_owner_index,

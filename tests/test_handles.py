@@ -73,7 +73,8 @@ def test_walk_skips_reserved_handle_and_exhausts(spark):
 
 
 # ---------------------------------------------- band-pool transfer slice
-def test_pool_transfer_slice_matches_literal_port(spark):
+def test_pool_transfer_slice_matches_literal_port(spark, sf_dir):
+    SF_DIR = sf_dir
     """The relational runs/argmin/split pipeline equals the literal
     rs:582-610 port on every fixture realm."""
     from aruna_spark.queries import REGISTRY, load_all
@@ -85,7 +86,7 @@ def test_pool_transfer_slice_matches_literal_port(spark):
 
     load_all()
     fn, _ = REGISTRY["handle_pool_transfer_slice"]
-    got = {r.realm_id: r for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    got = {r.realm_id: r for r in fn(spark, SF_DIR).collect()}
     spans: dict[str, list] = {}
     for s in load_pool_spans(spark).collect():
         spans.setdefault(s.realm_id, []).append(
@@ -120,7 +121,8 @@ def test_pool_transfer_slice_reference_vectors():
     assert pool_transfer_slice_py([(0, 5 * S)], []) == (3 * S, 5 * S)
     # pools_stay_disjoint: the slice never intersects consumed ranges
     got = pool_transfer_slice_py([(0, 6 * S)], [(2 * S + 5, 2 * S + 9)])
-    assert got == (4 * S + S, 6 * S) or got  # largest run = bands 3..5
+    # largest run = bands 3..5 (3 bands); keep ceil(3/2)=2, transfer 1
+    assert got == (5 * S, 6 * S)
     s0, e0 = got
     assert not (2 * S + 5 < e0 and s0 < 2 * S + 9)
     # tie between two equal runs: the FIRST span's run wins
