@@ -152,3 +152,88 @@ def test_realm_scope_matches_any_group(rows):
     ]
     assert realm_ok
     assert all(r.handle_scope == "realm" for r in realm_ok)
+
+
+# ----------------------- supplied-id ladder vs literal reference port
+def _resolve_metadata_id_port(directory, known, handle, bucket,
+                              realm_ok, group_id):
+    """Literal port of resolve_metadata_id (rs:507-542) over the
+    repo's directory model: binding_directory.resolve fail-closed
+    (Unknown / Conflicted), bucket_count_of (UnknownStrategy),
+    validate_bucket, class check, scope check — in that order."""
+    row = directory.get(handle)
+    if row is None:
+        return "unknown_handle"
+    scope_kind, scope_value, doc_class, strategy, state = row
+    if state == "conflicted":
+        return "conflicted_handle"
+    if strategy not in known:
+        return "unknown_strategy"
+    if bucket >= known[strategy]:
+        return "bucket_out_of_range"
+    if doc_class != "metadata":
+        return "wrong_class"
+    if scope_kind == "realm":
+        if not realm_ok:
+            return "scope_mismatch"
+    elif scope_value != group_id:
+        return "scope_mismatch"
+    return "ok"
+
+
+def _ladder_replica(directory, known, handle, bucket, group_id):
+    """The rung order classify_creates' supplied CASE implements."""
+    row = directory.get(handle)
+    if row is None:
+        return "unknown_handle"
+    scope_kind, scope_value, doc_class, strategy, state = row
+    if state == "conflicted":
+        return "conflicted_handle"
+    if strategy not in known:
+        return "unknown_strategy"
+    if bucket >= 64:
+        return "bucket_out_of_range"
+    if doc_class != "metadata":
+        return "wrong_class"
+    ok = scope_value == "realm-0" if scope_kind == "realm" \
+        else scope_value == group_id
+    return "ok" if ok else "scope_mismatch"
+
+
+def test_supplied_ladder_matches_reference_port_on_random_directories():
+    """Random directories (conflicted rows, wrong classes, ghost
+    strategies, both scopes) agree with the literal rs:507-542 port on
+    every rung for every (handle, bucket, group) — including rows that
+    are bad in SEVERAL ways at once, where only rung ORDER decides."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scopes = st.sampled_from([("realm", "realm-0"), ("group", "grp-3"),
+                              ("group", "grp-9")])
+    rows = st.tuples(
+        scopes,
+        st.sampled_from(["metadata", "blob"]),
+        st.sampled_from(["strat-a", "strat-b", "strat-ghost"]),
+        st.sampled_from(["bound", "bound", "conflicted"]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.dictionaries(st.integers(1, 6), rows, max_size=6),
+        st.integers(0, 8),
+        st.integers(0, 130),
+        st.sampled_from(["grp-3", "grp-9", "grp-0"]),
+    )
+    def run(dir_rows, handle, bucket, group_id):
+        directory = {
+            h: (sk, sv, cl, strat, state)
+            for h, ((sk, sv), cl, strat, state) in dir_rows.items()
+        }
+        known = {"strat-a": 64, "strat-b": 64}
+        want = _resolve_metadata_id_port(
+            directory, known, handle, bucket, True, group_id
+        )
+        got = _ladder_replica(directory, known, handle, bucket, group_id)
+        assert got == want
+
+    run()
