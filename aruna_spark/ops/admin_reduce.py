@@ -50,6 +50,45 @@ from pyspark.sql import functions as F
 _TOMBSTONE = "\x00tombstone"
 
 
+def _domination_join(
+    events: DataFrame, key_cols: list[str], how: str
+) -> DataFrame:
+    """Join each event against same-path dominators (events whose
+    clock observes its dot). ``left_anti`` keeps the live frontier
+    (the maximal antichain); ``left_semi`` keeps the dominated
+    complement — the versions every replica has already superseded."""
+    key = list(key_cols)
+    a = events.alias("a")
+    b = events.select(
+        *key, "path", "origin_node", "origin_seq", "observed"
+    ).alias("b")
+    same_path = [
+        F.col(f"a.{c}") == F.col(f"b.{c}") for c in key
+    ] + [F.col("a.path") == F.col("b.path")]
+    observes = (
+        F.coalesce(
+            F.element_at(F.col("b.observed"), F.col("a.origin_node")),
+            F.lit(0),
+        )
+        >= F.col("a.origin_seq")
+    ) | (
+        (F.col("b.origin_node") == F.col("a.origin_node"))
+        & (F.col("b.origin_seq") > F.col("a.origin_seq"))
+    )
+    return a.join(b, on=[*same_path, observes], how=how)
+
+
+def dominated_admin_events(
+    events: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """The events the live frontier superseded. Reducing THIS subset
+    again yields the last value every replica agreed on before a
+    conflicted frontier — the quota the stored document keeps when
+    ``apply_reducer_quota`` (operations/src/set_realm_quota.rs:365-377)
+    sees a conflict on the ``realm_config.quota`` path."""
+    return _domination_join(events, key_cols, "left_semi")
+
+
 def reduce_admin_paths(
     events: DataFrame, key_cols: list[str]
 ) -> DataFrame:
@@ -68,28 +107,7 @@ def reduce_admin_paths(
     values merged, rs:1421-1422).
     """
     key = list(key_cols)
-    a = events.alias("a")
-    b = events.select(
-        *key, "path", "origin_node", "origin_seq", "observed"
-    ).alias("b")
-    dominated = [
-        F.col(f"a.{c}") == F.col(f"b.{c}") for c in key
-    ] + [F.col("a.path") == F.col("b.path")]
-    observes = (
-        F.coalesce(
-            F.element_at(F.col("b.observed"), F.col("a.origin_node")),
-            F.lit(0),
-        )
-        >= F.col("a.origin_seq")
-    ) | (
-        (F.col("b.origin_node") == F.col("a.origin_node"))
-        & (F.col("b.origin_seq") > F.col("a.origin_seq"))
-    )
-    live = a.join(
-        b,
-        on=[*dominated, observes],
-        how="left_anti",
-    )
+    live = _domination_join(events, key, "left_anti")
     per_path = live.groupBy(*key, "path").agg(
         F.count(F.lit(1)).alias("n_dots"),
         F.countDistinct(

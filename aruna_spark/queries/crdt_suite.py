@@ -587,3 +587,270 @@ def crdt_admin_seed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dots_total",
         )
     )
+
+
+# -- realm_config.quota path through the admin reducer ------------------------
+# RealmConfigQuotaSet (admin_document_reducer.rs:541-543) is an LWW path
+# like the description: apply_realm_config_setting writes quota_value()
+# (the supported_quota-NORMALIZED serialization, rs:1741-1753) under the
+# REALM_CONFIG_QUOTA_PATH (rs:1530). materialized_realm_config_quota
+# (rs:916-924) reads it back; a conflicted path materializes nothing and
+# the stored document keeps the last agreed quota (apply_reducer_quota,
+# operations/src/set_realm_quota.rs:365-377). Lane family (realm_n % 5;
+# realm_n = doc_id % 97 covers all residues, coprime with the lane
+# modulus — no CRT degeneracy):
+#   0: never set — the document keeps QuotaConfig::default()
+#      (core/src/structs/realm.rs:202-214: grace 110, warn 85,
+#      max_groups 3, default bytes unlimited);
+#   1: one causal set (n0) — live;
+#   2: causal re-set (n1 observed n0) — LWW supersede, later wins;
+#   3: CONCURRENT equal-after-normalization re-sets from n1/n2 (the
+#      same overrides listed in different orders serialize equal after
+#      supported_quota sorts them) — dots merge, no conflict
+#      (rs:1421-1422);
+#   4: concurrent DIFFERING re-sets — fail-closed conflict
+#      (rs:1404-1419): materialized quota NULL, effective resolution
+#      falls back to the last agreed value (the n0 seed both replicas
+#      had stored before the frontier diverged).
+_QUOTA_PATH = "realm_config.quota"
+_QP_SUFFIX = {
+    "q0": "|grace=110|warn=85|go=|mgpu=3|ugc=",
+    "q1": "|grace=120|warn=80|go=|mgpu=3|ugc=",
+    "qe": "|grace=110|warn=85|go=g-1:2000:150,g-2:-:-|mgpu=-|ugc=u-2:5,u-9:-",
+    "qa": "|grace=130|warn=85|go=|mgpu=3|ugc=",
+    "qb": "|grace=140|warn=85|go=|mgpu=3|ugc=",
+}
+
+_QUOTA_REPLAY_ORACLE = f"""
+    WITH realms AS (
+      SELECT DISTINCT doc_id % 97 AS r FROM documents
+    ),
+    base AS (
+      SELECT 'realm-q' || r AS realm_id, r % 5 AS lane,
+             'dgq=' || (1000 * (r + 1)) || '{_QP_SUFFIX["q0"]}' AS q0,
+             'dgq=' || (1000 * (r + 1)) || '{_QP_SUFFIX["q1"]}' AS q1,
+             'dgq=' || (2000 * (r + 1)) || '{_QP_SUFFIX["qe"]}' AS qe,
+             'dgq=' || (1000 * (r + 1)) || '{_QP_SUFFIX["qa"]}' AS qa,
+             'dgq=' || (1000 * (r + 1)) || '{_QP_SUFFIX["qb"]}' AS qb
+      FROM realms
+    ),
+    events AS (
+      SELECT realm_id, q0 AS value, 'n0' AS origin_node,
+             1 AS origin_seq, 0 AS obs_n0
+      FROM base WHERE lane <> 0
+      UNION ALL
+      SELECT realm_id, q1, 'n1', 1, 1 FROM base WHERE lane = 2
+      UNION ALL
+      SELECT realm_id, qe, 'n1', 1, 1 FROM base WHERE lane = 3
+      UNION ALL
+      SELECT realm_id, qe, 'n2', 1, 1 FROM base WHERE lane = 3
+      UNION ALL
+      SELECT realm_id, qa, 'n1', 1, 1 FROM base WHERE lane = 4
+      UNION ALL
+      SELECT realm_id, qb, 'n2', 1, 1 FROM base WHERE lane = 4
+    ),
+    live AS (
+      SELECT a.* FROM events a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.realm_id = a.realm_id
+          AND ((CASE a.origin_node WHEN 'n0' THEN b.obs_n0 ELSE 0 END)
+                 >= a.origin_seq
+               OR (b.origin_node = a.origin_node
+                   AND b.origin_seq > a.origin_seq))
+      )
+    ),
+    reduced AS (
+      SELECT realm_id, CAST(COUNT(*) AS BIGINT) AS n_dots,
+             COUNT(DISTINCT value) AS n_vals, MAX(value) AS mval
+      FROM live GROUP BY 1
+    ),
+    dominated AS (
+      SELECT a.* FROM events a
+      WHERE EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.realm_id = a.realm_id
+          AND ((CASE a.origin_node WHEN 'n0' THEN b.obs_n0 ELSE 0 END)
+                 >= a.origin_seq
+               OR (b.origin_node = a.origin_node
+                   AND b.origin_seq > a.origin_seq))
+      )
+    ),
+    agreed AS (
+      SELECT realm_id, COUNT(DISTINCT value) AS la_nvals,
+             MAX(value) AS la_val
+      FROM (
+        SELECT a.* FROM dominated a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM dominated b
+          WHERE b.realm_id = a.realm_id
+            AND ((CASE a.origin_node WHEN 'n0' THEN b.obs_n0 ELSE 0 END)
+                   >= a.origin_seq
+                 OR (b.origin_node = a.origin_node
+                     AND b.origin_seq > a.origin_seq))
+        )
+      ) GROUP BY 1
+    ),
+    sel AS (
+      SELECT b.realm_id,
+             CAST(COALESCE(r.n_dots, 0) AS BIGINT) AS n_dots,
+             COALESCE(r.n_vals > 1, FALSE) AS is_conflict,
+             CASE WHEN r.n_vals = 1 THEN r.mval END AS quota_value,
+             CASE WHEN r.n_vals > 1 AND g.la_nvals = 1 THEN g.la_val END
+               AS last_agreed_value
+      FROM base b
+      LEFT JOIN reduced r USING (realm_id)
+      LEFT JOIN agreed g USING (realm_id)
+    )
+    SELECT realm_id, n_dots, is_conflict, quota_value, last_agreed_value,
+           CASE WHEN src IS NOT NULL THEN
+             CAST(NULLIF(regexp_extract(src, 'dgq=(\\d+)', 1), '')
+                  AS BIGINT) END AS eff_default_quota_bytes,
+           CAST(COALESCE(NULLIF(regexp_extract(src, 'grace=(\\d+)', 1),
+                                ''), '110') AS INT) AS eff_grace_pct,
+           CAST(COALESCE(NULLIF(regexp_extract(src, 'warn=(\\d+)', 1),
+                                ''), '85') AS INT) AS eff_warn_pct,
+           CASE WHEN src IS NULL THEN 3
+                ELSE CAST(NULLIF(regexp_extract(src, 'mgpu=(\\d+)', 1),
+                                 '') AS INT) END AS eff_max_groups
+    FROM (
+      SELECT *, COALESCE(quota_value, last_agreed_value) AS src FROM sel
+    )
+"""
+
+
+def _realm_quota_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    realms = docs.select((F.col("doc_id") % 97).alias("r")).distinct()
+    lane = F.col("r") % 5
+    realm_id = F.concat(F.lit("realm-q"), F.col("r").cast("string"))
+
+    def canon(mult: int, key: str) -> F.Column:
+        return F.concat(
+            F.lit("dgq="),
+            ((F.col("r") + 1) * mult).cast("string"),
+            F.lit(_QP_SUFFIX[key]),
+        )
+
+    def obs(**pairs) -> F.Column:
+        if not pairs:
+            return F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<bigint>"),
+            )
+        return F.map_from_arrays(
+            F.array(*[F.lit(n) for n in pairs]),
+            F.array(*[F.lit(s).cast("long") for s in pairs.values()]),
+        )
+
+    def ev(df, value, node, seq, observed):
+        return df.select(
+            realm_id.alias("realm_id"),
+            F.lit(_QUOTA_PATH).alias("path"),
+            value.cast("string").alias("value"),
+            F.lit(node).alias("origin_node"),
+            F.lit(seq).cast("long").alias("origin_seq"),
+            observed.alias("observed"),
+        )
+
+    parts = [
+        ev(realms.filter(lane != 0), canon(1000, "q0"), "n0", 1, obs()),
+        ev(realms.filter(lane == 2), canon(1000, "q1"), "n1", 1, obs(n0=1)),
+        ev(realms.filter(lane == 3), canon(2000, "qe"), "n1", 1, obs(n0=1)),
+        ev(realms.filter(lane == 3), canon(2000, "qe"), "n2", 1, obs(n0=1)),
+        ev(realms.filter(lane == 4), canon(1000, "qa"), "n1", 1, obs(n0=1)),
+        ev(realms.filter(lane == 4), canon(1000, "qb"), "n2", 1, obs(n0=1)),
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+@register("crdt_realm_quota_replay", oracle=_QUOTA_REPLAY_ORACLE)
+def crdt_realm_quota_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay RealmConfigQuotaSet events through the admin-document
+    path reducer and materialize per realm: the winning normalized
+    quota value (NULL when conflicted or never set), the last AGREED
+    value a conflicted realm's stored document keeps
+    (apply_reducer_quota, set_realm_quota.rs:365-377), and the
+    effective grace/warn/group-cap/default-bytes resolution
+    (realm.rs:202-259) that queries/quota.py enforces — never-set
+    realms resolve to QuotaConfig::default(), conflicted realms to the
+    last agreed value, live realms to the materialized one
+    (materialized_realm_config_quota, reducer rs:916-924)."""
+    from aruna_spark.ops.admin_reduce import dominated_admin_events
+
+    events = _realm_quota_events(spark, sf_dir)
+    key = ["realm_id"]
+    reduced = reduce_admin_paths(events, key)
+    agreed = reduce_admin_paths(dominated_admin_events(events, key), key)
+    realms = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).alias("r"))
+        .distinct()
+        .select(
+            F.concat(F.lit("realm-q"), F.col("r").cast("string")).alias(
+                "realm_id"
+            )
+        )
+    )
+    sel = (
+        realms.join(
+            reduced.select(
+                "realm_id",
+                F.col("n_dots"),
+                F.col("is_conflict"),
+                F.col("value").alias("quota_value"),
+            ),
+            "realm_id",
+            "left",
+        )
+        .join(
+            agreed.select(
+                "realm_id", F.col("value").alias("la_val")
+            ),
+            "realm_id",
+            "left",
+        )
+        .select(
+            "realm_id",
+            F.coalesce(F.col("n_dots"), F.lit(0)).cast("long").alias(
+                "n_dots"
+            ),
+            F.coalesce(F.col("is_conflict"), F.lit(False)).alias(
+                "is_conflict"
+            ),
+            "quota_value",
+            F.when(F.col("is_conflict"), F.col("la_val")).alias(
+                "last_agreed_value"
+            ),
+        )
+    )
+    src = F.coalesce(F.col("quota_value"), F.col("last_agreed_value"))
+
+    def ex(pat: str) -> F.Column:
+        x = F.regexp_extract(src, pat, 1)
+        # '' (no match) and NULL input both fall through to NULL; ANSI
+        # mode would throw on CAST('' AS INT)
+        return F.when(x != "", x)
+
+    return sel.select(
+        "realm_id",
+        "n_dots",
+        "is_conflict",
+        "quota_value",
+        "last_agreed_value",
+        F.when(src.isNotNull(), ex(r"dgq=(\d+)").cast("long")).alias(
+            "eff_default_quota_bytes"
+        ),
+        F.coalesce(ex(r"grace=(\d+)").cast("int"), F.lit(110)).alias(
+            "eff_grace_pct"
+        ),
+        F.coalesce(ex(r"warn=(\d+)").cast("int"), F.lit(85)).alias(
+            "eff_warn_pct"
+        ),
+        F.when(src.isNull(), F.lit(3))
+        .otherwise(ex(r"mgpu=(\d+)").cast("int"))
+        .alias("eff_max_groups"),
+    )
