@@ -2732,3 +2732,309 @@ class Engine:
         if triples is None:
             triples = triples_store(self.spark, self.sf_dir)
         return export_rocrate(triples)
+
+    # ------------------------------------------- RO-Crate import route
+    # api/src/routes/rocrate_import.rs: POST /metadata/rocrate/uploads
+    # stages a private upload and returns the envelope (upload_id,
+    # blake3, size, expires_at, owner_node_url); POST
+    # /metadata/rocrate/imports walks the source/target/metadata
+    # validation ladder, replays idempotent submissions, and hands the
+    # plan to the import job (the job itself is the archive-import
+    # query plane — import_archive above). Limits are
+    # RoCrateLimits::default (core/src/structs/job.rs:366-384).
+    ROCRATE_DIRECT_UPLOAD_BYTES = 8 * 1024**3
+    ROCRATE_IMPORT_SOURCE_BYTES = 100 * 1024**3
+    ROCRATE_KEY_BYTES = 1024
+    ROCRATE_UPLOAD_RETENTION_MS = 24 * 60 * 60 * 1000
+    ROCRATE_MAX_ACTIVE_JOBS = 4
+    _ROCRATE_MEDIA_TYPES = {
+        "application/zip": "zip",
+        "application/vnd.eln+zip": "eln",
+    }
+
+    def _rocrate_state(self) -> dict:
+        if not hasattr(self, "_rocrate_store"):
+            # uploads: upload_id -> record; jobs: job_id -> record;
+            # dedup: (user_id, idempotency_key) -> (job_id, digest)
+            self._rocrate_store = {
+                "uploads": {},
+                "jobs": {},
+                "dedup": {},
+            }
+        return self._rocrate_store
+
+    @property
+    def _rocrate_uploads(self) -> dict:
+        return self._rocrate_state()["uploads"]
+
+    @property
+    def _rocrate_jobs(self) -> dict:
+        return self._rocrate_state()["jobs"]
+
+    @property
+    def _rocrate_dedup(self) -> dict:
+        return self._rocrate_state()["dedup"]
+
+    def upload_rocrate(
+        self,
+        body: bytes,
+        content_type: str,
+        now_ms: int,
+        user_id: str = "user-0",
+        content_length: int | None = None,
+    ) -> dict:
+        """POST /metadata/rocrate/uploads (rocrate_import.rs:137-188):
+        parse the media type (zip or eln, parameters stripped —
+        rs:563-577), reject a Content-Length over the direct-upload cap
+        with 413 BEFORE reading the body (rs:146-155), stamp
+        ``expires_at = now + upload_retention_ms`` (rs:156-162), and
+        stage the private record. ``blake3`` is hex over the body (the
+        repo's standing sha256 stand-in for blake3). Returns the 201
+        envelope: upload_id, blake3, size, expires_at (RFC 3339),
+        owner_node_url."""
+        import hashlib
+        from datetime import datetime, timezone
+
+        media = (content_type or "").split(";")[0].strip()
+        if media not in self._ROCRATE_MEDIA_TYPES:
+            return {
+                "status": 400,
+                "error": "Content-Type must be application/zip or "
+                "application/vnd.eln+zip",
+            }
+        limit = self.ROCRATE_DIRECT_UPLOAD_BYTES
+        declared = len(body) if content_length is None else content_length
+        if declared > limit:
+            return {
+                "status": 413,
+                "error": f"upload exceeds limit {limit}",
+            }
+        expires_at_ms = now_ms + self.ROCRATE_UPLOAD_RETENTION_MS
+        upload_id = f"up-{len(self._rocrate_uploads):06d}"
+        record = {
+            "upload_id": upload_id,
+            "owner": user_id,
+            "media_type": self._ROCRATE_MEDIA_TYPES[media],
+            "blake3": hashlib.sha256(body).hexdigest(),
+            "size": len(body),
+            "expires_at_ms": expires_at_ms,
+            "claimed_by": None,
+        }
+        self._rocrate_uploads[upload_id] = record
+        expires = datetime.fromtimestamp(
+            expires_at_ms / 1000, tz=timezone.utc
+        ).isoformat()
+        return {
+            "status": 201,
+            "upload_id": upload_id,
+            "blake3": record["blake3"],
+            "size": record["size"],
+            "expires_at": expires,
+            "owner_node_url": "local://",
+        }
+
+    @staticmethod
+    def _rocrate_valid_source_path(path: str) -> bool:
+        """validate_source_path (rocrate_import.rs:583-596): non-empty
+        after trim, no '.'/'..' segments, no rooted/parent components."""
+        path = path.strip()
+        if not path or path.startswith("/"):
+            return False
+        return not any(p in (".", "..") for p in path.split("/"))
+
+    @staticmethod
+    def _rocrate_plan_digest(source, target, metadata) -> str:
+        import hashlib
+        import json as _json
+
+        return hashlib.sha256(
+            _json.dumps(
+                [source, target, metadata], sort_keys=True
+            ).encode()
+        ).hexdigest()
+
+    def submit_rocrate_import(
+        self,
+        source: dict,
+        target: dict,
+        metadata: dict,
+        now_ms: int,
+        user_id: str = "user-0",
+        idempotency_key: str | None = None,
+    ) -> dict:
+        """POST /metadata/rocrate/imports (rocrate_import.rs:190-280):
+        parse ladders first (source rs:282-324, target rs:326-338 —
+        prefix trimmed of '/', rejected over the key cap / with
+        backslash, control chars, or empty/./.. segments — metadata
+        rs:340-353 via normalize_document_path), then the idempotency
+        replay (same user+key+digest → the existing job, created
+        False; digest mismatch → 409 JobPlanConflict,
+        jobs/service.rs:246-276), then the fast source checks
+        (rs:355-481): a staged upload must exist (404), be owned by
+        the caller (403), be unclaimed — a claim by a job with the
+        SAME dedup identity reclaims and SKIPS the expiry check
+        (rs:370-393) — unexpired (400 'upload expired'), and under the
+        import-source cap; an object source heads the key (404 when
+        absent) and applies the same cap; a connector source validates
+        the path and the connector's existence (the reference heads
+        the remote source — ``staging/head_source.rs`` /
+        ``staging/check_source.rs``, remote-I/O effect shims this
+        facade's connector-registry lookup stands in for). A fresh
+        create then
+        enforces the active-job cap (jobs/submit.rs:213-228,366-377:
+        strictly fewer than max_active_jobs active rows) and claims
+        the upload. Returns the 202 envelope: job_id, created,
+        owner_node_url, status_url, report_url."""
+        kind = source.get("kind")
+        if kind == "upload":
+            if not source.get("upload_id"):
+                return {"status": 400, "error": "BadRequest"}
+        elif kind == "object":
+            if not source.get("bucket") or not source.get("key"):
+                return {"status": 400, "error": "BadRequest"}
+        elif kind == "connector":
+            if not source.get("group_id") or not source.get(
+                "connector_id"
+            ) or not self._rocrate_valid_source_path(
+                source.get("path", "")
+            ):
+                return {"status": 400, "error": "BadRequest"}
+        else:
+            return {"status": 400, "error": "BadRequest"}
+
+        prefix = (target.get("prefix") or "").strip("/")
+        if (
+            not target.get("bucket")
+            or len(prefix) > self.ROCRATE_KEY_BYTES
+            or "\\" in prefix
+            or any(ord(c) < 0x20 or ord(c) == 0x7F for c in prefix)
+            or (
+                prefix
+                and any(
+                    p in ("", ".", "..") for p in prefix.split("/")
+                )
+            )
+        ):
+            return {"status": 400, "error": "BadRequest"}
+        target = {"bucket": target["bucket"], "prefix": prefix}
+
+        path = (metadata.get("path") or "").strip().strip("/")
+        if not path or len(path) > self.ROCRATE_KEY_BYTES or not (
+            metadata.get("group_id")
+        ):
+            return {"status": 400, "error": "BadRequest"}
+        metadata = {
+            "group_id": metadata["group_id"],
+            "path": path,
+            "public": bool(metadata.get("public", False)),
+        }
+
+        digest = self._rocrate_plan_digest(source, target, metadata)
+        dedup_key = (
+            (user_id, idempotency_key) if idempotency_key else None
+        )
+        if dedup_key and dedup_key in self._rocrate_dedup:
+            job_id, existing_digest = self._rocrate_dedup[dedup_key]
+            if job_id in self._rocrate_jobs:
+                if existing_digest != digest:
+                    return {
+                        "status": 409,
+                        "error": "JobPlanConflict",
+                        "existing_job_id": job_id,
+                    }
+                return self._rocrate_job_envelope(job_id, created=False)
+
+        if kind == "upload":
+            record = self._rocrate_uploads.get(source["upload_id"])
+            if record is None:
+                return {"status": 404, "error": "NotFound"}
+            if record["owner"] != user_id:
+                return {"status": 403, "error": "Forbidden"}
+            reclaimed = False
+            if record["claimed_by"] is not None:
+                claimed = self._rocrate_jobs.get(record["claimed_by"])
+                same_identity = (
+                    claimed is not None
+                    and dedup_key is not None
+                    and claimed.get("dedup_key") == dedup_key
+                )
+                if not same_identity:
+                    return {
+                        "status": 409,
+                        "error": "upload is already claimed by job "
+                        + str(record["claimed_by"]),
+                    }
+                reclaimed = True
+            if not reclaimed and record["expires_at_ms"] <= now_ms:
+                return {"status": 400, "error": "upload expired"}
+            if record["size"] > self.ROCRATE_IMPORT_SOURCE_BYTES:
+                return {
+                    "status": 400,
+                    "error": "upload exceeds the import source cap",
+                }
+        elif kind == "object":
+            info = self.get_bucket_info(source["bucket"])
+            if info["status"] != 200:
+                return {"status": 404, "error": "NotFound"}
+            head = self.head_object(source["key"], source["bucket"])
+            if head.get("status") != 200:
+                return {"status": 404, "error": "NotFound"}
+            if (
+                head.get("size") or 0
+            ) > self.ROCRATE_IMPORT_SOURCE_BYTES:
+                return {
+                    "status": 400,
+                    "error": "object exceeds the import source cap",
+                }
+        else:
+            found = self._find_connector(
+                source["group_id"], source["connector_id"]
+            )
+            if found is None:
+                return {"status": 404, "error": "NotFound"}
+
+        active = sum(
+            1
+            for j in self._rocrate_jobs.values()
+            if j["created_by"] == user_id and j["active"]
+        )
+        if active >= self.ROCRATE_MAX_ACTIVE_JOBS:
+            return {
+                "status": 409,
+                "error": "ActiveJobLimit",
+                "limit": self.ROCRATE_MAX_ACTIVE_JOBS,
+            }
+
+        job_id = f"rcjob-{len(self._rocrate_jobs):06d}"
+        self._rocrate_jobs[job_id] = {
+            "job_id": job_id,
+            "created_by": user_id,
+            "dedup_key": dedup_key,
+            "plan_digest": digest,
+            "active": True,
+            "spec": {
+                "source": source,
+                "target": target,
+                "metadata": metadata,
+            },
+        }
+        if dedup_key:
+            self._rocrate_dedup[dedup_key] = (job_id, digest)
+        if kind == "upload":
+            self._rocrate_uploads[source["upload_id"]]["claimed_by"] = (
+                job_id
+            )
+        return self._rocrate_job_envelope(job_id, created=True)
+
+    @staticmethod
+    def _rocrate_job_envelope(job_id: str, created: bool) -> dict:
+        # job_urls (api/src/routes/jobs.rs:158-170)
+        base = "local:/"
+        return {
+            "status": 202,
+            "job_id": job_id,
+            "created": created,
+            "owner_node_url": "local://",
+            "status_url": f"{base}/jobs/{job_id}",
+            "report_url": f"{base}/jobs/{job_id}/report",
+        }

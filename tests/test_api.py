@@ -1462,3 +1462,291 @@ def test_onboarding_prune_keeps_expired_finalizing(engine):
         fin["enrollment_id"], fin["secret"], "n", late
     )
     assert done["status"] == 200 and done["consumed_now"] is True
+
+
+# ------------------------------------------------- RO-Crate import route
+# api/src/routes/rocrate_import.rs: the staged-upload envelope and the
+# submit validation ladder (source rs:282-324 / target rs:326-338 /
+# metadata rs:340-353, fast checks rs:355-481, idempotency replay
+# jobs/service.rs:246-276, active-job cap jobs/submit.rs:213-228).
+NOW = 1_700_000_000_000
+DAY_MS = 24 * 60 * 60 * 1000
+
+
+@pytest.fixture()
+def rc_engine(spark, sf_dir):
+    # fresh engine per test: the route state (uploads/jobs/dedup) is
+    # engine-local and the claim tests mutate it
+    return Engine(spark, sf_dir)
+
+
+def _upload(engine, body=b"PK\x03\x04crate", user="user-0"):
+    return engine.upload_rocrate(
+        body, "application/zip", now_ms=NOW, user_id=user
+    )
+
+
+def _plan(upload_id, path="imports/crate-a"):
+    return (
+        {"kind": "upload", "upload_id": upload_id},
+        {"bucket": "corpus", "prefix": "staged/crates"},
+        {"group_id": "grp-main", "path": path, "public": False},
+    )
+
+
+def test_rocrate_upload_envelope(rc_engine):
+    import hashlib
+
+    body = b"PK\x03\x04hello-crate"
+    got = _upload(rc_engine, body)
+    assert got["status"] == 201
+    assert got["blake3"] == hashlib.sha256(body).hexdigest()
+    assert got["size"] == len(body)
+    # expires_at = now + upload_retention_ms (1 day), RFC 3339
+    assert got["expires_at"].startswith("2023-11-15T22:13:20")
+    assert got["owner_node_url"]
+    # media-type parameters are stripped (rs:563-577)
+    ok = rc_engine.upload_rocrate(
+        body, "application/vnd.eln+zip; charset=utf-8", now_ms=NOW
+    )
+    assert ok["status"] == 201
+    bad = rc_engine.upload_rocrate(body, "text/plain", now_ms=NOW)
+    assert bad["status"] == 400 and "Content-Type" in bad["error"]
+
+
+def test_rocrate_upload_cap_413(rc_engine):
+    # Content-Length over the 8 GiB direct-upload cap rejects BEFORE
+    # the body is read (rs:146-155)
+    got = rc_engine.upload_rocrate(
+        b"tiny",
+        "application/zip",
+        now_ms=NOW,
+        content_length=8 * 1024**3 + 1,
+    )
+    assert got["status"] == 413 and "exceeds limit" in got["error"]
+
+
+def test_rocrate_submit_upload_happy_path(rc_engine):
+    up = _upload(rc_engine)
+    got = rc_engine.submit_rocrate_import(
+        *_plan(up["upload_id"]), now_ms=NOW
+    )
+    assert got["status"] == 202 and got["created"]
+    assert got["status_url"].endswith(f"/jobs/{got['job_id']}")
+    assert got["report_url"].endswith(f"/jobs/{got['job_id']}/report")
+    # the create claims the upload; an unrelated resubmit conflicts
+    again = rc_engine.submit_rocrate_import(
+        *_plan(up["upload_id"], path="imports/crate-b"), now_ms=NOW
+    )
+    assert again["status"] == 409
+    assert "already claimed" in again["error"]
+
+
+def test_rocrate_submit_expiry_rejection(rc_engine):
+    up = _upload(rc_engine)
+    # strictly-after expiry; the boundary (expires_at <= now) rejects
+    got = rc_engine.submit_rocrate_import(
+        *_plan(up["upload_id"]), now_ms=NOW + DAY_MS
+    )
+    assert got == {"status": 400, "error": "upload expired"}
+
+
+def test_rocrate_submit_owner_and_missing(rc_engine):
+    up = _upload(rc_engine, user="user-1")
+    assert (
+        rc_engine.submit_rocrate_import(
+            *_plan(up["upload_id"]), now_ms=NOW, user_id="user-2"
+        )["status"]
+        == 403
+    )
+    assert (
+        rc_engine.submit_rocrate_import(
+            *_plan("up-999999"), now_ms=NOW
+        )["status"]
+        == 404
+    )
+
+
+def test_rocrate_idempotency_replay_and_conflict(rc_engine):
+    up = _upload(rc_engine)
+    plan = _plan(up["upload_id"])
+    first = rc_engine.submit_rocrate_import(
+        *plan, now_ms=NOW, idempotency_key="k1"
+    )
+    assert first["created"]
+    # same key + same plan digest -> replay, created False, SAME job —
+    # even after expiry (the replay short-circuits the fast checks)
+    replay = rc_engine.submit_rocrate_import(
+        *plan, now_ms=NOW + 2 * DAY_MS, idempotency_key="k1"
+    )
+    assert not replay["created"]
+    assert replay["job_id"] == first["job_id"]
+    # same key + DIFFERENT plan -> 409 JobPlanConflict with the
+    # existing job id (jobs/service.rs:267-271)
+    conflict = rc_engine.submit_rocrate_import(
+        *_plan(up["upload_id"], path="imports/other"),
+        now_ms=NOW,
+        idempotency_key="k1",
+    )
+    assert conflict["status"] == 409
+    assert conflict["error"] == "JobPlanConflict"
+    assert conflict["existing_job_id"] == first["job_id"]
+
+
+def test_rocrate_reclaim_skips_expiry(rc_engine):
+    # a dangling dedup row falls through to a fresh create
+    # (jobs/submit.rs:116-118); the claimed upload then RECLAIMS under
+    # the same dedup identity and skips the expiry check (rs:370-393)
+    up = _upload(rc_engine)
+    plan = _plan(up["upload_id"])
+    first = rc_engine.submit_rocrate_import(
+        *plan, now_ms=NOW, idempotency_key="k2"
+    )
+    del rc_engine._rocrate_dedup[("user-0", "k2")]
+    got = rc_engine.submit_rocrate_import(
+        *plan, now_ms=NOW + 2 * DAY_MS, idempotency_key="k2"
+    )
+    assert got["status"] == 202 and got["created"]
+    assert got["job_id"] != first["job_id"]
+    # without the shared identity the claim conflicts instead
+    up2 = _upload(rc_engine)
+    plan2 = _plan(up2["upload_id"])
+    rc_engine.submit_rocrate_import(
+        *plan2, now_ms=NOW, idempotency_key="k3"
+    )
+    del rc_engine._rocrate_dedup[("user-0", "k3")]
+    got = rc_engine.submit_rocrate_import(*plan2, now_ms=NOW)
+    assert got["status"] == 409 and "already claimed" in got["error"]
+
+
+def test_rocrate_target_and_metadata_ladders(rc_engine):
+    up = _upload(rc_engine)
+    src = {"kind": "upload", "upload_id": up["upload_id"]}
+    meta = {"group_id": "grp-main", "path": "imports/x", "public": True}
+
+    def tgt(**kw):
+        return {"bucket": "corpus", "prefix": "a/b", **kw}
+
+    for bad in (
+        tgt(bucket=""),
+        tgt(prefix="a/../b"),
+        tgt(prefix="a\\b"),
+        tgt(prefix="a/\x07/b"),
+        tgt(prefix="x" * 1025),
+        tgt(prefix="a//b"),
+    ):
+        got = rc_engine.submit_rocrate_import(
+            src, bad, meta, now_ms=NOW
+        )
+        assert got["status"] == 400, bad
+    for bad_meta in (
+        {"group_id": "grp-main", "path": "///"},
+        {"group_id": "grp-main", "path": "x" * 1025},
+        {"group_id": "", "path": "ok"},
+    ):
+        got = rc_engine.submit_rocrate_import(
+            src, tgt(), bad_meta, now_ms=NOW
+        )
+        assert got["status"] == 400, bad_meta
+    # the prefix is trimmed of '/' before validation (rs:327) and the
+    # metadata path normalizes via trim + trim_matches('/') (rs:344)
+    got = rc_engine.submit_rocrate_import(
+        src,
+        tgt(prefix="/staged/crates/"),
+        {"group_id": "grp-main", "path": "  /imports/x/  "},
+        now_ms=NOW,
+    )
+    assert got["status"] == 202
+    spec = rc_engine._rocrate_jobs[got["job_id"]]["spec"]
+    assert spec["target"]["prefix"] == "staged/crates"
+    assert spec["metadata"]["path"] == "imports/x"
+
+
+def test_rocrate_object_and_connector_sources(rc_engine):
+    obj = _some_object(rc_engine)
+    tgt = {"bucket": "corpus", "prefix": "staged"}
+    meta = {"group_id": "grp-main", "path": "imports/obj"}
+    ok = rc_engine.submit_rocrate_import(
+        {"kind": "object", "bucket": "corpus", "key": obj.key},
+        tgt,
+        meta,
+        now_ms=NOW,
+    )
+    assert ok["status"] == 202
+    missing = rc_engine.submit_rocrate_import(
+        {"kind": "object", "bucket": "corpus", "key": "no/such/key"},
+        tgt,
+        meta,
+        now_ms=NOW,
+    )
+    assert missing["status"] == 404
+    empty = rc_engine.submit_rocrate_import(
+        {"kind": "object", "bucket": "corpus", "key": ""},
+        tgt,
+        meta,
+        now_ms=NOW,
+    )
+    assert empty["status"] == 400
+    conn_ok = rc_engine.submit_rocrate_import(
+        {
+            "kind": "connector",
+            "group_id": "grp-main",
+            "connector_id": "conn-0",
+            "path": "refdata/crate.zip",
+        },
+        tgt,
+        meta,
+        now_ms=NOW,
+    )
+    assert conn_ok["status"] == 202
+    for bad_path in ("../up", "a/./b", "", "/rooted"):
+        got = rc_engine.submit_rocrate_import(
+            {
+                "kind": "connector",
+                "group_id": "grp-main",
+                "connector_id": "conn-0",
+                "path": bad_path,
+            },
+            tgt,
+            meta,
+            now_ms=NOW,
+        )
+        assert got["status"] == 400, bad_path
+    unknown = rc_engine.submit_rocrate_import(
+        {
+            "kind": "connector",
+            "group_id": "grp-main",
+            "connector_id": "conn-404",
+            "path": "x/y",
+        },
+        tgt,
+        meta,
+        now_ms=NOW,
+    )
+    assert unknown["status"] == 404
+
+
+def test_rocrate_active_job_cap(rc_engine):
+    meta = {"group_id": "grp-main", "path": "imports/cap"}
+    tgt = {"bucket": "corpus", "prefix": "staged"}
+    for i in range(Engine.ROCRATE_MAX_ACTIVE_JOBS):
+        up = _upload(rc_engine)
+        got = rc_engine.submit_rocrate_import(
+            {"kind": "upload", "upload_id": up["upload_id"]},
+            tgt,
+            {**meta, "path": f"imports/cap-{i}"},
+            now_ms=NOW,
+        )
+        assert got["status"] == 202
+    up = _upload(rc_engine)
+    capped = rc_engine.submit_rocrate_import(
+        {"kind": "upload", "upload_id": up["upload_id"]},
+        tgt,
+        {**meta, "path": "imports/cap-overflow"},
+        now_ms=NOW,
+    )
+    assert capped == {
+        "status": 409,
+        "error": "ActiveJobLimit",
+        "limit": 4,
+    }
