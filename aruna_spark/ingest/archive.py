@@ -82,3 +82,246 @@ def import_crates(crates: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return crates.mapInPandas(run, TRIPLES_SCHEMA)
+
+
+# --------------------------------------------- alias-aware crate rewrite
+# The import job's rewrite pass is TOLERANT of crates whose ``@context``
+# aliases the JSON-LD keywords (``jobs/rocrate_jsonld.rs``): a crate may
+# call ``@id`` "identifier" or ``@graph`` "graph" and still import. The
+# full kernel (``jobs/import/rewrite.rs``):
+#
+# - ``JsonLdKeywords`` (rocrate_jsonld.rs:13-82): collect the
+#   ``@context`` term map (string defs and ``{"@id": ...}`` object
+#   defs, arrays merged), then resolve keys alias-aware —
+#   ``is_id``/``is_graph`` accept the literal keyword or any alias;
+#   ``term_matches(term, iris)`` is TRUE when the context leaves the
+#   term undefined (rocrate_jsonld.rs:50-57: None => true).
+# - ``normalize_ids`` (rewrite.rs:166-189): every value under an id
+#   key is percent-encoded over the IRI-illegal ASCII set (controls,
+#   space, ``"<>\^`{|}``; '%' excluded so an encoded id normalizes to
+#   itself).
+# - ``expanded_id`` (rewrite.rs:210-219): relative ids resolve against
+#   ``https://craqle.invalid/`` so an entity and its references still
+#   meet when they differ in ``./`` prefix or percent-encoding.
+# - ``rewrite_value`` (rewrite.rs:221-297): an object whose id matches
+#   a target gets the target's ``w3id``; a FULL entity (more keys than
+#   the id) is also enriched with ``localPath`` (the archive-local
+#   path) and ``contentUrl`` (the hash w3id), prepended under the
+#   compact key when the context doesn't redefine it, else under the
+#   full IRI (rs:83-92,255-273); descent skips localPath values
+#   (rs:278-280); a raw STRING occurrence of a target id outside an id
+#   position is recorded as a warning, not rewritten (rs:283-287).
+# - ``prepend_value`` (rewrite.rs:299-317): merge without duplicates —
+#   equal value kept, arrays get the value prepended, a differing
+#   scalar becomes ``[value, existing]``.
+# - ``ensure_local_context`` (rewrite.rs:335-362): a RO-Crate 1.1
+#   crate that got compact localPath enrichment has the
+#   ``{"localPath": <IRI>}`` mapping appended to its ``@context`` (the
+#   1.1 vocabulary predates the term; 1.2 carries it).
+from urllib.parse import urljoin
+
+JSONLD_BASE_IRI = "https://craqle.invalid/"
+SCHEMA_CONTENT_IRI = "http://schema.org/contentUrl"
+_SCHEMA_CONTENT_IRIS = (
+    SCHEMA_CONTENT_IRI,
+    "https://schema.org/contentUrl",
+    "schema:contentUrl",
+)
+LOCAL_PATH_IRI = "https://w3id.org/ro/terms#localPath"
+_LOCAL_PATH_IRIS = ("localPath", LOCAL_PATH_IRI)
+_CRATE_11_CONTEXT = "https://w3id.org/ro/crate/1.1/context"
+_ID_ENCODE_SET = frozenset(' "<>\\^`{|}') | frozenset(
+    chr(c) for c in (*range(0x20), 0x7F)
+)
+
+
+class JsonLdKeywords:
+    """@context term-alias resolution (jobs/rocrate_jsonld.rs:13-82)."""
+
+    def __init__(self, document):
+        self.terms: dict[str, str | None] = {}
+        if isinstance(document, dict):
+            self._collect(document.get("@context"))
+
+    def _collect(self, context) -> None:
+        if isinstance(context, list):
+            for value in context:
+                self._collect(value)
+        elif isinstance(context, dict):
+            for term, definition in context.items():
+                if isinstance(definition, str):
+                    iri = definition
+                elif isinstance(definition, dict):
+                    iri = definition.get("@id")
+                    iri = iri if isinstance(iri, str) else None
+                else:
+                    iri = None
+                self.terms[term] = iri
+
+    def is_id(self, key: str) -> bool:
+        return key == "@id" or self.terms.get(key) == "@id"
+
+    def is_graph(self, key: str) -> bool:
+        return key == "@graph" or self.terms.get(key) == "@graph"
+
+    def expands_to(self, key: str, values) -> bool:
+        if key in self.terms:
+            iri = self.terms[key]
+            return iri is not None and iri in values
+        return key in values
+
+    def term_matches(self, term: str, values) -> bool:
+        if term in self.terms:
+            iri = self.terms[term]
+            return iri is not None and iri in values
+        return True
+
+    def object_id(self, obj: dict):
+        for key, value in obj.items():
+            if self.is_id(key) and isinstance(value, str):
+                return key, value
+        return None
+
+    def graph(self, document):
+        if isinstance(document, dict):
+            for key, value in document.items():
+                if self.is_graph(key) and isinstance(value, list):
+                    return value
+        return None
+
+
+def _canonical_id(identifier: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _ID_ENCODE_SET else c
+        for c in identifier
+    )
+
+
+def _expanded_id(identifier: str) -> str:
+    canonical = _canonical_id(identifier)
+    # absolute IRIs pass through; relative ones resolve against the
+    # fixed base so './x', 'x', and '%20'-variants meet (rs:210-219)
+    if "://" in canonical:
+        return canonical
+    return urljoin(JSONLD_BASE_IRI, canonical)
+
+
+def _normalize_ids(value, keywords: JsonLdKeywords) -> None:
+    if isinstance(value, list):
+        for item in value:
+            _normalize_ids(item, keywords)
+    elif isinstance(value, dict):
+        for key, item in value.items():
+            if isinstance(item, str) and keywords.is_id(key):
+                canonical = _canonical_id(item)
+                if canonical != item:
+                    value[key] = canonical
+            _normalize_ids(value[key], keywords)
+
+
+def _prepend_value(obj: dict, key: str, value) -> None:
+    existing = obj.pop(key, None)
+    if existing is None:
+        obj[key] = value
+    elif existing == value:
+        obj[key] = existing
+    elif isinstance(existing, list):
+        if value not in existing:
+            existing.insert(0, value)
+        obj[key] = existing
+    else:
+        obj[key] = [value, existing]
+
+
+def _ensure_local_context(doc: dict) -> None:
+    mapping = {"localPath": LOCAL_PATH_IRI}
+    context = doc.pop("@context", None)
+    if isinstance(context, list):
+        if not any(
+            isinstance(v, dict) and v.get("localPath") == LOCAL_PATH_IRI
+            for v in context
+        ):
+            context.append(mapping)
+        doc["@context"] = context
+    elif isinstance(context, dict):
+        context["localPath"] = LOCAL_PATH_IRI
+        doc["@context"] = context
+    elif context is not None:
+        doc["@context"] = [context, mapping]
+    else:
+        doc["@context"] = mapping
+
+
+def _uses_v11(doc) -> bool:
+    context = doc.get("@context") if isinstance(doc, dict) else None
+    if isinstance(context, str):
+        return context == _CRATE_11_CONTEXT
+    if isinstance(context, list):
+        return any(v == _CRATE_11_CONTEXT for v in context)
+    return False
+
+
+def rewrite_document_enriched(
+    jsonld: str, targets: dict[str, dict]
+) -> tuple[str, list[str]]:
+    """The reference import job's full rewrite pass (rewrite.rs:77-120)
+    over one crate: targets map archive-local ids to ``{"w3id": ...,
+    "hash_w3id": ..., "local_path": ...}``. Returns the rewritten
+    JSON-LD and the sorted warning list (raw-string references to
+    target ids that could not be rewritten in place)."""
+    doc = json.loads(jsonld)
+    keywords = JsonLdKeywords(doc)
+    _normalize_ids(doc, keywords)
+    expanded = {_expanded_id(k): v for k, v in targets.items()}
+    compact_content = keywords.term_matches(
+        "contentUrl", _SCHEMA_CONTENT_IRIS
+    )
+    compact_path = keywords.term_matches("localPath", (LOCAL_PATH_IRI,))
+    warnings: set[str] = set()
+
+    def match(identifier: str):
+        return expanded.get(_expanded_id(identifier))
+
+    def walk(value) -> None:
+        if isinstance(value, list):
+            for item in value:
+                if isinstance(item, str) and match(item) is not None:
+                    warnings.add(item)
+                walk(item)
+        elif isinstance(value, dict):
+            found = keywords.object_id(value)
+            target = match(found[1]) if found else None
+            if found and target is not None:
+                value[found[0]] = target["w3id"]
+                if len(value) > 1:
+                    _prepend_value(
+                        value,
+                        "localPath" if compact_path else LOCAL_PATH_IRI,
+                        target["local_path"],
+                    )
+                    _prepend_value(
+                        value,
+                        "contentUrl"
+                        if compact_content
+                        else SCHEMA_CONTENT_IRI,
+                        target["hash_w3id"],
+                    )
+            for key in list(value):
+                if keywords.expands_to(key, _LOCAL_PATH_IRIS):
+                    continue
+                item = value[key]
+                if (
+                    not keywords.is_id(key)
+                    and isinstance(item, str)
+                    and match(item) is not None
+                ):
+                    warnings.add(item)
+                walk(item)
+
+    walk(doc)
+    if _uses_v11(doc) and compact_path and targets:
+        _ensure_local_context(doc)
+    return (
+        json.dumps(doc, sort_keys=True, separators=(",", ":")),
+        sorted(warnings),
+    )

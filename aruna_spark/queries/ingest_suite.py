@@ -441,3 +441,173 @@ def graph_snapshot_orphan_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_skipped"),
     )
+
+
+# --------------------------------------- alias-aware enriched rewrite
+# The import job's FULL rewrite pass (jobs/import/rewrite.rs +
+# jobs/rocrate_jsonld.rs) over five crate shapes (lane = doc_id % 5,
+# no row filter — congruence-safe):
+#   0: RO-Crate 1.1 context, plain keys — compact localPath/contentUrl
+#      enrichment (rs:255-273) AND the 1.1 context gains the
+#      {"localPath": IRI} mapping (ensure_local_context, rs:335-362);
+#   1: the context ALIASES @id/@graph ("identifier"/"graph",
+#      rocrate_jsonld.rs:26-40) — the rewrite still lands;
+#   2: the entity id lacks the './' prefix the target map uses —
+#      expanded_id (rs:210-219) resolves both against the fixed base —
+#      and the context REDEFINES localPath, so enrichment falls back
+#      to the full-IRI key (term_matches, rocrate_jsonld.rs:50-57);
+#   3: a second entity references the file id as a RAW STRING — a
+#      warning, never a rewrite (rs:283-287);
+#   4: the entity id carries a literal space and the target is
+#      %20-encoded — normalize_ids (rs:166-189) canonicalizes before
+#      matching.
+_REWRITE_LANES_ORACLE = """
+    SELECT 'doc-' || doc_id AS document_id,
+           'https://w3id.org/doc/' || doc_id AS out_id,
+           'data/file-' || doc_id || '.txt' AS local_path,
+           'https://w3id.org/hash/' || doc_id AS content_url,
+           CASE WHEN doc_id % 5 = 2 THEN 'iri' ELSE 'compact' END
+             AS local_path_key,
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_warnings,
+           CASE WHEN doc_id % 5 = 3
+                THEN './file-' || doc_id || '.txt' END AS first_warning,
+           doc_id % 5 = 0 AS has_local_ctx
+    FROM documents
+"""
+
+
+@register("archive_rewrite_enriched", oracle=_REWRITE_LANES_ORACLE)
+def archive_rewrite_enriched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run the alias-aware enriched rewrite
+    (:func:`aruna_spark.ingest.archive.rewrite_document_enriched` —
+    jobs/import/rewrite.rs:77-120) over one crate per document and
+    surface the envelope: the rewritten id, the localPath/contentUrl
+    enrichment (and WHICH key carried it), the raw-string warnings,
+    and whether a 1.1 crate gained the localPath context mapping.
+    Arrow-batched mapInPandas, partition-parallel over crates —
+    corpus-linear, no shuffle."""
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from aruna_spark.ingest.archive import (
+        LOCAL_PATH_IRI,
+        rewrite_document_enriched,
+    )
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def crate_for(doc_id: int) -> tuple[str, dict]:
+        lane = doc_id % 5
+        fid = f"./file-{doc_id}.txt"
+        target = {
+            "w3id": f"https://w3id.org/doc/{doc_id}",
+            "hash_w3id": f"https://w3id.org/hash/{doc_id}",
+            "local_path": f"data/file-{doc_id}.txt",
+        }
+        if lane == 0:
+            crate = {
+                "@context": "https://w3id.org/ro/crate/1.1/context",
+                "@graph": [{"@id": fid, "name": f"File {doc_id}"}],
+            }
+            return _json.dumps(crate), {fid: target}
+        if lane == 1:
+            crate = {
+                "@context": {"identifier": "@id", "graph": "@graph"},
+                "graph": [
+                    {"identifier": fid, "name": f"File {doc_id}"}
+                ],
+            }
+            return _json.dumps(crate), {fid: target}
+        if lane == 2:
+            crate = {
+                "@context": {"localPath": "https://example.org/other"},
+                "@graph": [
+                    {
+                        "@id": f"file-{doc_id}.txt",
+                        "name": f"File {doc_id}",
+                    }
+                ],
+            }
+            return _json.dumps(crate), {fid: target}
+        if lane == 3:
+            crate = {
+                "@context": "https://w3id.org/ro/crate/1.2/context",
+                "@graph": [
+                    {"@id": fid, "name": f"File {doc_id}"},
+                    {"@id": "./ro-crate-metadata.json", "about": fid},
+                ],
+            }
+            return _json.dumps(crate), {fid: target}
+        crate = {
+            "@graph": [
+                {"@id": f"./file {doc_id}.txt", "name": f"File {doc_id}"}
+            ]
+        }
+        return _json.dumps(crate), {f"./file%20{doc_id}.txt": target}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "document_id",
+            "out_id",
+            "local_path",
+            "content_url",
+            "local_path_key",
+            "n_warnings",
+            "first_warning",
+            "has_local_ctx",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                jsonld, targets = crate_for(doc_id)
+                out, warnings = rewrite_document_enriched(
+                    jsonld, targets
+                )
+                doc = _json.loads(out)
+                kw_graph = None
+                for key in ("@graph", "graph"):
+                    if isinstance(doc.get(key), list):
+                        kw_graph = doc[key]
+                        break
+                ent = kw_graph[0]
+                out_id = ent.get("@id") or ent.get("identifier")
+                compact = "localPath" in ent
+                context = doc.get("@context")
+                ctx_list = (
+                    context if isinstance(context, list) else [context]
+                )
+                has_local_ctx = any(
+                    isinstance(v, dict)
+                    and v.get("localPath") == LOCAL_PATH_IRI
+                    for v in ctx_list
+                )
+                rows.append(
+                    (
+                        f"doc-{doc_id}",
+                        out_id,
+                        ent.get("localPath")
+                        if compact
+                        else ent.get(LOCAL_PATH_IRI),
+                        ent.get("contentUrl"),
+                        "compact" if compact else "iri",
+                        len(warnings),
+                        warnings[0] if warnings else None,
+                        has_local_ctx,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "document_id string, out_id string, local_path string, "
+        "content_url string, local_path_key string, n_warnings long, "
+        "first_warning string, has_local_ctx boolean",
+    )

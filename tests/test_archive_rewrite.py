@@ -1,0 +1,214 @@
+"""The alias-aware enriched crate rewrite
+(``jobs/import/rewrite.rs`` + ``jobs/rocrate_jsonld.rs``): keyword
+alias resolution, id normalization/expansion, target matching across
+``./``-prefix and percent-encoding differences, file-entity
+enrichment with compact-vs-IRI key selection, raw-string warnings,
+and the prepend merge semantics."""
+
+from __future__ import annotations
+
+import json
+
+from aruna_spark.ingest.archive import (
+    JSONLD_BASE_IRI,
+    LOCAL_PATH_IRI,
+    SCHEMA_CONTENT_IRI,
+    JsonLdKeywords,
+    _canonical_id,
+    _expanded_id,
+    _prepend_value,
+    rewrite_document_enriched,
+)
+
+TARGET = {
+    "w3id": "https://w3id.org/doc/1",
+    "hash_w3id": "https://w3id.org/hash/1",
+    "local_path": "data/file-1.txt",
+}
+
+
+def _rewrite(crate: dict, targets: dict) -> tuple[dict, list[str]]:
+    out, warnings = rewrite_document_enriched(json.dumps(crate), targets)
+    return json.loads(out), warnings
+
+
+# ------------------------------------------------- JsonLdKeywords
+def test_keywords_alias_resolution():
+    kw = JsonLdKeywords(
+        {
+            "@context": [
+                "https://w3id.org/ro/crate/1.2/context",
+                {"identifier": "@id", "graph": {"@id": "@graph"}},
+            ]
+        }
+    )
+    assert kw.is_id("@id") and kw.is_id("identifier")
+    assert not kw.is_id("name")
+    assert kw.is_graph("@graph") and kw.is_graph("graph")
+    # term undefined in the context -> matches (rocrate_jsonld.rs:56)
+    assert kw.term_matches("localPath", (LOCAL_PATH_IRI,))
+    # defined to something else -> does not
+    kw2 = JsonLdKeywords(
+        {"@context": {"localPath": "https://example.org/other"}}
+    )
+    assert not kw2.term_matches("localPath", (LOCAL_PATH_IRI,))
+    # expands_to: undefined key must BE one of the IRIs
+    assert kw.expands_to(LOCAL_PATH_IRI, ("localPath", LOCAL_PATH_IRI))
+    assert not kw.expands_to("somethingElse", ("localPath",))
+
+
+def test_object_id_alias_aware():
+    kw = JsonLdKeywords({"@context": {"identifier": "@id"}})
+    assert kw.object_id({"identifier": "./x", "name": "n"}) == (
+        "identifier",
+        "./x",
+    )
+    assert kw.object_id({"name": "n"}) is None
+
+
+# ------------------------------------------------- id normalization
+def test_canonical_and_expanded_ids():
+    assert _canonical_id("./file 1.txt") == "./file%201.txt"
+    # '%' excluded: an encoded id normalizes to itself (rewrite.rs:17-18)
+    assert _canonical_id("./file%201.txt") == "./file%201.txt"
+    assert _canonical_id('a"<>\\^`{|}b') == (
+        "a%22%3C%3E%5C%5E%60%7B%7C%7Db"
+    )
+    # relative forms meet at the fixed base (rewrite.rs:210-219)
+    assert _expanded_id("./file-1.txt") == _expanded_id("file-1.txt")
+    assert _expanded_id("file-1.txt") == JSONLD_BASE_IRI + "file-1.txt"
+    assert _expanded_id("https://a.example/x") == "https://a.example/x"
+
+
+# ------------------------------------------------- rewrite semantics
+def test_rewrite_enriches_full_entity_compact_keys():
+    doc, warnings = _rewrite(
+        {"@graph": [{"@id": "./file-1.txt", "name": "f"}]},
+        {"./file-1.txt": TARGET},
+    )
+    ent = doc["@graph"][0]
+    assert ent["@id"] == TARGET["w3id"]
+    assert ent["localPath"] == TARGET["local_path"]
+    assert ent["contentUrl"] == TARGET["hash_w3id"]
+    assert warnings == []
+
+
+def test_rewrite_reference_only_object_not_enriched():
+    # a bare {"@id": ...} reference rewrites but gains no enrichment
+    # (rewrite.rs:248-252: object.len() > 1 gates the prepends)
+    doc, _ = _rewrite(
+        {"@graph": [{"@id": "./file-1.txt"}]}, {"./file-1.txt": TARGET}
+    )
+    assert doc["@graph"][0] == {"@id": TARGET["w3id"]}
+
+
+def test_rewrite_iri_keys_when_context_redefines():
+    doc, _ = _rewrite(
+        {
+            "@context": {
+                "localPath": "https://example.org/other",
+                "contentUrl": "https://example.org/other2",
+            },
+            "@graph": [{"@id": "./file-1.txt", "name": "f"}],
+        },
+        {"./file-1.txt": TARGET},
+    )
+    ent = doc["@graph"][0]
+    assert ent[LOCAL_PATH_IRI] == TARGET["local_path"]
+    assert ent[SCHEMA_CONTENT_IRI] == TARGET["hash_w3id"]
+    assert "localPath" not in ent and "contentUrl" not in ent
+
+
+def test_rewrite_warning_for_raw_string_reference():
+    doc, warnings = _rewrite(
+        {
+            "@graph": [
+                {"@id": "./file-1.txt", "name": "f"},
+                {"@id": "./meta.json", "about": "./file-1.txt"},
+                {"@id": "./meta2.json", "parts": ["./file-1.txt"]},
+            ]
+        },
+        {"./file-1.txt": TARGET},
+    )
+    # raw strings are warned about, never rewritten (rs:283-287)
+    assert doc["@graph"][1]["about"] == "./file-1.txt"
+    assert doc["@graph"][2]["parts"] == ["./file-1.txt"]
+    assert warnings == ["./file-1.txt"]
+
+
+def test_rewrite_percent_and_prefix_matching():
+    # space in the doc, %20 in the target; no './' on the entity side
+    doc, _ = _rewrite(
+        {"@graph": [{"@id": "file 1.txt", "name": "f"}]},
+        {"./file%201.txt": TARGET},
+    )
+    assert doc["@graph"][0]["@id"] == TARGET["w3id"]
+
+
+def test_rewrite_skips_local_path_values():
+    # descent skips localPath keys (rs:278-280): a target id stored
+    # there is neither rewritten nor warned about
+    doc, warnings = _rewrite(
+        {
+            "@graph": [
+                {
+                    "@id": "./file-1.txt",
+                    "name": "f",
+                    "localPath": "./file-1.txt",
+                }
+            ]
+        },
+        {"./file-1.txt": TARGET},
+    )
+    assert warnings == []
+
+
+def test_v11_crate_gains_local_context():
+    doc, _ = _rewrite(
+        {
+            "@context": "https://w3id.org/ro/crate/1.1/context",
+            "@graph": [{"@id": "./file-1.txt", "name": "f"}],
+        },
+        {"./file-1.txt": TARGET},
+    )
+    assert doc["@context"] == [
+        "https://w3id.org/ro/crate/1.1/context",
+        {"localPath": LOCAL_PATH_IRI},
+    ]
+    # 1.2 crates don't (the vocabulary carries the term)
+    doc, _ = _rewrite(
+        {
+            "@context": "https://w3id.org/ro/crate/1.2/context",
+            "@graph": [{"@id": "./file-1.txt", "name": "f"}],
+        },
+        {"./file-1.txt": TARGET},
+    )
+    assert doc["@context"] == "https://w3id.org/ro/crate/1.2/context"
+
+
+def test_prepend_value_merge_semantics():
+    # rewrite.rs:299-317
+    obj = {}
+    _prepend_value(obj, "k", "v")
+    assert obj == {"k": "v"}
+    _prepend_value(obj, "k", "v")
+    assert obj == {"k": "v"}
+    _prepend_value(obj, "k", "w")
+    assert obj == {"k": ["w", "v"]}
+    _prepend_value(obj, "k", "x")
+    assert obj == {"k": ["x", "w", "v"]}
+    _prepend_value(obj, "k", "w")
+    assert obj == {"k": ["x", "w", "v"]}
+
+
+def test_aliased_graph_and_id_rewrite():
+    doc, _ = _rewrite(
+        {
+            "@context": {"identifier": "@id", "graph": "@graph"},
+            "graph": [{"identifier": "./file-1.txt", "name": "f"}],
+        },
+        {"./file-1.txt": TARGET},
+    )
+    ent = doc["graph"][0]
+    assert ent["identifier"] == TARGET["w3id"]
+    assert ent["localPath"] == TARGET["local_path"]
