@@ -51,63 +51,65 @@ def register(name: str, oracle: str | None = None):
 # outside the window is selfcheck-verified at round close
 # (scripts/selfcheck.py at sf0.01).
 PRIORITY_PREFIXES = (
-    # --- r13-new (first driver checks take precedence, r9 convention)
-    "registry_create_group_gate",
-    "crdt_admin_seed_replay",
-    "registry_create_doc_placement",
-    "usage_quota_status_resolved",
-    "realm_user_group_caps",
-    "user_token_canonical_check",
-    "doc_serve_gate",
-    "handle_pool_transfer_slice",
-    # --- late-r12, never driver-checked (VERDICT r12 Next #1)
-    "search_users_page",
-    "dsir_importance_select",
-    "textstats_c4_rules",
-    "node_info_heartbeat",
-    "group_backends_removal_sweep",
-    # --- the CRDT pair queued since the r11 stale list
-    "crdt_clock_relation",
-    "crdt_orset_replay",
-    # --- r7-stale dedup/similarity family (11 rows)
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_buckets",
-    "dedup_clusters",
-    "dedup_minhash_scaled",
-    "dedup_clusters_scaled",
-    "dedup_simhash_scaled",
-    "dedup_ngram_scaled",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    # --- r8-stale blocks (30 of 32; the deferred two lead r14)
-    "jobs_drain_page",
-    "jobs_reconcile_lost",
-    "jobs_prune_page",
-    "jobs_drain_class_budget",
-    "jobs_queue_lag",
-    "jobs_recovery_actions",
-    "jobs_submit_batch",
-    "placement_strategy_binding",
-    "placement_resolve_holders",
-    "placement_shard_assignment",
-    "placement_resolve_override",
-    "blob_permission_paths",
-    "blobs_hidden_sweep",
-    "blob_reclaim_sweep",
-    "shard_verification_sweep",
-    "notify_inbox_holders",
-    "notify_route_resource_events",
-    "matq_finish_batch",
-    "matq_requeue_sweep",
-    "perm_allows_matrix",
-    "registry_list_groups",
-    "registry_list_users",
-    "registry_subject_conflicts",
-    "registry_subject_merges",
-    # (the eight deferred r8-stale rows listed in the header comment
-    # join the r14 queue head.)
+    # --- r14-new (first driver checks take precedence, r9 convention)
+    "crdt_realm_quota_replay",
+    "archive_rewrite_enriched",
+    "staging_source_descriptor",
+    # --- the 8 r8-stale rows deferred from the r13 window (VERDICT
+    # r13 Next #1 leads)
+    "stream_watch_no_retroactive",
+    "corpus_retention_funnel",
+    "storage_routing_resolve",
+    "staging_snapshot_materialize",
+    "staging_sync_drift",
+    "staging_list_connectors",
+    "staging_refresh_sweep",
+    "registry_resolve_users",
+    # --- r9-stale blocks (39 of 46; the 7 deferred SPARQL slice/page +
+    # GRAPH variants — sparql_distinct, sparql_reduced,
+    # sparql_offset_page, sparql_nested_slice, sparql_order_limit,
+    # sparql_graph_var, sparql_graph_scoped — lead the r15 window
+    # together with the r10 blocks: hashpaths, reclaim probes,
+    # sync_outbox, doc lifecycle/update remainder)
+    "sparql_ask",
+    "sparql_bgp_filter",
+    "sparql_distributed_ask",
+    "sparql_filter_builtins",
+    "sparql_fts_bgp_mix",
+    "sparql_fts_score",
+    "sparql_group_agg",
+    "sparql_group_concat",
+    "sparql_having",
+    "sparql_lateral_topk_per_group",
+    "sparql_minus",
+    "sparql_not_exists",
+    "sparql_optional",
+    "sparql_path_inverse",
+    "sparql_path_negated",
+    "sparql_path_plus",
+    "sparql_path_seq_closure",
+    "sparql_path_star",
+    "sparql_skip_tombstoned",
+    "sparql_star_describe",
+    "sparql_string_funcs",
+    "sparql_sum_sample",
+    "sparql_union",
+    "sparql_values_bind",
+    "search_groups_page",
+    "corpus_mix_plan",
+    "corpus_mix_sample",
+    "export_plan_paths",
+    "matq_graph_prune_drain",
+    "registry_delete_lifecycle",
+    "registry_doc_count_live",
+    "registry_listing_live",
+    "registry_subject_closure",
+    "registry_update_batch",
+    "replication_location_summary",
+    "s3_replication_validate",
+    "s3_user_access_gate",
+    "s3_user_access_list",
+    "s3_user_access_revoke",
 )
 
 

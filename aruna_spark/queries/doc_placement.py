@@ -125,7 +125,30 @@ def load_create_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs-normalization path lane (k % 13 == 1), and seven supplied-id
     sub-lanes from (t // 3) % 7 covering every resolve_metadata_id
     rung (sub 0 alternates group-scope and realm-scope matches)."""
-    k = F.col("o_orderkey")
+    keyed = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 4)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    return _requests_from_keys(keyed)
+
+
+def load_create_requests_decade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-proportional decade fixture (VERDICT r13 Next #4): ONE
+    create request per document, same lane algebra and pipeline —
+    ``documents`` is the only row table the sf10 slice carries, and
+    the registered orders-keyed fixture stays untouched (changing a
+    registered fixture forces a correctness-window re-slot)."""
+    keyed = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("k")
+    )
+    return _requests_from_keys(keyed)
+
+
+def _requests_from_keys(keyed: DataFrame) -> DataFrame:
+    k = F.col("k")
     t = F.floor((k - 4) / 9)
     mode = (
         F.when(t % 3 == 0, "local")
@@ -174,8 +197,7 @@ def load_create_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup_bucket = F.when(sub == 3, 64 + (k % 10)).otherwise(k % 64)
     return (
-        load_table(spark, sf_dir, "orders")
-        .filter(k % 9 == 4)
+        keyed
         .select(
             k.alias("request_id"),
             mode.alias("mode"),
@@ -477,6 +499,25 @@ def registry_create_doc_placement(
     resolve_metadata_id outcomes in the reference's rung order."""
     return classify_creates(
         load_create_requests(spark, sf_dir),
+        load_directory(spark),
+        held_buckets(spark, sf_dir),
+    )
+
+
+def registry_create_doc_placement_decade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNREGISTERED decade variant (resolved by
+    ``scripts/bench_decade._resolve``): the corpus-proportional request
+    fixture through the SAME :func:`classify_creates` pipeline —
+    requests keyed by doc_id so the population actually grows per
+    decade (the registered orders fixture is scale-bound to the tables
+    the sf10 slice omits). Measures the real cost model: corpus-linear
+    requests, each local create scoring one node's held buckets
+    (config-sized) through the Q6.24 rendezvous fold, the directory
+    broadcast, no window, no collect."""
+    return classify_creates(
+        load_create_requests_decade(spark, sf_dir),
         load_directory(spark),
         held_buckets(spark, sf_dir),
     )

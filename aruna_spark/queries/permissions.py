@@ -77,7 +77,11 @@ def perm_visible_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ the full allows ladder
 # permission_rules.rs:110-157 — the single authorization decision every
-# read path shares:
+# read path shares (operations/src/check_permissions.rs:17-19 is a thin
+# single-path wrapper over exactly these rules — "Rule collection and
+# evaluation live in permission_rules, so read paths that filter many
+# paths at once share exactly these semantics"; its
+# public-roles-read-only test is the public-WRITE-inert lane below):
 #   - a matching DIRECT DENY denies outright;
 #   - a PUBLIC role only ever grants READ (a public WRITE rule grants
 #     nothing — the Everyone principal is read-only by construction);

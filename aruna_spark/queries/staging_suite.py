@@ -384,3 +384,133 @@ def connector_reference_guard(
         F.col("__n").isNotNull().alias("referenced"),
         F.col("__n").isNull().alias("deletable"),
     )
+
+
+# =============================================== portable source descriptor
+# operations/src/staging/descriptor.rs (r14 uncited-file sweep find):
+# every staged binding carries a PortableSourceDescriptor built from the
+# connector + the source HEAD metadata —
+# - version_selector (rs:44-46): 'version:' || the TRIMMED
+#   source_version, None when missing or whitespace-only (non_empty,
+#   rs:65-70);
+# - capabilities (rs:48-63): 'head' and 'read' ALWAYS, then
+#   'versioned' / 'etag' / 'last_modified' / 'content_type' exactly
+#   when the corresponding metadata field is present (strings
+#   trim-checked, last_modified by presence alone), in that fixed
+#   order;
+# - kind / public_config copied from the connector, the source path
+#   and optional origin node threaded through
+#   (build_portable_source_descriptor rs:8-22;
+#   build_version_source_binding rs:24-42 wraps it with the staging
+#   strategy + connector id).
+# Metadata-presence lanes use moduli 3/2/5/7 — pairwise coprime with
+# each other and with the % 11 binding filter (CRT-safe).
+@register(
+    "staging_source_descriptor",
+    oracle="""
+    WITH bound AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 11 = 6 THEN 'snapshot' ELSE 'sync' END
+               AS strategy,
+             CASE WHEN doc_id % 11 = 6 THEN 'snap' ELSE 'sync' END
+               AS tree,
+             CASE doc_id % 3 WHEN 1 THEN 'v' || doc_id
+                             WHEN 2 THEN '   ' END AS src_version,
+             CASE WHEN doc_id % 2 = 1
+                  THEN '"etag-' || doc_id || '"' END AS etag,
+             CASE WHEN doc_id % 5 >= 2
+                  THEN 1700000000000 + doc_id END AS last_modified,
+             CASE doc_id % 7 WHEN 0 THEN NULL WHEN 1 THEN ' '
+                             ELSE 'text/plain' END AS content_type
+      FROM documents WHERE doc_id % 11 IN (6, 7)
+    )
+    SELECT doc_id, strategy,
+           'conn-' || (doc_id % 5) AS connector_id,
+           's3' AS kind,
+           'endpoint=https://s3.example/' || source AS public_config,
+           source || '/' || lang || '/doc-' || doc_id || '.bin'
+             AS source_path,
+           CASE WHEN TRIM(src_version) <> ''
+                THEN 'version:' || TRIM(src_version) END
+             AS version_selector,
+           'head,read'
+             || CASE WHEN TRIM(COALESCE(src_version, '')) <> ''
+                     THEN ',versioned' ELSE '' END
+             || CASE WHEN TRIM(COALESCE(etag, '')) <> ''
+                     THEN ',etag' ELSE '' END
+             || CASE WHEN last_modified IS NOT NULL
+                     THEN ',last_modified' ELSE '' END
+             || CASE WHEN TRIM(COALESCE(content_type, '')) <> ''
+                     THEN ',content_type' ELSE '' END
+             AS capabilities
+    FROM bound
+    """,
+)
+def staging_source_descriptor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build the portable source descriptor for every staged binding
+    (descriptor.rs:8-70): trim-aware version selector, the fixed-order
+    capability list gated by metadata-field presence, and the
+    connector's kind/public_config pass-through. Pure column algebra
+    over the binding dimension — no UDF, no shuffle."""
+    from aruna_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 11).isin(6, 7)
+    )
+    k = F.col("doc_id")
+    src_version = (
+        F.when(k % 3 == 1, F.concat(F.lit("v"), k.cast("string")))
+        .when(k % 3 == 2, F.lit("   "))
+    )
+    etag = F.when(
+        k % 2 == 1, F.concat(F.lit('"etag-'), k.cast("string"), F.lit('"'))
+    )
+    last_modified = F.when(k % 5 >= 2, F.lit(1700000000000) + k)
+    content_type = (
+        F.when(k % 7 == 1, F.lit(" "))
+        .when(k % 7 != 0, F.lit("text/plain"))
+    )
+
+    def present(col: F.Column) -> F.Column:
+        return F.trim(F.coalesce(col, F.lit(""))) != ""
+
+    caps = F.concat(
+        F.lit("head,read"),
+        F.when(present(src_version), F.lit(",versioned")).otherwise(
+            F.lit("")
+        ),
+        F.when(present(etag), F.lit(",etag")).otherwise(F.lit("")),
+        F.when(last_modified.isNotNull(), F.lit(",last_modified"))
+        .otherwise(F.lit("")),
+        F.when(present(content_type), F.lit(",content_type")).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.when(k % 11 == 6, "snapshot").otherwise("sync").alias(
+            "strategy"
+        ),
+        F.concat(F.lit("conn-"), (k % 5).cast("string")).alias(
+            "connector_id"
+        ),
+        F.lit("s3").alias("kind"),
+        F.concat(
+            F.lit("endpoint=https://s3.example/"), F.col("source")
+        ).alias("public_config"),
+        F.concat(
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc-"),
+            k.cast("string"),
+            F.lit(".bin"),
+        ).alias("source_path"),
+        F.when(
+            present(src_version),
+            F.concat(F.lit("version:"), F.trim(src_version)),
+        ).alias("version_selector"),
+        caps.alias("capabilities"),
+    )

@@ -73,6 +73,17 @@ DECADE_QUERIES = [
     # three keyed left joins); the other r13 operators are request- or
     # config-sized and read tables absent from the sf10 slice
     "doc_serve_gate",
+    # r14 (VERDICT r13 Next #4): the create-placement ladders on a
+    # corpus-proportional request population (one per document —
+    # queries/doc_placement.py load_create_requests_decade; the
+    # registered orders-keyed fixture is unchanged)
+    "registry_create_doc_placement_decade",
+    # r14: the alias-aware crate rewrite (one crate per document,
+    # Arrow-batched mapInPandas). crdt_realm_quota_replay is NOT here:
+    # its realm population is config-sized (doc_id % 97 SATURATES —
+    # the r12 blob-holders lesson); the admin reducer's corpus-scale
+    # behavior is crdt_admin_seed_replay's row above.
+    "archive_rewrite_enriched",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
@@ -81,9 +92,9 @@ OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
 def _resolve(name: str):
     if name in REGISTRY:
         return REGISTRY[name][0]
-    from aruna_spark.queries import blob_holders, similarity
+    from aruna_spark.queries import blob_holders, doc_placement, similarity
 
-    for mod in (similarity, blob_holders):
+    for mod in (similarity, blob_holders, doc_placement):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise KeyError(name)
