@@ -325,3 +325,207 @@ def rewrite_document_enriched(
         json.dumps(doc, sort_keys=True, separators=(",", ":")),
         sorted(warnings),
     )
+
+
+# ------------------------------------------------ archive layout inspection
+# ``jobs/import/archive.rs`` (r14 sweep find; the ZIP byte-format
+# readers — end_record/zip64/local headers, rs:206-523 — are binary
+# transport and stay excluded): the query-shaped kernels the import
+# job's Validate phase runs over the ENTRY LISTING —
+#
+# - ``normalize_entry_path`` (rs:678-700): reject backslash/NUL, strip
+#   trailing '/', strip repeated leading './', reject empty and rooted
+#   paths, collapse '//' runs, then ``validate_relative_path``
+#   (rs:713-731): no rooted paths, no DOS drive prefixes (alpha + ':'),
+#   no ''/'.'/'..' components, no control characters; NFC-normalized
+#   (identity on ASCII).
+# - ``reject_special_entry`` (rs:732-749): the unix-mode gate — only
+#   untyped, regular-file, or (for directory entries) directory modes
+#   survive; symlinks/devices/fifos reject.
+# - ``inspect_layout`` (rs:615-677): exactly one
+#   ro-crate-metadata.json either at the root (plain crates only — an
+#   .eln REQUIRES a single wrapper directory) or exactly one at depth
+#   2 under a wrapper; a wrapper archive may contain nothing else at
+#   the top level (a FILE named like the wrapper is a stray too); the
+#   wrapper prefix strips off every entry.
+# - ``payload_entries`` / ``signature_entry`` (rs:597-613): non-
+#   directory entries that are neither the metadata descriptor nor
+#   'ro-crate-metadata.json.minisig'.
+# - ``file_id_candidates`` (rs:576-595): absolute IRIs resolve to no
+#   candidates; encoded path separators (%2f/%5c) reject; otherwise
+#   the normalized raw id plus (when different) its percent-decoded
+#   form.
+ARCHIVE_METADATA_PATH = "ro-crate-metadata.json"
+ARCHIVE_SIGNATURE_PATH = "ro-crate-metadata.json.minisig"
+
+
+def _validate_relative_path(value: str) -> None:
+    if (
+        value.startswith("/")
+        or (len(value) >= 2 and value[0].isalpha() and value[1] == ":")
+        or any(p in ("", ".", "..") for p in value.split("/"))
+    ):
+        raise JsonLdError(f"unsafe relative path `{value}`")
+    if any(ord(c) < 0x20 or ord(c) == 0x7F for c in value):
+        raise JsonLdError(f"path contains a control character `{value}`")
+
+
+def normalize_entry_path(value: str) -> str:
+    """rs:678-700 rung-for-rung (NFC omitted: fixtures are ASCII,
+    where NFC is the identity)."""
+    if "\\" in value or "\0" in value:
+        raise JsonLdError(f"unsafe archive path `{value}`")
+    value = value.rstrip("/")
+    while value.startswith("./"):
+        value = value[2:]
+    if not value:
+        raise JsonLdError("archive contains an empty path")
+    if value.startswith("/"):
+        raise JsonLdError(f"unsafe relative path `{value}`")
+    value = "/".join(p for p in value.split("/") if p)
+    _validate_relative_path(value)
+    return value
+
+
+def file_id_candidates(value: str) -> list[str] | None:
+    """rs:576-595: None for absolute IRIs; the normalized raw id plus
+    its percent-decoded variant when they differ."""
+    import re
+    from urllib.parse import unquote
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", value):
+        # Url::parse succeeds exactly for scheme-carrying ids (urn:,
+        # doi:, ftp://, even C:/drive — a single letter is a scheme)
+        return None
+    lower = value.lower()
+    if "%2f" in lower or "%5c" in lower:
+        raise JsonLdError(
+            f"File identifier contains an encoded path separator `{value}`"
+        )
+
+    def norm_rel(v: str) -> str:
+        while v.startswith("./"):
+            v = v[2:]
+        if not v:
+            raise JsonLdError("File identifier is empty")
+        _validate_relative_path(v)
+        return v
+
+    raw = norm_rel(value)
+    candidates = [raw]
+    decoded = norm_rel(unquote(value))
+    if decoded != raw:
+        candidates.append(decoded)
+    return candidates
+
+
+def inspect_archive_layout(entries: DataFrame) -> DataFrame:
+    """Relational inspect_layout over an entry listing: ``entries`` =
+    ``(archive_id, eln, path, directory, mode)`` rows (mode = the unix
+    permission word or NULL). Returns one envelope row per archive:
+    ``verdict`` ('ok' or the failing rung — entry-path normalization
+    and the special-entry gate fire before the layout match, mirroring
+    the per-entry header loop rs:104-111), ``wrapper`` (stripped
+    prefix), ``n_entries``, and for ok archives ``n_payload`` +
+    ``has_signature`` computed on the POST-STRIP paths (rs:597-613).
+    Pure column algebra + two groupBys on archive_id; the duplicate-
+    descriptor recount after stripping (rs:668-673) is unreachable
+    through this ladder (duplicates classify ambiguous first) and is
+    intentionally not re-modeled."""
+    from pyspark.sql import functions as F
+
+    p = F.regexp_replace(F.col("path"), "/+$", "")
+    p = F.regexp_replace(p, r"^(\./)+", "")
+    parts0 = F.split(p, "/")
+    collapsed_arr = F.filter(parts0, lambda x: x != "")
+    norm = F.array_join(collapsed_arr, "/")
+    unsafe = (
+        F.col("path").contains("\\")
+        | F.col("path").contains("\x00")
+        | (p == "")
+        | p.startswith("/")
+        | norm.rlike("^[A-Za-z]:")
+        | F.exists(collapsed_arr, lambda x: x.isin(".", ".."))
+        | norm.rlike("[\x00-\x1f\x7f]")
+    )
+    ftype = F.col("mode").bitwiseAND(F.lit(0o170000))
+    special = F.col("mode").isNotNull() & ~(
+        (ftype == 0)
+        | (ftype == 0o100000)
+        | (F.col("directory") & (ftype == 0o040000))
+    )
+    e = entries.select(
+        "archive_id",
+        "eln",
+        "directory",
+        norm.alias("norm"),
+        unsafe.alias("unsafe"),
+        special.alias("special"),
+    )
+    meta = F.lit(ARCHIVE_METADATA_PATH)
+    two_deep = F.size(F.split(F.col("norm"), "/")) == 2
+    wrapper_meta = two_deep & F.col("norm").endswith("/" + ARCHIVE_METADATA_PATH)
+    agg = e.groupBy("archive_id", "eln").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.max("unsafe").alias("any_unsafe"),
+        F.max("special").alias("any_special"),
+        F.sum((F.col("norm") == meta).cast("int")).alias("root_meta"),
+        F.sum(wrapper_meta.cast("int")).alias("wrapper_meta"),
+        F.max(
+            F.when(wrapper_meta, F.split(F.col("norm"), "/")[0])
+        ).alias("wrapper_val"),
+    )
+    # second pass: stray / payload / signature need the wrapper value
+    j = e.join(
+        agg.select("archive_id", "wrapper_val", "root_meta", "wrapper_meta"),
+        "archive_id",
+    )
+    prefix = F.concat(F.col("wrapper_val"), F.lit("/"))
+    is_wrapper_case = (F.col("root_meta") == 0) & (F.col("wrapper_meta") == 1)
+    stray = is_wrapper_case & ~(
+        ((F.col("norm") == F.col("wrapper_val")) & F.col("directory"))
+        | F.col("norm").startswith(prefix)
+    )
+    stripped = F.when(
+        is_wrapper_case & F.col("norm").startswith(prefix),
+        F.expr("substring(norm, length(wrapper_val) + 2)"),
+    ).otherwise(F.col("norm"))
+    dropped = is_wrapper_case & (F.col("norm") == F.col("wrapper_val"))
+    payload = (
+        ~dropped
+        & ~F.col("directory")
+        & (stripped != meta)
+        & (stripped != ARCHIVE_SIGNATURE_PATH)
+    )
+    agg2 = j.groupBy("archive_id").agg(
+        F.max(stray).alias("any_stray"),
+        F.sum(payload.cast("int")).alias("n_payload_raw"),
+        F.max(stripped == ARCHIVE_SIGNATURE_PATH).alias("has_sig_raw"),
+    )
+    out = agg.join(agg2, "archive_id")
+    verdict = (
+        F.when(F.col("any_unsafe"), "unsafe_path")
+        .when(F.col("any_special"), "special_entry")
+        .when(
+            (F.col("root_meta") == 1) & (F.col("wrapper_meta") == 0),
+            F.when(F.col("eln"), "eln_requires_wrapper").otherwise("ok"),
+        )
+        .when(
+            (F.col("root_meta") == 0) & (F.col("wrapper_meta") == 1),
+            F.when(F.col("any_stray"), "stray_top_level").otherwise("ok"),
+        )
+        .when(
+            (F.col("root_meta") == 0) & (F.col("wrapper_meta") == 0),
+            "no_metadata",
+        )
+        .otherwise("ambiguous_metadata")
+    )
+    ok = verdict == "ok"
+    return out.select(
+        "archive_id",
+        verdict.alias("verdict"),
+        F.when(ok, F.col("wrapper_val")).alias("wrapper"),
+        F.col("n_entries").cast("long").alias("n_entries"),
+        F.when(ok, F.col("n_payload_raw").cast("long")).alias("n_payload"),
+        F.when(ok, F.col("has_sig_raw")).alias("has_signature"),
+    )

@@ -29,32 +29,22 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 13 (VERDICT r12 Next #1): first-time driver
-# checks lead — the two r13-new queries (the create_group.rs owner-cap
-# gate and the admin-document create-seed replay), then the five
-# late-r12 additions that were selfcheck-green but never driver-checked
-# (search_users_page, dsir_importance_select, textstats_c4_rules,
-# node_info_heartbeat, group_backends_removal_sweep) and the CRDT pair
-# the r12 registration comment queued. Then the stalest families: the
-# 11 dedup/similarity rows last driver-checked r7, and 24 of the 32
-# rows last checked r8 (jobs plane, placement, blob sweeps,
-# principals/subject resolution, matq). As the r13-new lead count grew
-# to EIGHT, the 50-slot cut deferred eight r8-stale rows
-# (stream_watch_no_retroactive, corpus_retention_funnel,
-# storage_routing_resolve, staging_snapshot_materialize,
-# staging_sync_drift, staging_list_connectors, staging_refresh_sweep,
-# registry_resolve_users) —
-# they LEAD r14's window (VERDICT r12 Next #7) together with the
-# r9-stale blocks: the SPARQL suite, the search/BM25 + search_groups
-# family, registry listings/projections/lifecycle, corpus_mix, the
-# s3_user_access trio, and s3_replication_validate. Every query
-# outside the window is selfcheck-verified at round close
+# window on a cycle. Round 14 (VERDICT r13 Next #1): the four r14-new
+# queries lead (the realm-quota seed replay, the alias-aware enriched
+# crate rewrite, the portable source descriptor, the archive layout
+# inspection), then the eight r8-stale rows the r13 cut deferred, then
+# 38 of the 46 r9-stale rows (SPARQL suite, search_groups, registry
+# listings/projections/lifecycle, corpus_mix, s3_user_access,
+# s3_replication_validate). The 8 deferred r9 rows named in the block
+# comment below lead the r15 window together with the r10 blocks.
+# Every query outside the window is selfcheck-verified at round close
 # (scripts/selfcheck.py at sf0.01).
 PRIORITY_PREFIXES = (
     # --- r14-new (first driver checks take precedence, r9 convention)
     "crdt_realm_quota_replay",
     "archive_rewrite_enriched",
     "staging_source_descriptor",
+    "archive_layout_inspect",
     # --- the 8 r8-stale rows deferred from the r13 window (VERDICT
     # r13 Next #1 leads)
     "stream_watch_no_retroactive",
@@ -65,12 +55,13 @@ PRIORITY_PREFIXES = (
     "staging_list_connectors",
     "staging_refresh_sweep",
     "registry_resolve_users",
-    # --- r9-stale blocks (39 of 46; the 7 deferred SPARQL slice/page +
-    # GRAPH variants — sparql_distinct, sparql_reduced,
+    # --- r9-stale blocks (38 of 46; the 8 deferred rows — the SPARQL
+    # slice/page + GRAPH variants sparql_distinct, sparql_reduced,
     # sparql_offset_page, sparql_nested_slice, sparql_order_limit,
-    # sparql_graph_var, sparql_graph_scoped — lead the r15 window
-    # together with the r10 blocks: hashpaths, reclaim probes,
-    # sync_outbox, doc lifecycle/update remainder)
+    # sparql_graph_var, sparql_graph_scoped, plus
+    # matq_graph_prune_drain (its sibling matq rows were r13-checked)
+    # — lead the r15 window together with the r10 blocks: hashpaths,
+    # reclaim probes, sync_outbox, doc lifecycle/update remainder)
     "sparql_ask",
     "sparql_bgp_filter",
     "sparql_distributed_ask",
@@ -99,7 +90,6 @@ PRIORITY_PREFIXES = (
     "corpus_mix_plan",
     "corpus_mix_sample",
     "export_plan_paths",
-    "matq_graph_prune_drain",
     "registry_delete_lifecycle",
     "registry_doc_count_live",
     "registry_listing_live",

@@ -611,3 +611,123 @@ def archive_rewrite_enriched(
         "content_url string, local_path_key string, n_warnings long, "
         "first_warning string, has_local_ctx boolean",
     )
+
+
+# ------------------------------------------------ archive layout inspection
+# jobs/import/archive.rs:576-749 (the Validate phase's entry-listing
+# kernels; the ZIP byte readers stay excluded). Lane = doc_id % 8, the
+# signature / stray / unsafe sub-lanes on moduli 3 and 5 (coprime with
+# 8 — CRT-safe):
+#   0: plain root crate (non-eln) — ok, one payload whose raw path
+#      needs normalization ('./data//file.txt' collapses, rs:678-700);
+#   1: .eln under a single wrapper dir — ok, wrapper strips, payload
+#      modes exercise the untyped/regular/directory gate (rs:732-749);
+#   2: .eln with ROOT metadata — 'ELN archive requires a single
+#      wrapper directory' (rs:633-635);
+#   3: wrapper + a stray top-level entry (d%3==0: a FILE named exactly
+#      like the wrapper — the reference's layout_rejects_file case) —
+#      fail (rs:636-646);
+#   4: no metadata descriptor (rs:648);
+#   5: root AND wrapper descriptors — ambiguous (rs:649-651);
+#   6: an unsafe entry path (rooted / '..' / traversal / DOS drive /
+#      backslash by d%5) — normalization rejects before layout;
+#   7: a symlink-mode entry — reject_special_entry fires.
+@register(
+    "archive_layout_inspect",
+    oracle="""
+    SELECT 'arc-' || doc_id AS archive_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+             WHEN 2 THEN 'eln_requires_wrapper'
+             WHEN 3 THEN 'stray_top_level'
+             WHEN 4 THEN 'no_metadata'
+             WHEN 5 THEN 'ambiguous_metadata'
+             WHEN 6 THEN 'unsafe_path'
+             ELSE 'special_entry' END AS verdict,
+           CASE WHEN doc_id % 8 = 1 THEN 'crate-' || doc_id END
+             AS wrapper,
+           CAST(CASE doc_id % 8
+             WHEN 0 THEN 2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+             WHEN 1 THEN 3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+             WHEN 4 THEN 1
+             ELSE 2 END AS BIGINT) AS n_entries,
+           CAST(CASE WHEN doc_id % 8 IN (0, 1) THEN 1 END AS BIGINT)
+             AS n_payload,
+           CASE WHEN doc_id % 8 IN (0, 1) THEN doc_id % 3 = 0 END
+             AS has_signature
+    FROM documents
+    """,
+)
+def archive_layout_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run :func:`aruna_spark.ingest.archive.inspect_archive_layout`
+    over one synthetic entry listing per document (lanes above) and
+    return the per-archive envelope: verdict, stripped wrapper, entry /
+    payload counts, signature presence."""
+    from aruna_spark.ingest.archive import inspect_archive_layout
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    lane = d % 8
+    arc = F.concat(F.lit("arc-"), d.cast("string"))
+    wrap = F.concat(F.lit("crate-"), d.cast("string"))
+    meta = F.lit("ro-crate-metadata.json")
+    sig = F.lit("ro-crate-metadata.json.minisig")
+
+    def ent(df, eln, path, directory=False, mode=None):
+        return df.select(
+            arc.alias("archive_id"),
+            F.lit(eln).alias("eln"),
+            (path if not isinstance(path, str) else F.lit(path)).alias(
+                "path"
+            ),
+            F.lit(directory).alias("directory"),
+            (
+                F.lit(mode) if mode is not None else F.lit(None)
+            ).cast("int").alias("mode"),
+        )
+
+    l0 = docs.filter(lane == 0)
+    l1 = docs.filter(lane == 1)
+    l2 = docs.filter(lane == 2)
+    l3 = docs.filter(lane == 3)
+    l4 = docs.filter(lane == 4)
+    l5 = docs.filter(lane == 5)
+    l6 = docs.filter(lane == 6)
+    l7 = docs.filter(lane == 7)
+    in_wrap = lambda suffix: F.concat(wrap, F.lit("/"), suffix)  # noqa: E731
+    bad_path = (
+        F.when(d % 5 == 0, "/root.txt")
+        .when(d % 5 == 1, "../escape")
+        .when(d % 5 == 2, "a/../b")
+        .when(d % 5 == 3, "C:/drive.txt")
+        .otherwise("a\\b")
+    )
+    stray = F.when(d % 3 == 0, wrap).otherwise(F.lit("outside.txt"))
+    parts = [
+        ent(l0, False, meta),
+        ent(l0, False,
+            F.concat(F.lit("./data//file-"), d.cast("string"),
+                     F.lit(".txt"))),
+        ent(l0.filter(d % 3 == 0), False, sig),
+        ent(l1, True, wrap, directory=True, mode=0o040755),
+        ent(l1, True, in_wrap(meta), mode=0o100644),
+        ent(l1, True,
+            in_wrap(F.concat(F.lit("data/file-"), d.cast("string"),
+                             F.lit(".txt"))), mode=0),
+        ent(l1.filter(d % 3 == 0), True, in_wrap(sig)),
+        ent(l2, True, meta),
+        ent(l2, True, "data/x.txt"),
+        ent(l3, True, in_wrap(meta)),
+        ent(l3, True, stray),
+        ent(l4, False, "data/file.txt"),
+        ent(l5, False, meta),
+        ent(l5, False, in_wrap(meta)),
+        ent(l6, False, meta),
+        ent(l6, False, bad_path),
+        ent(l7, False, meta),
+        ent(l7, False, "data/link", mode=0o120777),
+    ]
+    entries = parts[0]
+    for part in parts[1:]:
+        entries = entries.unionByName(part)
+    return inspect_archive_layout(entries)

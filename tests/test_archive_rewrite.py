@@ -212,3 +212,115 @@ def test_aliased_graph_and_id_rewrite():
     ent = doc["graph"][0]
     assert ent["identifier"] == TARGET["w3id"]
     assert ent["localPath"] == TARGET["local_path"]
+
+
+# ------------------------------------------------- layout inspection
+# jobs/import/archive.rs:576-749 — the reference's own tests mirrored.
+import pytest
+
+from aruna_spark.ingest.archive import (
+    ARCHIVE_METADATA_PATH,
+    JsonLdError,
+    file_id_candidates,
+    inspect_archive_layout,
+    normalize_entry_path,
+)
+
+
+def test_path_rejects_traversal():
+    for path in ["/root", "../escape", "a/../b", "C:/drive", "a\\b"]:
+        with pytest.raises(JsonLdError):
+            normalize_entry_path(path)
+    with pytest.raises(JsonLdError):
+        file_id_candidates("data%2Fsecret")
+
+
+def test_path_collapses_slashes():
+    assert (
+        normalize_entry_path("wrapper/data//file.txt")
+        == "wrapper/data/file.txt"
+    )
+    with pytest.raises(JsonLdError):
+        normalize_entry_path("//server/file.txt")
+    with pytest.raises(JsonLdError):
+        normalize_entry_path("data//../file.txt")
+    # repeated './' prefixes strip; trailing '/' strips
+    assert normalize_entry_path("././data/file/") == "data/file"
+
+
+def test_ids_decode_spaces():
+    assert file_id_candidates("./data/a%20b.txt") == [
+        "data/a%20b.txt",
+        "data/a b.txt",
+    ]
+    assert file_id_candidates("https://example.org/file") is None
+
+
+def test_ids_ignore_absolute():
+    for i in (
+        "urn:uuid:12345678-1234-1234-1234-123456789abc",
+        "ftp://example.org/file",
+        "doi:10.1234/example",
+    ):
+        assert file_id_candidates(i) is None, i
+
+
+def _inspect(spark, rows):
+    df = spark.createDataFrame(
+        rows, "archive_id string, eln boolean, path string, "
+        "directory boolean, mode int"
+    )
+    return {
+        r["archive_id"]: r.asDict()
+        for r in inspect_archive_layout(df).collect()
+    }
+
+
+def test_layout_reference_cases(spark):
+    M = ARCHIVE_METADATA_PATH
+    out = _inspect(
+        spark,
+        [
+            # layout_accepts_root
+            ("root", False, M, False, None),
+            ("root", False, "data/file.txt", False, None),
+            # layout_strips_wrapper
+            ("wrap", True, f"experiment/{M}", False, None),
+            ("wrap", True, "experiment/data/file.txt", False, None),
+            # layout_rejects_siblings
+            ("sib", True, f"experiment/{M}", False, None),
+            ("sib", True, "outside.txt", False, None),
+            # layout_rejects_file (a FILE named like the wrapper)
+            ("file", True, f"experiment/{M}", False, None),
+            ("file", True, "experiment", False, None),
+            # eln requires a wrapper
+            ("eln", True, M, False, None),
+            # ambiguous root+wrapper
+            ("amb", False, M, False, None),
+            ("amb", False, f"experiment/{M}", False, None),
+            # no metadata
+            ("none", False, "data/x.txt", False, None),
+            # special entry (symlink mode)
+            ("sym", False, M, False, None),
+            ("sym", False, "data/link", False, 0o120777),
+            # signature + payload accounting under a wrapper
+            ("sig", True, f"w/{M}", False, 0o100644),
+            ("sig", True, f"w/{M}.minisig", False, None),
+            ("sig", True, "w/data/a.txt", False, 0),
+            ("sig", True, "w", True, 0o040755),
+        ],
+    )
+    assert out["root"]["verdict"] == "ok"
+    assert out["root"]["wrapper"] is None
+    assert out["root"]["n_payload"] == 1
+    assert out["wrap"]["verdict"] == "ok"
+    assert out["wrap"]["wrapper"] == "experiment"
+    assert out["sib"]["verdict"] == "stray_top_level"
+    assert out["file"]["verdict"] == "stray_top_level"
+    assert out["eln"]["verdict"] == "eln_requires_wrapper"
+    assert out["amb"]["verdict"] == "ambiguous_metadata"
+    assert out["none"]["verdict"] == "no_metadata"
+    assert out["sym"]["verdict"] == "special_entry"
+    assert out["sig"]["verdict"] == "ok"
+    assert out["sig"]["wrapper"] == "w"
+    assert out["sig"]["n_payload"] == 1 and out["sig"]["has_signature"]
