@@ -324,3 +324,76 @@ def test_layout_reference_cases(spark):
     assert out["sig"]["verdict"] == "ok"
     assert out["sig"]["wrapper"] == "w"
     assert out["sig"]["n_payload"] == 1 and out["sig"]["has_signature"]
+
+
+# ------------------------------------------------- rewrite properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ids = st.sampled_from(
+    ["./a.txt", "a.txt", "./b c.txt", "./d/e.txt", "x.bin", "./x.bin"]
+)
+_alias_ctx = st.sampled_from(
+    [
+        None,
+        {"identifier": "@id"},
+        {"identifier": "@id", "graph": "@graph"},
+        {"localPath": "https://example.org/other"},
+    ]
+)
+
+
+@st.composite
+def _crates(draw):
+    ctx = draw(_alias_ctx)
+    id_key = "identifier" if ctx and ctx.get("identifier") == "@id" else "@id"
+    graph_key = "graph" if ctx and ctx.get("graph") == "@graph" else "@graph"
+    n = draw(st.integers(1, 4))
+    ents = []
+    for i in range(n):
+        ent = {id_key: draw(_ids), "name": f"e{i}"}
+        if draw(st.booleans()):
+            ent["about"] = draw(_ids)
+        ents.append(ent)
+    crate = {graph_key: ents}
+    if ctx is not None:
+        crate["@context"] = ctx
+    target_ids = draw(st.lists(_ids, min_size=0, max_size=3, unique=True))
+    targets = {
+        t: {
+            "w3id": f"https://w3id.org/doc/{k}",
+            "hash_w3id": f"https://w3id.org/hash/{k}",
+            "local_path": f"data/{k}.bin",
+        }
+        for k, t in enumerate(target_ids)
+    }
+    return crate, targets
+
+
+@settings(max_examples=200, deadline=None)
+@given(_crates())
+def test_rewrite_idempotent_and_complete(crate_targets):
+    """rewrite∘rewrite == rewrite (a rewritten id is absolute, so it
+    can never match a relative target again, and the prepend merge is
+    a no-op on equal values), and no id POSITION still carries a
+    target id after one pass."""
+    crate, targets = crate_targets
+    once, w1 = rewrite_document_enriched(json.dumps(crate), targets)
+    twice, w2 = rewrite_document_enriched(once, targets)
+    assert twice == once
+    doc = json.loads(once)
+    kw = JsonLdKeywords(doc)
+    expanded = {_expanded_id(t) for t in targets}
+
+    def check(value):
+        if isinstance(value, list):
+            for v in value:
+                check(v)
+        elif isinstance(value, dict):
+            found = kw.object_id(value)
+            if found:
+                assert _expanded_id(found[1]) not in expanded
+            for v in value.values():
+                check(v)
+
+    check(doc)

@@ -99,6 +99,11 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "user_token_canonical_check",
         "doc_serve_gate",
         "handle_pool_transfer_slice",
+        # r14 (archive_rewrite_enriched is Arrow-batched mapInPandas
+        # by design — the kernel is Python; it has no place here)
+        "crdt_realm_quota_replay",
+        "staging_source_descriptor",
+        "archive_layout_inspect",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
