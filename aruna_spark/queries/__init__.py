@@ -29,11 +29,12 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 14 (VERDICT r13 Next #1): the four r14-new
+# window on a cycle. Round 14 (VERDICT r13 Next #1): the five r14-new
 # queries lead (the realm-quota seed replay, the alias-aware enriched
 # crate rewrite, the portable source descriptor, the archive layout
-# inspection), then the eight r8-stale rows the r13 cut deferred, then
-# 38 of the 46 r9-stale rows (SPARQL suite, search_groups, registry
+# inspection, the URL canonicalization dedup), then the eight r8-stale
+# rows the r13 cut deferred, then
+# 37 of the 46 r9-stale rows (SPARQL suite, search_groups, registry
 # listings/projections/lifecycle, corpus_mix, s3_user_access,
 # s3_replication_validate). The 8 deferred r9 rows named in the block
 # comment below lead the r15 window together with the r10 blocks.
@@ -45,6 +46,7 @@ PRIORITY_PREFIXES = (
     "archive_rewrite_enriched",
     "staging_source_descriptor",
     "archive_layout_inspect",
+    "urlstats_canonicalize",
     # --- the 8 r8-stale rows deferred from the r13 window (VERDICT
     # r13 Next #1 leads)
     "stream_watch_no_retroactive",
@@ -55,13 +57,14 @@ PRIORITY_PREFIXES = (
     "staging_list_connectors",
     "staging_refresh_sweep",
     "registry_resolve_users",
-    # --- r9-stale blocks (38 of 46; the 8 deferred rows — the SPARQL
+    # --- r9-stale blocks (37 of 46; the 9 deferred rows — the SPARQL
     # slice/page + GRAPH variants sparql_distinct, sparql_reduced,
     # sparql_offset_page, sparql_nested_slice, sparql_order_limit,
     # sparql_graph_var, sparql_graph_scoped, plus
-    # matq_graph_prune_drain (its sibling matq rows were r13-checked)
-    # — lead the r15 window together with the r10 blocks: hashpaths,
-    # reclaim probes, sync_outbox, doc lifecycle/update remainder)
+    # matq_graph_prune_drain and export_plan_paths (single rows whose
+    # planes were r9-checked) — lead the r15 window together with the
+    # r10 blocks: hashpaths, reclaim probes, sync_outbox, doc
+    # lifecycle/update remainder)
     "sparql_ask",
     "sparql_bgp_filter",
     "sparql_distributed_ask",
@@ -89,7 +92,6 @@ PRIORITY_PREFIXES = (
     "search_groups_page",
     "corpus_mix_plan",
     "corpus_mix_sample",
-    "export_plan_paths",
     "registry_delete_lifecycle",
     "registry_doc_count_live",
     "registry_listing_live",
@@ -189,6 +191,7 @@ def load_all() -> None:
         sync_outbox,
         sync_suite,
         textstats,
+        urlstats,
         usage,
         user_access,
         users,

@@ -84,6 +84,9 @@ DECADE_QUERIES = [
     # the r12 blob-holders lesson); the admin reducer's corpus-scale
     # behavior is crdt_admin_seed_replay's row above.
     "archive_rewrite_enriched",
+    # r14: URL canonicalization dedup (codegen canon + one groupBy on
+    # the near-unique canonical key)
+    "urlstats_canonicalize",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"

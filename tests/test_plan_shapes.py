@@ -104,6 +104,7 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "crdt_realm_quota_replay",
         "staging_source_descriptor",
         "archive_layout_inspect",
+        "urlstats_canonicalize",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
