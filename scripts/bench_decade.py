@@ -87,6 +87,9 @@ DECADE_QUERIES = [
     # r14: URL canonicalization dedup (codegen canon + one groupBy on
     # the near-unique canonical key)
     "urlstats_canonicalize",
+    # r14: rank-order n-gram LID (two explode+groupBy passes + the
+    # langs x K broadcast model)
+    "textstats_ngram_langid",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"

@@ -105,6 +105,7 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "staging_source_descriptor",
         "archive_layout_inspect",
         "urlstats_canonicalize",
+        "textstats_ngram_langid",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
