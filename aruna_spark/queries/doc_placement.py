@@ -515,9 +515,13 @@ def registry_create_doc_placement_decade(
     the sf10 slice omits). Measures the real cost model: corpus-linear
     requests, each local create scoring one node's held buckets
     (config-sized) through the Q6.24 rendezvous fold, the directory
-    broadcast, no window, no collect."""
+    broadcast, no window, no collect. The held-bucket CLUSTER plane is
+    config-sized and constant across decades (nodes come from the
+    nation dimension, which the documents-only sf10 slice omits), so
+    it pins to the reference sf0.01 dir — only the REQUEST population
+    scales."""
     return classify_creates(
         load_create_requests_decade(spark, sf_dir),
         load_directory(spark),
-        held_buckets(spark, sf_dir),
+        held_buckets(spark, "/root/testdata/sf0.01"),
     )
