@@ -29,13 +29,13 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 14 (VERDICT r13 Next #1): the six r14-new
+# window on a cycle. Round 14 (VERDICT r13 Next #1): the seven r14-new
 # queries lead (the realm-quota seed replay, the alias-aware enriched
 # crate rewrite, the portable source descriptor, the archive layout
 # inspection, the URL canonicalization dedup, the rank-order n-gram
-# language ID), then the eight r8-stale
+# language ID, the export report rows), then the eight r8-stale
 # rows the r13 cut deferred, then
-# 36 of the 46 r9-stale rows (SPARQL suite, search_groups, registry
+# 35 of the 46 r9-stale rows (SPARQL suite, search_groups, registry
 # listings/projections/lifecycle, corpus_mix, s3_user_access,
 # s3_replication_validate). The 8 deferred r9 rows named in the block
 # comment below lead the r15 window together with the r10 blocks.
@@ -49,6 +49,7 @@ PRIORITY_PREFIXES = (
     "archive_layout_inspect",
     "urlstats_canonicalize",
     "textstats_ngram_langid",
+    "export_report_rows",
     # --- the 8 r8-stale rows deferred from the r13 window (VERDICT
     # r13 Next #1 leads)
     "stream_watch_no_retroactive",
@@ -59,15 +60,15 @@ PRIORITY_PREFIXES = (
     "staging_list_connectors",
     "staging_refresh_sweep",
     "registry_resolve_users",
-    # --- r9-stale blocks (36 of 46; the 10 deferred rows — the SPARQL
+    # --- r9-stale blocks (35 of 46; the 11 deferred rows — the SPARQL
     # slice/page + GRAPH variants sparql_distinct, sparql_reduced,
     # sparql_offset_page, sparql_nested_slice, sparql_order_limit,
     # sparql_graph_var, sparql_graph_scoped, plus
-    # matq_graph_prune_drain, export_plan_paths, and
-    # replication_location_summary (single rows whose planes were
-    # r9-checked) — lead the r15 window together with the r10 blocks:
-    # hashpaths, reclaim probes, sync_outbox, doc lifecycle/update
-    # remainder)
+    # matq_graph_prune_drain, export_plan_paths,
+    # replication_location_summary, and registry_doc_count_live
+    # (single rows whose planes were r9-checked) — lead the r15 window
+    # together with the r10 blocks: hashpaths, reclaim probes,
+    # sync_outbox, doc lifecycle/update remainder)
     "sparql_ask",
     "sparql_bgp_filter",
     "sparql_distributed_ask",
@@ -96,7 +97,6 @@ PRIORITY_PREFIXES = (
     "corpus_mix_plan",
     "corpus_mix_sample",
     "registry_delete_lifecycle",
-    "registry_doc_count_live",
     "registry_listing_live",
     "registry_subject_closure",
     "registry_update_batch",

@@ -224,3 +224,157 @@ def plan_export_paths(entities: DataFrame) -> DataFrame:
 def export_plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The export plan over the fixture crate's File entities."""
     return plan_export_paths(load_export_entities(spark, sf_dir))
+
+
+# ------------------------------------------------ export report rows
+# The export job's REPORT surface (export.rs:1426-1473 ``build_rows`` +
+# the omission assignment ladders): every entity emits a MAIN row keyed
+# ``{index:016x}:main`` whose code is its omission — External
+# ("external File entity was not fetched", rs:1152-1168) / Unsupported
+# (foreign-realm identifier, rs:1157-1169, or the ARN-vs-hash mismatch
+# "versioned ARN and content hash disagree", rs:459-463) / Offline
+# ("blob holder discovery is unavailable", rs:477-480) / Denied
+# ("payload READ permission denied") / Missing ("no readable payload
+# version was found", rs:488-500) — or Included. Included entities that
+# had their path synthesized add a ``:path`` row (PathSynthesized,
+# rs:1442-1449) and those whose id survives as a raw string outside an
+# @id position add a ``:reference`` row (UnrewrittenReference — the
+# export-side twin of the import rewrite's warning; scan_unrewritten
+# rs:1357-1392 is ALIAS-AWARE via JsonLdKeywords like the import pass).
+# The report is EMBEDDED into the crate only when any of the five
+# omission codes occurred (has_omissions, rs:1041-1056). Indexes are
+# per export job — one crate — so the rank window partitions by crate.
+_OMISSION_CODES = ("External", "Denied", "Missing", "Offline", "Unsupported")
+_OMISSION_LANES = [
+    # (lane, code, message) — lane 0 is Included (message NULL)
+    (1, "External", "external File entity was not fetched"),
+    (2, "Unsupported", "Aruna identifier belongs to another realm"),
+    (3, "Unsupported", "versioned ARN and content hash disagree"),
+    (4, "Offline", "blob holder discovery is unavailable"),
+    (5, "Denied", "payload READ permission denied"),
+    (6, "Missing", "no readable payload version was found"),
+]
+_PATH_MSG = "unsafe, absent, or reserved localPath was synthesized"
+_REF_MSG = "a string-form reference outside an @id field was preserved"
+
+_REPORT_ORACLE = f"""
+    WITH ents AS (
+      SELECT doc_id, doc_id % 31 AS crate_id,
+             'ent-' || doc_id AS entity_id,
+             doc_id % 7 AS olane,
+             doc_id % 2 = 0 AS synth,
+             doc_id % 3 = 1 AS unrew
+      FROM documents
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY crate_id
+                                   ORDER BY doc_id) - 1 AS i
+      FROM ents
+    ),
+    coded AS (
+      SELECT *,
+             CASE olane {" ".join(f"WHEN {l} THEN '{c}'" for l, c, _ in _OMISSION_LANES)}
+                  ELSE 'Included' END AS main_code,
+             CASE olane {" ".join(f"WHEN {l} THEN '{m}'" for l, _, m in _OMISSION_LANES)}
+                  END AS main_msg
+      FROM idx
+    ),
+    flags AS (
+      SELECT crate_id,
+             BOOL_OR(main_code IN {_OMISSION_CODES}) AS has_omissions
+      FROM coded GROUP BY 1
+    ),
+    rows_ AS (
+      SELECT crate_id, entity_id, i,
+             lpad(lower(hex(i)), 16, '0') || ':main' AS entry_key,
+             main_code AS code, main_msg AS message
+      FROM coded
+      UNION ALL
+      SELECT crate_id, entity_id, i,
+             lpad(lower(hex(i)), 16, '0') || ':path',
+             'PathSynthesized', '{_PATH_MSG}'
+      FROM coded WHERE main_code = 'Included' AND synth
+      UNION ALL
+      SELECT crate_id, entity_id, i,
+             lpad(lower(hex(i)), 16, '0') || ':reference',
+             'UnrewrittenReference', '{_REF_MSG}'
+      FROM coded WHERE main_code = 'Included' AND unrew
+    )
+    SELECT r.crate_id, r.entry_key, r.code, r.message, r.entity_id,
+           f.has_omissions
+    FROM rows_ r JOIN flags f USING (crate_id)
+"""
+
+
+@register("export_report_rows", oracle=_REPORT_ORACLE)
+def export_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the export report for one entity batch: the per-entity
+    main/:path/:reference rows with the reference's exact codes and
+    messages, and the per-crate embed gate. One PARTITIONED rank per
+    crate + a union of three projections + the crate-level flag join —
+    no global order, no UDF."""
+    ents = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 31).alias("crate_id"),
+        F.concat(F.lit("ent-"), F.col("doc_id").cast("string")).alias(
+            "entity_id"
+        ),
+        (F.col("doc_id") % 7).alias("olane"),
+        (F.col("doc_id") % 2 == 0).alias("synth"),
+        (F.col("doc_id") % 3 == 1).alias("unrew"),
+    )
+    w = Window.partitionBy("crate_id").orderBy("doc_id")
+    idx = ents.withColumn("i", F.row_number().over(w) - 1)
+    main_code = F.lit("Included")
+    main_msg = F.lit(None).cast("string")
+    for lane, code, msg in reversed(_OMISSION_LANES):
+        main_code = F.when(F.col("olane") == lane, code).otherwise(
+            main_code
+        )
+        main_msg = F.when(F.col("olane") == lane, msg).otherwise(main_msg)
+    coded = idx.select(
+        "crate_id",
+        "entity_id",
+        "i",
+        "synth",
+        "unrew",
+        main_code.alias("main_code"),
+        main_msg.alias("main_msg"),
+    )
+    flags = coded.groupBy("crate_id").agg(
+        F.max(F.col("main_code").isin(*_OMISSION_CODES)).alias(
+            "has_omissions"
+        )
+    )
+    key = F.concat(
+        F.lpad(F.lower(F.hex(F.col("i"))), 16, "0"), F.lit(":main")
+    )
+    main = coded.select(
+        "crate_id",
+        key.alias("entry_key"),
+        F.col("main_code").alias("code"),
+        F.col("main_msg").alias("message"),
+        "entity_id",
+    )
+    included = coded.filter(F.col("main_code") == "Included")
+    path_rows = included.filter("synth").select(
+        "crate_id",
+        F.concat(
+            F.lpad(F.lower(F.hex(F.col("i"))), 16, "0"), F.lit(":path")
+        ).alias("entry_key"),
+        F.lit("PathSynthesized").alias("code"),
+        F.lit(_PATH_MSG).alias("message"),
+        "entity_id",
+    )
+    ref_rows = included.filter("unrew").select(
+        "crate_id",
+        F.concat(
+            F.lpad(F.lower(F.hex(F.col("i"))), 16, "0"),
+            F.lit(":reference"),
+        ).alias("entry_key"),
+        F.lit("UnrewrittenReference").alias("code"),
+        F.lit(_REF_MSG).alias("message"),
+        "entity_id",
+    )
+    rows = main.unionByName(path_rows).unionByName(ref_rows)
+    return rows.join(F.broadcast(flags), "crate_id")

@@ -106,6 +106,7 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "archive_layout_inspect",
         "urlstats_canonicalize",
         "textstats_ngram_langid",
+        "export_report_rows",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
