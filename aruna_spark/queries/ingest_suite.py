@@ -731,3 +731,181 @@ def archive_layout_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in parts[1:]:
         entries = entries.unionByName(part)
     return inspect_archive_layout(entries)
+
+
+# ------------------------------------------------ archive import plan
+# jobs/import/mod.rs:646-711 (validate_source's planning half) +
+# target_key (rs:1621-1643): the declared File ids resolve to archive
+# payloads through their candidate forms (file_id_candidates — raw
+# normalized + percent-decoded; the full decoder is the unit-tested
+# ingest/archive.file_id_candidates, this fixture plants %20 only);
+# EXACTLY one payload must match (none → "File entity has no archive
+# payload", several → "maps to multiple archive payloads"), a payload
+# described TWICE fails ("is described by A and B"), every payload
+# entry gets target_key = prefix/path under the key cap and the code
+# Imported (described) or Unlisted (rs:697-701), and a detached
+# signature entry yields the SignatureDropped system report row
+# (rs:713-729; "detached signature is not retained after rewriting").
+# Lane = doc_id % 6 (sub-selectors none — CRT-safe):
+#   0: every payload described, one id via its %20-decoded candidate;
+#   1: one described + one UNLISTED payload + a signature entry;
+#   2: a File id with no payload → fail;
+#   3: raw AND decoded candidate BOTH present as payloads → fail;
+#   4: two ids (./-variant) describing one payload → fail;
+#   5: prefix + path over the 1,024-byte key cap → fail.
+_IMPORT_PLAN_PREFIX = "staged/crates"
+_LONG_SEG = "x" * 1024
+
+
+@register(
+    "archive_import_plan",
+    oracle=f"""
+    SELECT 'arc-' || doc_id AS archive_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+             WHEN 2 THEN 'no_payload'
+             WHEN 3 THEN 'multi_payload'
+             WHEN 4 THEN 'duplicate_description'
+             ELSE 'key_too_long' END AS verdict,
+           CAST(CASE doc_id % 6 WHEN 0 THEN 2 WHEN 1 THEN 1 END
+                AS BIGINT) AS n_imported,
+           CAST(CASE doc_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 1 END
+                AS BIGINT) AS n_unlisted,
+           CASE WHEN doc_id % 6 IN (0, 1) THEN doc_id % 6 = 1 END
+             AS signature_dropped,
+           CASE WHEN doc_id % 6 IN (0, 1)
+                THEN '{_IMPORT_PLAN_PREFIX}/data/a ' || doc_id || '.txt'
+                END AS first_target_key
+    FROM documents
+    """,
+)
+def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify one payload/file-id batch per document through the
+    import plan: candidate matching, the three fail-closed ladders,
+    Imported/Unlisted coding, target keys under the cap, and the
+    signature-drop flag. Joins are payload-path keyed (explode of ≤2
+    candidates per declared id); per-archive aggregation, no window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    lane = d % 6
+    arc = F.concat(F.lit("arc-"), d.cast("string"))
+    ds = d.cast("string")
+
+    def rows(df, col_specs):
+        return df.select(arc.alias("archive_id"), *col_specs)
+
+    # payload entries (post-strip paths, non-meta non-sig)
+    pay_a = F.concat(F.lit("data/a "), ds, F.lit(".txt"))
+    pay_b = F.concat(F.lit("data/b-"), ds, F.lit(".txt"))
+    pay_enc = F.concat(F.lit("data/a%20"), ds, F.lit(".txt"))
+    pay_long = F.concat(F.lit(_LONG_SEG), F.lit("/f-"), ds, F.lit(".txt"))
+    payloads = [
+        rows(docs.filter(lane.isin(0, 1, 3, 4)), [pay_a.alias("path")]),
+        rows(docs.filter(lane.isin(0, 2)), [pay_b.alias("path")]),
+        rows(docs.filter(lane == 1), [pay_b.alias("path")]),
+        rows(docs.filter(lane == 3), [pay_enc.alias("path")]),
+        rows(docs.filter(lane == 5), [pay_long.alias("path")]),
+    ]
+    payload = payloads[0]
+    for p in payloads[1:]:
+        payload = payload.unionByName(p).distinct()
+    has_sig = docs.select(
+        arc.alias("archive_id"), (lane == 1).alias("has_signature")
+    )
+
+    # declared File ids (with './' prefixes and %20 encodings)
+    id_a_enc = F.concat(F.lit("./data/a%20"), ds, F.lit(".txt"))
+    id_b = F.concat(F.lit("./data/b-"), ds, F.lit(".txt"))
+    id_missing = F.concat(F.lit("./data/missing-"), ds, F.lit(".txt"))
+    id_a_raw = F.concat(F.lit("data/a "), ds, F.lit(".txt"))
+    id_long = F.concat(
+        F.lit("./"), F.lit(_LONG_SEG), F.lit("/f-"), ds, F.lit(".txt")
+    )
+    fids = [
+        rows(docs.filter(lane.isin(0, 1, 3, 4)),
+             [id_a_enc.alias("file_id")]),
+        rows(docs.filter(lane == 0), [id_b.alias("file_id")]),
+        rows(docs.filter(lane == 2), [id_missing.alias("file_id")]),
+        rows(docs.filter(lane == 4), [id_a_raw.alias("file_id")]),
+        rows(docs.filter(lane == 5), [id_long.alias("file_id")]),
+    ]
+    file_ids = fids[0]
+    for p in fids[1:]:
+        file_ids = file_ids.unionByName(p)
+
+    # candidates: normalized raw + %20-decoded when different
+    raw = F.regexp_replace(F.col("file_id"), r"^(\./)+", "")
+    decoded = F.regexp_replace(raw, "%20", " ")
+    cands = file_ids.select(
+        "archive_id",
+        "file_id",
+        F.explode(F.array_distinct(F.array(raw, decoded))).alias("cand"),
+    )
+    matched = cands.join(
+        payload.withColumnRenamed("path", "cand").withColumn(
+            "__hit", F.lit(True)
+        ),
+        ["archive_id", "cand"],
+        "left",
+    )
+    per_id = matched.groupBy("archive_id", "file_id").agg(
+        F.sum(
+            F.coalesce(F.col("__hit"), F.lit(False)).cast("int")
+        ).alias("n_matches"),
+        F.max(F.when(F.col("__hit"), F.col("cand"))).alias("match_path"),
+    )
+    per_path = per_id.filter(F.col("n_matches") == 1).groupBy(
+        "archive_id", F.col("match_path").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n_describers"))
+    id_errs = per_id.groupBy("archive_id").agg(
+        F.max(F.col("n_matches") == 0).alias("any_no_payload"),
+        F.max(F.col("n_matches") > 1).alias("any_multi"),
+    )
+    dup = per_path.groupBy("archive_id").agg(
+        F.max(F.col("n_describers") > 1).alias("any_dup")
+    )
+    keyed = payload.join(
+        per_path.select("archive_id", "path").withColumn(
+            "described", F.lit(True)
+        ),
+        ["archive_id", "path"],
+        "left",
+    ).select(
+        "archive_id",
+        F.concat(
+            F.lit(_IMPORT_PLAN_PREFIX + "/"), F.col("path")
+        ).alias("target_key"),
+        F.coalesce(F.col("described"), F.lit(False)).alias("described"),
+    )
+    entries = keyed.groupBy("archive_id").agg(
+        F.sum(F.col("described").cast("long")).alias("n_imported_raw"),
+        F.sum((~F.col("described")).cast("long")).alias("n_unlisted_raw"),
+        F.max(F.length("target_key") > 1024).alias("any_key_long"),
+        F.min("target_key").alias("first_key_raw"),
+    )
+    out = (
+        entries.join(id_errs, "archive_id", "left")
+        # an archive whose ids all failed to match has NO per_path rows
+        # — the dup relation is empty for it, never absent overall
+        .join(dup, "archive_id", "left")
+        .join(has_sig, "archive_id", "left")
+    )
+    verdict = (
+        F.when(F.coalesce(F.col("any_no_payload"), F.lit(False)),
+               "no_payload")
+        .when(F.coalesce(F.col("any_multi"), F.lit(False)),
+              "multi_payload")
+        .when(F.coalesce(F.col("any_dup"), F.lit(False)),
+              "duplicate_description")
+        .when(F.col("any_key_long"), "key_too_long")
+        .otherwise("ok")
+    )
+    ok = verdict == "ok"
+    return out.select(
+        "archive_id",
+        verdict.alias("verdict"),
+        F.when(ok, F.col("n_imported_raw")).alias("n_imported"),
+        F.when(ok, F.col("n_unlisted_raw")).alias("n_unlisted"),
+        F.when(ok, F.col("has_signature")).alias("signature_dropped"),
+        F.when(ok, F.col("first_key_raw")).alias("first_target_key"),
+    )
