@@ -29,14 +29,15 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 14 (VERDICT r13 Next #1): the eight r14-new
+# window on a cycle. Round 14 (VERDICT r13 Next #1): the nine r14-new
 # queries lead (the realm-quota seed replay, the alias-aware enriched
 # crate rewrite, the portable source descriptor, the archive layout
 # inspection, the URL canonicalization dedup, the rank-order n-gram
-# language ID, the export report rows, the import plan), then the
+# language ID, the export report rows, the import plan, the
+# boilerplate-line dedup), then the
 # eight r8-stale
 # rows the r13 cut deferred, then
-# 34 of the 46 r9-stale rows (SPARQL suite, search_groups, registry
+# 33 of the 46 r9-stale rows (SPARQL suite, search_groups, registry
 # listings/projections/lifecycle, corpus_mix, s3_user_access,
 # s3_replication_validate). The 8 deferred r9 rows named in the block
 # comment below lead the r15 window together with the r10 blocks.
@@ -52,6 +53,7 @@ PRIORITY_PREFIXES = (
     "textstats_ngram_langid",
     "export_report_rows",
     "archive_import_plan",
+    "textstats_boilerplate_lines",
     # --- the 8 r8-stale rows deferred from the r13 window (VERDICT
     # r13 Next #1 leads)
     "stream_watch_no_retroactive",
@@ -62,16 +64,16 @@ PRIORITY_PREFIXES = (
     "staging_list_connectors",
     "staging_refresh_sweep",
     "registry_resolve_users",
-    # --- r9-stale blocks (34 of 46; the 12 deferred rows — the SPARQL
+    # --- r9-stale blocks (33 of 46; the 13 deferred rows — the SPARQL
     # slice/page + GRAPH variants sparql_distinct, sparql_reduced,
     # sparql_offset_page, sparql_nested_slice, sparql_order_limit,
     # sparql_graph_var, sparql_graph_scoped, plus
     # matq_graph_prune_drain, export_plan_paths,
-    # replication_location_summary, registry_doc_count_live, and
-    # corpus_mix_sample (rows whose planes stay represented in this
-    # window) — lead the r15 window together with the r10 blocks:
-    # hashpaths, reclaim probes, sync_outbox, doc lifecycle/update
-    # remainder)
+    # replication_location_summary, registry_doc_count_live,
+    # corpus_mix_sample, and registry_subject_closure (rows whose
+    # planes stay represented in this window) — lead the r15 window
+    # together with the r10 blocks: hashpaths, reclaim probes,
+    # sync_outbox, doc lifecycle/update remainder)
     "sparql_ask",
     "sparql_bgp_filter",
     "sparql_distributed_ask",
@@ -100,7 +102,6 @@ PRIORITY_PREFIXES = (
     "corpus_mix_plan",
     "registry_delete_lifecycle",
     "registry_listing_live",
-    "registry_subject_closure",
     "registry_update_batch",
     "s3_replication_validate",
     "s3_user_access_gate",

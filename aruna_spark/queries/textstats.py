@@ -1117,3 +1117,116 @@ def textstats_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_score",
         (F.col("__best.lang") == F.col("label")).alias("is_correct"),
     )
+
+
+# ------------------------------------- cross-document boilerplate lines
+# CCNet-style line-level dedup (Wenzek et al. 2020, arXiv:1911.00359
+# §3.1: paragraphs hashed and dropped when repeated across documents —
+# the standard boilerplate-removal pass every crawl pipeline runs
+# before quality filtering; repeated nav/footer/copyright lines carry
+# no training signal). A line is BOILERPLATE within its source when it
+# appears in more than 30% of that source's documents (integer-exact:
+# 10·docs_with_line > 3·docs_in_source). The synthetic text has no
+# newlines, so the fixture PLANTS a per-doc line list (the c4_rules
+# precedent): a per-source copyright line (100% of the source → always
+# boilerplate), a shared nav line on even docs (~50% → boilerplate),
+# and doc-unique content lines (never). Spark shape: one explode +
+# one (source, line) groupBy with countDistinct + the per-source doc
+# count broadcast — corpus-linear, the group key is source-scoped so
+# a hot source never concentrates onto one reducer beyond its own
+# vocabulary.
+BOILERPLATE_PCT10 = 3  # threshold: > 30% of the source's docs
+
+
+@register(
+    "textstats_boilerplate_lines",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_concat(
+               ['copyright (c) ' || source || ' - all rights reserved'],
+               list_concat(
+                 CASE WHEN doc_id % 2 = 0
+                      THEN ['home | about | contact'] ELSE [] END,
+                 list_transform(
+                   generate_series(0, doc_id % 4 + 1),
+                   i -> 'unique fact ' || doc_id || '-' || i)))
+               AS lines
+      FROM documents
+    ),
+    src_docs AS (
+      SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1
+    ),
+    exploded AS (
+      SELECT doc_id, source, UNNEST(lines) AS line FROM d
+    ),
+    line_reach AS (
+      SELECT source, line, COUNT(DISTINCT doc_id) AS docs_with
+      FROM exploded GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT e.doc_id, e.source, e.line,
+             10 * r.docs_with > 3 * s.n_docs AS boiler
+      FROM exploded e
+      JOIN line_reach r USING (source, line)
+      JOIN src_docs s USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           CAST(1000000 * (COUNT(*) - SUM(CASE WHEN boiler THEN 1
+                                          ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS retained_ppm
+    FROM flagged GROUP BY 1, 2
+    """,
+)
+def textstats_boilerplate_lines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per document: planted line count, how many are source-level
+    boilerplate (shared by >30% of the source's docs), and the exact
+    integer retained-fraction ppm."""
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "source")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    copyright_line = F.concat(
+        F.lit("copyright (c) "), F.col("source"),
+        F.lit(" - all rights reserved"),
+    )
+    nav = F.when(
+        d % 2 == 0, F.array(F.lit("home | about | contact"))
+    ).otherwise(F.array().cast("array<string>"))
+    uniques = F.transform(
+        F.sequence(F.lit(0), (d % 4 + 1).cast("int")),
+        lambda i: F.concat(
+            F.lit("unique fact "), ds, F.lit("-"), i.cast("string")
+        ),
+    )
+    lines = F.concat(F.array(copyright_line), nav, uniques)
+    exploded = docs.select(
+        "doc_id", "source", F.explode(lines).alias("line")
+    )
+    src_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    reach = exploded.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("docs_with")
+    )
+    flagged = exploded.join(reach, ["source", "line"]).join(
+        F.broadcast(src_docs), "source"
+    ).withColumn(
+        "boiler",
+        10 * F.col("docs_with") > BOILERPLATE_PCT10 * F.col("n_docs"),
+    )
+    n_lines = F.count(F.lit(1))
+    n_boiler = F.sum(F.col("boiler").cast("long"))
+    return flagged.groupBy("doc_id", "source").agg(
+        n_lines.cast("long").alias("n_lines"),
+        n_boiler.alias("n_boilerplate"),
+        F.floor(
+            1_000_000 * (n_lines - n_boiler) / n_lines
+        ).cast("long").alias("retained_ppm"),
+    )

@@ -90,6 +90,9 @@ DECADE_QUERIES = [
     # r14: rank-order n-gram LID (two explode+groupBy passes + the
     # langs x K broadcast model)
     "textstats_ngram_langid",
+    # r14: cross-document line-level boilerplate dedup (one explode +
+    # one source-scoped groupBy)
+    "textstats_boilerplate_lines",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"

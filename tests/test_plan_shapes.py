@@ -108,6 +108,7 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "textstats_ngram_langid",
         "export_report_rows",
         "archive_import_plan",
+        "textstats_boilerplate_lines",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
