@@ -179,3 +179,55 @@ def test_quota_replay_lanes(spark, sf_dir):
             )
             assert row["eff_grace_pct"] == 110  # seed grace, not 130/140
             assert row["eff_default_quota_bytes"] == 1000 * (r + 1)
+
+
+# ------------------------------------------------- properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_overrides = st.lists(
+    st.tuples(
+        st.sampled_from([f"g-{i}" for i in range(6)]),
+        st.one_of(st.none(), st.integers(0, 10_000)),
+        st.one_of(st.none(), st.integers(100, 300)),
+    ),
+    max_size=5,
+    unique_by=lambda o: o[0],
+)
+_user_caps = st.lists(
+    st.tuples(
+        st.sampled_from([f"u-{i}" for i in range(6)]),
+        st.one_of(st.none(), st.integers(0, 50)),
+    ),
+    max_size=5,
+    unique_by=lambda o: o[0],
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    _overrides,
+    _user_caps,
+    st.randoms(use_true_random=False),
+    st.one_of(st.none(), st.integers(1, 9)),
+)
+def test_canonical_value_permutation_invariant(go, ugc, rnd, devices):
+    """supported_quota (reducer rs:1745-1753) makes the serialization
+    independent of override order and of max_devices_per_user — the
+    exact property that lets two concurrent equal-content
+    RealmConfigQuotaSet events MERGE dots instead of conflicting."""
+    base = {
+        "default_group_quota_bytes": 1234,
+        "group_overrides": list(go),
+        "user_group_cap_overrides": list(ugc),
+        "max_devices_per_user": devices,
+    }
+    shuffled = dict(base)
+    shuffled["group_overrides"] = list(go)
+    shuffled["user_group_cap_overrides"] = list(ugc)
+    rnd.shuffle(shuffled["group_overrides"])
+    rnd.shuffle(shuffled["user_group_cap_overrides"])
+    shuffled["max_devices_per_user"] = None
+    assert canonical_quota_value(base) == canonical_quota_value(shuffled)
+    # normalization is a fixpoint
+    assert supported_quota(supported_quota(base)) == supported_quota(base)
