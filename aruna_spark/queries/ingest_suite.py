@@ -604,7 +604,13 @@ def archive_rewrite_enriched(
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from aruna_spark.ops.text import spread_for_cpu
+
+    # the crate build + rewrite is Python-per-row work off a tiny
+    # narrow scan — spread past the byte-sized split plan (ops/text)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "document_id string, out_id string, local_path string, "
