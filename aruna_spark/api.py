@@ -2657,6 +2657,65 @@ class Engine:
         }
 
     # --------------------------------------------------------- quota plane
+    def _realm_quota_store(self) -> dict:
+        if not hasattr(self, "_realm_quotas"):
+            # realm_id -> normalized quota dict; the engine serves one
+            # fixture realm (the doc_placement/quota plane's realm-0)
+            self._realm_quotas = {}
+        return self._realm_quotas
+
+    KNOWN_REALMS = ("realm-0",)
+
+    def set_realm_quota(self, realm_id: str, quota: dict) -> dict:
+        """SetRealmQuota (operations/src/set_realm_quota.rs): the
+        validation ladder (rs:378-437 — ops/quota_config.validate_quota
+        rung-for-rung) runs first; an unknown realm is
+        RealmConfigNotFound; the stored quota is the supported_quota
+        NORMALIZATION of the input (devices dropped, overrides sorted —
+        rs:145-156 derives the stored value from the reducer's
+        materialized state, and a single-origin local write never
+        conflicts, so the materialization IS the normalized input; the
+        conflicted-path keep-last-agreed branch is the replay query's
+        plane, crdt_realm_quota_replay lane 4). Returns the realm
+        config envelope."""
+        from aruna_spark.ops.quota_config import (
+            InvalidQuota,
+            supported_quota,
+            validate_quota,
+        )
+
+        if realm_id not in self.KNOWN_REALMS:
+            return {"status": 404, "error": "RealmConfigNotFound"}
+        try:
+            validate_quota(quota)
+        except InvalidQuota as e:
+            return {"status": 400, "error": "InvalidQuota",
+                    "reason": str(e)}
+        normalized = supported_quota(quota)
+        self._realm_quota_store()[realm_id] = normalized
+        return {"status": 200, "realm_id": realm_id, "quota": normalized}
+
+    def get_realm_quota(self, realm_id: str) -> dict:
+        """The read side: the stored normalized quota, or
+        QuotaConfig::default (realm.rs:202-214) when never set, with
+        the effective grace/warn/group-cap resolution the dashboard
+        consumes (queries/quota.py)."""
+        from aruna_spark.ops.quota_config import DEFAULT_QUOTA
+
+        if realm_id not in self.KNOWN_REALMS:
+            return {"status": 404, "error": "RealmConfigNotFound"}
+        q = self._realm_quota_store().get(realm_id)
+        quota = dict(DEFAULT_QUOTA) if q is None else q
+        return {
+            "status": 200,
+            "realm_id": realm_id,
+            "quota": quota,
+            "was_set": q is not None,
+            "effective_grace_pct": quota["grace_factor_percent"],
+            "effective_warn_pct": quota["warn_threshold_percent"],
+            "effective_max_groups": quota["max_groups_per_user"],
+        }
+
     def quota_check(
         self, incoming_bytes: int, quota_bytes: int | None = None
     ) -> DataFrame:

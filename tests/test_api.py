@@ -1750,3 +1750,53 @@ def test_rocrate_active_job_cap(rc_engine):
         "error": "ActiveJobLimit",
         "limit": 4,
     }
+
+
+# ------------------------------------------------- realm quota route
+def test_set_realm_quota_roundtrip(rc_engine):
+    # never set: QuotaConfig::default served, flagged unset
+    before = rc_engine.get_realm_quota("realm-0")
+    assert before["status"] == 200 and not before["was_set"]
+    assert before["effective_grace_pct"] == 110
+    assert before["effective_warn_pct"] == 85
+    assert before["effective_max_groups"] == 3
+    # set with UNORDERED overrides + devices: stored normalized
+    got = rc_engine.set_realm_quota(
+        "realm-0",
+        {
+            "default_group_quota_bytes": 2000,
+            "group_overrides": [("g-2", None, None), ("g-1", 100, 150)],
+            "user_group_cap_overrides": [("u-9", None), ("u-2", 5)],
+            "max_devices_per_user": None,
+            "grace_factor_percent": 120,
+        },
+    )
+    assert got["status"] == 200
+    q = got["quota"]
+    assert q["group_overrides"] == [("g-1", 100, 150), ("g-2", None, None)]
+    assert q["user_group_cap_overrides"] == [("u-2", 5), ("u-9", None)]
+    after = rc_engine.get_realm_quota("realm-0")
+    assert after["was_set"] and after["effective_grace_pct"] == 120
+
+
+def test_set_realm_quota_validation_and_404(rc_engine):
+    assert rc_engine.set_realm_quota("realm-404", {})["status"] == 404
+    assert rc_engine.get_realm_quota("realm-404")["status"] == 404
+    for bad, frag in (
+        ({"warn_threshold_percent": 0}, "warn_threshold_percent"),
+        ({"grace_factor_percent": 99}, "grace_factor_percent"),
+        ({"max_devices_per_user": 1}, "max_devices_per_user"),
+        (
+            {"group_overrides": [("g-1", 100, None), ("g-1", 1, None)]},
+            "duplicate group override",
+        ),
+        ({"group_overrides": [("g-1", None, 150)]}, "incoherent"),
+        (
+            {"user_group_cap_overrides": [("u-1", 1), ("u-1", 2)]},
+            "duplicate user cap",
+        ),
+    ):
+        got = rc_engine.set_realm_quota("realm-0", bad)
+        assert got["status"] == 400 and frag in got["reason"], bad
+    # a rejected write never lands
+    assert not rc_engine.get_realm_quota("realm-0")["was_set"]
