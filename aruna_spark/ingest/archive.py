@@ -20,6 +20,7 @@ like the reference's expanded-target lookup.
 from __future__ import annotations
 
 import json
+import unicodedata
 from collections.abc import Iterator
 
 import pandas as pd
@@ -371,8 +372,10 @@ def _validate_relative_path(value: str) -> None:
 
 
 def normalize_entry_path(value: str) -> str:
-    """rs:678-700 rung-for-rung (NFC omitted: fixtures are ASCII,
-    where NFC is the identity)."""
+    """rs:678-700 rung-for-rung, NFC-composed on the way out (r15;
+    the relational ``inspect_archive_layout`` compares paths byte-wise
+    and expects listings normalized through this kernel — NFC is the
+    identity on the ASCII fixtures)."""
     if "\\" in value or "\0" in value:
         raise JsonLdError(f"unsafe archive path `{value}`")
     value = value.rstrip("/")
@@ -384,12 +387,15 @@ def normalize_entry_path(value: str) -> str:
         raise JsonLdError(f"unsafe relative path `{value}`")
     value = "/".join(p for p in value.split("/") if p)
     _validate_relative_path(value)
-    return value
+    return unicodedata.normalize("NFC", value)
 
 
 def file_id_candidates(value: str) -> list[str] | None:
     """rs:576-595: None for absolute IRIs; the normalized raw id plus
-    its percent-decoded variant when they differ."""
+    its percent-decoded variant when they differ. NFC-composed like
+    ``normalize_relative_id`` (rs:701-711); an id whose percent-decoding
+    is not valid UTF-8 keeps only its raw candidate, mirroring the
+    reference's ``if let Ok(decoded)`` skip (rs:588)."""
     import re
     from urllib.parse import unquote
 
@@ -409,14 +415,120 @@ def file_id_candidates(value: str) -> list[str] | None:
         if not v:
             raise JsonLdError("File identifier is empty")
         _validate_relative_path(v)
-        return v
+        return unicodedata.normalize("NFC", v)
 
     raw = norm_rel(value)
     candidates = [raw]
-    decoded = norm_rel(unquote(value))
+    try:
+        decoded = unquote(value, errors="strict")
+    except UnicodeDecodeError:
+        return candidates
+    decoded = norm_rel(decoded)
     if decoded != raw:
         candidates.append(decoded)
     return candidates
+
+
+# is_file_type (jobs/rocrate_jsonld.rs:9-11): an entity is a File
+# exactly when its rdf:type expands to schema.org MediaObject (both
+# the http and https spellings are accepted).
+_FILE_TYPE_IRIS = (
+    "http://schema.org/MediaObject",
+    "https://schema.org/MediaObject",
+)
+# The published RO-Crate contexts (1.1 / 1.2) map the "File" term to
+# schema:MediaObject; the reference reaches that mapping through its
+# bundled craqle context set when the document's @context carries a
+# w3id.org/ro/crate context IRI.
+_CRATE_CONTEXT_PREFIX = "https://w3id.org/ro/crate/"
+
+
+def _has_crate_context(doc) -> bool:
+    context = doc.get("@context") if isinstance(doc, dict) else None
+    values = context if isinstance(context, list) else [context]
+    return any(
+        isinstance(v, str) and v.startswith(_CRATE_CONTEXT_PREFIX)
+        for v in values
+    )
+
+
+def _is_file_typed(obj: dict, keywords: JsonLdKeywords, crate_ctx: bool) -> bool:
+    types = obj.get("@type")
+    values = types if isinstance(types, list) else [types]
+    for t in values:
+        if not isinstance(t, str):
+            continue
+        if t in _FILE_TYPE_IRIS:
+            return True
+        if t in keywords.terms:
+            if keywords.terms[t] in _FILE_TYPE_IRIS:
+                return True
+        elif crate_ctx and t == "File":
+            return True
+    return False
+
+
+def _collect_file_subjects(value, keywords, crate_ctx, subjects: set) -> None:
+    if isinstance(value, list):
+        for item in value:
+            _collect_file_subjects(item, keywords, crate_ctx, subjects)
+    elif isinstance(value, dict):
+        ident = keywords.object_id(value)
+        if ident is not None and _is_file_typed(value, keywords, crate_ctx):
+            subjects.add(_expanded_id(ident[1]))
+        for item in value.values():
+            _collect_file_subjects(item, keywords, crate_ctx, subjects)
+
+
+def _collect_file_ids(value, subjects, keywords, file_ids: list) -> None:
+    # collect_file_ids (import/rewrite.rs:133-164): document-order walk;
+    # only DEFINING objects (more than the bare @id key) count, and a
+    # File entity defined twice is an error.
+    if isinstance(value, list):
+        for item in value:
+            _collect_file_ids(item, subjects, keywords, file_ids)
+    elif isinstance(value, dict):
+        ident = keywords.object_id(value)
+        if (
+            len(value) > 1
+            and ident is not None
+            and _expanded_id(ident[1]) in subjects
+        ):
+            if ident[1] in file_ids:
+                raise JsonLdError(
+                    f"File entity `{ident[1]}` is defined more than once"
+                )
+            file_ids.append(ident[1])
+        for item in value.values():
+            _collect_file_ids(item, subjects, keywords, file_ids)
+
+
+def validate_document(jsonld: str) -> tuple[dict, list[str]]:
+    """Python kernel of ``validate_document`` (import/rewrite.rs:63-75):
+    parse, normalize identifier encodings in place, then collect the
+    crate's File identifiers in document order. Returns ``(value,
+    file_ids)`` — the normalized document plus the ids whose entities
+    are rdf-typed schema MediaObject.
+
+    One documented approximation: the reference canonicalizes through
+    craqle and reads File subjects off the emitted nquads
+    (``file_subjects``, rs:112-131); this kernel resolves ``@type``
+    membership directly — inline-context term aliases plus the
+    published RO-Crate contexts' ``File`` term — which agrees wherever
+    the File typing is declared in-document (all three consortium
+    fixtures; asserted in tests/test_eln_fixtures.py)."""
+    try:
+        value = json.loads(jsonld)
+    except ValueError as error:
+        raise JsonLdError(str(error)) from None
+    keywords = JsonLdKeywords(value)
+    _normalize_ids(value, keywords)
+    crate_ctx = _has_crate_context(value)
+    subjects: set[str] = set()
+    _collect_file_subjects(value, keywords, crate_ctx, subjects)
+    file_ids: list[str] = []
+    _collect_file_ids(value, subjects, keywords, file_ids)
+    return value, file_ids
 
 
 def inspect_archive_layout(entries: DataFrame) -> DataFrame:

@@ -265,6 +265,47 @@ def test_ids_ignore_absolute():
         assert file_id_candidates(i) is None, i
 
 
+def test_ids_scheme_shapes_match_url_parse():
+    # r15 (VERDICT r14 Next #4): pin the Url::parse regex
+    # approximation (rs:577) on the scheme-shaped families. WHATWG
+    # accepts any letter-led scheme — single-letter drives included —
+    # and rejects digit-led or space-carrying scheme candidates.
+    for external in (
+        "urn:uuid:4af4",
+        "doi:10.1234/x",
+        "C:/drive",
+        "c:relative",
+        "d:",
+        "mailto:admin@example.org",
+        "a1+b-c.d:rest",
+        "javascript:alert(1)",
+    ):
+        assert file_id_candidates(external) is None, external
+    # no scheme → relative candidates
+    assert file_id_candidates("1a:b") == ["1a:b"]
+    assert file_id_candidates("urn uuid:x") == ["urn uuid:x"]
+    assert file_id_candidates("+a:b") == ["+a:b"]
+
+
+def test_ids_nfc_and_strict_decoding():
+    # normalize_relative_id NFC-composes (rs:710); an id whose
+    # percent-decoding is not valid UTF-8 keeps only the raw candidate
+    # (rs:588's `if let Ok(decoded)` skip).
+    composed = "caf\u00e9.txt"
+    decomposed = "cafe\u0301.txt"
+    assert file_id_candidates(decomposed) == [composed]
+    assert file_id_candidates(composed) == [composed]
+    # the decoded variant NFC-composes too, and dedups against raw
+    assert file_id_candidates("cafe%CC%81.txt") == [
+        "cafe%CC%81.txt",
+        composed,
+    ]
+    assert file_id_candidates("data/%ff.bin") == ["data/%ff.bin"]
+    # entry paths compose the same way
+    assert normalize_entry_path(f"./w/{decomposed}/") == f"w/{composed}"
+    assert normalize_entry_path(f"w/{composed}") == f"w/{composed}"
+
+
 def _inspect(spark, rows):
     df = spark.createDataFrame(
         rows, "archive_id string, eln boolean, path string, "

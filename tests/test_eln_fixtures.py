@@ -1,0 +1,265 @@
+"""Drive the reference's three REAL .eln consortium fixtures through
+the import kernels (VERDICT r14 Next #2).
+
+The reference gates its import path on three real-world ELN crates —
+eLabFTW, PaSta, Kadi4Mat — with per-fixture expectations in
+``operations/src/jobs/import/consortium.rs:130-208`` (wrapper,
+file_ids, payload paths, external refs, signature, @context, entity
+attributes). Until r15 the repo's layout/plan/rewrite kernels were
+validated on synthetic lanes plus random property archives only; this
+module extracts the real entry listings + metadata JSON with Python
+``zipfile`` (no ZIP byte-reader port needed) and pins the SAME
+expectations against:
+
+- the relational ``inspect_archive_layout`` (all three archives in one
+  DataFrame) AND the literal sequential port (tests/test_layout_port)
+  — both must agree with consortium.rs;
+- ``validate_document`` + ``file_id_candidates`` → the exactly-one-
+  match payload ladder of ``read_fixture`` (consortium.rs:75-113);
+- ``rewrite_document_enriched`` over the real documents (validity +
+  idempotence, the reference's own rewrite post-condition
+  import/rewrite.rs:106).
+
+Entry modes mirror async_zip's ``unix_permissions()``: the external-
+attribute high word when the entry was written by a unix creator,
+``None`` otherwise. Skipped when the reference checkout is absent so
+the repo stays standalone.
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+from pathlib import Path
+
+import pytest
+
+from aruna_spark.ingest.archive import (
+    ARCHIVE_METADATA_PATH,
+    ARCHIVE_SIGNATURE_PATH,
+    file_id_candidates,
+    inspect_archive_layout,
+    rewrite_document_enriched,
+    validate_document,
+)
+from tests.test_layout_port import literal_inspect
+
+FIXDIR = Path("/root/reference/operations/fixtures/eln")
+FIXTURES = ("elabftw", "pasta", "kadi4mat")
+
+pytestmark = pytest.mark.skipif(
+    not FIXDIR.is_dir(), reason="reference .eln fixtures not available"
+)
+
+
+def _entries(name: str) -> list[tuple[str, bool, int | None]]:
+    """(path, directory, mode) rows exactly as the reference's header
+    loop sees them (import/archive.rs:95-121): filename, dir flag, and
+    unix_permissions (None for non-unix creators)."""
+    rows = []
+    with zipfile.ZipFile(FIXDIR / f"{name}.eln") as zf:
+        for info in zf.infolist():
+            mode = (
+                (info.external_attr >> 16) if info.create_system == 3 else None
+            )
+            rows.append((info.filename, info.is_dir(), mode))
+    return rows
+
+
+def _fixture_data(name: str) -> dict:
+    """The Python form of ``read_fixture`` (consortium.rs:75-113)."""
+    entries = _entries(name)
+    inspection = literal_inspect(entries, eln=True)
+    assert inspection["verdict"] == "ok", (name, inspection)
+    wrapper = inspection["wrapper"]
+    assert wrapper is not None, name
+    with zipfile.ZipFile(FIXDIR / f"{name}.eln") as zf:
+        metadata = zf.read(f"{wrapper}/{ARCHIVE_METADATA_PATH}").decode()
+    value, file_ids = validate_document(metadata)
+    # post-strip payload paths = payload_entries (archive.rs:597-607)
+    paths = set()
+    signature = False
+    for path, directory, _mode in entries:
+        p = "/".join(part for part in path.strip("/").split("/") if part)
+        if p == wrapper:
+            continue
+        p = p[len(wrapper) + 1 :]
+        if directory or p == ARCHIVE_METADATA_PATH:
+            continue
+        if p == ARCHIVE_SIGNATURE_PATH:
+            signature = True
+            continue
+        paths.add(p)
+    matched = set()
+    external = []
+    for file_id in file_ids:
+        candidates = file_id_candidates(file_id)
+        if candidates is None:
+            external.append(file_id)
+            continue
+        matches = [c for c in candidates if c in paths]
+        assert len(matches) == 1, (name, file_id, matches)
+        assert matches[0] not in matched, (name, file_id)
+        matched.add(matches[0])
+    assert matched <= paths
+    return {
+        "value": value,
+        "file_ids": file_ids,
+        "paths": paths,
+        "external": external,
+        "signature": signature,
+        "wrapper": wrapper,
+        "metadata": metadata,
+    }
+
+
+def _entity(value: dict, entity_id: str) -> dict:
+    for entity in value["@graph"]:
+        if entity.get("@id") == entity_id:
+            return entity
+    raise AssertionError(f"no entity `{entity_id}`")
+
+
+def test_relational_layout_matches_consortium_on_real_archives(spark):
+    rows = [
+        (name, True, path, directory, mode)
+        for name in FIXTURES
+        for path, directory, mode in _entries(name)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "archive_id string, eln boolean, path string, "
+        "directory boolean, mode int",
+    )
+    got = {
+        r["archive_id"]: r.asDict()
+        for r in inspect_archive_layout(df).collect()
+    }
+    # consortium.rs wrappers; payload/signature cross-checked against
+    # the literal port on the same listings
+    expected_wrappers = {
+        "elabftw": "2025-09-16-103731-export",
+        "pasta": "test",
+        "kadi4mat": "records-example",
+    }
+    for name in FIXTURES:
+        want = literal_inspect(_entries(name), eln=True)
+        have = got[name]
+        assert have["verdict"] == "ok", (name, have)
+        assert have["wrapper"] == expected_wrappers[name]
+        assert have["wrapper"] == want["wrapper"]
+        assert have["n_payload"] == want["n_payload"]
+        assert have["has_signature"] == want["has_signature"]
+    assert got["pasta"]["has_signature"] is True
+    assert got["kadi4mat"]["has_signature"] is False
+    assert got["elabftw"]["has_signature"] is False
+
+
+def test_elabftw_fixture():
+    data = _fixture_data("elabftw")
+    assert (
+        data["value"]["@context"] == "https://w3id.org/ro/crate/1.2/context"
+    )
+    assert data["wrapper"] == "2025-09-16-103731-export"
+    # eLabFTW writes identifiers with literal spaces; validation
+    # encodes them (consortium.rs:136-144).
+    image = "./Demo%20-%20Gold-master-experiment%20-%204af4da4e/example.jpg"
+    jsn = (
+        "./Molecular-biology%20-%20Facilis-illum-sed-reprehenderit"
+        "%20-%20a7658b02/autesse.json"
+    )
+    assert set(data["file_ids"]) == {image, jsn}
+    assert _entity(data["value"], image)["alternateName"] == (
+        "7b/7b82e081f08828fa461979b340d28673a32773169bf19884b61276355c0d"
+        "873098977ad10b68d6845209108b8470ac4b72a1992b3d81140d0ab0af9e25d"
+        "886a0.jpg"
+    )
+    assert _entity(data["value"], jsn)["alternateName"] == (
+        "fd/fdedffebcfbbdc8eb9a554d54951783ced67e23ac0c38445f67112bfb815"
+        "43147d8960561fcd7745e3e3ec098ded2d5f86730ad635520319e502c11c526"
+        "0ba2c.json"
+    )
+    assert (
+        "Demo - Gold-master-experiment - 4af4da4e/example.jpg"
+        in data["paths"]
+    )
+    assert (
+        "Molecular-biology - Facilis-illum-sed-reprehenderit - a7658b02"
+        "/autesse.json" in data["paths"]
+    )
+    assert data["external"] == []
+    assert data["signature"] is False
+
+
+def test_pasta_fixture():
+    data = _fixture_data("pasta")
+    assert (
+        data["value"]["@context"] == "https://w3id.org/ro/crate/1.1/context"
+    )
+    assert data["wrapper"] == "test"
+    assert _entity(data["value"], "ro-crate-metadata.json")[
+        "additionalType"
+    ] == "https://purl.archive.org/purl/elnconsortium/eln-spec/1.1"
+    assert data["external"] == [
+        "https://upload.wikimedia.org/wikipedia/commons/thumb/a/a4/"
+        "Misc_pollen.jpg/315px-Misc_pollen.jpg"
+    ]
+    assert data["signature"] is True
+    assert ARCHIVE_SIGNATURE_PATH not in data["paths"]
+    assert "ro-crate.pubkey" in data["paths"]
+
+
+def test_kadi4mat_fixture():
+    data = _fixture_data("kadi4mat")
+    assert (
+        data["value"]["@context"] == "https://w3id.org/ro/crate/1.1/context"
+    )
+    assert data["wrapper"] == "records-example"
+    assert _entity(data["value"], "./")["license"] == (
+        "For license information, please refer to the individual "
+        "dataset nodes, if applicable."
+    )
+    assert (
+        _entity(data["value"], "./records-example/")["license"]["@id"]
+        == "https://creativecommons.org/licenses/by/4.0/"
+    )
+    assert len(data["file_ids"]) == 4
+    assert len(data["paths"]) == 4
+    assert data["external"] == []
+    assert data["signature"] is False
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_enriched_rewrite_over_real_documents(name):
+    """The reference re-validates its rewrite output
+    (import/rewrite.rs:106) and the r14 property suite proved
+    idempotence on random alias contexts; pin both on the real
+    crates: rewriting each matched file id to a deployment IRI yields
+    a crate that still validates, whose File set maps 1:1 through the
+    target map, and a second rewrite through the same map keyed by the
+    NEW ids is identity."""
+    data = _fixture_data(name)
+    targets = {
+        file_id: {
+            "w3id": f"https://w3id.example/dep/{i:04x}",
+            "hash_w3id": f"https://w3id.example/hash/{i:04x}",
+            "local_path": f"imported/{i:04x}.bin",
+        }
+        for i, file_id in enumerate(data["file_ids"])
+        if file_id_candidates(file_id) is not None
+    }
+    rewritten, warnings = rewrite_document_enriched(
+        data["metadata"], targets
+    )
+    assert warnings == []
+    value, file_ids = validate_document(rewritten)
+    expected = [
+        targets[f]["w3id"] if f in targets else f for f in data["file_ids"]
+    ]
+    assert sorted(file_ids) == sorted(expected)
+    again, warnings2 = rewrite_document_enriched(
+        rewritten,
+        {t["w3id"]: t for t in targets.values()},
+    )
+    assert warnings2 == []
+    assert json.loads(again) == json.loads(rewritten)

@@ -110,6 +110,18 @@ def _random_archives(seed: int, n: int) -> dict[str, list[tuple]]:
         "a\\b.txt",
         "C:/d.txt",
         "w/..",
+        # r15 (VERDICT r14 Next #4): scheme-shaped and non-ASCII paths.
+        # Drive prefixes reject whole-path only; ':' elsewhere is a
+        # plain character. NFC touches only the path STRING, never the
+        # envelope outputs, so composed/decomposed forms stay congruent
+        # between the kernel (which NFCs) and the relational form.
+        "C:d.txt",
+        "d:",
+        "urn:uuid/file.txt",
+        "w/urn:uuid-4af4.txt",
+        "w/caf\u00e9/se\u00f1or.txt",
+        "w/cafe\u0301.txt",
+        "w/\u00e9l\u00e8ve.json",
     ]
     modes = [None, 0, 0o100644, 0o040755, 0o120777]
     archives: dict[str, list[tuple]] = {}
