@@ -29,84 +29,77 @@ def register(name: str, oracle: str | None = None):
 # entries, registration order) must always cover. Prefixes listed first
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
-# window on a cycle. Round 14 (VERDICT r13 Next #1): the nine r14-new
-# queries lead (the realm-quota seed replay, the alias-aware enriched
-# crate rewrite, the portable source descriptor, the archive layout
-# inspection, the URL canonicalization dedup, the rank-order n-gram
-# language ID, the export report rows, the import plan, the
-# boilerplate-line dedup), then the
-# eight r8-stale
-# rows the r13 cut deferred, then
-# 33 of the 46 r9-stale rows (SPARQL suite, search_groups, registry
-# listings/projections/lifecycle, corpus_mix, s3_user_access,
-# s3_replication_validate). The 8 deferred r9 rows named in the block
-# comment below lead the r15 window together with the r10 blocks.
-# Every query outside the window is selfcheck-verified at round close
-# (scripts/selfcheck.py at sf0.01).
+# window on a cycle. Round 15 (VERDICT r14 Next #1): the r15-new
+# queries lead (the export entity-identity recognition, the crate
+# File-id validation envelope, the autoindex dialect parse), then the
+# 13 r9-stale rows the r13/r14 cuts deferred, then 34 of the 47
+# r10-stale rows. The 13 DEFERRED r10 rows — the multimodal block
+# (multimodal_features / _frame_sample / _png_roundtrip /
+# _resize_plan / _wav_roundtrip), the relational block (rel_agg_kinds,
+# rel_events_hourly, rel_exists_semi_anti, rel_keyset_page,
+# rel_latest_order_per_customer, rel_setops), and the RO-Crate export
+# pages (rocrate_export_page, rocrate_export_summary) — lead the r16
+# window together with the r11 blocks (S3 object plane, keyset
+# listings, onboarding, sync placement, rel_* remainder,
+# handle walks, user/role validation). Every query outside the window
+# is selfcheck-verified at round close (scripts/selfcheck.py at
+# sf0.01).
 PRIORITY_PREFIXES = (
-    # --- r14-new (first driver checks take precedence, r9 convention)
-    "crdt_realm_quota_replay",
-    "archive_rewrite_enriched",
-    "staging_source_descriptor",
-    "archive_layout_inspect",
-    "urlstats_canonicalize",
-    "textstats_ngram_langid",
-    "export_report_rows",
-    "archive_import_plan",
-    "textstats_boilerplate_lines",
-    # --- the 8 r8-stale rows deferred from the r13 window (VERDICT
-    # r13 Next #1 leads)
-    "stream_watch_no_retroactive",
-    "corpus_retention_funnel",
-    "storage_routing_resolve",
-    "staging_snapshot_materialize",
-    "staging_sync_drift",
-    "staging_list_connectors",
-    "staging_refresh_sweep",
-    "registry_resolve_users",
-    # --- r9-stale blocks (33 of 46; the 13 deferred rows — the SPARQL
-    # slice/page + GRAPH variants sparql_distinct, sparql_reduced,
-    # sparql_offset_page, sparql_nested_slice, sparql_order_limit,
-    # sparql_graph_var, sparql_graph_scoped, plus
-    # matq_graph_prune_drain, export_plan_paths,
-    # replication_location_summary, registry_doc_count_live,
-    # corpus_mix_sample, and registry_subject_closure (rows whose
-    # planes stay represented in this window) — lead the r15 window
-    # together with the r10 blocks: hashpaths, reclaim probes,
-    # sync_outbox, doc lifecycle/update remainder)
-    "sparql_ask",
-    "sparql_bgp_filter",
-    "sparql_distributed_ask",
-    "sparql_filter_builtins",
-    "sparql_fts_bgp_mix",
-    "sparql_fts_score",
-    "sparql_group_agg",
-    "sparql_group_concat",
-    "sparql_having",
-    "sparql_lateral_topk_per_group",
-    "sparql_minus",
-    "sparql_not_exists",
-    "sparql_optional",
-    "sparql_path_inverse",
-    "sparql_path_negated",
-    "sparql_path_plus",
-    "sparql_path_seq_closure",
-    "sparql_path_star",
-    "sparql_skip_tombstoned",
-    "sparql_star_describe",
-    "sparql_string_funcs",
-    "sparql_sum_sample",
-    "sparql_union",
-    "sparql_values_bind",
-    "search_groups_page",
-    "corpus_mix_plan",
-    "registry_delete_lifecycle",
-    "registry_listing_live",
-    "registry_update_batch",
-    "s3_replication_validate",
-    "s3_user_access_gate",
-    "s3_user_access_list",
-    "s3_user_access_revoke",
+    # --- r15-new (first driver checks take precedence, r9 convention)
+    "export_entity_identity",
+    "archive_validate_file_ids",
+    "autoindex_dialect_entries",
+    # --- the 13 r9-stale rows deferred from the r14 window (VERDICT
+    # r14 Next #1 leads)
+    "sparql_distinct",
+    "sparql_reduced",
+    "sparql_offset_page",
+    "sparql_nested_slice",
+    "sparql_order_limit",
+    "sparql_graph_var",
+    "sparql_graph_scoped",
+    "matq_graph_prune_drain",
+    "export_plan_paths",
+    "replication_location_summary",
+    "registry_doc_count_live",
+    "corpus_mix_sample",
+    "registry_subject_closure",
+    # --- r10-stale rows (34 of 47; the 13 deferred rows named in the
+    # header comment lead r16)
+    "archive_import_rewrite",
+    "distributed_select_merge",
+    "graph_snapshot_orphan_skip",
+    "ingest_jsonld_typing",
+    "registry_doc_count",
+    "registry_event_replay",
+    "registry_incremental_merge",
+    "registry_listing_created",
+    "registry_listing_recent",
+    "registry_path_claims",
+    "registry_snapshot_asof",
+    "s3_bucket_routing_config",
+    "search_bm25_page2",
+    "search_bm25_topk",
+    "search_conformsto_scoped",
+    "search_describe_hits",
+    "search_hits_enriched",
+    "search_perfield_rank_shift",
+    "search_substring_customers",
+    "similarity_ivf_pq_topk",
+    "similarity_ivf_sqrt_topk",
+    "similarity_ivf_trained_topk",
+    "staging_refresh_drain",
+    "stream_dashboard_epoch",
+    "stream_debounce_sessions",
+    "stream_debounce_timer",
+    "stream_debounce_windows",
+    "stream_lww_registry",
+    "stream_sliding_window_counts",
+    "stream_unread_counts",
+    "sync_create_validate",
+    "sync_legacy_migration",
+    "sync_mirror_repair_drain",
+    "sync_relationship_list",
 )
 
 

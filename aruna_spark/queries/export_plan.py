@@ -306,16 +306,10 @@ _REPORT_ORACLE = f"""
 """
 
 
-@register("export_report_rows", oracle=_REPORT_ORACLE)
-def export_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the export report for one entity batch: the per-entity
-    main/:path/:reference rows with the reference's exact codes and
-    messages, and the per-crate embed gate. One PARTITIONED rank per
-    crate + a union of three projections + the crate-level flag join —
-    no global order, no UDF."""
-    ents = load_table(spark, sf_dir, "documents").select(
+def _report_entities(spark: SparkSession, sf_dir: str, crate_key) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") % 31).alias("crate_id"),
+        crate_key.alias("crate_id"),
         F.concat(F.lit("ent-"), F.col("doc_id").cast("string")).alias(
             "entity_id"
         ),
@@ -323,6 +317,33 @@ def export_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 0).alias("synth"),
         (F.col("doc_id") % 3 == 1).alias("unrew"),
     )
+
+
+@register("export_report_rows", oracle=_REPORT_ORACLE)
+def export_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the export report for one entity batch: the per-entity
+    main/:path/:reference rows with the reference's exact codes and
+    messages, and the per-crate embed gate. One PARTITIONED rank per
+    crate + a union of three projections + the crate-level flag join —
+    no global order, no UDF."""
+    ents = _report_entities(spark, sf_dir, F.col("doc_id") % 31)
+    return _export_report_rows(ents, broadcast_flags=True)
+
+
+def export_report_rows_decade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unregistered decade variant (r15, VERDICT r14 Next #5): the
+    registered fixture's 31-crate key SATURATES — at 10× data each
+    crate's rank partition grows 10× on 31-way parallelism. Here crates
+    grow WITH the corpus (≤32 entities each, ``doc_id div 32``), so the
+    per-crate window stays bounded and the flag join rides a
+    corpus-proportional shuffle key instead of a broadcast."""
+    ents = _report_entities(
+        spark, sf_dir, (F.col("doc_id") / 32).cast("long")
+    )
+    return _export_report_rows(ents, broadcast_flags=False)
+
+
+def _export_report_rows(ents: DataFrame, broadcast_flags: bool) -> DataFrame:
     w = Window.partitionBy("crate_id").orderBy("doc_id")
     idx = ents.withColumn("i", F.row_number().over(w) - 1)
     main_code = F.lit("Included")
@@ -377,4 +398,265 @@ def export_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id",
     )
     rows = main.unionByName(path_rows).unionByName(ref_rows)
-    return rows.join(F.broadcast(flags), "crate_id")
+    # config-sized crate batches broadcast; corpus-proportional crate
+    # populations (the decade variant) shuffle on the crate key
+    return rows.join(
+        F.broadcast(flags) if broadcast_flags else flags, "crate_id"
+    )
+
+
+# ---------------------------------------------------------- entity identity
+# ``recognize_entities`` (export.rs:1085-1168) + ``entity_identity`` /
+# ``parse_hash`` (rs:1268-1312) over the core identifier parsers
+# (core/src/structs/replication.rs:160-320) — the r15 inside-a-cited-
+# file find: which storage identity a crate File entity carries, and
+# whether this realm can serve it.
+#
+# Semantics mirrored exactly:
+# - each entity folds its ``@id`` FIRST, then every contentUrl in
+#   order; each parsed candidate OVERWRITES its slot (LAST wins), and
+#   ``hash_realm`` is set only by the ch-ARN branch — a later data-
+#   W3ID hash overwrites the hash but leaves the stale realm behind
+#   (rs:1271-1291);
+# - a data W3ID (``https://w3id.org/aruna/data/``) carries either a
+#   64-lowercase-hex content hash or an ``arn:`` suffix parsed as a
+#   versioned object ARN; any other suffix parses as nothing (and the
+#   full https:// value can never match the bare-ARN parsers);
+# - a versioned object ARN (``arn:aruna:<realm>:<node>:s3/<bucket>/
+#   <key>@<ulid>``) requires a non-empty bucket without '/'/'@', a
+#   CANONICALLY percent-encoded key (uppercase hex, exactly the
+#   ARN_KEY_ENCODE_SET characters escaped — replication.rs:11-40,298),
+#   and a 26-char Crockford ULID (I/L/O/U excluded);
+# - a ch ARN's path is 64 lowercase hex with an optional ``blake3/``
+#   prefix (``parse_hash``);
+# - gates (rs:1136-1168): external = no identity at all; supported
+#   exact = the versioned ARN's realm is the exporting realm;
+#   supported hash = a hash exists and ``hash_realm`` is NULL or the
+#   exporting realm; everything else is the Unsupported omission.
+# - local path (rs:1146-1149): the raw ``@id``-adjacent path survives
+#   only when the localPath triples contain it; otherwise the first
+#   localPath value.
+#
+# Fixture: one entity per document; identity lane = doc_id % 13,
+# localPath lane = doc_id % 4 (coprime). The oracle derives every
+# output from the lane arithmetic alone — fully independent of the
+# string parsers the Spark side actually runs.
+
+ARUNA_DATA_PREFIX = "https://w3id.org/aruna/data/"
+_EXPORT_REALM = "realmE"
+_ULID_OK = "01ARZ3NDEKTSV4RRFFQ69G5FAV"
+_ULID_BAD = "01ARZ3NDEKTSV4RRFFQ69G5FAL"  # 'L' is not Crockford
+_ULID_RE = "[0-9A-HJKMNP-TV-Z]{26}"
+# canonical encoded-key alphabet: raw chars NOT in ARN_KEY_ENCODE_SET
+# (alnum - . / _ ~), or an uppercase-hex escape OF a set character
+# (00-2C, 3A-40, 5B-5E, 60, 7B-7D, 7F)
+_KEY_CANON = (
+    "(?:[0-9A-Za-z./_~-]|%(?:[01][0-9A-F]|2[0-9ABC]|3[A-F]|40|"
+    "5[B-E]|60|7[B-D]|7F))+"
+)
+_VARN_RE = (
+    "^arn:aruna:([^:]+):([^:]+):s3/([^/@]+)/"
+    f"({_KEY_CANON})@({_ULID_RE})$"
+)
+_CHARN_RE = "^arn:aruna:([^:]+):([^:]+):ch/(?:blake3/)?([0-9a-f]{64})$"
+
+
+def _identity_kind(v: F.Column) -> F.Column:
+    """One candidate value → struct(kind, realm); kind NULL when no
+    parser accepts it (entity_identity's per-value fold body)."""
+    plen = len(ARUNA_DATA_PREFIX)
+    suffix = v.substr(F.lit(plen + 1), F.length(v))
+    is_w3id = v.startswith(ARUNA_DATA_PREFIX)
+    kind = (
+        F.when(is_w3id & suffix.rlike("^[0-9a-f]{64}$"), "hash_w3id")
+        .when(is_w3id & suffix.rlike(_VARN_RE), "exact")
+        .when(is_w3id, F.lit(None).cast("string"))
+        .when(v.rlike(_VARN_RE), "exact")
+        .when(v.rlike(_CHARN_RE), "hash_arn")
+    )
+    realm = (
+        F.when(is_w3id, F.regexp_extract(suffix, _VARN_RE, 1))
+        .when(v.rlike(_VARN_RE), F.regexp_extract(v, _VARN_RE, 1))
+        .otherwise(F.regexp_extract(v, _CHARN_RE, 1))
+    )
+    return F.struct(kind.alias("kind"), F.nullif(realm, F.lit("")).alias("realm"))
+
+
+def load_export_identity_entities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    lane = d % 13
+    hex64 = F.lpad(F.lower(F.hex(d)), 64, "0")
+
+    def varn(realm, key=None):
+        key = key if key is not None else F.concat(F.lit("k"), ds, F.lit(".txt"))
+        return F.concat(
+            F.lit(f"arn:aruna:{realm}:node1:s3/bkt-"), ds, F.lit("/"),
+            key, F.lit("@"), F.lit(_ULID_OK),
+        )
+
+    def charn(realm, prefix="blake3/", hexcol=None):
+        return F.concat(
+            F.lit(f"arn:aruna:{realm}:node1:ch/{prefix}"),
+            hexcol if hexcol is not None else hex64,
+        )
+
+    plain = F.concat(F.lit("ent-"), ds)
+    w3id_hash = F.concat(F.lit(ARUNA_DATA_PREFIX), hex64)
+    entity_id = (
+        F.when(lane.isin(0, 12), w3id_hash)
+        .when(lane == 1, F.concat(F.lit(ARUNA_DATA_PREFIX), varn(_EXPORT_REALM)))
+        .when(
+            lane == 7,
+            F.concat(
+                F.lit(ARUNA_DATA_PREFIX),
+                F.lit("arn:aruna:realmE:node1:s3/bkt/k@"),
+                F.lit(_ULID_BAD),
+            ),
+        )
+        .otherwise(plain)
+    )
+    arr = F.array
+    empty = F.array().cast("array<string>")
+    content_urls = (
+        F.when(lane == 2, arr(varn(_EXPORT_REALM)))
+        .when(lane == 3, arr(varn("realmX")))
+        .when(lane == 4, arr(charn(_EXPORT_REALM)))
+        .when(lane == 5, arr(charn("realmX")))
+        .when(lane == 8, arr(varn(_EXPORT_REALM, key=F.lit("a%2fb"))))
+        .when(lane == 9, arr(charn(_EXPORT_REALM, prefix="")))
+        .when(
+            lane == 10,
+            arr(charn(_EXPORT_REALM, hexcol=F.substring(hex64, 1, 63))),
+        )
+        .when(lane == 11, arr(charn("realmX"), varn(_EXPORT_REALM)))
+        .when(lane == 12, arr(charn("realmX")))
+        .otherwise(empty)
+    )
+    plane = d % 4
+    raw_path = F.when(
+        plane.isin(0, 1), F.concat(F.lit("lp/"), ds, F.lit(".txt"))
+    ).when(plane == 3, F.lit("x"))
+    local_paths = (
+        F.when(plane == 0, arr(raw_path, F.lit("other")))
+        .when(plane == 1, arr(F.lit("other1"), F.lit("other2")))
+        .when(plane == 2, arr(F.lit("solo")))
+        .otherwise(empty)
+    )
+    return docs.select(
+        "doc_id",
+        entity_id.alias("entity_id"),
+        content_urls.alias("content_urls"),
+        raw_path.alias("raw_path"),
+        local_paths.alias("local_paths"),
+    )
+
+
+def recognize_entity_identity(
+    entities: DataFrame, realm: str
+) -> DataFrame:
+    """The relational recognize fold: posexplode the ``@id``-led
+    candidate list, classify each value through the identifier
+    parsers, then keep each slot's LAST accepted candidate with
+    ``max_by`` over the position."""
+    cands = entities.select(
+        "doc_id",
+        "entity_id",
+        "raw_path",
+        "local_paths",
+        F.posexplode_outer(
+            F.concat(F.array(F.col("entity_id")), F.col("content_urls"))
+        ).alias("pos", "v"),
+    ).withColumn("c", _identity_kind(F.col("v")))
+    per = cands.groupBy(
+        "doc_id", "entity_id", "raw_path", "local_paths"
+    ).agg(
+        F.max(
+            F.when(F.col("c.kind") == "exact", F.struct("pos", "c.realm"))
+        ).alias("exact"),
+        F.max(
+            F.when(
+                F.col("c.kind").isin("hash_w3id", "hash_arn"), F.col("pos")
+            )
+        ).alias("hash_pos"),
+        F.max(
+            F.when(F.col("c.kind") == "hash_arn", F.struct("pos", "c.realm"))
+        ).alias("harn"),
+    )
+    has_exact = F.col("exact").isNotNull()
+    has_hash = F.col("hash_pos").isNotNull()
+    hash_realm = F.col("harn.realm")
+    external = ~has_exact & ~has_hash
+    supported_exact = has_exact & (F.col("exact.realm") == realm)
+    supported_hash = has_hash & (
+        hash_realm.isNull() | (hash_realm == realm)
+    )
+    unsupported = ~external & ~supported_exact & ~supported_hash
+    local_path = F.when(
+        F.array_contains(
+            F.coalesce(F.col("local_paths"), F.array().cast("array<string>")),
+            F.col("raw_path"),
+        ),
+        F.col("raw_path"),
+    ).otherwise(F.get(F.col("local_paths"), 0))
+    return per.select(
+        "entity_id",
+        F.when(has_exact, "exact")
+        .when(has_hash, "hash")
+        .otherwise("external")
+        .alias("identity_kind"),
+        hash_realm.alias("hash_realm"),
+        (supported_exact | supported_hash).alias("supported"),
+        F.when(external, "External")
+        .when(unsupported, "Unsupported")
+        .cast("string")
+        .alias("omission"),
+        local_path.alias("local_path"),
+    )
+
+
+_IDENTITY_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, doc_id % 13 AS lane, doc_id % 4 AS plane,
+             lpad(lower(hex(doc_id)), 64, '0') AS h
+      FROM documents
+    )
+    SELECT CASE
+             WHEN lane IN (0, 12) THEN 'https://w3id.org/aruna/data/' || h
+             WHEN lane = 1 THEN 'https://w3id.org/aruna/data/' ||
+               'arn:aruna:realmE:node1:s3/bkt-' || doc_id || '/k' ||
+               doc_id || '.txt@01ARZ3NDEKTSV4RRFFQ69G5FAV'
+             WHEN lane = 7 THEN 'https://w3id.org/aruna/data/' ||
+               'arn:aruna:realmE:node1:s3/bkt/k@01ARZ3NDEKTSV4RRFFQ69G5FAL'
+             ELSE 'ent-' || doc_id END AS entity_id,
+           CASE
+             WHEN lane IN (1, 2, 11) THEN 'exact'
+             WHEN lane IN (3) THEN 'exact'
+             WHEN lane IN (0, 4, 5, 9, 12) THEN 'hash'
+             ELSE 'external' END AS identity_kind,
+           CASE WHEN lane IN (4, 9) THEN 'realmE'
+                WHEN lane IN (5, 11, 12) THEN 'realmX'
+           END AS hash_realm,
+           lane IN (0, 1, 2, 4, 9, 11) AS supported,
+           CASE WHEN lane IN (6, 7, 8, 10) THEN 'External'
+                WHEN lane IN (3, 5, 12) THEN 'Unsupported'
+           END AS omission,
+           CASE WHEN plane = 0 THEN 'lp/' || doc_id || '.txt'
+                WHEN plane = 1 THEN 'other1'
+                WHEN plane = 2 THEN 'solo'
+           END AS local_path
+    FROM d
+"""
+
+
+@register("export_entity_identity", oracle=_IDENTITY_ORACLE)
+def export_entity_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity storage identity + serveability for the export job
+    (recognize_entities, export.rs:1085-1168): which slot the last
+    accepted candidate filled, the ch-ARN realm it remembers, the
+    external/unsupported omission ladder, and the localPath pick."""
+    ents = load_export_identity_entities(spark, sf_dir)
+    return recognize_entity_identity(ents, _EXPORT_REALM)

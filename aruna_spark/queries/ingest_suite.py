@@ -915,3 +915,151 @@ def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("has_signature")).alias("signature_dropped"),
         F.when(ok, F.col("first_key_raw")).alias("first_target_key"),
     )
+
+
+# ------------------------------------------------- crate File validation
+# ``validate_document`` (jobs/import/rewrite.rs:63-75) +
+# ``collect_file_ids`` (rs:133-164) as a registered envelope (r15):
+# which identifiers a crate declares as Files, in document order, with
+# the duplicate-definition error. The kernel resolves File typing the
+# way the reference's nquads pass does — raw MediaObject IRIs,
+# inline-context aliases, and the published RO-Crate contexts' "File"
+# term (aruna_spark/ingest/archive.py:validate_document).
+#
+# Lanes (doc_id % 6):
+#   0: crate-1.1 context, "File"-typed entity + a bare {"@id"}
+#      reference elsewhere — the reference object does NOT count as a
+#      definition (object.len() > 1 gate, rs:146);
+#   1: literal-space id — normalize_ids canonicalizes to %20 BEFORE
+#      collection, so the collected id is the encoded form;
+#   2: inline-context alias ("Datei" → schema MediaObject);
+#   3: NO crate context — a bare "File" @type does not expand, but a
+#      raw MediaObject IRI type still collects;
+#   4: the File entity is DEFINED nested inside another entity's
+#      property — the document-order walk finds it;
+#   5: the same File defined twice — CrateValidationError (rs:150-153).
+_VALIDATE_LANES_ORACLE = """
+    SELECT 'doc-' || doc_id AS document_id,
+           CAST(CASE WHEN doc_id % 6 = 5 THEN NULL ELSE 1 END AS BIGINT)
+             AS n_file_ids,
+           CASE doc_id % 6
+             WHEN 0 THEN './f' || doc_id || '.txt'
+             WHEN 1 THEN './f%20' || doc_id || '.txt'
+             WHEN 2 THEN './d' || doc_id || '.dat'
+             WHEN 3 THEN './m' || doc_id || '.bin'
+             WHEN 4 THEN './n' || doc_id || '.csv'
+           END AS first_file_id,
+           doc_id % 6 = 5 AS dup_error
+    FROM documents
+"""
+
+
+@register("archive_validate_file_ids", oracle=_VALIDATE_LANES_ORACLE)
+def archive_validate_file_ids(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Validate one synthetic crate per document through
+    :func:`aruna_spark.ingest.archive.validate_document` and surface
+    the File-id envelope: count, first id (document order), duplicate-
+    definition error. Arrow-batched mapInPandas over a spread narrow
+    scan — corpus-linear, no shuffle."""
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from aruna_spark.ingest.archive import JsonLdError, validate_document
+    from aruna_spark.ops.text import spread_for_cpu
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    CRATE11 = "https://w3id.org/ro/crate/1.1/context"
+
+    def crate_for(doc_id: int) -> str:
+        lane = doc_id % 6
+        if lane == 0:
+            fid = f"./f{doc_id}.txt"
+            doc = {
+                "@context": CRATE11,
+                "@graph": [
+                    {"@id": "./", "@type": "Dataset", "hasPart": {"@id": fid}},
+                    {"@id": fid, "@type": "File", "name": "f"},
+                ],
+            }
+        elif lane == 1:
+            fid = f"./f {doc_id}.txt"
+            doc = {
+                "@context": CRATE11,
+                "@graph": [{"@id": fid, "@type": "File", "name": "f"}],
+            }
+        elif lane == 2:
+            fid = f"./d{doc_id}.dat"
+            doc = {
+                "@context": [
+                    CRATE11,
+                    {"Datei": "http://schema.org/MediaObject"},
+                ],
+                "@graph": [{"@id": fid, "@type": "Datei", "name": "d"}],
+            }
+        elif lane == 3:
+            doc = {
+                "@graph": [
+                    {"@id": f"./x{doc_id}.txt", "@type": "File", "name": "x"},
+                    {
+                        "@id": f"./m{doc_id}.bin",
+                        "@type": "http://schema.org/MediaObject",
+                        "name": "m",
+                    },
+                ]
+            }
+        elif lane == 4:
+            fid = f"./n{doc_id}.csv"
+            doc = {
+                "@context": CRATE11,
+                "@graph": [
+                    {
+                        "@id": "./",
+                        "@type": "Dataset",
+                        "hasPart": {"@id": fid, "@type": "File", "name": "n"},
+                    }
+                ],
+            }
+        else:
+            fid = f"./dup{doc_id}.txt"
+            doc = {
+                "@context": CRATE11,
+                "@graph": [
+                    {"@id": fid, "@type": "File", "name": "a"},
+                    {"@id": fid, "@type": "File", "name": "b"},
+                ],
+            }
+        return _json.dumps(doc)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["document_id", "n_file_ids", "first_file_id", "dup_error"]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                try:
+                    _value, file_ids = validate_document(crate_for(doc_id))
+                    rows.append(
+                        (
+                            f"doc-{doc_id}",
+                            len(file_ids),
+                            file_ids[0] if file_ids else None,
+                            False,
+                        )
+                    )
+                except JsonLdError:
+                    rows.append((f"doc-{doc_id}", None, None, True))
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "document_id string, n_file_ids long, first_file_id string, "
+        "dup_error boolean",
+    )

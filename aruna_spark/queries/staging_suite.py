@@ -514,3 +514,126 @@ def staging_source_descriptor(
         ).alias("version_selector"),
         caps.alias("capabilities"),
     )
+
+
+# ----------------------------------------------- autoindex dialect parse
+# The full-fidelity autoindex parser (aruna_spark/ops/autoindex.py —
+# blob/src/autoindex.rs:239-646) over the three real-world dialects
+# the reference's fixture pages use: nginx pre (DD-MMM-YYYY, plain
+# byte sizes), Apache pre (Parent Directory link, YYYY-MM-DD, K/M
+# suffixes at 1024 multiples, an absolute footer URL to skip), and
+# Apache fancy table (?C=N;O=D sort links, icon+name duplicate anchors
+# MERGED into one entry, fractional suffix sizes). One rendered page
+# per document (dialect = doc_id % 3), parsed by the Arrow-batched
+# ``autoindex_entries`` face; the oracle derives every expected row
+# from the lane arithmetic + strptime — independent of the parser.
+_DIALECT_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS dialect FROM documents)
+    SELECT 'pub/d' || doc_id AS dir, name, is_dir, size, modified
+    FROM d, LATERAL (
+      SELECT * FROM (VALUES
+        ('sub' || doc_id, TRUE, CAST(NULL AS BIGINT),
+         CAST(epoch(strptime('04-Oct-2004 15:39', '%d-%b-%Y %H:%M'))
+              AS BIGINT), 0),
+        ('f' || doc_id || '.dat', FALSE,
+         CAST(doc_id % 997 + 11 AS BIGINT),
+         CAST(epoch(strptime('04-Oct-2004 15:39', '%d-%b-%Y %H:%M'))
+              AS BIGINT), 0),
+        ('n ' || doc_id || '.txt', FALSE,
+         CAST(doc_id % 997 + 12 AS BIGINT),
+         CAST(epoch(strptime('04-Oct-2004 15:39', '%d-%b-%Y %H:%M'))
+              AS BIGINT), 0),
+        ('adir' || doc_id, TRUE, CAST(NULL AS BIGINT),
+         CAST(epoch(strptime('2026-07-09 08:58', '%Y-%m-%d %H:%M'))
+              AS BIGINT), 1),
+        ('R' || doc_id || '.txt', FALSE,
+         CAST((doc_id % 50 + 1) * 1024 AS BIGINT),
+         CAST(epoch(strptime('2026-07-09 08:58', '%Y-%m-%d %H:%M'))
+              AS BIGINT), 1),
+        ('f' || doc_id || '.tsv', FALSE,
+         CAST((doc_id % 9) * 1024 + 512 AS BIGINT),
+         CAST(epoch(strptime('2026-07-10 09:00', '%Y-%m-%d %H:%M'))
+              AS BIGINT), 2)
+      ) AS v(name, is_dir, size, modified, dia)
+      WHERE dia = dialect
+    )
+"""
+
+
+def render_dialect_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id) → one (dir, html) autoindex page per document in the
+    document's dialect lane, built columnar (pure concat)."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    dialect = d % 3
+    dirname = F.concat(F.lit("pub/d"), ds)
+    nginx_size = (d % 997 + 11).cast("string")
+    nginx_size2 = (d % 997 + 12).cast("string")
+    apache_k = (d % 50 + 1).cast("string")
+    table_size = F.concat((d % 9).cast("string"), F.lit(".5K"))
+    nginx = F.concat(
+        F.lit('<html><head><title>Index of /pub/d'), ds,
+        F.lit('</title></head><body><h1>Index of /pub/d'), ds,
+        F.lit('</h1><hr><pre><a href="../">../</a>\n'),
+        F.lit('<a href="sub'), ds, F.lit('/">sub'), ds,
+        F.lit('/</a>                04-Oct-2004 15:39    -\n'),
+        F.lit('<a href="f'), ds, F.lit('.dat">f'), ds,
+        F.lit('.dat</a>             04-Oct-2004 15:39  '), nginx_size,
+        F.lit('\n<a href="n%20'), ds, F.lit('.txt">n '), ds,
+        F.lit('.txt</a>            04-Oct-2004 15:39  '), nginx_size2,
+        F.lit('\n</pre><hr></body></html>'),
+    )
+    apache_pre = F.concat(
+        F.lit('<html><head><title>Index of /pub/d'), ds,
+        F.lit('</title></head><body><h1>Index of /pub/d'), ds,
+        F.lit('</h1><pre><a href="/pub/">Parent Directory</a>'),
+        F.lit('                 -\n'),
+        F.lit('<a href="adir'), ds, F.lit('/">adir'), ds,
+        F.lit('/</a>        2026-07-09 08:58    -\n'),
+        F.lit('<a href="R'), ds, F.lit('.txt">R'), ds,
+        F.lit('.txt</a>     2026-07-09 08:58  '), apache_k,
+        F.lit('K\n</pre><hr>'),
+        F.lit('<a href="https://example.org/mirror/">mirror</a>'),
+        F.lit('</body></html>'),
+    )
+    table = F.concat(
+        F.lit('<html><head><title>Index of /pub/d'), ds,
+        F.lit('</title></head><body><table>'),
+        F.lit('<tr><th><a href="?C=N;O=D">Name</a></th>'),
+        F.lit('<th><a href="?C=M;O=A">Last modified</a></th></tr>'),
+        F.lit('<tr><td><a href="/pub/">Parent Directory</a></td>'),
+        F.lit('<td>-</td></tr>'),
+        F.lit('<tr><td><a href="f'), ds, F.lit('.tsv">'),
+        F.lit('<img src="/icons/text.gif" alt="[TXT]"></a> '),
+        F.lit('<a href="f'), ds, F.lit('.tsv">f'), ds,
+        F.lit('.tsv</a></td><td>2026-07-10 09:00</td><td>'),
+        table_size, F.lit('</td></tr>'),
+        F.lit('</table></body></html>'),
+    )
+    html = (
+        F.when(dialect == 0, nginx)
+        .when(dialect == 1, apache_pre)
+        .otherwise(table)
+    )
+    return docs.select(dirname.alias("dir"), html.alias("html"))
+
+
+@register("autoindex_dialect_entries", oracle=_DIALECT_ORACLE)
+def autoindex_dialect_entries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parse one autoindex page per document — nginx / Apache pre /
+    Apache table dialect by lane — through the full-fidelity kernel:
+    noise-anchor skip, icon+name merge, size-suffix and both date
+    grammars, percent-decoded names. Corpus-linear mapInPandas over a
+    spread narrow scan."""
+    from aruna_spark.catalog import load_table
+    from aruna_spark.ops.autoindex import autoindex_entries
+    from aruna_spark.ops.text import spread_for_cpu
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return autoindex_entries(render_dialect_pages(docs))

@@ -93,6 +93,14 @@ DECADE_QUERIES = [
     # r14: cross-document line-level boilerplate dedup (one explode +
     # one source-scoped groupBy)
     "textstats_boilerplate_lines",
+    # r15 (VERDICT r14 Next #5): the remaining r14 import/export
+    # kernels. The registered layout/plan fixtures are already
+    # archive-per-document (groupBys on the corpus-proportional
+    # archive_id key); the report variant re-keys crates off
+    # doc_id div 32 because the registered 31-crate key saturates.
+    "archive_layout_inspect",
+    "archive_import_plan",
+    "export_report_rows_decade",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
@@ -101,9 +109,14 @@ OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
 def _resolve(name: str):
     if name in REGISTRY:
         return REGISTRY[name][0]
-    from aruna_spark.queries import blob_holders, doc_placement, similarity
+    from aruna_spark.queries import (
+        blob_holders,
+        doc_placement,
+        export_plan,
+        similarity,
+    )
 
-    for mod in (similarity, blob_holders, doc_placement):
+    for mod in (similarity, blob_holders, doc_placement, export_plan):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise KeyError(name)
