@@ -109,6 +109,10 @@ def test_bm25_topk_no_python_udfs(spark, sf_dir):
         "export_report_rows",
         "archive_import_plan",
         "textstats_boilerplate_lines",
+        # r15 (archive_validate_file_ids and autoindex_dialect_entries
+        # are Arrow-batched mapInPandas by design — Python kernels)
+        "export_entity_identity",
+        "export_resolve_candidates",
     ],
 )
 def test_hot_queries_have_no_row_at_a_time_python(spark, sf_dir, name):
