@@ -30,15 +30,17 @@ def register(name: str, oracle: str | None = None):
 # win; everything else follows in module-load order. ROTATED each round
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
 # window on a cycle. Round 15 (VERDICT r14 Next #1): the r15-new
-# queries lead (the export entity-identity recognition, the crate
-# File-id validation envelope, the autoindex dialect parse), then the
-# 13 r9-stale rows the r13/r14 cuts deferred, then 34 of the 47
-# r10-stale rows. The 13 DEFERRED r10 rows — the multimodal block
+# queries lead (the export entity-identity recognition, the export
+# candidate-resolution ladder, the crate File-id validation envelope,
+# the autoindex dialect parse), then the
+# 13 r9-stale rows the r13/r14 cuts deferred, then 33 of the 47
+# r10-stale rows. The 14 DEFERRED r10 rows — the multimodal block
 # (multimodal_features / _frame_sample / _png_roundtrip /
 # _resize_plan / _wav_roundtrip), the relational block (rel_agg_kinds,
 # rel_events_hourly, rel_exists_semi_anti, rel_keyset_page,
-# rel_latest_order_per_customer, rel_setops), and the RO-Crate export
-# pages (rocrate_export_page, rocrate_export_summary) — lead the r16
+# rel_latest_order_per_customer, rel_setops), the RO-Crate export
+# pages (rocrate_export_page, rocrate_export_summary), and
+# sync_relationship_list — lead the r16
 # window together with the r11 blocks (S3 object plane, keyset
 # listings, onboarding, sync placement, rel_* remainder,
 # handle walks, user/role validation). Every query outside the window
@@ -47,6 +49,7 @@ def register(name: str, oracle: str | None = None):
 PRIORITY_PREFIXES = (
     # --- r15-new (first driver checks take precedence, r9 convention)
     "export_entity_identity",
+    "export_resolve_candidates",
     "archive_validate_file_ids",
     "autoindex_dialect_entries",
     # --- the 13 r9-stale rows deferred from the r14 window (VERDICT
@@ -99,7 +102,6 @@ PRIORITY_PREFIXES = (
     "sync_create_validate",
     "sync_legacy_migration",
     "sync_mirror_repair_drain",
-    "sync_relationship_list",
 )
 
 

@@ -660,3 +660,413 @@ def export_entity_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     external/unsupported omission ladder, and the localPath pick."""
     ents = load_export_identity_entities(spark, sf_dir)
     return recognize_entity_identity(ents, _EXPORT_REALM)
+
+
+# ------------------------------------------------- candidate resolution
+# ``resolve_entries`` (export.rs:387-507) + ``resolve_exact`` /
+# ``resolve_alias`` / ``extend_hash_candidates`` (rs:508-660) — the
+# r15 second inside-export.rs find: the per-entity payload-candidate
+# assembly over the catalog planes. Modeled as JOINS against the same
+# relations the reference's effects read — buckets (S3_BUCKET
+# keyspace), read permissions, blob versions, blob locations, the
+# hash-path alias index (ResolveBlobPermissionPaths), and the blob
+# holder set (GetBlobHolders) — with the reference's rungs:
+#
+# - a pre-omitted entity is skipped untouched (rs:401-404);
+# - the entity hash participates only when ``hash_realm`` is NULL or
+#   the exporting realm (rs:405-410);
+# - a same-realm exact ARN resolves LOCALLY when its node is the
+#   owner (bucket → permission → version → location ladder, each miss
+#   a ``Missing``, a permission miss ``Denied``) and otherwise becomes
+#   a RemoteExact candidate outright (rs:419-457);
+# - an exact candidate or discovered hash that CONTRADICTS the
+#   declared hash is the Unsupported mismatch (rs:427-431, 434-443);
+#   a hash discovered by a Missing exact resolve is LEARNED (rs:444);
+# - hash extension: realm-filtered aliases resolve like exact (dedup
+#   by candidate), then holders fill up to REMOTE_ATTEMPTS(8) minus
+#   the remote candidates so far, deduped by node; a failed holder
+#   fetch with no candidates is Offline (rs:486-499, 508-560);
+# - no candidates → Denied if any permission denied, else Missing,
+#   with the reference's exact messages (rs:487-501).
+#
+# Fixture: one entity per document, scenario lane = doc_id % 11; the
+# catalog frames are lane-built from the same corpus scan. The oracle
+# derives every count and code from the lane arithmetic alone.
+
+REMOTE_ATTEMPTS = 8  # export.rs:56
+
+_RESOLVE_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 11 AS e FROM documents)
+    SELECT 'ent-' || doc_id AS entity_id,
+           CAST(CASE e WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 0
+                       WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1
+                       WHEN 6 THEN 2 WHEN 7 THEN 9 ELSE 0 END AS BIGINT)
+             AS n_candidates,
+           CAST(CASE WHEN e IN (1) THEN 1 WHEN e = 7 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_local,
+           CAST(CASE WHEN e = 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_remote_exact,
+           CAST(CASE WHEN e = 6 THEN 2 WHEN e = 7 THEN 8 ELSE 0 END
+                AS BIGINT) AS n_remote_hash,
+           CASE e WHEN 0 THEN 'External' WHEN 2 THEN 'Unsupported'
+                  WHEN 3 THEN 'Missing' WHEN 4 THEN 'Denied'
+                  WHEN 8 THEN 'Offline' WHEN 9 THEN 'Missing'
+                  WHEN 10 THEN 'Missing' END AS omission,
+           CASE e WHEN 0 THEN 'external File entity was not fetched'
+                  WHEN 2 THEN 'versioned ARN and content hash disagree'
+                  WHEN 3 THEN 'no readable payload version was found'
+                  WHEN 4 THEN 'payload READ permission denied'
+                  WHEN 8 THEN 'blob holder discovery is unavailable'
+                  WHEN 9 THEN 'no readable payload version was found'
+                  WHEN 10 THEN 'no readable payload version was found'
+           END AS message
+    FROM d
+"""
+
+
+def _resolve_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The lane-built catalog planes the resolve ladder joins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    e = d % 11
+    h = F.concat(F.lit("h"), ds)       # the entity/declared hash
+    g = F.concat(F.lit("g"), ds)       # a CONTRADICTING stored hash
+    bkt = F.concat(F.lit("b"), ds)
+    key = F.concat(F.lit("k"), ds)
+    entities = docs.select(
+        "doc_id",
+        F.concat(F.lit("ent-"), ds).alias("entity_id"),
+        e.alias("e"),
+        F.when(e == 0, "External").alias("pre_omission"),
+        F.when(
+            e == 0, "external File entity was not fetched"
+        ).alias("pre_message"),
+        F.when(e.isin(2, 7, 8, 9, 10), h).alias("entity_hash"),
+        F.when(e.isin(2, 7, 8, 9), "realmE")
+        .when(e == 10, "realmX")
+        .alias("hash_realm"),
+        F.when(e.isin(1, 2, 3, 4, 5, 6), "realmE").alias("exact_realm"),
+        F.when(e == 5, "n1").when(e.isin(1, 2, 3, 4, 6), "n0").alias(
+            "exact_node"
+        ),
+        F.when(e.isin(1, 2, 3, 4, 5, 6), bkt).alias("exact_bucket"),
+        F.when(e.isin(1, 2, 3, 4, 5, 6), key).alias("exact_key"),
+    )
+    # bucket exists except the no-bucket lane
+    buckets = docs.filter(e.isin(1, 2, 4, 6)).select(bkt.alias("bucket"))
+    # read permission rows: exact-path perms (denied lane 4 ABSENT),
+    # alias perms (one alias of lane 7 denied)
+    perms = (
+        docs.filter(e.isin(1, 2, 6))
+        .select(F.concat(F.lit("perm/"), bkt, F.lit("/"), key).alias("path"))
+        .unionByName(
+            docs.filter(e == 7).select(
+                F.concat(F.lit("perm/a0/"), ds).alias("path")
+            )
+        )
+    )
+    # blob versions: stored hash (contradicting on lane 2), location
+    # key present except the discover-hash lane 6
+    versions = (
+        docs.filter(e.isin(1, 2, 6))
+        .select(
+            bkt.alias("bucket"),
+            key.alias("key"),
+            F.when(e == 2, g).otherwise(h).alias("blob_hash"),
+            F.when(e != 6, F.concat(F.lit("loc"), ds)).alias(
+                "location_key"
+            ),
+        )
+        .unionByName(
+            docs.filter(e == 7).select(
+                F.concat(F.lit("ab"), ds).alias("bucket"),
+                F.concat(F.lit("ak0-"), ds).alias("key"),
+                h.alias("blob_hash"),
+                F.concat(F.lit("aloc"), ds).alias("location_key"),
+            )
+        )
+    )
+    locations = (
+        docs.filter(e.isin(1, 2))
+        .select(
+            F.concat(F.lit("loc"), ds).alias("location_key"),
+            F.when(e == 2, g).otherwise(h).alias("blake3"),
+        )
+        .unionByName(
+            docs.filter(e == 7).select(
+                F.concat(F.lit("aloc"), ds).alias("location_key"),
+                h.alias("blake3"),
+            )
+        )
+    )
+    # hash-path aliases: lane 7 gets two in-realm (one denied) and one
+    # foreign-realm row that the realm filter drops
+    aliases = (
+        docs.filter(e == 7)
+        .select(
+            h.alias("hash"),
+            F.lit("realmE").alias("realm"),
+            F.concat(F.lit("ab"), ds).alias("bucket"),
+            F.concat(F.lit("ak0-"), ds).alias("key"),
+            F.concat(F.lit("perm/a0/"), ds).alias("perm_path"),
+        )
+        .unionByName(
+            docs.filter(e == 7).select(
+                h.alias("hash"),
+                F.lit("realmE").alias("realm"),
+                F.concat(F.lit("ab"), ds).alias("bucket"),
+                F.concat(F.lit("ak1-"), ds).alias("key"),
+                F.concat(F.lit("perm/a1/"), ds).alias("perm_path"),
+            )
+        )
+        .unionByName(
+            docs.filter(e == 7).select(
+                h.alias("hash"),
+                F.lit("realmX").alias("realm"),
+                F.concat(F.lit("ab"), ds).alias("bucket"),
+                F.concat(F.lit("akx-"), ds).alias("key"),
+                F.concat(F.lit("perm/ax/"), ds).alias("perm_path"),
+            )
+        )
+    )
+    # holders: lane 6 [n1, n2, n1] (node-dedup), lane 7 ten nodes
+    # (REMOTE_ATTEMPTS cap), lane 9 none; lane 8's fetch FAILS
+    holders = (
+        docs.filter(e == 6)
+        .select(
+            h.alias("hash"),
+            F.explode(
+                F.array(F.lit("n1"), F.lit("n2"), F.lit("n1"))
+            ).alias("node"),
+        )
+        .unionByName(
+            docs.filter(e == 7).select(
+                h.alias("hash"),
+                F.explode(
+                    F.array(*[F.lit(f"m{i}") for i in range(10)])
+                ).alias("node"),
+            )
+        )
+    )
+    holders_unavailable = docs.filter(e == 8).select(h.alias("hash"))
+    return {
+        "entities": entities,
+        "buckets": buckets,
+        "perms": perms,
+        "versions": versions,
+        "locations": locations,
+        "aliases": aliases,
+        "holders": holders,
+        "holders_unavailable": holders_unavailable,
+    }
+
+
+@register("export_resolve_candidates", oracle=_RESOLVE_ORACLE)
+def export_resolve_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-entity payload-candidate assembly (resolve_entries ladder):
+    candidate counts by source, the learned/contradicted hash rungs,
+    and the Denied/Missing/Offline/Unsupported coding — all keyed
+    joins on the catalog planes, no window, no collect."""
+    fr = _resolve_frames(spark, sf_dir)
+    ents = fr["entities"]
+    # effective hash (realm filter) and same-realm exact
+    eff_hash = F.when(
+        F.col("hash_realm").isNull() | (F.col("hash_realm") == "realmE"),
+        F.col("entity_hash"),
+    )
+    ents = ents.withColumn("eff_hash", eff_hash).withColumn(
+        "exact_same_realm",
+        F.col("exact_realm").isNotNull() & (F.col("exact_realm") == "realmE"),
+    )
+    # local exact ladder: bucket → perm → version → location
+    ex = (
+        ents.filter(F.col("exact_same_realm") & (F.col("exact_node") == "n0"))
+        .join(
+            fr["buckets"].withColumn("has_bucket", F.lit(True)),
+            F.col("exact_bucket") == F.col("bucket"),
+            "left",
+        )
+        .join(
+            fr["perms"].withColumn("perm_ok", F.lit(True)),
+            F.concat(
+                F.lit("perm/"), F.col("exact_bucket"), F.lit("/"),
+                F.col("exact_key"),
+            )
+            == F.col("path"),
+            "left",
+        )
+        .join(
+            fr["versions"].withColumnsRenamed(
+                {"bucket": "vbucket", "key": "vkey"}
+            ),
+            (F.col("exact_bucket") == F.col("vbucket"))
+            & (F.col("exact_key") == F.col("vkey")),
+            "left",
+        )
+        .join(fr["locations"], "location_key", "left")
+    )
+    # ResolveResult per rs:562-620: Denied > Missing ladders > Candidate
+    ex = ex.select(
+        "doc_id",
+        F.when(
+            F.col("has_bucket").isNotNull() & F.col("perm_ok").isNull(),
+            True,
+        ).otherwise(False).alias("exact_denied"),
+        F.when(
+            F.col("has_bucket").isNotNull()
+            & F.col("perm_ok").isNotNull()
+            & F.col("blake3").isNotNull()
+            & (F.col("blake3") == F.col("blob_hash")),
+            F.col("blob_hash"),
+        ).alias("exact_candidate_hash"),
+        # Missing{hash}: version existed with a hash but no usable
+        # location (rs:598-609)
+        F.when(
+            F.col("has_bucket").isNotNull()
+            & F.col("perm_ok").isNotNull()
+            & F.col("blob_hash").isNotNull()
+            & (F.col("blake3").isNull() | (F.col("blake3") != F.col("blob_hash"))),
+            F.col("blob_hash"),
+        ).alias("discovered_hash"),
+    )
+    st = ents.join(ex, "doc_id", "left")
+    remote_exact = F.col("exact_same_realm") & (F.col("exact_node") != "n0")
+    has_local_exact = F.col("exact_candidate_hash").isNotNull()
+    mismatch = (
+        has_local_exact
+        & F.col("eff_hash").isNotNull()
+        & (F.col("eff_hash") != F.col("exact_candidate_hash"))
+    ) | (
+        F.col("discovered_hash").isNotNull()
+        & F.col("eff_hash").isNotNull()
+        & (F.col("eff_hash") != F.col("discovered_hash"))
+    )
+    learned = F.coalesce(F.col("eff_hash"), F.col("discovered_hash"))
+    st = st.select(
+        "doc_id",
+        "entity_id",
+        "pre_omission",
+        "pre_message",
+        remote_exact.alias("remote_exact"),
+        (has_local_exact & ~mismatch).alias("local_exact"),
+        F.col("exact_denied").alias("any_exact_denied"),
+        mismatch.alias("mismatch"),
+        F.when(~mismatch, learned).alias("hash"),
+    )
+    # alias candidates (rs:620-660): realm filter, perm, version-hash
+    # match, location-hash match
+    al = (
+        st.filter(F.col("hash").isNotNull())
+        .select("doc_id", "hash")
+        .join(
+            fr["aliases"]
+            .filter(F.col("realm") == "realmE")
+            .withColumnRenamed("hash", "ahash"),
+            F.col("hash") == F.col("ahash"),
+        )
+        .join(
+            fr["perms"].withColumn("perm_ok", F.lit(True)),
+            F.col("perm_path") == F.col("path"),
+            "left",
+        )
+        .join(
+            fr["versions"].withColumnsRenamed(
+                {"bucket": "vbucket", "key": "vkey"}
+            ),
+            (F.col("bucket") == F.col("vbucket"))
+            & (F.col("key") == F.col("vkey")),
+            "left",
+        )
+        .join(fr["locations"], "location_key", "left")
+    )
+    al = al.groupBy("doc_id").agg(
+        F.sum(
+            (
+                F.col("perm_ok").isNotNull()
+                & (F.col("blob_hash") == F.col("hash"))
+                & (F.col("blake3") == F.col("hash"))
+            ).cast("int")
+        ).alias("n_alias_local"),
+        F.max(F.col("perm_ok").isNull()).alias("any_alias_denied"),
+    )
+    # holders (deduped by node, capped at REMOTE_ATTEMPTS - remote)
+    ho = (
+        st.filter(F.col("hash").isNotNull())
+        .select("doc_id", "hash", "remote_exact")
+        .join(fr["holders"], "hash")
+        .select("doc_id", "node", "remote_exact")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_holder_nodes"),
+            F.max(F.col("remote_exact").cast("int")).alias("re"),
+        )
+        .select(
+            "doc_id",
+            F.least(
+                F.col("n_holder_nodes"),
+                F.lit(REMOTE_ATTEMPTS) - F.col("re"),
+            ).alias("n_remote_hash"),
+        )
+    )
+    un = st.filter(F.col("hash").isNotNull()).select("doc_id", "hash").join(
+        fr["holders_unavailable"].withColumn("unavail", F.lit(True)),
+        "hash",
+        "left",
+    ).select("doc_id", "unavail")
+    out = (
+        st.join(al, "doc_id", "left")
+        .join(ho, "doc_id", "left")
+        .join(un, "doc_id", "left")
+    )
+    n_local = (
+        F.col("local_exact").cast("int")
+        + F.coalesce(F.col("n_alias_local"), F.lit(0))
+    )
+    n_remote_exact = F.col("remote_exact").cast("int")
+    n_remote_hash = F.coalesce(F.col("n_remote_hash"), F.lit(0))
+    n_cand = n_local + n_remote_exact + n_remote_hash
+    skipped = F.col("pre_omission").isNotNull()
+    denied = F.coalesce(F.col("any_exact_denied"), F.lit(False)) | F.coalesce(
+        F.col("any_alias_denied"), F.lit(False)
+    )
+    offline = (
+        F.col("hash").isNotNull()
+        & F.coalesce(F.col("unavail"), F.lit(False))
+        & (n_cand == 0)
+    )
+    omission = (
+        F.when(skipped, F.col("pre_omission"))
+        .when(F.col("mismatch"), "Unsupported")
+        .when(offline, "Offline")
+        .when((n_cand == 0) & denied, "Denied")
+        .when(n_cand == 0, "Missing")
+    )
+    message = (
+        F.when(skipped, F.col("pre_message"))
+        .when(F.col("mismatch"), "versioned ARN and content hash disagree")
+        .when(offline, "blob holder discovery is unavailable")
+        .when((n_cand == 0) & denied, "payload READ permission denied")
+        .when(n_cand == 0, "no readable payload version was found")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "entity_id",
+        F.when(skipped | F.col("mismatch") | offline, zero)
+        .otherwise(n_cand.cast("long"))
+        .alias("n_candidates"),
+        F.when(skipped | F.col("mismatch") | offline, zero)
+        .otherwise(n_local.cast("long"))
+        .alias("n_local"),
+        F.when(skipped | F.col("mismatch") | offline, zero)
+        .otherwise(n_remote_exact.cast("long"))
+        .alias("n_remote_exact"),
+        F.when(skipped | F.col("mismatch") | offline, zero)
+        .otherwise(n_remote_hash.cast("long"))
+        .alias("n_remote_hash"),
+        omission.alias("omission"),
+        message.alias("message"),
+    )
