@@ -531,6 +531,191 @@ def validate_document(jsonld: str) -> tuple[dict, list[str]]:
     return value, file_ids
 
 
+# ------------------------------------------------ export report embedding
+# ``add_report`` (export.rs:1514-1638) + ``report_root_id`` /
+# ``reference_id`` / ``property_key`` / ``safe_term`` (rs:1639-1695):
+# embedding the completeness report into the exported crate's @graph
+# with CONTEXT-SAFE term selection — reuse the root's existing key
+# when one already expands to the wanted property, else the compact
+# term if the context does not redefine it, else the absolute IRI.
+ARCHIVE_REPORT_PATH = "aruna-export-report.json"  # export.rs:55
+_REPORT_FRAGMENT_ID = "#aruna-export-report"
+_SUBJECT_IRIS = (
+    "subjectOf",
+    "schema:subjectOf",
+    "http://schema.org/subjectOf",
+    "https://schema.org/subjectOf",
+)
+_HAS_PART_IRIS = (
+    "hasPart",
+    "schema:hasPart",
+    "http://schema.org/hasPart",
+    "https://schema.org/hasPart",
+)
+_ABOUT_IRIS = (
+    "about",
+    "schema:about",
+    "http://schema.org/about",
+    "https://schema.org/about",
+)
+_ENCODING_IRIS = (
+    "http://schema.org/encodingFormat",
+    "https://schema.org/encodingFormat",
+    "schema:encodingFormat",
+)
+_NAME_IRIS = (
+    "http://schema.org/name",
+    "https://schema.org/name",
+    "schema:name",
+)
+_MEDIA_IRIS = (
+    "http://schema.org/MediaObject",
+    "https://schema.org/MediaObject",
+    "schema:MediaObject",
+)
+
+
+def _reference_id(value, keywords: JsonLdKeywords):
+    # rs:1663-1673: string / object-id / first resolvable array member
+    if isinstance(value, str):
+        return value
+    if isinstance(value, dict):
+        found = keywords.object_id(value)
+        return found[1] if found else None
+    if isinstance(value, list):
+        for item in value:
+            resolved = _reference_id(item, keywords)
+            if resolved is not None:
+                return resolved
+    return None
+
+
+def _report_root_id(graph, keywords: JsonLdKeywords):
+    # rs:1639-1661: the metadata descriptor's `about` reference
+    for entity in graph:
+        if not isinstance(entity, dict):
+            continue
+        found = keywords.object_id(entity)
+        if found is None:
+            continue
+        ident = found[1]
+        while ident.startswith("./"):
+            ident = ident[2:]
+        if ident != ARCHIVE_METADATA_PATH:
+            continue
+        for key, value in entity.items():
+            if keywords.expands_to(key, _ABOUT_IRIS):
+                resolved = _reference_id(value, keywords)
+                if resolved is not None:
+                    return resolved
+    return None
+
+
+def _safe_term(keywords, compact: str, values, absolute: str) -> str:
+    return compact if keywords.term_matches(compact, values) else absolute
+
+
+def _property_key(obj: dict, keywords, values, compact, absolute) -> str:
+    for key in obj:
+        if keywords.expands_to(key, values):
+            return key
+    return _safe_term(keywords, compact, values, absolute)
+
+
+def _append_reference(obj: dict, key: str, ref_id: str) -> None:
+    # rs:1559-1568: array push, scalar→array promotion, or insert
+    existing = obj.get(key)
+    if isinstance(existing, list):
+        existing.append({"@id": ref_id})
+    elif existing is not None:
+        obj[key] = [existing, {"@id": ref_id}]
+    else:
+        obj[key] = {"@id": ref_id}
+
+
+def add_export_report(jsonld: str) -> str:
+    """``add_report`` (export.rs:1514-1638) over one exported crate:
+    reject reserved report identifiers, resolve the root Dataset
+    through the metadata descriptor, append ``#aruna-export-report``
+    to the root's subjectOf and the report file to hasPart (existing
+    key reused when it expands correctly; scalars promote to arrays),
+    then push the report File entity (typed ``File`` unless the
+    context redefines it away from MediaObject) and the CreativeWork
+    report entity — all term picks context-safe."""
+    try:
+        document = json.loads(jsonld)
+    except ValueError as error:
+        raise JsonLdError(str(error)) from None
+    keywords = JsonLdKeywords(document)
+    graph = keywords.graph(document)
+    if graph is None:
+        raise JsonLdError("RO-Crate @graph is missing")
+    for entity in graph:
+        if isinstance(entity, dict):
+            found = keywords.object_id(entity)
+            if found and found[1] in (
+                ARCHIVE_REPORT_PATH,
+                _REPORT_FRAGMENT_ID,
+            ):
+                raise JsonLdError(
+                    "RO-Crate uses a reserved export report identifier"
+                )
+    root_id = _report_root_id(graph, keywords)
+    if root_id is None:
+        raise JsonLdError("RO-Crate metadata descriptor has no root")
+    root = None
+    for entity in graph:
+        if isinstance(entity, dict):
+            found = keywords.object_id(entity)
+            if found and found[1] == root_id:
+                root = entity
+                break
+    if root is None:
+        raise JsonLdError("RO-Crate root Dataset is missing")
+    subject_key = _property_key(
+        root, keywords, _SUBJECT_IRIS, "subjectOf",
+        "https://schema.org/subjectOf",
+    )
+    _append_reference(root, subject_key, _REPORT_FRAGMENT_ID)
+    part_key = _property_key(
+        root, keywords, _HAS_PART_IRIS, "hasPart",
+        "https://schema.org/hasPart",
+    )
+    _append_reference(root, part_key, ARCHIVE_REPORT_PATH)
+    encoding_key = _safe_term(
+        keywords, "encodingFormat", _ENCODING_IRIS,
+        "https://schema.org/encodingFormat",
+    )
+    about_key = _safe_term(
+        keywords, "about", _ABOUT_IRIS, "https://schema.org/about"
+    )
+    name_key = _safe_term(
+        keywords, "name", _NAME_IRIS, "https://schema.org/name"
+    )
+    file_type = (
+        "File"
+        if keywords.term_matches("File", _MEDIA_IRIS)
+        else "https://schema.org/MediaObject"
+    )
+    graph.append(
+        {
+            "@id": ARCHIVE_REPORT_PATH,
+            "@type": file_type,
+            encoding_key: "application/json",
+            about_key: {"@id": _REPORT_FRAGMENT_ID},
+        }
+    )
+    graph.append(
+        {
+            "@id": _REPORT_FRAGMENT_ID,
+            "@type": "http://schema.org/CreativeWork",
+            name_key: "Aruna RO-Crate export completeness report",
+            about_key: {"@id": root_id},
+        }
+    )
+    return json.dumps(document, sort_keys=True, separators=(",", ":"))
+
+
 def inspect_archive_layout(entries: DataFrame) -> DataFrame:
     """Relational inspect_layout over an entry listing: ``entries`` =
     ``(archive_id, eln, path, directory, mode)`` rows (mode = the unix

@@ -31,16 +31,17 @@ def register(name: str, oracle: str | None = None):
 # (VERDICT r3 'What's wrong' #3) so every family re-enters the driver
 # window on a cycle. Round 15 (VERDICT r14 Next #1): the r15-new
 # queries lead (the export entity-identity recognition, the export
-# candidate-resolution ladder, the crate File-id validation envelope,
+# candidate-resolution ladder, the report embedding, the crate
+# File-id validation envelope,
 # the autoindex dialect parse), then the
-# 13 r9-stale rows the r13/r14 cuts deferred, then 33 of the 47
-# r10-stale rows. The 14 DEFERRED r10 rows — the multimodal block
+# 13 r9-stale rows the r13/r14 cuts deferred, then 32 of the 47
+# r10-stale rows. The 15 DEFERRED r10 rows — the multimodal block
 # (multimodal_features / _frame_sample / _png_roundtrip /
 # _resize_plan / _wav_roundtrip), the relational block (rel_agg_kinds,
 # rel_events_hourly, rel_exists_semi_anti, rel_keyset_page,
 # rel_latest_order_per_customer, rel_setops), the RO-Crate export
-# pages (rocrate_export_page, rocrate_export_summary), and
-# sync_relationship_list — lead the r16
+# pages (rocrate_export_page, rocrate_export_summary),
+# sync_relationship_list, and sync_mirror_repair_drain — lead the r16
 # window together with the r11 blocks (S3 object plane, keyset
 # listings, onboarding, sync placement, rel_* remainder,
 # handle walks, user/role validation). Every query outside the window
@@ -50,6 +51,7 @@ PRIORITY_PREFIXES = (
     # --- r15-new (first driver checks take precedence, r9 convention)
     "export_entity_identity",
     "export_resolve_candidates",
+    "export_report_embed",
     "archive_validate_file_ids",
     "autoindex_dialect_entries",
     # --- the 13 r9-stale rows deferred from the r14 window (VERDICT
@@ -101,7 +103,6 @@ PRIORITY_PREFIXES = (
     "stream_unread_counts",
     "sync_create_validate",
     "sync_legacy_migration",
-    "sync_mirror_repair_drain",
 )
 
 

@@ -1070,3 +1070,181 @@ def export_resolve_candidates(
         omission.alias("omission"),
         message.alias("message"),
     )
+
+
+# ------------------------------------------------- report embedding
+# ``add_report`` (export.rs:1514-1638) registered: the report entities
+# embedded into one exported crate per document, with the context-safe
+# term selection surfaced (existing-key reuse / compact / absolute),
+# the scalar→array subjectOf promotion, the alias-keyed graph walk,
+# the array-form about resolution, and both error rungs.
+_EMBED_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 7 AS lane FROM documents)
+    SELECT 'doc-' || doc_id AS document_id,
+           lane NOT IN (5, 6) AS ok,
+           CASE lane WHEN 5 THEN 'reserved_report_id'
+                     WHEN 6 THEN 'no_root' END AS error_kind,
+           CASE WHEN lane IN (5, 6) THEN NULL
+                WHEN lane = 2 THEN 'https://schema.org/subjectOf'
+                ELSE 'subjectOf' END AS subject_key,
+           CASE WHEN lane IN (5, 6) THEN NULL
+                ELSE 'hasPart' END AS part_key,
+           CASE WHEN lane IN (5, 6) THEN NULL
+                ELSE 'encodingFormat' END AS encoding_key,
+           CASE WHEN lane IN (5, 6) THEN NULL
+                WHEN lane = 2 THEN 'https://schema.org/MediaObject'
+                ELSE 'File' END AS file_type,
+           CAST(CASE WHEN lane IN (5, 6) THEN NULL
+                     WHEN lane = 1 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_subject_refs,
+           CAST(CASE WHEN lane IN (5, 6) THEN NULL ELSE 4 END AS BIGINT)
+             AS n_graph
+    FROM d
+"""
+
+
+@register("export_report_embed", oracle=_EMBED_ORACLE)
+def export_report_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed the completeness report into one crate per document
+    (:func:`aruna_spark.ingest.archive.add_export_report`) and surface
+    the term-selection envelope. Arrow-batched mapInPandas over a
+    spread narrow scan — corpus-linear, no shuffle."""
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from aruna_spark.ingest.archive import (
+        JsonLdError,
+        JsonLdKeywords,
+        add_export_report,
+    )
+    from aruna_spark.ops.text import spread_for_cpu
+    from aruna_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    CRATE11 = "https://w3id.org/ro/crate/1.1/context"
+    META = "ro-crate-metadata.json"
+    SUBJECT = (
+        "subjectOf", "schema:subjectOf",
+        "http://schema.org/subjectOf", "https://schema.org/subjectOf",
+    )
+
+    def crate_for(doc_id: int) -> str:
+        lane = doc_id % 7
+        descriptor = {"@id": META, "about": {"@id": "./"}}
+        root = {"@id": "./", "@type": "Dataset", "name": f"d{doc_id}"}
+        doc = {"@context": CRATE11, "@graph": [descriptor, root]}
+        if lane == 1:
+            root["subjectOf"] = {"@id": "#other"}
+            root["hasPart"] = [{"@id": "a.txt"}]
+        elif lane == 2:
+            doc["@context"] = [
+                CRATE11,
+                {
+                    "subjectOf": "https://example.org/x",
+                    "File": "https://example.org/f",
+                },
+            ]
+        elif lane == 3:
+            doc = {
+                "@context": {"identifier": "@id", "graph": "@graph"},
+                "graph": [
+                    {"identifier": f"./{META}", "about": f"./r{doc_id}"},
+                    {"identifier": f"./r{doc_id}", "name": "root"},
+                ],
+            }
+        elif lane == 4:
+            descriptor["about"] = [42, {"@id": "./"}]
+        elif lane == 5:
+            doc["@graph"].append({"@id": "#aruna-export-report"})
+        elif lane == 6:
+            del descriptor["about"]
+        return _json.dumps(doc)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "document_id", "ok", "error_kind", "subject_key", "part_key",
+            "encoding_key", "file_type", "n_subject_refs", "n_graph",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                try:
+                    out = add_export_report(crate_for(doc_id))
+                except JsonLdError as error:
+                    kind = (
+                        "reserved_report_id"
+                        if "reserved" in str(error)
+                        else "no_root"
+                    )
+                    rows.append(
+                        (f"doc-{doc_id}", False, kind) + (None,) * 6
+                    )
+                    continue
+                doc = _json.loads(out)
+                kw = JsonLdKeywords(doc)
+                graph = kw.graph(doc)
+                report_file = next(
+                    e for e in graph
+                    if kw.object_id(e)
+                    and kw.object_id(e)[1] == "aruna-export-report.json"
+                )
+                fragment = next(
+                    e for e in graph
+                    if kw.object_id(e)
+                    and kw.object_id(e)[1] == "#aruna-export-report"
+                )
+                root = next(
+                    e for e in graph
+                    if kw.object_id(e)
+                    and any(
+                        kw.expands_to(k, SUBJECT) for k in e
+                    )
+                    and e is not fragment
+                )
+                subject_key = next(
+                    k for k in root if kw.expands_to(k, SUBJECT)
+                )
+                part_key = next(
+                    k for k in root
+                    if kw.expands_to(
+                        k,
+                        (
+                            "hasPart", "schema:hasPart",
+                            "http://schema.org/hasPart",
+                            "https://schema.org/hasPart",
+                        ),
+                    )
+                )
+                encoding_key = next(
+                    k for k in report_file
+                    if k not in ("@id", "@type")
+                    and report_file[k] == "application/json"
+                )
+                refs = root[subject_key]
+                rows.append(
+                    (
+                        f"doc-{doc_id}",
+                        True,
+                        None,
+                        subject_key,
+                        part_key,
+                        encoding_key,
+                        report_file["@type"],
+                        len(refs) if isinstance(refs, list) else 1,
+                        len(graph),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "document_id string, ok boolean, error_kind string, "
+        "subject_key string, part_key string, encoding_key string, "
+        "file_type string, n_subject_refs long, n_graph long",
+    )

@@ -263,3 +263,41 @@ def test_enriched_rewrite_over_real_documents(name):
     )
     assert warnings2 == []
     assert json.loads(again) == json.loads(rewritten)
+
+
+def test_report_embedding_over_real_crates():
+    """add_report (export.rs:1514-1638) over the three real crates:
+    each resolves its root through the metadata descriptor, gains the
+    two report entities, and the root's subjectOf/hasPart carry the
+    references — hasPart by scalar→array promotion or array push on
+    crates that already declare parts."""
+    from aruna_spark.ingest.archive import (
+        JsonLdKeywords,
+        add_export_report,
+    )
+
+    for name in FIXTURES:
+        data = _fixture_data(name)
+        out = add_export_report(data["metadata"])
+        doc = json.loads(out)
+        kw = JsonLdKeywords(doc)
+        graph = kw.graph(doc)
+        ids = [kw.object_id(e)[1] for e in graph if kw.object_id(e)]
+        assert "aruna-export-report.json" in ids, name
+        assert "#aruna-export-report" in ids, name
+        report = next(
+            e for e in graph
+            if kw.object_id(e)
+            and kw.object_id(e)[1] == "aruna-export-report.json"
+        )
+        # the RO-Crate contexts keep File → MediaObject, so the
+        # compact type survives
+        assert report["@type"] == "File", name
+        assert report["encodingFormat"] == "application/json", name
+        # embedding twice trips the reserved-identifier gate
+        import pytest as _pytest
+
+        from aruna_spark.ingest.archive import JsonLdError
+
+        with _pytest.raises(JsonLdError):
+            add_export_report(out)
