@@ -101,6 +101,14 @@ DECADE_QUERIES = [
     "archive_layout_inspect",
     "archive_import_plan",
     "export_report_rows_decade",
+    # r15: the export identity/resolution/embedding kernels and the
+    # validation envelopes — entity-per-document fixtures, keyed joins
+    # or Arrow-batched Python kernels, all corpus-proportional
+    "export_entity_identity",
+    "export_resolve_candidates",
+    "export_report_embed",
+    "archive_validate_file_ids",
+    "autoindex_dialect_entries",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
