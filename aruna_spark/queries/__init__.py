@@ -33,15 +33,16 @@ def register(name: str, oracle: str | None = None):
 # queries lead (the export entity-identity recognition, the export
 # candidate-resolution ladder, the report embedding, the crate
 # File-id validation envelope,
-# the autoindex dialect parse), then the
-# 13 r9-stale rows the r13/r14 cuts deferred, then 32 of the 47
-# r10-stale rows. The 15 DEFERRED r10 rows — the multimodal block
+# the autoindex dialect parse, the BPE merge candidates), then the
+# 13 r9-stale rows the r13/r14 cuts deferred, then 31 of the 47
+# r10-stale rows. The 16 DEFERRED r10 rows — the multimodal block
 # (multimodal_features / _frame_sample / _png_roundtrip /
 # _resize_plan / _wav_roundtrip), the relational block (rel_agg_kinds,
 # rel_events_hourly, rel_exists_semi_anti, rel_keyset_page,
 # rel_latest_order_per_customer, rel_setops), the RO-Crate export
 # pages (rocrate_export_page, rocrate_export_summary),
-# sync_relationship_list, and sync_mirror_repair_drain — lead the r16
+# sync_relationship_list, sync_mirror_repair_drain, and
+# sync_legacy_migration — lead the r16
 # window together with the r11 blocks (S3 object plane, keyset
 # listings, onboarding, sync placement, rel_* remainder,
 # handle walks, user/role validation). Every query outside the window
@@ -54,6 +55,7 @@ PRIORITY_PREFIXES = (
     "export_report_embed",
     "archive_validate_file_ids",
     "autoindex_dialect_entries",
+    "corpus_bpe_merge_candidates",
     # --- the 13 r9-stale rows deferred from the r14 window (VERDICT
     # r14 Next #1 leads)
     "sparql_distinct",
@@ -102,7 +104,6 @@ PRIORITY_PREFIXES = (
     "stream_sliding_window_counts",
     "stream_unread_counts",
     "sync_create_validate",
-    "sync_legacy_migration",
 )
 
 
@@ -192,6 +193,7 @@ def load_all() -> None:
         sync_outbox,
         sync_suite,
         textstats,
+        tokenizer,
         urlstats,
         usage,
         user_access,

@@ -109,6 +109,9 @@ DECADE_QUERIES = [
     "export_report_embed",
     "archive_validate_file_ids",
     "autoindex_dialect_entries",
+    # r15: tokenizer induction — one corpus-linear tokenize+groupBy,
+    # then vocabulary-bounded pair counting + TakeOrdered top-20
+    "corpus_bpe_merge_candidates",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "BENCH_DECADE.json"
