@@ -62,47 +62,34 @@ SELECT_K = 20
 TARGET_SOURCES = ("src0", "src1", "src2", "src3")
 
 
-def doc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, bucket) with multiplicity: hashed unigrams + bigrams
-    of the lowercased whitespace tokens."""
+def doc_features(docs: DataFrame, *carry: str) -> DataFrame:
+    """(doc_id, bucket[, *carry]) with multiplicity: hashed unigrams +
+    bigrams of the lowercased whitespace tokens. ``carry`` names extra
+    per-doc columns to keep on every feature row."""
     toks = docs.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("t")
+        "doc_id", *carry, F.split(F.lower("text"), " ").alias("t")
     )
-    uni = toks.select("doc_id", F.explode("t").alias("feat"))
-    bi = toks.filter(F.size("t") >= 2).select(
+    # one explode for both gram orders: unigram i, bigram (i, i+1)
+    # when it exists — halves the corpus explode passes (r15)
+    feats = toks.select(
         "doc_id",
+        *carry,
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
+                "concat(t, CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(1, size(t) - 1),"
                 " i -> concat(element_at(t, i), ' ',"
                 " element_at(t, i + 1)))"
+                " ELSE CAST(array() AS array<string>) END)"
             )
         ).alias("feat"),
     )
-    feats = uni.unionByName(bi)
     return feats.select(
         "doc_id",
+        *carry,
         (hash64(F.concat(F.lit("dsir:"), F.col("feat"))) % N_BUCKETS)
         .cast("long")
         .alias("bucket"),
-    )
-
-
-def _bucket_ppm(feats: DataFrame, cnt_name: str) -> DataFrame:
-    """Floored integer-ppm rate per bucket: (bucket,
-    greatest(cnt * 1e6 div total, 1)). Buckets absent from ``feats``
-    carry the 1-ppm floor implicitly (handled by coalesce at join —
-    see the module doc for why the floor replaces add-one mass)."""
-    model = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias(cnt_name)
-    )
-    tot = model.agg(F.sum(cnt_name).cast("long").alias("__total"))
-    return model.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.expr(
-            f"CAST(greatest({cnt_name} * {PPM_SCALE}"
-            f" div __total, 1) AS BIGINT)"
-        ).alias(f"ppm_{cnt_name}"),
     )
 
 
@@ -175,31 +162,54 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_feats) plus the deterministic top-K resample flag. Positive
     score_num ⇒ the document looks more target-domain than
     corpus-average under the hashed-n-gram model."""
-    docs = load_table(spark, sf_dir, "documents")
-    feats = doc_features(docs)
-    target_feats = feats.join(
-        docs.filter(F.col("source").isin(*TARGET_SOURCES)).select(
-            "doc_id"
-        ),
-        "doc_id",
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__is_t", F.col("source").isin(*TARGET_SOURCES)
     )
-    q = _bucket_ppm(feats, "q")
-    t = _bucket_ppm(target_feats, "t")
+    # ONE corpus explode (r15 optimization): per-(doc, bucket) counts
+    # with the doc's target flag, materialized once. The r14 shape
+    # re-exploded the corpus for the q model, the t model (via a
+    # corpus join), and the scoring pass — four explodes; both ppm
+    # models now fall out of one conditional aggregation and scoring
+    # re-reads the checkpointed counts.
+    dbc = (
+        doc_features(docs, "__is_t")
+        .groupBy("doc_id", "__is_t", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    counts = dbc.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("q"),
+        F.sum(F.when(F.col("__is_t"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("t"),
+    )
+    tot = counts.agg(
+        F.sum("q").cast("long").alias("__tq"),
+        F.sum("t").cast("long").alias("__tt"),
+    )
     # the model is ≤ N_BUCKETS rows — broadcast it whole; target
     # buckets absent from the slice fall to the smoothing floor
-    model = q.join(t.select("bucket", "ppm_t"), "bucket", "left").select(
+    # (t = 0 → greatest(0 div tt, 1) = 1, identical to the old
+    # coalesce(ppm_t, 1) for buckets missing from the target model)
+    model = counts.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        (F.coalesce("ppm_t", F.lit(1)) - F.col("ppm_q"))
+        (
+            F.expr(f"greatest(t * {PPM_SCALE} div __tt, 1)")
+            - F.expr(f"greatest(q * {PPM_SCALE} div __tq, 1)")
+        )
         .cast("long")
         .alias("diff_ppm"),
     )
     scored = (
-        feats.join(F.broadcast(model), "bucket")
+        dbc.join(F.broadcast(model), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("diff_ppm").cast("long").alias("score_num"),
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("diff_ppm"))
+            .cast("long")
+            .alias("score_num"),
         )
+        .localCheckpoint(eager=True)  # feeds the top-K AND the output
     )
     top = (
         scored.orderBy(

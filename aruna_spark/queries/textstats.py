@@ -734,20 +734,29 @@ def textstats_char_lm_quality(
             )
         ).alias("tri"),
     )
-    model = tri.groupBy("tri").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # ONE explode pass (r15 optimization): per-doc trigram counts are
+    # materialized once and serve BOTH the model build and the scoring
+    # join — the r14 plan re-exploded the corpus for the model, the
+    # scoring pass, and again under the mean subquery (4 corpus
+    # explodes total). Scoring over (doc_id, tri, c) weighted by c is
+    # integer-identical to scoring per occurrence.
+    dtc = (
+        tri.groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    model = dtc.groupBy("tri").agg(F.sum("c").cast("long").alias("cnt"))
     tot = model.agg(F.sum("cnt").cast("long").alias("total"))
     model_ppm = model.crossJoin(F.broadcast(tot)).select(
         "tri",
         F.expr(f"cnt * {TRI_PPM_SCALE} div total").alias("freq_ppm"),
     )
     scored = (
-        tri.join(F.broadcast(model_ppm), "tri")
+        dtc.join(F.broadcast(model_ppm), "tri")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-            F.sum("freq_ppm").alias("__ppm_sum"),
+            F.sum("c").cast("long").alias("n_trigrams"),
+            F.sum(F.col("c") * F.col("freq_ppm")).alias("__ppm_sum"),
         )
         .select(
             "doc_id",
@@ -756,6 +765,7 @@ def textstats_char_lm_quality(
                 "typicality_ppm"
             ),
         )
+        .localCheckpoint(eager=True)  # feeds the mean AND the output
     )
     mean_t = scored.agg(
         F.expr(

@@ -83,51 +83,64 @@ def load_object_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE).alias("__deleted"),
         F.col("n_chars"),
     )
+    # ONE explode emits materialized versions AND the optional marker
+    # (r15 optimization: the union of a second corpus scan for the
+    # marker branch doubled every consumer's scan count — s3 queries
+    # join this relation 3-4 times each). Row multiset is identical:
+    # indices 0..max_v materialized, max_v + 1 the marker when the
+    # key is on the delete lane.
     v = d.select(
         "bucket",
         "key",
-        F.explode(F.sequence(F.lit(0), F.col("max_v"))).alias("version_idx"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.col("max_v") + F.col("__deleted").cast("int"),
+            )
+        ).alias("version_idx"),
         "max_v",
         "__deleted",
         "n_chars",
     )
-    materialized = v.select(
+    is_marker = F.col("version_idx") > F.col("max_v")
+    return v.select(
         "bucket",
         "key",
         "version_idx",
         F.concat(F.lit("v"), F.col("version_idx").cast("string")).alias(
             "version_id"
         ),
-        # a deleted key's head is the MARKER, so no materialized row is latest
+        # a deleted key's head is the MARKER, so no materialized row is
+        # latest; the marker itself is always latest
         (
-            (F.col("version_idx") == F.col("max_v")) & ~F.col("__deleted")
+            is_marker
+            | ((F.col("version_idx") == F.col("max_v")) & ~F.col("__deleted"))
         ).alias("is_latest"),
-        (F.col("n_chars") + F.col("version_idx")).alias("size"),
-        F.md5(
-            F.concat(F.col("key"), F.lit(":"), F.col("version_idx").cast("string"))
+        F.when(~is_marker, F.col("n_chars") + F.col("version_idx"))
+        .cast("long")
+        .alias("size"),
+        F.when(
+            ~is_marker,
+            F.md5(
+                F.concat(
+                    F.col("key"), F.lit(":"), F.col("version_idx").cast("string")
+                )
+            ),
         ).alias("etag"),
         # content address: equal content (modeled as equal size) shares a
         # blob — the substrate for content-addressed dedup counters
         # (blob/src/hash.rs:10-77, keyspaces.rs:44)
-        F.md5(
-            F.concat(F.lit("blob:"), (F.col("n_chars") + F.col("version_idx")).cast("string"))
+        F.when(
+            ~is_marker,
+            F.md5(
+                F.concat(
+                    F.lit("blob:"),
+                    (F.col("n_chars") + F.col("version_idx")).cast("string"),
+                )
+            ),
         ).alias("blob_hash"),
-        F.lit(False).alias("is_delete_marker"),
+        is_marker.alias("is_delete_marker"),
     )
-    markers = d.filter(F.col("__deleted")).select(
-        "bucket",
-        "key",
-        (F.col("max_v") + 1).alias("version_idx"),
-        F.concat(F.lit("v"), (F.col("max_v") + 1).cast("string")).alias(
-            "version_id"
-        ),
-        F.lit(True).alias("is_latest"),
-        F.lit(None).cast("long").alias("size"),
-        F.lit(None).cast("string").alias("etag"),
-        F.lit(None).cast("string").alias("blob_hash"),
-        F.lit(True).alias("is_delete_marker"),
-    )
-    return materialized.unionByName(markers)
 
 
 # ------------------------------------------------- multi-checksum family
