@@ -70,7 +70,12 @@ def load_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("admin").alias("created_by"),
         )
     )
-    return static.unionByName(archives)
+    # The dimension is config-sized (2 + one row per distinct source)
+    # but derives from a corpus distinct; consumers reference it up to
+    # three times (page head, total, token) — materialize per call so
+    # the corpus scan runs once (localCheckpoint: nothing outlives the
+    # invocation).
+    return static.unionByName(archives).localCheckpoint(eager=True)
 
 
 def bucket_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -256,31 +256,50 @@ def classify_creates(
             ),
         )
     )
-    # local bucket pick: rendezvous among the origin's held buckets
+    # local bucket pick: rendezvous among the origin's held buckets.
+    # r15 shape: ONE left broadcast join + ONE aggregation — the r14
+    # filter -> join -> agg -> join-back evaluated the minted subtree
+    # twice and shuffled the corpus-sized request frame an extra time.
+    # The join condition carries the local/handle gate, so non-local
+    # rows pass through unmultiplied with a NULL candidate, and the
+    # per-request min over candidate structs is unchanged.
     cand_id = F.lpad(F.col("shard").cast("string"), 2, "0")
     scored_held = held.select(
-        "strategy",
-        F.col("node_id"),
-        F.col("shard"),
-        cand_id.alias("cand_id"),
+        F.col("strategy").alias("__h_strategy"),
+        F.col("node_id").alias("__h_node"),
+        F.col("shard").alias("__h_shard"),
+        cand_id.alias("__h_cand_id"),
     )
-    local = minted.filter(
-        (F.col("mode") == "local") & F.col("handle").isNotNull()
+    minted_cols = [c for c in minted.columns]
+    minted = (
+        minted.join(
+            F.broadcast(scored_held),
+            (F.col("__h_strategy") == F.col("req_strategy"))
+            & (F.col("__h_node") == F.col("origin"))
+            & (F.col("mode") == "local")
+            & F.col("handle").isNotNull(),
+            "left",
+        )
+        .withColumn(
+            "__cand",
+            F.when(
+                F.col("__h_shard").isNotNull(),
+                F.struct(
+                    neg_log2_q24(
+                        selector_hash(
+                            ROLE_SHARD, F.col("subject"), F.col("__h_cand_id")
+                        )
+                    ).alias("l_score"),
+                    F.col("__h_cand_id").alias("cand_id"),
+                    F.col("__h_shard").alias("shard"),
+                ),
+            ),
+        )
+        .groupBy(*minted_cols)
+        .agg(F.min("__cand").alias("__best"))
+        .withColumn("picked_shard", F.col("__best.shard"))
+        .drop("__best")
     )
-    cands = local.join(
-        scored_held,
-        (scored_held["strategy"] == local["req_strategy"])
-        & (scored_held["node_id"] == local["origin"]),
-    ).withColumn(
-        "l_score",
-        neg_log2_q24(
-            selector_hash(ROLE_SHARD, F.col("subject"), F.col("cand_id"))
-        ),
-    )
-    chosen = cands.groupBy("request_id").agg(
-        F.min(F.struct("l_score", "cand_id", "shard")).alias("__best")
-    ).select("request_id", F.col("__best.shard").alias("picked_shard"))
-    minted = minted.join(F.broadcast(chosen), "request_id", "left")
     minted_out = minted.select(
         "request_id",
         "mode",

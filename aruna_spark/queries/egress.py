@@ -306,31 +306,35 @@ def egress_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedded.alias("embedded"),
         eff_v4.alias("eff_v4"),
     )
-    v4_deny = spark.createDataFrame(_v4_ranges(), "lo long, hi long")
-    v6_deny = spark.createDataFrame(
-        _v6_ranges(DENIED_V6), "lo string, hi string"
-    )
-    v6_allow = spark.createDataFrame(
-        _v6_ranges(ALLOWED_V6), "lo string, hi string"
-    )
-
-    def _hit(df, table, col, name):
-        hits = (
-            df.join(
-                F.broadcast(table),
-                (F.col(col) >= F.col("lo")) & (F.col(col) <= F.col("hi")),
-                "left_semi",
-            )
-            .select("request_id")
-            .withColumn(name, F.lit(True))
+    # The policy tables are compiled-in CONSTANTS (egress.rs:104-170:
+    # 16 v4 rows, 13+2 v6 rows) — fold them into array literals and
+    # screen with a codegen `exists` per row instead of the r14
+    # semi-join + join-back chain, which re-evaluated the request
+    # frame once per join-back (16 scans in the plan). Same verdicts:
+    # a NULL address yields a NULL hit flag, which the verdict ladder
+    # only consults on branches where the address is non-null.
+    def _range_hit(col: F.Column, ranges) -> F.Column:
+        arr = F.array(
+            *[
+                F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+                for lo, hi in ranges
+            ]
         )
-        return df.join(F.broadcast(hits), "request_id", "left").withColumn(
-            name, F.coalesce(name, F.lit(False))
+        return F.exists(
+            arr, lambda r: (col >= r["lo"]) & (col <= r["hi"])
         )
 
-    screened = _hit(normalized, v4_deny, "eff_v4", "v4_hit")
-    screened = _hit(screened, v6_allow, "v6_hex", "v6_allowed")
-    screened = _hit(screened, v6_deny, "v6_hex", "v6_denied")
+    screened = normalized.withColumns(
+        {
+            "v4_hit": _range_hit(F.col("eff_v4"), _v4_ranges()),
+            "v6_allowed": _range_hit(
+                F.col("v6_hex"), _v6_ranges(ALLOWED_V6)
+            ),
+            "v6_denied": _range_hit(
+                F.col("v6_hex"), _v6_ranges(DENIED_V6)
+            ),
+        }
+    )
     verdict = (
         F.when(
             F.col("eff_v4").isNotNull(),

@@ -679,27 +679,26 @@ def archive_layout_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = F.lit("ro-crate-metadata.json")
     sig = F.lit("ro-crate-metadata.json.minisig")
 
-    def ent(df, eln, path, directory=False, mode=None):
-        return df.select(
-            arc.alias("archive_id"),
-            F.lit(eln).alias("eln"),
-            (path if not isinstance(path, str) else F.lit(path)).alias(
-                "path"
+    # ONE corpus scan (r15): each document row explodes its lane's
+    # entry structs instead of one union branch (= one corpus scan)
+    # per entry family — the r14 shape scanned ``documents`` 18 times
+    # (108 scan nodes once the ladder fanned out downstream). Same
+    # lane conditions, same literals, identical row multiset.
+    def ent(cond, eln, path, directory=False, mode=None):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(eln).alias("eln"),
+                (path if not isinstance(path, str) else F.lit(path))
+                .cast("string")
+                .alias("path"),
+                F.lit(directory).alias("directory"),
+                (F.lit(mode) if mode is not None else F.lit(None))
+                .cast("int")
+                .alias("mode"),
             ),
-            F.lit(directory).alias("directory"),
-            (
-                F.lit(mode) if mode is not None else F.lit(None)
-            ).cast("int").alias("mode"),
         )
 
-    l0 = docs.filter(lane == 0)
-    l1 = docs.filter(lane == 1)
-    l2 = docs.filter(lane == 2)
-    l3 = docs.filter(lane == 3)
-    l4 = docs.filter(lane == 4)
-    l5 = docs.filter(lane == 5)
-    l6 = docs.filter(lane == 6)
-    l7 = docs.filter(lane == 7)
     in_wrap = lambda suffix: F.concat(wrap, F.lit("/"), suffix)  # noqa: E731
     bad_path = (
         F.when(d % 5 == 0, "/root.txt")
@@ -709,33 +708,41 @@ def archive_layout_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("a\\b")
     )
     stray = F.when(d % 3 == 0, wrap).otherwise(F.lit("outside.txt"))
-    parts = [
-        ent(l0, False, meta),
-        ent(l0, False,
+    sub3 = d % 3 == 0
+    lanes = F.array(
+        ent(lane == 0, False, meta),
+        ent(lane == 0, False,
             F.concat(F.lit("./data//file-"), d.cast("string"),
                      F.lit(".txt"))),
-        ent(l0.filter(d % 3 == 0), False, sig),
-        ent(l1, True, wrap, directory=True, mode=0o040755),
-        ent(l1, True, in_wrap(meta), mode=0o100644),
-        ent(l1, True,
+        ent((lane == 0) & sub3, False, sig),
+        ent(lane == 1, True, wrap, directory=True, mode=0o040755),
+        ent(lane == 1, True, in_wrap(meta), mode=0o100644),
+        ent(lane == 1, True,
             in_wrap(F.concat(F.lit("data/file-"), d.cast("string"),
                              F.lit(".txt"))), mode=0),
-        ent(l1.filter(d % 3 == 0), True, in_wrap(sig)),
-        ent(l2, True, meta),
-        ent(l2, True, "data/x.txt"),
-        ent(l3, True, in_wrap(meta)),
-        ent(l3, True, stray),
-        ent(l4, False, "data/file.txt"),
-        ent(l5, False, meta),
-        ent(l5, False, in_wrap(meta)),
-        ent(l6, False, meta),
-        ent(l6, False, bad_path),
-        ent(l7, False, meta),
-        ent(l7, False, "data/link", mode=0o120777),
-    ]
-    entries = parts[0]
-    for part in parts[1:]:
-        entries = entries.unionByName(part)
+        ent((lane == 1) & sub3, True, in_wrap(sig)),
+        ent(lane == 2, True, meta),
+        ent(lane == 2, True, "data/x.txt"),
+        ent(lane == 3, True, in_wrap(meta)),
+        ent(lane == 3, True, stray),
+        ent(lane == 4, False, "data/file.txt"),
+        ent(lane == 5, False, meta),
+        ent(lane == 5, False, in_wrap(meta)),
+        ent(lane == 6, False, meta),
+        ent(lane == 6, False, bad_path),
+        ent(lane == 7, False, meta),
+        ent(lane == 7, False, "data/link", mode=0o120777),
+    )
+    entries = docs.select(
+        arc.alias("archive_id"),
+        F.explode(F.filter(lanes, lambda e: e.isNotNull())).alias("e"),
+    ).select(
+        "archive_id",
+        F.col("e.eln").alias("eln"),
+        F.col("e.path").alias("path"),
+        F.col("e.directory").alias("directory"),
+        F.col("e.mode").alias("mode"),
+    )
     return inspect_archive_layout(entries)
 
 
@@ -797,24 +804,34 @@ def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     arc = F.concat(F.lit("arc-"), d.cast("string"))
     ds = d.cast("string")
 
-    def rows(df, col_specs):
-        return df.select(arc.alias("archive_id"), *col_specs)
+    def _explode_vals(name, vals):
+        """ONE corpus scan (r15): the lane-conditional values explode
+        from an array per row instead of one union branch (= one
+        corpus scan) per family — 10 documents scans before. The lane
+        expressions are pairwise-distinct strings per row, so the
+        incremental ``.distinct()`` of the old payload union chain
+        was a no-op and is dropped with it."""
+        return docs.select(
+            arc.alias("archive_id"),
+            F.explode(
+                F.filter(F.array(*vals), lambda v: v.isNotNull())
+            ).alias(name),
+        )
 
     # payload entries (post-strip paths, non-meta non-sig)
     pay_a = F.concat(F.lit("data/a "), ds, F.lit(".txt"))
     pay_b = F.concat(F.lit("data/b-"), ds, F.lit(".txt"))
     pay_enc = F.concat(F.lit("data/a%20"), ds, F.lit(".txt"))
     pay_long = F.concat(F.lit(_LONG_SEG), F.lit("/f-"), ds, F.lit(".txt"))
-    payloads = [
-        rows(docs.filter(lane.isin(0, 1, 3, 4)), [pay_a.alias("path")]),
-        rows(docs.filter(lane.isin(0, 2)), [pay_b.alias("path")]),
-        rows(docs.filter(lane == 1), [pay_b.alias("path")]),
-        rows(docs.filter(lane == 3), [pay_enc.alias("path")]),
-        rows(docs.filter(lane == 5), [pay_long.alias("path")]),
-    ]
-    payload = payloads[0]
-    for p in payloads[1:]:
-        payload = payload.unionByName(p).distinct()
+    payload = _explode_vals(
+        "path",
+        [
+            F.when(lane.isin(0, 1, 3, 4), pay_a),
+            F.when(lane.isin(0, 1, 2), pay_b),
+            F.when(lane == 3, pay_enc),
+            F.when(lane == 5, pay_long),
+        ],
+    )
     has_sig = docs.select(
         arc.alias("archive_id"), (lane == 1).alias("has_signature")
     )
@@ -827,17 +844,16 @@ def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     id_long = F.concat(
         F.lit("./"), F.lit(_LONG_SEG), F.lit("/f-"), ds, F.lit(".txt")
     )
-    fids = [
-        rows(docs.filter(lane.isin(0, 1, 3, 4)),
-             [id_a_enc.alias("file_id")]),
-        rows(docs.filter(lane == 0), [id_b.alias("file_id")]),
-        rows(docs.filter(lane == 2), [id_missing.alias("file_id")]),
-        rows(docs.filter(lane == 4), [id_a_raw.alias("file_id")]),
-        rows(docs.filter(lane == 5), [id_long.alias("file_id")]),
-    ]
-    file_ids = fids[0]
-    for p in fids[1:]:
-        file_ids = file_ids.unionByName(p)
+    file_ids = _explode_vals(
+        "file_id",
+        [
+            F.when(lane.isin(0, 1, 3, 4), id_a_enc),
+            F.when(lane == 0, id_b),
+            F.when(lane == 2, id_missing),
+            F.when(lane == 4, id_a_raw),
+            F.when(lane == 5, id_long),
+        ],
+    )
 
     # candidates: normalized raw + %20-decoded when different
     raw = F.regexp_replace(F.col("file_id"), r"^(\./)+", "")

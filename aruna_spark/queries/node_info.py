@@ -89,9 +89,15 @@ def held_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         subjects.select("subject"),
         REPLICA_COUNT,
     )
-    return holders.join(F.broadcast(subjects), "subject").select(
+    out = holders.join(F.broadcast(subjects), "subject").select(
         "strategy", "shard", "node_id"
     )
+    # ≤ 2·64·3 = 384 rows behind a 2-aggregation rendezvous pipeline;
+    # every consumer joins it against a corpus-sized side (often more
+    # than once), so materialize the tiny result per call instead of
+    # replicating the derivation through each reference (localCheckpoint
+    # is per-invocation — nothing survives a run).
+    return out.localCheckpoint(eager=True)
 
 
 def load_registry_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,21 +251,36 @@ def node_info_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything wider than the 128-bucket key."""
     held = held_buckets(spark, sf_dir)
     docs = load_registry_placements(spark, sf_dir)
-    nil_total = docs.filter("is_nil").agg(
-        F.count(F.lit(1)).cast("long").alias("nil_docs")
+    # ONE corpus scan (r15): the registry collapses to its ≤ 129
+    # (is_nil, strategy, shard) groups first; the nil total and the
+    # per-node membership counts both derive from that tiny frame.
+    doc_groups = (
+        docs.groupBy("is_nil", "strategy", "shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=True)
     )
-    bucket_counts = (
-        held.join(
-            docs.filter(~F.col("is_nil")), ["strategy", "shard"], "left"
-        )
+    nil_total = doc_groups.filter("is_nil").agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("nil_docs")
+    )
+    # r15: the r14 shape outer-joined the tiny held set against the
+    # corpus (SMJ — the preserved side cannot broadcast under LeftOuter)
+    # just to keep zero-doc nodes. Split it: held-bucket counts come
+    # from the 384-row held set alone (the left join preserved every
+    # held bucket regardless of doc matches), doc counts from an INNER
+    # broadcast join — then both tiny per-node frames attach by
+    # broadcast. Identical numbers, no corpus shuffle.
+    per_node_held = held.groupBy("node_id").agg(
+        F.count_distinct("strategy", "shard")
+        .cast("long")
+        .alias("held_buckets"),
+    )
+    per_node_docs = (
+        doc_groups.filter(~F.col("is_nil"))
+        .join(F.broadcast(held), ["strategy", "shard"])
         .groupBy("node_id")
-        .agg(
-            F.count("doc_id").cast("long").alias("bucket_docs"),
-            F.count_distinct("strategy", "shard")
-            .cast("long")
-            .alias("held_buckets"),
-        )
+        .agg(F.sum("__n").cast("long").alias("bucket_docs"))
     )
+    bucket_counts = per_node_held.join(per_node_docs, "node_id", "left")
     nodes = load_nodes(spark, sf_dir).select("node_id")
     n = F.substring("node_id", 6, 2).cast("int")
     cores = n % 5

@@ -118,9 +118,14 @@ _D_RULES = ", ".join(
 _D_RESTR = ", ".join(f"('{s}', '{g}', '{p}')" for s, g, p in _C_RESTR)
 
 
-def allows(paths: DataFrame, rules: DataFrame, restrictions: DataFrame,
-           required: str) -> DataFrame:
-    """(key, subject_id, allowed) for one required permission."""
+def _allow_flags(paths: DataFrame, rules: DataFrame,
+                 restrictions: DataFrame) -> DataFrame:
+    """Per (key, subject_id): the rule/restriction aggregates BOTH
+    required permissions read their verdicts from — one pass over the
+    glob-matched cells instead of one per required level (r15: the
+    READ and WRITE ladders only differ in which aggregate they test,
+    so the matrix query was paying the whole match+aggregate pipeline
+    twice)."""
     subjects = rules.select("subject_id").distinct()
     matched = paths.crossJoin(subjects).join(
         rules.withColumnRenamed("subject_id", "__rs"),
@@ -128,51 +133,71 @@ def allows(paths: DataFrame, rules: DataFrame, restrictions: DataFrame,
         & F.regexp_like(F.col("key"), F.col("pattern")),
         "left",
     )
-    is_req_read = required == "READ"
-    grant = (
-        (F.col("public") & (F.col("permission") == "READ") & F.lit(is_req_read))
-        | (F.col("direct") & (F.col("permission") == "READ") & F.lit(is_req_read))
+    grant_read = (
+        (F.col("public") & (F.col("permission") == "READ"))
+        | (F.col("direct") & (F.col("permission") == "READ"))
         | (F.col("direct") & (F.col("permission") == "WRITE"))
     )
+    grant_write = F.col("direct") & (F.col("permission") == "WRITE")
     base = matched.groupBy("key", "subject_id").agg(
         F.max(
             (F.col("direct") & (F.col("permission") == "DENY")).cast("int")
         ).alias("deny"),
-        F.max(F.coalesce(grant, F.lit(False)).cast("int")).alias("grant"),
+        F.max(F.coalesce(grant_read, F.lit(False)).cast("int")).alias(
+            "grant_read"
+        ),
+        F.max(F.coalesce(grant_write, F.lit(False)).cast("int")).alias(
+            "grant_write"
+        ),
     )
     r = restrictions.withColumnRenamed("subject_id", "__ts")
     has_restr = restrictions.select(
         F.col("subject_id"), F.lit(True).alias("__has")
     ).distinct()
-    rmatch = (
+    return (
         base.join(
             r,
             (F.col("subject_id") == F.col("__ts"))
             & F.regexp_like(F.col("key"), F.col("pattern")),
             "left",
         )
-        .groupBy("key", "subject_id", "deny", "grant")
+        .groupBy("key", "subject_id", "deny", "grant_read", "grant_write")
         .agg(
             F.max((F.col("permission") == "DENY").cast("int")).alias("rdeny"),
             F.max(
                 (
-                    (F.col("permission") == "READ") & F.lit(is_req_read)
+                    (F.col("permission") == "READ")
                     | (F.col("permission") == "WRITE")
                 ).cast("int")
-            ).alias("rgrant"),
+            ).alias("rgrant_read"),
+            F.max((F.col("permission") == "WRITE").cast("int")).alias(
+                "rgrant_write"
+            ),
         )
         .join(has_restr, "subject_id", "left")
     )
+
+
+def _allowed_col(required: str) -> F.Column:
+    """The allowed verdict over :func:`_allow_flags` columns for one
+    required level."""
+    suffix = "read" if required == "READ" else "write"
     restr_ok = F.when(F.col("__has").isNull(), F.lit(True)).otherwise(
         (F.coalesce(F.col("rdeny"), F.lit(0)) == 0)
-        & (F.coalesce(F.col("rgrant"), F.lit(0)) == 1)
+        & (F.coalesce(F.col(f"rgrant_{suffix}"), F.lit(0)) == 1)
     )
-    return rmatch.select(
-        "key",
-        "subject_id",
-        (
-            (F.col("deny") == 0) & (F.col("grant") == 1) & restr_ok
-        ).alias("allowed"),
+    return (
+        (F.col("deny") == 0)
+        & (F.col(f"grant_{suffix}") == 1)
+        & restr_ok
+    )
+
+
+def allows(paths: DataFrame, rules: DataFrame, restrictions: DataFrame,
+           required: str) -> DataFrame:
+    """(key, subject_id, allowed) for one required permission."""
+    return _allow_flags(paths, rules, restrictions).select(
+        "key", "subject_id", _allowed_col(required).alias("allowed")
     )
 
 
@@ -246,14 +271,31 @@ def perm_allows_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     restr = spark.createDataFrame(
         _C_RESTR, "subject_id string, pattern string, permission string"
     )
-    out = []
-    for req in ("READ", "WRITE"):
-        out.append(
-            allows(latest, rules, restr, req).withColumn(
-                "required", F.lit(req)
+    # ONE match+aggregate pass for both required levels (r15): the
+    # flags frame carries read- and write-specific aggregates, and the
+    # two-row unpivot replaces the union of two full ladder pipelines.
+    flags = _allow_flags(latest, rules, restr)
+    both = flags.select(
+        "key",
+        "subject_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("READ").alias("required"),
+                    _allowed_col("READ").alias("allowed"),
+                ),
+                F.struct(
+                    F.lit("WRITE").alias("required"),
+                    _allowed_col("WRITE").alias("allowed"),
+                ),
             )
-        )
-    both = out[0].unionByName(out[1])
+        ).alias("__rq"),
+    ).select(
+        "key",
+        "subject_id",
+        F.col("__rq.required").alias("required"),
+        F.col("__rq.allowed").alias("allowed"),
+    )
     return both.groupBy("subject_id", "required").agg(
         F.sum(F.col("allowed").cast("int")).cast("long").alias("n_allowed"),
         F.min(F.when(F.col("allowed"), F.col("key"))).alias("first_key"),

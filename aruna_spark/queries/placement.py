@@ -251,16 +251,22 @@ def resolve_holders(
         )["id"].alias("best_node")
     )
 
-    pl = subjects.crossJoin(F.broadcast(locs)).select(
-        "subject",
-        "location",
-        "w_loc",
-        neg_log2_q24(
-            selector_hash(ROLE_LOCATION, F.col("subject"), F.col("location"))
-        ).alias("l_loc"),
-    )
-    qual = pl.join(best, ["subject", "location"]).filter(
-        (F.col("w_loc") > 0) & F.col("best_node").isNotNull()
+    # l_loc is a pure function of (subject, location), so it can be
+    # stamped onto the AGGREGATED frame directly — the r14 shape paid a
+    # second subjects crossJoin plus a corpus-corpus join on
+    # (subject, location) just to carry it (r15: one corpus pass, the
+    # config-sized locs attach by broadcast instead).
+    qual = (
+        best.withColumn(
+            "l_loc",
+            neg_log2_q24(
+                selector_hash(
+                    ROLE_LOCATION, F.col("subject"), F.col("location")
+                )
+            ),
+        )
+        .join(F.broadcast(locs), "location")
+        .filter((F.col("w_loc") > 0) & F.col("best_node").isNotNull())
     )
     per_subject = qual.groupBy("subject").agg(
         F.slice(

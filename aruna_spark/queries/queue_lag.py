@@ -91,21 +91,24 @@ QUEUE_SCAN_PAGE_LIMIT = 8  # queue_lag.rs:23
 SCAN_CAP = QUEUE_SCAN_PAGE_SIZE * QUEUE_SCAN_PAGE_LIMIT
 
 
-def _capped_probe(df: DataFrame) -> DataFrame:
-    """The capped flag probes ONE key past the budget, never a full
-    count (queue_lag.rs:165-175 advance — the probe is O(cap))."""
-    return df.limit(SCAN_CAP + 1).agg(
-        (F.count(F.lit(1)) > SCAN_CAP).alias("depth_capped")
-    )
+# r15: each snapshot reads its queue relation ONCE — a single
+# TakeOrdered(cap + 1) head whose one-row aggregate carries both the
+# page aggregates (over the first cap rows, recovered by sorting the
+# bounded array) and the capped probe (row cap + 1 existing). The r14
+# shape ran the derivation twice per queue (page pass + probe pass),
+# doubling every queue's corpus scans. The probe stays O(cap): the
+# head is still a distributed top-(cap+1), one key past the budget
+# (queue_lag.rs:165-175).
 
 
-def _emit(
-    queue: str, snap: DataFrame, probed: DataFrame, due: Column, oldest: Column
-) -> DataFrame:
-    return snap.crossJoin(F.broadcast(probed)).select(
+def _emit(queue: str, folded: DataFrame, due: Column,
+          oldest: Column) -> DataFrame:
+    return folded.select(
         F.lit(queue).alias("queue"),
-        F.col("__n").cast("long").alias("depth"),
-        "depth_capped",
+        F.least(F.col("__n_all"), F.lit(SCAN_CAP)).cast("long").alias(
+            "depth"
+        ),
+        (F.col("__n_all") > SCAN_CAP).alias("depth_capped"),
         due.cast("long").alias("due"),
         oldest.cast("long").alias("oldest_age_ms"),
     )
@@ -114,8 +117,10 @@ def _emit(
 def depth_snapshot(queue: str, df: DataFrame) -> DataFrame:
     """``probe_queue_depth`` (queue_lag.rs:270-292): depth + capped
     only; ``oldest_age_ms`` and ``due`` are 0 by contract."""
-    snap = df.limit(SCAN_CAP).agg(F.count(F.lit(1)).alias("__n"))
-    return _emit(queue, snap, _capped_probe(df), F.lit(0), F.lit(0))
+    folded = df.limit(SCAN_CAP + 1).agg(
+        F.count(F.lit(1)).alias("__n_all")
+    )
+    return _emit(queue, folded, F.lit(0), F.lit(0))
 
 
 def outbox_snapshot(queue: str, df: DataFrame, now_ms: int) -> DataFrame:
@@ -123,19 +128,28 @@ def outbox_snapshot(queue: str, df: DataFrame, now_ms: int) -> DataFrame:
     follows the physical key order (kind bytes, admin origin, origin
     seq, ULID); ``oldest_age_ms`` ages the page's oldest ULID enqueue
     timestamp, saturating at 0 on an empty queue; ``due`` is 0."""
-    page = df.orderBy(
+    head = df.orderBy(
         "kind", "origin_node", "origin_seq", "outbox_id"
-    ).limit(SCAN_CAP)
-    snap = page.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min("enqueued_ms").alias("__oldest"),
+    ).limit(SCAN_CAP + 1)
+    # the ULID (outbox_id) totally orders the key, so the sorted-array
+    # slice is exactly the reference's cap-row page
+    item = F.struct(
+        "kind", "origin_node", "origin_seq", "outbox_id", "enqueued_ms"
+    )
+    folded = head.agg(
+        F.count(F.lit(1)).alias("__n_all"),
+        F.slice(
+            F.array_sort(F.collect_list(item)), 1, SCAN_CAP
+        ).alias("__page"),
+    )
+    oldest = F.array_min(
+        F.transform(F.col("__page"), lambda x: x["enqueued_ms"])
     )
     return _emit(
         queue,
-        snap,
-        _capped_probe(df),
+        folded,
         F.lit(0),
-        F.coalesce(F.lit(now_ms) - F.col("__oldest"), F.lit(0)),
+        F.coalesce(F.lit(now_ms) - oldest, F.lit(0)),
     )
 
 
@@ -147,20 +161,21 @@ def due_snapshot(
     oldest-due records; ``due`` counts the jobs already mature and
     ``oldest_age_ms`` ages the oldest of them."""
     keyed = df.select(time_col.cast("long").alias("__t"))
-    page = keyed.orderBy("__t").limit(SCAN_CAP)
-    snap = page.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum((F.col("__t") <= now_ms).cast("long")).alias("__due"),
-        F.min(F.when(F.col("__t") <= now_ms, F.col("__t"))).alias(
-            "__oldest_due"
-        ),
+    head = keyed.orderBy("__t").limit(SCAN_CAP + 1)
+    # the page is the cap SMALLEST timestamps — a multiset that is
+    # deterministic under ties, so every aggregate below is exact
+    folded = head.agg(
+        F.count(F.lit(1)).alias("__n_all"),
+        F.slice(
+            F.array_sort(F.collect_list("__t")), 1, SCAN_CAP
+        ).alias("__page"),
     )
+    mature = F.filter(F.col("__page"), lambda t: t <= F.lit(now_ms))
     return _emit(
         queue,
-        snap,
-        _capped_probe(keyed),
-        F.coalesce(F.col("__due"), F.lit(0)),
-        F.coalesce(F.lit(now_ms) - F.col("__oldest_due"), F.lit(0)),
+        folded,
+        F.size(mature),
+        F.coalesce(F.lit(now_ms) - F.array_min(mature), F.lit(0)),
     )
 
 

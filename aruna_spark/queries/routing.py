@@ -81,17 +81,35 @@ def resolve_backends(
             F.length("key_prefix").alias("plen"),
         ),
     )
+    # ONE aggregation computes the winner AND the warn path (r15): the
+    # r14 shape ran the write×rules theta join TWICE (one groupBy per
+    # branch) and joined both back onto a third writes pass. max_by
+    # ignores NULL-keyed rows, so the resolve/miss filters move into
+    # conditional arguments; the left join above keeps rule-less
+    # writes, so grouping by key retains every write (keys are unique
+    # per batch — they are the route identity).
+    resolved_ok = F.col("resolved_backend").isNotNull()
+    is_missed_class = (
+        (F.col("target_kind") == "class") & F.col("resolved_backend").isNull()
+    )
     # the winner: most specific candidate that RESOLVES (unoffered
-    # classes fall through by exclusion, rs:499-517)
-    winner = (
-        matched.filter(F.col("resolved_backend").isNotNull())
-        .groupBy("key")
-        .agg(
-            F.max_by(
-                F.struct("resolved_backend", "exact", "key_prefix"), F.col("__spec")
-            ).alias("__w")
-        )
-        .select(
+    # classes fall through by exclusion, rs:499-517); the warn path: a
+    # MISSED class whose rule outranked the winner
+    grouped = matched.groupBy("key").agg(
+        F.max_by(
+            F.when(
+                resolved_ok,
+                F.struct("resolved_backend", "exact", "key_prefix"),
+            ),
+            F.when(resolved_ok, F.col("__spec")),
+        ).alias("__w"),
+        F.max_by(
+            F.when(is_missed_class, F.struct("target", "__spec")),
+            F.when(is_missed_class, F.col("__spec")),
+        ).alias("__m"),
+    )
+    out = (
+        grouped.select(
             "key",
             F.col("__w.resolved_backend").alias("__backend"),
             F.when(F.col("__w.exact"), F.lit("exact"))
@@ -99,25 +117,9 @@ def resolve_backends(
             .alias("__via"),
             F.col("__w.key_prefix").alias("__won_prefix"),
             F.col("__w.exact").alias("__won_exact"),
-        )
-    )
-    # the warn path: a MISSED class whose rule outranked the winner
-    missed = (
-        matched.filter(
-            (F.col("target_kind") == "class")
-            & F.col("resolved_backend").isNull()
-        )
-        .groupBy("key")
-        .agg(F.max_by(F.struct("target", "__spec"), F.col("__spec")).alias("__m"))
-        .select(
-            "key",
             F.col("__m.target").alias("__missed"),
             F.col("__m.__spec").alias("__missed_spec"),
         )
-    )
-    out = (
-        writes.join(winner, "key", "left")
-        .join(missed, "key", "left")
         .select(
             "key",
             F.coalesce(F.col("__backend"), F.lit(group_default)).alias(

@@ -77,37 +77,66 @@ def apply_deletes(versions: DataFrame, deletes: DataFrame) -> DataFrame:
     kept = versions.join(
         F.broadcast(vd), ["bucket", "key", "version_id"], "left_anti"
     )
-    prior = (
-        kept.join(F.broadcast(md), ["bucket", "key"], "left_semi")
+    touched = deletes.select("bucket", "key").distinct()
+    # r15 shape: ONE batch-sized head map instead of the window +
+    # three-way kept split. Per touched key the new head index is the
+    # minted marker (prior survivor max + 1) when the batch appends
+    # one, else the survivor max; kept rows then recompute is_latest
+    # with a single broadcast join (two kept passes total, down from
+    # three, and the per-key window is gone).
+    heads = (
+        kept.join(F.broadcast(touched), ["bucket", "key"], "left_semi")
         .groupBy("bucket", "key")
-        .agg(F.max("version_idx").alias("__pm"))
+        .agg(F.max("version_idx").alias("__km"))
     )
-    markers = md.join(prior, ["bucket", "key"], "left").select(
+    head_map = (
+        touched.join(heads, ["bucket", "key"], "left")
+        .join(
+            md.withColumn("__md", F.lit(True)), ["bucket", "key"], "left"
+        )
+        .select(
+            "bucket",
+            "key",
+            F.when(
+                F.col("__md"), F.coalesce(F.col("__km"), F.lit(-1)) + 1
+            )
+            .otherwise(F.col("__km"))
+            .alias("__head"),
+            F.coalesce(F.col("__md"), F.lit(False)).alias("__mints"),
+        )
+    )
+    markers = head_map.filter(F.col("__mints")).select(
         "bucket",
         "key",
-        (F.coalesce(F.col("__pm"), F.lit(-1)) + 1).alias("version_idx"),
-        F.concat(
-            F.lit("v"), (F.coalesce(F.col("__pm"), F.lit(-1)) + 1).cast("string")
-        ).alias("version_id"),
+        F.col("__head").alias("version_idx"),
+        F.concat(F.lit("v"), F.col("__head").cast("string")).alias(
+            "version_id"
+        ),
+        F.lit(True).alias("is_latest"),
         F.lit(None).cast("long").alias("size"),
         F.lit(None).cast("string").alias("etag"),
         F.lit(None).cast("string").alias("blob_hash"),
         F.lit(True).alias("is_delete_marker"),
-    )
-    unioned = kept.select(*_DATA_COLS).unionByName(markers)
-    touched = deletes.select("bucket", "key").distinct()
-    untouched = kept.join(
-        F.broadcast(touched), ["bucket", "key"], "left_anti"
     ).select(*VERSION_COLS)
-    w = Window.partitionBy("bucket", "key")
-    recomputed = (
-        unioned.join(F.broadcast(touched), ["bucket", "key"], "left_semi")
-        .withColumn(
-            "is_latest", F.col("version_idx") == F.max("version_idx").over(w)
+    out_kept = kept.join(
+        F.broadcast(head_map), ["bucket", "key"], "left"
+    ).select(
+        "bucket",
+        "key",
+        "version_idx",
+        "version_id",
+        F.when(
+            F.col("__head").isNotNull() | F.col("__mints").isNotNull(),
+            F.col("version_idx") == F.col("__head"),
         )
-        .select(*VERSION_COLS)
-    )
-    return untouched.unionByName(recomputed)
+        .otherwise(F.col("is_latest"))
+        .alias("is_latest"),
+        "size",
+        "etag",
+        "blob_hash",
+        "is_delete_marker",
+    ).select(*VERSION_COLS)
+    return out_kept.unionByName(markers)
 
 
 def delete_results(versions: DataFrame, deletes: DataFrame) -> DataFrame:
@@ -201,7 +230,7 @@ def _delete_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 17 == 2, F.lit("v0")).alias(
             "want_version_id"
         ),
-    )
+    ).localCheckpoint(eager=True)  # request-sized; read 4-5x per query
 
 
 _D_DELETES = """
@@ -309,7 +338,8 @@ def _mixed_delete_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         key.alias("key"),
         F.lit(None).cast("string").alias("want_version_id"),
     )
-    return versioned.unionByName(unversioned)
+    # request-sized; the envelope + apply pipelines read it 8x
+    return versioned.unionByName(unversioned).localCheckpoint(eager=True)
 
 
 @register(
@@ -341,7 +371,9 @@ def s3_delete_mixed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows up as a value mismatch, not a tautology."""
     versions = load_object_versions(spark, sf_dir)
     deletes = _mixed_delete_batch(spark, sf_dir)
-    env = delete_results(versions, deletes)
+    env = delete_results(versions, deletes).localCheckpoint(
+        eager=True
+    )  # batch-sized; the removed/minted splits each read it
     removed = env.filter(~F.col("delete_marker")).select(
         "bucket",
         "key",

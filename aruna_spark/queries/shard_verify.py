@@ -274,7 +274,16 @@ def shard_verification_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle re-derives holders through the recursive-CTE rendezvous
     and first-reachable via NOT EXISTS — independent mechanisms."""
     subjects = _shard_subjects(spark)
-    holders = resolve_holders(
-        load_nodes(spark, sf_dir), subjects.select("subject"), REPLICA_COUNT
-    ).join(subjects, "subject")
+    holders = (
+        resolve_holders(
+            load_nodes(spark, sf_dir),
+            subjects.select("subject"),
+            REPLICA_COUNT,
+        )
+        .join(subjects, "subject")
+        # ≤ 64·3 rows behind the rendezvous pipeline; the classify
+        # ladder reads it three ways (mine / co-counts / first-co) —
+        # materialize per call instead of re-deriving per reference
+        .localCheckpoint(eager=True)
+    )
     return classify_held_shards(holders, LOCAL_NODE)
