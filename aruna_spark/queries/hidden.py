@@ -54,8 +54,31 @@ ORPHAN_GRACE_S = 60 * 60
 SWEEP_PAGE_SIZE = 512
 
 
-def _jobs_annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The job queue with the RO-Crate dimensions this sweep consults."""
+def _jobs_annotated(
+    spark: SparkSession, sf_dir: str, keys: DataFrame | None = None
+) -> DataFrame:
+    """The job queue with the RO-Crate dimensions this sweep consults.
+
+    With ``keys`` (a ``(k0 BIGINT)`` relation of the sweep's order
+    keys), the frame is a pure projection of it — the registered query
+    materializes ONE narrow orders scan and derives every lane from it
+    (r15: the sweep previously re-scanned orders ~11x)."""
+    if keys is not None:
+        k = F.col("k0")
+        state = (
+            F.when(k % 5 == 0, "queued")
+            .when(k % 5 == 1, "running")
+            .when(k % 5 == 2, "succeeded")
+            .when(k % 5 == 3, "failed")
+            .otherwise("cancelled")
+        )
+        return keys.filter(k % 9 == 2).select(
+            F.concat(F.lit("job-"), k.cast("string")).alias("job_id"),
+            state.alias("state"),
+            k.cast("long").alias("k"),
+            (~(k % 5).isin(2, 3, 4)).alias("active"),
+            (k % 7 < 3).alias("rocrate"),
+        )
     k = F.col("created_at_ms")
     return load_jobs(spark, sf_dir).select(
         "job_id",
@@ -68,10 +91,12 @@ def _jobs_annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def load_uploads_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_uploads_hidden(
+    spark: SparkSession, sf_dir: str, jobs: DataFrame | None = None
+) -> DataFrame:
     """RO-Crate upload records (rs:277-307): one per job, three claim
     shapes — self-claimed, claimed by a vanished job, unclaimed."""
-    j = _jobs_annotated(spark, sf_dir)
+    j = jobs if jobs is not None else _jobs_annotated(spark, sf_dir)
     k = F.col("k")
     return j.select(
         F.concat(F.lit("upl-"), k.cast("string")).alias("upload_id"),
@@ -90,12 +115,20 @@ def load_uploads_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def load_hidden_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_hidden_entries(
+    spark: SparkSession,
+    sf_dir: str,
+    jobs: DataFrame | None = None,
+    uploads_rel: DataFrame | None = None,
+    orphan_keys: DataFrame | None = None,
+) -> DataFrame:
     """The ``ListHidden`` result: upload inputs, per-job artifacts,
     even-job checkpoint inputs, and jobless orphan namespaces."""
-    j = _jobs_annotated(spark, sf_dir)
+    j = jobs if jobs is not None else _jobs_annotated(spark, sf_dir)
     k = F.col("k")
-    uploads = load_uploads_hidden(spark, sf_dir).select(
+    if uploads_rel is None:
+        uploads_rel = load_uploads_hidden(spark, sf_dir)
+    uploads = uploads_rel.select(
         "key",
         (
             (F.regexp_extract("key", r"upl-(\d+)", 1).cast("long") * 977)
@@ -114,16 +147,19 @@ def load_hidden_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((k * 977 + 7) % 40_000).cast("long").alias("modified_at_ms"),
     )
-    orph_k = F.col("o_orderkey")
-    orphans = (
-        load_table(spark, sf_dir, "orders")
-        .filter(orph_k % 9 == 7)
-        .select(
-            F.concat(
-                F.lit("_jobs/orph-"), orph_k.cast("string"), F.lit("/tmp_01")
-            ).alias("key"),
-            ((orph_k * 977) % 40_000).cast("long").alias("modified_at_ms"),
+    if orphan_keys is not None:
+        orph_k = F.col("k0")
+        orphan_src = orphan_keys.filter(orph_k % 9 == 7)
+    else:
+        orph_k = F.col("o_orderkey")
+        orphan_src = load_table(spark, sf_dir, "orders").filter(
+            orph_k % 9 == 7
         )
+    orphans = orphan_src.select(
+        F.concat(
+            F.lit("_jobs/orph-"), orph_k.cast("string"), F.lit("/tmp_01")
+        ).alias("key"),
+        ((orph_k * 977) % 40_000).cast("long").alias("modified_at_ms"),
     )
     return uploads.unionByName(artifacts).unionByName(inputs).unionByName(
         orphans
@@ -293,11 +329,22 @@ def blobs_hidden_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes: dead uploads sweep first, live references and active
     RO-Crate namespaces protect, and only unreferenced entries past
     the orphan grace delete. The oracle re-derives every set through
-    EXISTS subqueries instead of the Spark join flags."""
-    return hidden_sweep(
-        load_hidden_entries(spark, sf_dir),
-        load_uploads_hidden(spark, sf_dir),
-        _jobs_annotated(spark, sf_dir),
-        NOW_MS,
-        ORPHAN_GRACE_MS,
+    EXISTS subqueries instead of the Spark join flags.
+
+    Execution shape (r15): ONE narrow orders scan (o_orderkey, both
+    sweep residues) materializes per call; the job, upload, hidden and
+    reference relations are projections of it, so the sweep's joins
+    never re-touch the corpus (was ~11 orders scans)."""
+    k = F.col("o_orderkey")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter((k % 9 == 2) | (k % 9 == 7))
+        .select(k.cast("long").alias("k0"))
+        .localCheckpoint(eager=True)
     )
+    jobs = _jobs_annotated(spark, sf_dir, keys=keys)
+    uploads = load_uploads_hidden(spark, sf_dir, jobs=jobs)
+    hidden = load_hidden_entries(
+        spark, sf_dir, jobs=jobs, uploads_rel=uploads, orphan_keys=keys
+    )
+    return hidden_sweep(hidden, uploads, jobs, NOW_MS, ORPHAN_GRACE_MS)

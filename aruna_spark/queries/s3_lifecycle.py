@@ -369,8 +369,21 @@ def s3_delete_mixed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The closed-form oracle derives both ids independently (no shared
     set algebra with the Spark side), so a envelope/apply divergence
     shows up as a value mismatch, not a tautology."""
-    versions = load_object_versions(spark, sf_dir)
     deletes = _mixed_delete_batch(spark, sf_dir)
+    # r15: every downstream relation (envelope + applied after-state)
+    # is per-(bucket, key), so prune the version catalog to the batch's
+    # keys ONCE (broadcast semi-join) and materialize the batch-sized
+    # slice — the envelope and apply pipelines each re-read versions
+    # twice otherwise (4 catalog derivations -> 1).
+    versions = (
+        load_object_versions(spark, sf_dir)
+        .join(
+            F.broadcast(deletes.select("bucket", "key").distinct()),
+            ["bucket", "key"],
+            "left_semi",
+        )
+        .localCheckpoint(eager=True)
+    )
     env = delete_results(versions, deletes).localCheckpoint(
         eager=True
     )  # batch-sized; the removed/minted splits each read it

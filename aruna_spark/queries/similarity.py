@@ -1589,14 +1589,25 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies collapsed first so replicas never square inside a cell.
     The same stored cell partitioning serves the ANN probes
     (store.ivf_sqrt_store), so a corpus pays the assignment once."""
+    # r15: ONE corpus scan emits original + planted rows (conditional
+    # struct array + explode); the exact-collapsed unique frame then
+    # materializes per call (localCheckpoint) so the sizing count, the
+    # assignment join, the pair stage and the final join-back all read
+    # it instead of re-deriving the groupBy (was ~24 embedding scans).
     base = load_table(spark, sf_dir, "embeddings")
-    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+    orig = F.struct(
+        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("embedding")
+    )
+    pl = F.struct(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.expr(_PERTURB_SPARK).alias("embedding"),
     )
+    rows = F.when(F.col("vec_id") % 50 == 0, F.array(orig, pl)).otherwise(
+        F.array(orig)
+    )
     uniq = (
-        base.select("vec_id", "embedding")
-        .unionByName(planted)
+        base.select(F.explode(rows).alias("r"))
+        .select("r.vec_id", "r.embedding")
         .groupBy("embedding")
         .agg(
             F.min("vec_id").alias("vec_id"),
@@ -1608,7 +1619,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "n_copies",
         _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
-    )
+    ).localCheckpoint(eager=True)
     n_cells = sqrt_cells(emb.count())
     cents = sqrt_centroids_df(spark, n_cells).select(
         "cell",
@@ -1637,7 +1648,14 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("b.cell").alias("cell"),
                 F.col("b.centroid_sim_q").alias("centroid_sim_q"))
     )
-    simmed = emb.join(best, "vec_id")
+    # hash-spread by cell BEFORE checkpointing so the pair stage keeps
+    # its parallelism (a bare checkpoint of the AQE-coalesced join came
+    # out single-partition and measured SLOWER — the r15 first attempt)
+    simmed = (
+        emb.join(best, "vec_id")
+        .repartition(F.col("cell"))
+        .localCheckpoint(eager=True)
+    )
     a = simmed.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
