@@ -31,9 +31,9 @@ plus one graph per collection k ∈ distinct(doc_id % 7):
 urn:aruna:collection:{(k-1)//2}`` — a tree, so property paths
 (``isPartOf+``) have real transitive structure.
 
-At 100 TB this projection is a single narrow map stage per predicate
-unioned together — no shuffle at all; the union preserves the input
-partitioning of the documents scan.
+At 100 TB this projection is ONE narrow map stage over the documents
+scan (a conditional struct array exploded per row — no shuffle at all,
+and no per-predicate re-scan), plus the tiny distinct-collection frame.
 """
 
 from __future__ import annotations
@@ -61,20 +61,27 @@ TRIPLE_COLS = (
 )
 
 
-def _row(graph, subject, predicate, kind, value, datatype=None, lang=None):
-    return [
-        graph.alias("graph_iri"),
-        subject.alias("subject"),
+def _cell(predicate, kind, value, datatype=None):
+    """One (predicate, object_*) struct of the per-row triple array."""
+    return F.struct(
         F.lit(predicate).alias("predicate"),
         F.lit(kind).alias("object_kind"),
         value.alias("object_value"),
-        (F.lit(datatype) if datatype else F.lit(None).cast("string")).alias("object_datatype"),
-        (lang if lang is not None else F.lit(None).cast("string")).alias("object_lang"),
-    ]
+        (
+            F.lit(datatype) if datatype else F.lit(None).cast("string")
+        ).alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+    )
 
 
 def documents_to_triples(docs: DataFrame) -> DataFrame:
-    """Project the documents table into the triples schema (see module doc)."""
+    """Project the documents table into the triples schema (see module doc).
+
+    Execution shape (r15): ONE documents scan emits every doc-subject
+    triple via a conditional struct array + explode (was a 10-branch
+    union = 10 scans per consumer; rocrate_export_page referenced the
+    relation 4x for 72 scans in one plan). The collection graphs still
+    aggregate the tiny distinct-k frame. Row multiset is identical."""
     d = docs.select(
         F.col("doc_id"),
         F.col("text"),
@@ -84,37 +91,41 @@ def documents_to_triples(docs: DataFrame) -> DataFrame:
         F.concat(F.lit(GRAPH_NS), F.col("doc_id").cast("string")).alias("g"),
         F.concat(F.lit(DOC_NS), F.col("doc_id").cast("string")).alias("s"),
     )
-    g, s = F.col("g"), F.col("s")
 
-    parts = [
-        d.select(
-            *_row(
-                g, s, RDF + "type", "iri",
-                F.when(F.col("doc_id") % 5 == 0, F.lit(SCHEMA + "Dataset")).otherwise(
-                    F.lit(SCHEMA + "File")
-                ),
-            )
+    base = [
+        _cell(
+            RDF + "type", "iri",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(SCHEMA + "Dataset")).otherwise(
+                F.lit(SCHEMA + "File")
+            ),
         ),
-        d.select(*_row(g, s, SCHEMA + "name", "literal",
-                       F.concat(F.lit("doc-"), F.col("doc_id").cast("string")))),
-        d.select(*_row(g, s, SCHEMA + "identifier", "literal",
-                       F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string")))),
-        d.select(*_row(g, s, SCHEMA + "inLanguage", "literal", F.col("lang"))),
-        d.select(*_row(g, s, SCHEMA + "contentSize", "literal",
-                       F.col("n_chars").cast("string"), datatype=XSD_INTEGER)),
-        d.select(*_row(g, s, SCHEMA + "keywords", "literal",
-                       F.split_part(F.col("text"), F.lit(" "), F.lit(1)))),
-        d.select(*_row(g, s, SCHEMA + "encodingFormat", "literal", F.lit("text/plain"))),
-        d.filter(F.col("n_chars") >= 200).select(
-            *_row(g, s, SCHEMA + "description", "literal", F.substring(F.col("text"), 1, 80))
-        ),
-        d.select(*_row(g, s, SCHEMA + "isPartOf", "iri",
-                       F.concat(F.lit(COLL_NS), (F.col("doc_id") % 7).cast("string")))),
+        _cell(SCHEMA + "name", "literal",
+              F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))),
+        _cell(SCHEMA + "identifier", "literal",
+              F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))),
+        _cell(SCHEMA + "inLanguage", "literal", F.col("lang")),
+        _cell(SCHEMA + "contentSize", "literal",
+              F.col("n_chars").cast("string"), datatype=XSD_INTEGER),
+        _cell(SCHEMA + "keywords", "literal",
+              F.split_part(F.col("text"), F.lit(" "), F.lit(1))),
+        _cell(SCHEMA + "encodingFormat", "literal", F.lit("text/plain")),
+        _cell(SCHEMA + "isPartOf", "iri",
+              F.concat(F.lit(COLL_NS), (F.col("doc_id") % 7).cast("string"))),
         # dcterms:conformsTo profile IRI (search prefilter substrate,
         # operations/src/metadata/api.rs:1165-1180)
-        d.select(*_row(g, s, DCTERMS + "conformsTo", "iri",
-                       F.concat(F.lit(PROFILE_NS), (F.col("doc_id") % 4).cast("string")))),
+        _cell(DCTERMS + "conformsTo", "iri",
+              F.concat(F.lit(PROFILE_NS), (F.col("doc_id") % 4).cast("string"))),
     ]
+    desc = _cell(SCHEMA + "description", "literal",
+                 F.substring(F.col("text"), 1, 80))
+    rows = F.when(F.col("n_chars") >= 200, F.array(*base, desc)).otherwise(
+        F.array(*base)
+    )
+    doc_part = d.select(
+        F.col("g").alias("graph_iri"),
+        F.col("s").alias("subject"),
+        F.explode(rows).alias("r"),
+    ).select("graph_iri", "subject", "r.*")
 
     colls = (
         docs.select((F.col("doc_id") % 7).alias("k"))
@@ -125,21 +136,22 @@ def documents_to_triples(docs: DataFrame) -> DataFrame:
             F.concat(F.lit(COLL_NS), F.col("k").cast("string")).alias("s"),
         )
     )
-    cg, cs = F.col("g"), F.col("s")
-    parts += [
-        colls.select(*_row(cg, cs, RDF + "type", "iri", F.lit(SCHEMA + "Collection"))),
-        colls.select(*_row(cg, cs, SCHEMA + "name", "literal",
-                           F.concat(F.lit("collection-"), F.col("k").cast("string")))),
-        colls.filter(F.col("k") > 0).select(
-            *_row(cg, cs, SCHEMA + "isPartOf", "iri",
-                  F.concat(F.lit(COLL_NS), ((F.col("k") - 1) / 2).cast("long").cast("string")))
-        ),
-    ]
+    ctype = _cell(RDF + "type", "iri", F.lit(SCHEMA + "Collection"))
+    cname = _cell(SCHEMA + "name", "literal",
+                  F.concat(F.lit("collection-"), F.col("k").cast("string")))
+    cpart = _cell(SCHEMA + "isPartOf", "iri",
+                  F.concat(F.lit(COLL_NS),
+                           ((F.col("k") - 1) / 2).cast("long").cast("string")))
+    coll_rows = F.when(F.col("k") > 0, F.array(ctype, cname, cpart)).otherwise(
+        F.array(ctype, cname)
+    )
+    coll_part = colls.select(
+        F.col("g").alias("graph_iri"),
+        F.col("s").alias("subject"),
+        F.explode(coll_rows).alias("r"),
+    ).select("graph_iri", "subject", "r.*")
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return doc_part.unionByName(coll_part)
 
 
 def load_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

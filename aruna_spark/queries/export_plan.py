@@ -725,8 +725,17 @@ _RESOLVE_ORACLE = """
 
 
 def _resolve_frames(spark: SparkSession, sf_dir: str) -> dict:
-    """The lane-built catalog planes the resolve ladder joins."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    """The lane-built catalog planes the resolve ladder joins.
+
+    Execution shape (r15): ONE narrow documents scan materializes per
+    call; every lane plane (entities/buckets/perms/versions/locations/
+    aliases/holders) is a projection of it, so the ladder's joins never
+    re-touch the corpus (was 20+ documents scans, 94 in the full plan)."""
+    from aruna_spark.ops.text import spread_for_cpu
+
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    ).localCheckpoint(eager=True)
     d = F.col("doc_id")
     ds = d.cast("string")
     e = d % 11
@@ -945,6 +954,9 @@ def export_resolve_candidates(
         & (F.col("eff_hash") != F.col("discovered_hash"))
     )
     learned = F.coalesce(F.col("eff_hash"), F.col("discovered_hash"))
+    # doc-count-sized, 9 narrow cols; the alias/holder/unavailable
+    # branches and the final assembly each re-derived the whole
+    # exact-ladder subtree otherwise (4 derivations -> 1)
     st = st.select(
         "doc_id",
         "entity_id",
@@ -955,7 +967,7 @@ def export_resolve_candidates(
         F.col("exact_denied").alias("any_exact_denied"),
         mismatch.alias("mismatch"),
         F.when(~mismatch, learned).alias("hash"),
-    )
+    ).localCheckpoint(eager=True)
     # alias candidates (rs:620-660): realm filter, perm, version-hash
     # match, location-hash match
     al = (
