@@ -225,6 +225,9 @@ def classify_creates(
 ) -> DataFrame:
     """Run a create batch through the mint/resolve ladders — see the
     module doc for the rung order each mode follows."""
+    # r15: the minted and supplied branches each re-derived the request
+    # frame from its corpus scan; materialize the narrow batch once
+    requests = requests.localCheckpoint(eager=True)
     bound = directory.filter(F.col("state") == "bound")
     tuple_min = bound.groupBy(
         "scope_kind", "scope_value", "doc_class", "strategy"

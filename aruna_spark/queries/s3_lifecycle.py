@@ -459,13 +459,17 @@ def copy_objects(versions: DataFrame, copies: DataFrame) -> DataFrame:
     # prune the catalog to the batch's source keys FIRST (broadcast
     # semi-join on the request-sized batch) so the left joins below are
     # batch-sized on both sides — the catalog is never the join's
-    # shuffled side
+    # shuffled side. r15: materialize the request-sized frames once —
+    # the latest/explicit split read the pruned catalog twice, and the
+    # dest-key derivation re-ran the whole resolve pipeline (22 corpus
+    # scans in the plan -> 2).
+    copies = copies.localCheckpoint(eager=True)
     src_keys = copies.select(
         F.col("src_bucket").alias("bucket"), F.col("src_key").alias("key")
     ).distinct()
     src_vers = versions.join(
         F.broadcast(src_keys), ["bucket", "key"], "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     latest = src_vers.filter(F.col("is_latest")).select(
         F.col("bucket").alias("src_bucket"),
         F.col("key").alias("src_key"),
@@ -533,7 +537,9 @@ def copy_objects(versions: DataFrame, copies: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(200))
     )
-    resolved = resolved.withColumn("status", status)
+    resolved = resolved.withColumn("status", status).localCheckpoint(
+        eager=True
+    )  # request-sized; dest_keys, the window and the final join read it
     # destination version minting for the successful copies only
     ok = resolved.filter(F.col("status") == 200)
     dest_keys = ok.select(

@@ -102,6 +102,10 @@ def put_objects(
     one-column ``blob_hash``) overrides the membership relation — the
     facade's single-put route passes the GLOBAL catalog's hashes while
     pruning ``versions`` to the touched key."""
+    # r15: the batch is read three times (touched keys, hash distinct,
+    # the new-version join) and the upsert query's touched-filter reads
+    # it again — materialize the request-sized frame once
+    puts = puts.localCheckpoint(eager=True)
     touched_keys = puts.select("bucket", "key").distinct()
     prior_max = (
         versions.join(F.broadcast(touched_keys), ["bucket", "key"], "left_semi")
@@ -326,7 +330,9 @@ def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
         F.broadcast(reqs.select("bucket", "key").distinct()),
         ["bucket", "key"],
         "left_semi",
-    )
+    ).localCheckpoint(
+        eager=True
+    )  # batch-keyed slice; the latest/explicit split reads it twice
     latest = versions.filter(F.col("is_latest")).select(
         "bucket",
         "key",
@@ -463,7 +469,9 @@ def resolve_objects(versions: DataFrame, reqs: DataFrame) -> DataFrame:
         F.when(k == 5, F.lit(10)).cast("long").alias("range_start"),
         F.when(k == 5, F.lit(99)).cast("long").alias("range_end"),
         F.when(k == 6, F.lit(16)).cast("long").alias("range_suffix"),
-    )
+    ).localCheckpoint(
+        eager=True
+    )  # request-sized; resolve_requests reads it twice (keys + join)
     return resolve_requests(versions, reqs2)
 
 
