@@ -82,21 +82,31 @@ def load_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_of = F.md5(
         F.concat(F.lit("blob:"), F.col("n_chars").cast("string"))
     )
-    primary = d.select(
-        hash_of.alias("blob_hash"),
-        F.concat(F.lit("backend-"), (F.col("n_chars") % 3).cast("string"))
-        .alias("backend"),
+    # r15: ONE corpus scan emits primary + conditional replica/cold
+    # copies (struct array + explode; was a 3-branch union = 3 scans
+    # per consumer, and the rank helper reads this relation twice)
+    primary = F.concat(
+        F.lit("backend-"), (F.col("n_chars") % 3).cast("string")
     )
-    replica = d.filter(F.col("doc_id") % 7 == 1).select(
-        hash_of.alias("blob_hash"),
-        F.concat(
-            F.lit("backend-"), ((F.col("n_chars") + 1) % 3).cast("string")
-        ).alias("backend"),
+    replica = F.concat(
+        F.lit("backend-"), ((F.col("n_chars") + 1) % 3).cast("string")
     )
-    cold = d.filter(F.col("doc_id") % 11 == 5).select(
-        hash_of.alias("blob_hash"), F.lit("cold").alias("backend")
+    has_r = F.col("doc_id") % 7 == 1
+    has_c = F.col("doc_id") % 11 == 5
+    cold = F.lit("cold")
+    backends = (
+        F.when(has_r & has_c, F.array(primary, replica, cold))
+        .when(has_r, F.array(primary, replica))
+        .when(has_c, F.array(primary, cold))
+        .otherwise(F.array(primary))
     )
-    return primary.unionByName(replica).unionByName(cold).distinct()
+    return (
+        d.select(
+            hash_of.alias("blob_hash"),
+            F.explode(backends).alias("backend"),
+        )
+        .distinct()
+    )
 
 
 @register(
@@ -141,9 +151,12 @@ def blob_holders_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def refresh_of(locations: DataFrame) -> DataFrame:
     """The refresh pipeline over any BLOB_LOCATIONS relation
     (blob_hash, backend) — see :func:`blob_holders_refresh`."""
+    # r15: each global_scan_pos reads its input twice (per-bucket totals
+    # + the ranked join), nesting to ~6 derivations of the locations
+    # union — materialize the narrow relation at both rank inputs
     locs = locations.withColumn(
         "__bucket", F.substring("blob_hash", 1, 1)
-    )
+    ).localCheckpoint(eager=True)
     keyed = global_scan_pos(
         locs, ["__bucket"], ["blob_hash", "backend"], out_col="scan_pos"
     )
@@ -151,7 +164,7 @@ def refresh_of(locations: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("copies"),
         F.min("backend").alias("first_backend"),
         F.min("scan_pos").alias("first_scan_pos"),
-    )
+    ).localCheckpoint(eager=True)
     hashes = global_scan_pos(
         hashes.withColumn("__bucket", F.substring("blob_hash", 1, 1)),
         ["__bucket"],

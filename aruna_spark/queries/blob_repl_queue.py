@@ -271,6 +271,10 @@ def classify_drain(
     parameterized on the clock and batch cap so tests can exercise
     the overflow lanes the sf0.001 fixture's due count (< 64) cannot
     reach; the sf0.01 oracle check runs the capped branch for real."""
+    # r15: the loser/winner split, the rank's two reads, the batch head
+    # and the classify join each re-derived the deduped relation (and
+    # its identity window) — materialize the queue-sized frame once
+    jobs = jobs.localCheckpoint(eager=True)
     losers = jobs.filter(~F.col("is_preferred"))
     winners = jobs.filter(F.col("is_preferred"))
     winners = global_scan_pos(
@@ -463,8 +467,12 @@ def blob_replication_drain_result(
     = the gap to the earliest of the next maturing job and the batch's
     own reschedules) and NOW (cap hit → ``next_due_after`` NULL, the
     drain timer re-kicks immediately — queue.rs:1316-1327)."""
-    winners = survivors(load_blob_jobs(spark, sf_dir)).filter(
-        F.col("is_preferred")
+    winners = (
+        survivors(load_blob_jobs(spark, sf_dir))
+        .filter(F.col("is_preferred"))
+        # r15: both clock legs read this three ways each (cap probe,
+        # batch head, future-min) — six derivations of the dedup window
+        .localCheckpoint(eager=True)
     )
     return _drain_result(winners, EARLY_NOW_MS).unionByName(
         _drain_result(winners, NOW_MS)

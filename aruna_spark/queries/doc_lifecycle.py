@@ -258,6 +258,9 @@ def drain_tick(
 
     ``fail`` is the failure-simulation predicate over the group
     columns (None → nothing fails)."""
+    # r15: the due page, the cap probe and the re-arm min each read the
+    # queue (a 3-branch union) — materialize the queue-sized frame once
+    jobs = jobs.localCheckpoint(eager=True)
     key_hash = F.sha2(F.col("graph_iri"), 256)
     page = due_page(
         jobs, now_ms, PRUNE_BATCH_SIZE, [F.col("due_at_ms"), key_hash]
