@@ -299,11 +299,13 @@ def search_buckets(
         "name",
         "group_id",
         "created_at",
-    )
+    ).localCheckpoint(
+        eager=True
+    )  # config-bounded; the gate and the hit join both read it (r15)
     decided = allows(
         cand.select("key"), rules, no_restr, "READ"
     ).filter("allowed")
-    hits = cand.join(decided, "key").select(
+    hits = cand.join(F.broadcast(decided), "key").select(
         "name", "group_id", "created_at"
     )
     limit = min(int(limit), SEARCH_RESULT_CAP)

@@ -367,6 +367,10 @@ def resolve_with_override(
       UNCHANGED by exclusions (like availability, a per-resolution
       reject must not re-rank locations — rs:268-272).
     """
+    # r15: the node catalog feeds the availability view, the location
+    # weights and the per-subject cross join; the override/pin chain is
+    # re-read by the walk legs — materialize the small frames once
+    nodes = nodes.localCheckpoint(eager=True)
     avail = nodes.select(
         "node_id",
         "location",
@@ -411,7 +415,7 @@ def resolve_with_override(
         F.col("__r")["node_id"].alias("node_id"),
         F.col("__r")["location"].alias("location"),
         F.lit(True).alias("pinned"),
-    )
+    ).localCheckpoint(eager=True)
     pin_stats = pin_out.groupBy("subject").agg(
         F.count(F.lit(1)).alias("n_pins"),
         F.collect_set("node_id").alias("pin_nodes"),
@@ -433,7 +437,7 @@ def resolve_with_override(
         F.coalesce("pin_nodes", F.array()).alias("pin_nodes"),
         F.coalesce("pin_locs", F.array()).alias("pin_locs"),
         "excluded",
-    )
+    ).localCheckpoint(eager=True)
     pn = subs.crossJoin(F.broadcast(nodes)).select(
         "subject",
         "n_pins",

@@ -188,12 +188,15 @@ def dashboard_epochs(events: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
         ).alias("n_relevant"),
     )
     bump = (F.col("n_relevant") > 0).cast("int")
+    # r15: both frames are time-span-bounded (one row per debounce
+    # window / per hour); materialize them once — the three prefix
+    # levels otherwise re-run the events groupBy up to six times
     bucketed = per_window.withColumn(
         "bucket", F.date_trunc("hour", F.col("w.start"))
-    ).withColumn("bump", bump)
+    ).withColumn("bump", bump).localCheckpoint(eager=True)
     hours = bucketed.groupBy(
         F.date_trunc("month", F.col("bucket")).alias("mon"), "bucket"
-    ).agg(F.sum("bump").alias("n_bumps"))
+    ).agg(F.sum("bump").alias("n_bumps")).localCheckpoint(eager=True)
     months = hours.groupBy("mon").agg(F.sum("n_bumps").alias("mon_bumps"))
     earlier = months.select(
         F.col("mon").alias("mon2"), F.col("mon_bumps").alias("mb2")
