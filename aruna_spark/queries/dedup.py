@@ -1019,7 +1019,10 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " a -> element_at(h, CAST(a + 1 AS INT)))"
             )
         ).alias("key"),
-    )
+    ).localCheckpoint(
+        eager=True
+    )  # r15: the key counts and the join-back otherwise each re-run
+    # the tokenize+hash+winnowing-select pipeline (the heavy compute)
     keys = win.groupBy("key").agg(
         F.countDistinct("doc_id").alias("nd")
     )

@@ -123,7 +123,10 @@ def handle_range_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     grants still occupy their bands: fail-closed means a conflicted
     band is neither allocatable nor re-grantable). Grants are
     metadata-sized; the overlap check is one broadcast self-join."""
-    grants = _load_grants(spark, sf_dir)
+    # r15: the overlap probe, divergence check and anti-join all read
+    # the grant relation; the walk reads the surviving set twice —
+    # materialize both metadata-sized frames once
+    grants = _load_grants(spark, sf_dir).localCheckpoint(eager=True)
     b = grants.select(
         F.col("range_id").alias("rid_b"),
         F.col("start").alias("start_b"),
@@ -264,7 +267,10 @@ def handle_allocation_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned window on a metadata relation)."""
     from pyspark.sql.window import Window
 
-    grants = _load_grants(spark, sf_dir)
+    # r15: the overlap probe, divergence check and anti-join all read
+    # the grant relation; the walk reads the surviving set twice —
+    # materialize both metadata-sized frames once
+    grants = _load_grants(spark, sf_dir).localCheckpoint(eager=True)
     b = grants.select(
         F.col("range_id").alias("rid_b"),
         F.col("start").alias("start_b"),
@@ -297,7 +303,7 @@ def handle_allocation_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "prefix",
         F.coalesce(F.sum("capacity").over(w), F.lit(0)).cast("long"),
-    )
+    ).localCheckpoint(eager=True)
     numbered = (
         granted.select("owner")
         .distinct()

@@ -797,8 +797,15 @@ def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import plan: candidate matching, the three fail-closed ladders,
     Imported/Unlisted coding, target keys under the cap, and the
     signature-drop flag. Joins are payload-path keyed (explode of ≤2
-    candidates per declared id); per-archive aggregation, no window."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    candidates per declared id); per-archive aggregation, no window.
+
+    r15: the narrow doc-key frame materializes once — the payload,
+    signature and declared-id lane families each re-scanned it."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     d = F.col("doc_id")
     lane = d % 6
     arc = F.concat(F.lit("arc-"), d.cast("string"))

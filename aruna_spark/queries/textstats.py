@@ -465,8 +465,14 @@ def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles(toks, 2).alias("g2"),
         shingles(toks, 5).alias("g5"),
     )
-    winners = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = base.join(winners, ["fp", "doc_id"], "inner")
+    # r15: the winner is min(doc_id) over the fingerprint partition —
+    # one shuffle, no groupBy + join-back re-deriving the tokenized
+    # corpus (the shingle arrays are column-pruned out of the window)
+    from pyspark.sql import Window
+
+    kept = base.withColumn(
+        "__w", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("__w")).drop("__w")
 
     nw, dw = F.size("toks"), F.size(F.array_distinct("toks"))
     n2 = F.coalesce(F.size("g2"), F.lit(0))
