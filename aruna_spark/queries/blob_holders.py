@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.ordering import global_scan_pos
 from aruna_spark.queries import register
@@ -156,7 +158,7 @@ def refresh_of(locations: DataFrame) -> DataFrame:
     # union — materialize the narrow relation at both rank inputs
     locs = locations.withColumn(
         "__bucket", F.substring("blob_hash", 1, 1)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     keyed = global_scan_pos(
         locs, ["__bucket"], ["blob_hash", "backend"], out_col="scan_pos"
     )
@@ -164,7 +166,7 @@ def refresh_of(locations: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("copies"),
         F.min("backend").alias("first_backend"),
         F.min("scan_pos").alias("first_scan_pos"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     hashes = global_scan_pos(
         hashes.withColumn("__bucket", F.substring("blob_hash", 1, 1)),
         ["__bucket"],

@@ -59,6 +59,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.ordering import global_scan_pos
 from aruna_spark.ops.queue_drain import backoff_ms
@@ -274,7 +276,7 @@ def classify_drain(
     # r15: the loser/winner split, the rank's two reads, the batch head
     # and the classify join each re-derived the deduped relation (and
     # its identity window) — materialize the queue-sized frame once
-    jobs = jobs.localCheckpoint(eager=True)
+    jobs = jobs.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     losers = jobs.filter(~F.col("is_preferred"))
     winners = jobs.filter(F.col("is_preferred"))
     winners = global_scan_pos(
@@ -472,7 +474,7 @@ def blob_replication_drain_result(
         .filter(F.col("is_preferred"))
         # r15: both clock legs read this three ways each (cap probe,
         # batch head, future-min) — six derivations of the dedup window
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     return _drain_result(winners, EARLY_NOW_MS).unionByName(
         _drain_result(winners, NOW_MS)

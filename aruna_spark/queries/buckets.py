@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
 from aruna_spark.sources.objects import (
@@ -75,7 +77,7 @@ def load_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three times (page head, total, token) — materialize per call so
     # the corpus scan runs once (localCheckpoint: nothing outlives the
     # invocation).
-    return static.unionByName(archives).localCheckpoint(eager=True)
+    return static.unionByName(archives).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
 
 
 def bucket_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,9 +301,7 @@ def search_buckets(
         "name",
         "group_id",
         "created_at",
-    ).localCheckpoint(
-        eager=True
-    )  # config-bounded; the gate and the hit join both read it (r15)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # config-bounded; the gate and the hit join both read it (r15)
     decided = allows(
         cand.select("key"), rules, no_restr, "READ"
     ).filter("allowed")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ingest.doc_triples import DOC_NS, GRAPH_NS
 from aruna_spark.ops.admin_reduce import reduce_admin_paths
@@ -534,10 +536,10 @@ def crdt_admin_seed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (tiny: ~8 rows/doc) event feed once — the
     # domination self-join reads it twice and localCheckpoint is
     # per-invocation (recomputed every call; nothing survives a run).
-    events = _admin_seed_events(spark, sf_dir).localCheckpoint(eager=True)
+    events = _admin_seed_events(spark, sf_dir).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     reduced = reduce_admin_paths(
         events, ["target_kind", "target_id"]
-    ).localCheckpoint(eager=True)  # feeds roles/assigns/base (3 subtrees)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # feeds roles/assigns/base (3 subtrees)
     key = ["target_kind", "target_id"]
     # F.get (not []) — ANSI mode raises on out-of-range [] even behind
     # a size() filter (the projection can evaluate before the filter
@@ -831,7 +833,7 @@ def crdt_realm_quota_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Next #6). localCheckpoint, not cache(): a cache() entry outlives
     # the call and a repeated bench invocation would silently reuse it
     # (cross-run caching); the checkpoint is recomputed per call.
-    dim = _realm_quota_dim(spark, sf_dir).localCheckpoint(eager=True)
+    dim = _realm_quota_dim(spark, sf_dir).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     events = _realm_quota_events(dim)
     key = ["realm_id"]
     reduced = reduce_admin_paths(events, key)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.text import (
     DUCK_HASH64,
@@ -547,7 +549,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         _verified_pairs(sets, band_join(lsh_band_store(spark, sf_dir)))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     labels = _min_label_components(pairs)
     return labels.groupBy("label").agg(
@@ -571,7 +573,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     )
     labels = edges.select("n").distinct().select(
         "n", F.col("n").alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     for _ in range(20):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("n", "m2"),
@@ -585,7 +587,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 "n",
                 F.least(F.col("label"), F.col("nbr_label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
         )
         changed = (
             new_labels.alias("x")
@@ -729,7 +731,7 @@ def dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         _verified_pairs(sets, band_join(bands))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     labels = _min_label_components(pairs)
     return (
@@ -1019,9 +1021,7 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " a -> element_at(h, CAST(a + 1 AS INT)))"
             )
         ).alias("key"),
-    ).localCheckpoint(
-        eager=True
-    )  # r15: the key counts and the join-back otherwise each re-run
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # r15: the key counts and the join-back otherwise each re-run
     # the tokenize+hash+winnowing-select pipeline (the heavy compute)
     keys = win.groupBy("key").agg(
         F.countDistinct("doc_id").alias("nd")

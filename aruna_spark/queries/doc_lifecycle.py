@@ -72,6 +72,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ingest.doc_triples import GRAPH_NS, TRIPLES_ORACLE_SQL
 from aruna_spark.ops.queue_drain import (  # noqa: F401 (re-exported)
@@ -260,7 +262,7 @@ def drain_tick(
     columns (None → nothing fails)."""
     # r15: the due page, the cap probe and the re-arm min each read the
     # queue (a 3-branch union) — materialize the queue-sized frame once
-    jobs = jobs.localCheckpoint(eager=True)
+    jobs = jobs.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     key_hash = F.sha2(F.col("graph_iri"), 256)
     page = due_page(
         jobs, now_ms, PRUNE_BATCH_SIZE, [F.col("due_at_ms"), key_hash]

@@ -55,6 +55,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.placement import (
     ROLE_SHARD,
@@ -227,7 +229,7 @@ def classify_creates(
     module doc for the rung order each mode follows."""
     # r15: the minted and supplied branches each re-derived the request
     # frame from its corpus scan; materialize the narrow batch once
-    requests = requests.localCheckpoint(eager=True)
+    requests = requests.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     bound = directory.filter(F.col("state") == "bound")
     tuple_min = bound.groupBy(
         "scope_kind", "scope_value", "doc_class", "strategy"

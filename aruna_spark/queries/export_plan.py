@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
 
@@ -735,7 +737,7 @@ def _resolve_frames(spark: SparkSession, sf_dir: str) -> dict:
 
     docs = spread_for_cpu(
         load_table(spark, sf_dir, "documents").select("doc_id")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     d = F.col("doc_id")
     ds = d.cast("string")
     e = d % 11
@@ -967,7 +969,7 @@ def export_resolve_candidates(
         F.col("exact_denied").alias("any_exact_denied"),
         mismatch.alias("mismatch"),
         F.when(~mismatch, learned).alias("hash"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     # alias candidates (rs:620-660): realm filter, perm, version-hash
     # match, location-hash match
     al = (

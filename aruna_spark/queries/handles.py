@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
 
@@ -126,7 +128,7 @@ def handle_range_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: the overlap probe, divergence check and anti-join all read
     # the grant relation; the walk reads the surviving set twice —
     # materialize both metadata-sized frames once
-    grants = _load_grants(spark, sf_dir).localCheckpoint(eager=True)
+    grants = _load_grants(spark, sf_dir).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     b = grants.select(
         F.col("range_id").alias("rid_b"),
         F.col("start").alias("start_b"),
@@ -270,7 +272,7 @@ def handle_allocation_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: the overlap probe, divergence check and anti-join all read
     # the grant relation; the walk reads the surviving set twice —
     # materialize both metadata-sized frames once
-    grants = _load_grants(spark, sf_dir).localCheckpoint(eager=True)
+    grants = _load_grants(spark, sf_dir).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     b = grants.select(
         F.col("range_id").alias("rid_b"),
         F.col("start").alias("start_b"),
@@ -303,7 +305,7 @@ def handle_allocation_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "prefix",
         F.coalesce(F.sum("capacity").over(w), F.lit(0)).cast("long"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     numbered = (
         granted.select("owner")
         .distinct()

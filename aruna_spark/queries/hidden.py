@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
 from aruna_spark.queries.jobs import _JOBS_SQL, load_jobs
@@ -340,7 +342,7 @@ def blobs_hidden_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .filter((k % 9 == 2) | (k % 9 == 7))
         .select(k.cast("long").alias("k0"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     jobs = _jobs_annotated(spark, sf_dir, keys=keys)
     uploads = load_uploads_hidden(spark, sf_dir, jobs=jobs)

@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.text import hash64
 from aruna_spark.queries import register
@@ -175,7 +177,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_features(docs, "__is_t")
         .groupBy("doc_id", "__is_t", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     counts = dbc.groupBy("bucket").agg(
         F.sum("c").cast("long").alias("q"),
@@ -209,7 +211,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("score_num"),
         )
-        .localCheckpoint(eager=True)  # feeds the top-K AND the output
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # feeds the top-K AND the output
     )
     top = (
         scored.orderBy(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ingest.doc_triples import (
     GRAPH_NS,
@@ -804,7 +806,7 @@ def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     d = F.col("doc_id")
     lane = d % 6

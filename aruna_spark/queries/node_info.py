@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.placement import (
     ROLE_LOCATION,
@@ -97,7 +99,7 @@ def held_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than once), so materialize the tiny result per call instead of
     # replicating the derivation through each reference (localCheckpoint
     # is per-invocation — nothing survives a run).
-    return out.localCheckpoint(eager=True)
+    return out.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
 
 
 def load_registry_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,7 +259,7 @@ def node_info_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_groups = (
         docs.groupBy("is_nil", "strategy", "shard")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     nil_total = doc_groups.filter("is_nil").agg(
         F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("nil_docs")

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.placement import (
     ROLE_LOCATION,
@@ -370,7 +372,7 @@ def resolve_with_override(
     # r15: the node catalog feeds the availability view, the location
     # weights and the per-subject cross join; the override/pin chain is
     # re-read by the walk legs — materialize the small frames once
-    nodes = nodes.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     avail = nodes.select(
         "node_id",
         "location",
@@ -415,7 +417,7 @@ def resolve_with_override(
         F.col("__r")["node_id"].alias("node_id"),
         F.col("__r")["location"].alias("location"),
         F.lit(True).alias("pinned"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     pin_stats = pin_out.groupBy("subject").agg(
         F.count(F.lit(1)).alias("n_pins"),
         F.collect_set("node_id").alias("pin_nodes"),
@@ -437,7 +439,7 @@ def resolve_with_override(
         F.coalesce("pin_nodes", F.array()).alias("pin_nodes"),
         F.coalesce("pin_locs", F.array()).alias("pin_locs"),
         "excluded",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     pn = subs.crossJoin(F.broadcast(nodes)).select(
         "subject",
         "n_pins",

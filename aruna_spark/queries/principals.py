@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.pagination import bounded_rank
 from aruna_spark.queries import register
@@ -430,7 +432,7 @@ def subject_closure_of(pairs: DataFrame) -> DataFrame:
         .filter(F.col("user_id") != F.col("a"))
         .select(F.col("a").alias("doc_a"), F.col("user_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     labels = _min_label_components(edges)
     merged = labels.join(pairs, labels["n"] == pairs["user_id"])

@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
 from aruna_spark.sources.objects import (
@@ -230,7 +232,7 @@ def _delete_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 17 == 2, F.lit("v0")).alias(
             "want_version_id"
         ),
-    ).localCheckpoint(eager=True)  # request-sized; read 4-5x per query
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # request-sized; read 4-5x per query
 
 
 _D_DELETES = """
@@ -339,7 +341,7 @@ def _mixed_delete_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("want_version_id"),
     )
     # request-sized; the envelope + apply pipelines read it 8x
-    return versioned.unionByName(unversioned).localCheckpoint(eager=True)
+    return versioned.unionByName(unversioned).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
 
 
 @register(
@@ -382,11 +384,9 @@ def s3_delete_mixed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["bucket", "key"],
             "left_semi",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
-    env = delete_results(versions, deletes).localCheckpoint(
-        eager=True
-    )  # batch-sized; the removed/minted splits each read it
+    env = delete_results(versions, deletes).localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # batch-sized; the removed/minted splits each read it
     removed = env.filter(~F.col("delete_marker")).select(
         "bucket",
         "key",
@@ -463,13 +463,13 @@ def copy_objects(versions: DataFrame, copies: DataFrame) -> DataFrame:
     # the latest/explicit split read the pruned catalog twice, and the
     # dest-key derivation re-ran the whole resolve pipeline (22 corpus
     # scans in the plan -> 2).
-    copies = copies.localCheckpoint(eager=True)
+    copies = copies.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     src_keys = copies.select(
         F.col("src_bucket").alias("bucket"), F.col("src_key").alias("key")
     ).distinct()
     src_vers = versions.join(
         F.broadcast(src_keys), ["bucket", "key"], "left_semi"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     latest = src_vers.filter(F.col("is_latest")).select(
         F.col("bucket").alias("src_bucket"),
         F.col("key").alias("src_key"),
@@ -537,9 +537,7 @@ def copy_objects(versions: DataFrame, copies: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(200))
     )
-    resolved = resolved.withColumn("status", status).localCheckpoint(
-        eager=True
-    )  # request-sized; dest_keys, the window and the final join read it
+    resolved = resolved.withColumn("status", status).localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # request-sized; dest_keys, the window and the final join read it
     # destination version minting for the successful copies only
     ok = resolved.filter(F.col("status") == 200)
     dest_keys = ok.select(

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
 from aruna_spark.sources.objects import OBJECTS_ORACLE_SQL, load_object_versions
@@ -105,7 +107,7 @@ def put_objects(
     # r15: the batch is read three times (touched keys, hash distinct,
     # the new-version join) and the upsert query's touched-filter reads
     # it again — materialize the request-sized frame once
-    puts = puts.localCheckpoint(eager=True)
+    puts = puts.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     touched_keys = puts.select("bucket", "key").distinct()
     prior_max = (
         versions.join(F.broadcast(touched_keys), ["bucket", "key"], "left_semi")
@@ -330,9 +332,7 @@ def resolve_requests(versions: DataFrame, reqs: DataFrame) -> DataFrame:
         F.broadcast(reqs.select("bucket", "key").distinct()),
         ["bucket", "key"],
         "left_semi",
-    ).localCheckpoint(
-        eager=True
-    )  # batch-keyed slice; the latest/explicit split reads it twice
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # batch-keyed slice; the latest/explicit split reads it twice
     latest = versions.filter(F.col("is_latest")).select(
         "bucket",
         "key",
@@ -469,9 +469,7 @@ def resolve_objects(versions: DataFrame, reqs: DataFrame) -> DataFrame:
         F.when(k == 5, F.lit(10)).cast("long").alias("range_start"),
         F.when(k == 5, F.lit(99)).cast("long").alias("range_end"),
         F.when(k == 6, F.lit(16)).cast("long").alias("range_suffix"),
-    ).localCheckpoint(
-        eager=True
-    )  # request-sized; resolve_requests reads it twice (keys + join)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # request-sized; resolve_requests reads it twice (keys + join)
     return resolve_requests(versions, reqs2)
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ingest.doc_triples import TRIPLES_ORACLE_SQL
 from aruna_spark.queries import register
@@ -470,7 +472,7 @@ def search_describe_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         scored.orderBy(F.desc("score_q"), "graph_iri", "subject")
         .limit(10)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     descr = (
         triples.join(

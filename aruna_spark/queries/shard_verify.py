@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.ops.placement import (
     ROLE_LOCATION,
     ROLE_NODE,
@@ -284,6 +286,6 @@ def shard_verification_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ≤ 64·3 rows behind the rendezvous pipeline; the classify
         # ladder reads it three ways (mine / co-counts / first-co) —
         # materialize per call instead of re-deriving per reference
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     return classify_held_shards(holders, LOCAL_NODE)

@@ -30,6 +30,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.queries import register
 
@@ -1619,7 +1621,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "n_copies",
         _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     n_cells = sqrt_cells(emb.count())
     cents = sqrt_centroids_df(spark, n_cells).select(
         "cell",
@@ -1654,7 +1656,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     simmed = (
         emb.join(best, "vec_id")
         .repartition(F.col("cell"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     a = simmed.select(
         F.col("vec_id").alias("va"),

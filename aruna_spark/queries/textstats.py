@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.text import (
     DUCK_HASH64,
@@ -749,7 +751,7 @@ def textstats_char_lm_quality(
     dtc = (
         tri.groupBy("doc_id", "tri")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     )
     model = dtc.groupBy("tri").agg(F.sum("c").cast("long").alias("cnt"))
     tot = model.agg(F.sum("cnt").cast("long").alias("total"))
@@ -771,7 +773,7 @@ def textstats_char_lm_quality(
                 "typicality_ppm"
             ),
         )
-        .localCheckpoint(eager=True)  # feeds the mean AND the output
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)  # feeds the mean AND the output
     )
     mean_t = scored.agg(
         F.expr(

@@ -28,6 +28,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.sparql import algebra as A
 from aruna_spark.sparql.terms import (
     TERM_SCHEMA,
@@ -719,9 +721,7 @@ class Compiler:
             # checkpoint the edge set ONCE — it feeds every iteration's
             # join, and without this each round would repeat the edge-
             # derivation shuffle (distinct) from scratch
-            edges = self._path_edges(p.inner, graph).localCheckpoint(
-                eager=True
-            )
+            edges = self._path_edges(p.inner, graph).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
 
             # semi-naive deltas: only each round's NEW pairs are
             # materialized; the running closure stays a lazy union of
@@ -743,7 +743,7 @@ class Compiler:
                 closure_so_far = reduce(DataFrame.unionByName, deltas)
                 new = step.join(
                     closure_so_far, ["src", "dst"], "left_anti"
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
                 if not new.take(1):
                     break
                 deltas.append(new)

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aruna_spark.ops.mat import DISK_ONLY
+
 from aruna_spark.ops.globs import glob_to_regex
 
 DEBOUNCE = "2 seconds"  # interest.rs:32-37
@@ -193,10 +195,10 @@ def dashboard_epochs(events: DataFrame, debounce: str = DEBOUNCE) -> DataFrame:
     # levels otherwise re-run the events groupBy up to six times
     bucketed = per_window.withColumn(
         "bucket", F.date_trunc("hour", F.col("w.start"))
-    ).withColumn("bump", bump).localCheckpoint(eager=True)
+    ).withColumn("bump", bump).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     hours = bucketed.groupBy(
         F.date_trunc("month", F.col("bucket")).alias("mon"), "bucket"
-    ).agg(F.sum("bump").alias("n_bumps")).localCheckpoint(eager=True)
+    ).agg(F.sum("bump").alias("n_bumps")).localCheckpoint(eager=True, storageLevel=DISK_ONLY)
     months = hours.groupBy("mon").agg(F.sum("n_bumps").alias("mon_bumps"))
     earlier = months.select(
         F.col("mon").alias("mon2"), F.col("mon_bumps").alias("mb2")
