@@ -405,9 +405,17 @@ def s3_abort_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Abort batch applied: upload records AND part rows removed
     together; the summary pins before/after cardinalities plus the
     204/404 envelope split."""
+    from aruna_spark.ops.mat import DISK_ONLY
+
     uploads = load_uploads(spark, sf_dir)
     parts = load_part_events(spark, sf_dir)
-    aborts = _abort_batch(spark, sf_dir)
+    # the request-sized abort batch feeds THREE consumers (the 204/404
+    # envelope plus both membership flags); materialize it once so each
+    # broadcast build reads the tiny frame instead of re-deriving its
+    # documents scan
+    aborts = _abort_batch(spark, sf_dir).localCheckpoint(
+        eager=True, storageLevel=DISK_ONLY
+    )
     res = abort_results(uploads, aborts)
     # before/after in ONE pass per relation: flag membership in the
     # (broadcast, request-sized) abort set, then conditional sums —

@@ -154,7 +154,12 @@ def search_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 score bucket are never skipped (search_cursor.rs:740-782 is the
     reference's test of exactly this invariant).
     """
-    scored = _scored(spark, sf_dir, QUERY_TEXT)
+    # the scored relation feeds BOTH the page-1 watermark derivation and
+    # the keyset pass; materialize it once so the BM25 scoring leg (the
+    # postings/dl/stats join chain) runs once instead of twice
+    scored = _scored(spark, sf_dir, QUERY_TEXT).localCheckpoint(
+        eager=True, storageLevel=DISK_ONLY
+    )
     # watermark = page 1's LAST row in merge order, derived distributed:
     # orderBy+limit is a TakeOrderedAndProject (top-k per partition, then
     # a k-row merge), and the last row of those k is a 1-row max_by

@@ -563,7 +563,15 @@ def stream_mark_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_N_HORIZON_RECIPIENT, None, _N_UP_TO_MS)],
         "recipient long, notification_id long, up_to_ms long",
     )
-    applied = mark_read(inbox, ids.unionByName(horizon))
+    from aruna_spark.ops.mat import DISK_ONLY
+
+    # the request-sized mark batch is read twice inside mark_read (the
+    # explicit-id lane and the horizon lane); materialize it once so
+    # neither broadcast build re-derives the inbox events scan
+    marks = ids.unionByName(horizon).localCheckpoint(
+        eager=True, storageLevel=DISK_ONLY
+    )
+    applied = mark_read(inbox, marks)
     return (
         applied.filter(
             F.col("recipient").isin(_N_RECIPIENT, _N_HORIZON_RECIPIENT)
