@@ -410,9 +410,16 @@ def registry_subject_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_subject_closure.py). The edge table is O(users with a
     shared subject), never O(users)."""
     claims = load_subject_claims(spark, sf_dir)
-    pairs = claims.select(
-        "user_id", F.explode("subject_ids").alias("subject_id")
-    ).distinct()
+    # the pair relation is read three times downstream (conflict
+    # grouping, edge join, final merge join); materialize it once so
+    # the claims scan + explode + distinct run once per invocation
+    pairs = (
+        claims.select(
+            "user_id", F.explode("subject_ids").alias("subject_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
+    )
     return subject_closure_of(pairs)
 
 
