@@ -132,7 +132,14 @@ def notify_inbox_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-resolved per dispatch), with the node-05 locally-held flag the
     subscription filter uses. The oracle re-ranks through pairwise
     precedence counting — an independent mechanism."""
-    subjects = _inbox_subjects(spark, sf_dir)
+    from aruna_spark.ops.mat import DISK_ONLY
+
+    # the subject lane (1/37th of customers) feeds both the rendezvous
+    # walk and the final user join; materialize it once so neither
+    # consumer re-scans the customer table
+    subjects = _inbox_subjects(spark, sf_dir).localCheckpoint(
+        eager=True, storageLevel=DISK_ONLY
+    )
     holders = resolve_holders(
         load_nodes(spark, sf_dir), subjects.select("subject"), 1
     )

@@ -596,7 +596,14 @@ def search_perfield_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             [-F.col(score_name), F.col("graph_iri"), F.col("subject")],
             rank_name,
         )
-        return ranked.withColumn(rank_name, F.col(rank_name).cast("long"))
+        # each leg is a full BM25 scoring pipeline collapsed to <=
+        # MAX_DEPTH rows; materializing the ranked page truncates the
+        # two scoring plans out of the final join's optimization pass
+        # (driver build time was half this query's wall clock)
+        return (
+            ranked.withColumn(rank_name, F.col(rank_name).cast("long"))
+            .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
+        )
 
     pf_rank = _ranked(pf, "score_pf", "rank_pf")
     mg_rank = _ranked(mg, "score_m", "rank_m")
