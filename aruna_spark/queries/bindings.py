@@ -96,7 +96,10 @@ def resolve_strategy_binding(
     corpus-sized target_id, a join-back, plus two dimension joins)
     paid three exchanges and re-scanned the targets twice for a
     five-row lookup table (r15: 3.3 s -> 0.9 s at sf0.1)."""
-    rows = bindings.coalesce(1).collect()
+    # plain collect: a coalesce(1) here was measured at ~5 s — the
+    # single merged task computes every parent partition of the
+    # Python-created frame sequentially through the Python runner
+    rows = bindings.collect()
     # longest-prefix rung: evaluate prefixes longest-first so the first
     # matching WHEN is the max_by(length) winner (segment-boundary or
     # exact match; the empty prefix matches everything at rank 0)

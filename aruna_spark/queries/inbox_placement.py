@@ -136,9 +136,10 @@ def notify_inbox_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the subject lane (1/37th of customers) feeds both the rendezvous
     # walk and the final user join; materialize it once so neither
-    # consumer re-scans the customer table
+    # consumer re-scans the customer table (lazy — an eager build job
+    # would serialize in front of the walk)
     subjects = _inbox_subjects(spark, sf_dir).localCheckpoint(
-        eager=True, storageLevel=DISK_ONLY
+        eager=False, storageLevel=DISK_ONLY
     )
     holders = resolve_holders(
         load_nodes(spark, sf_dir), subjects.select("subject"), 1

@@ -599,10 +599,13 @@ def search_perfield_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each leg is a full BM25 scoring pipeline collapsed to <=
         # MAX_DEPTH rows; materializing the ranked page truncates the
         # two scoring plans out of the final join's optimization pass
-        # (driver build time was half this query's wall clock)
+        # (driver build time was half this query's wall clock). LAZY
+        # checkpoint: an eager one was measured SLOWER — it serializes
+        # the two legs into sequential jobs, where the single final
+        # action runs their stages concurrently
         return (
             ranked.withColumn(rank_name, F.col(rank_name).cast("long"))
-            .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
+            .localCheckpoint(eager=False, storageLevel=DISK_ONLY)
         )
 
     pf_rank = _ranked(pf, "score_pf", "rank_pf")

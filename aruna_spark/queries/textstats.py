@@ -1094,12 +1094,14 @@ def textstats_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the profile is bounded (langs x K_LANG rows) but its lineage is a
     # full train-split explode + shuffle + window; it feeds TWO broadcast
     # builds (the langs dimension and the profile join), each of which
-    # re-ran that pipeline — materialize it once per invocation
+    # re-ran that pipeline — materialize it once per invocation. LAZY:
+    # an eager checkpoint serializes the train pipeline in front of the
+    # (independent) test-split pipeline instead of overlapping them
     lang_prof = (
         lang_counts.withColumn("rk", F.row_number().over(wl))
         .filter(F.col("rk") <= LANGID_K_LANG)
         .select("lang", "tri", "rk")
-        .localCheckpoint(eager=True, storageLevel=DISK_ONLY)
+        .localCheckpoint(eager=False, storageLevel=DISK_ONLY)
     )
     test = tri.filter(F.col("doc_id") % LANGID_TRAIN_MOD >= 3)
     doc_counts = test.groupBy(
