@@ -132,15 +132,13 @@ def notify_inbox_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-resolved per dispatch), with the node-05 locally-held flag the
     subscription filter uses. The oracle re-ranks through pairwise
     precedence counting — an independent mechanism."""
-    from aruna_spark.ops.mat import DISK_ONLY
-
-    # the subject lane (1/37th of customers) feeds both the rendezvous
-    # walk and the final user join; materialize it once so neither
-    # consumer re-scans the customer table (lazy — an eager build job
-    # would serialize in front of the walk)
-    subjects = _inbox_subjects(spark, sf_dir).localCheckpoint(
-        eager=False, storageLevel=DISK_ONLY
-    )
+    # NOTE (r15): a localCheckpoint of the subject lane (it feeds the
+    # rendezvous walk AND the final user join) was tried and REVERTED:
+    # checkpointed relations lose their size estimates, so the
+    # un-hinted joins downstream stopped broadcasting the tiny lane
+    # and the query regressed 3.1 -> 5.8 s at sf1. The duplicate
+    # customer scan is the cheaper evil.
+    subjects = _inbox_subjects(spark, sf_dir)
     holders = resolve_holders(
         load_nodes(spark, sf_dir), subjects.select("subject"), 1
     )

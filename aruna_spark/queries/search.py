@@ -596,17 +596,14 @@ def search_perfield_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             [-F.col(score_name), F.col("graph_iri"), F.col("subject")],
             rank_name,
         )
-        # each leg is a full BM25 scoring pipeline collapsed to <=
-        # MAX_DEPTH rows; materializing the ranked page truncates the
-        # two scoring plans out of the final join's optimization pass
-        # (driver build time was half this query's wall clock). LAZY
-        # checkpoint: an eager one was measured SLOWER — it serializes
-        # the two legs into sequential jobs, where the single final
-        # action runs their stages concurrently
-        return (
-            ranked.withColumn(rank_name, F.col(rank_name).cast("long"))
-            .localCheckpoint(eager=False, storageLevel=DISK_ONLY)
-        )
+        # NOTE (r15): checkpointing the <=1000-row ranked page (to
+        # truncate the scoring plan out of the final join's
+        # optimization) was tried both eager and lazy and REVERTED:
+        # eager serializes the two otherwise-concurrent legs, and
+        # either form erases the page's size estimate so the final
+        # un-hinted join stops broadcasting. Measured noise-neutral at
+        # best; the plain shape keeps the broadcast.
+        return ranked.withColumn(rank_name, F.col(rank_name).cast("long"))
 
     pf_rank = _ranked(pf, "score_pf", "rank_pf")
     mg_rank = _ranked(mg, "score_m", "rank_m")
