@@ -125,24 +125,30 @@ def measure(spark, sf_dir: str) -> dict:
     # Warmup: execute every query once UNTIMED through the same
     # noop-write path, so JVM/codegen/fs-cache warmup is paid before any
     # timer starts (the first timed query otherwise absorbs ~10-20 s of it).
+    sc = spark.sparkContext
     for name in names:
         fn, _ = REGISTRY[name]
+        sc.setJobDescription(f"warmup: {name}")
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Min of two timed runs per query: transient host contention (other
     # tenants on this VM) was observed inflating single runs 3-6x; the
     # min is the steady-state capability of the plan, which is what
-    # round-over-round comparison needs.
+    # round-over-round comparison needs. Jobs are labelled per query
+    # (guide §1.5) so the UI / history server maps stages back to
+    # queries; the label call is driver-side and set BEFORE the timer.
     times: dict[str, float] = {}
     for name in names:
         fn, _ = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
+            sc.setJobDescription(f"bench: {name} (run {i + 1})")
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+    sc.setJobDescription(None)
 
     # Document-create throughput — the reference's only published
     # performance gate (BASELINE.md: best >= 1,000 doc-creates/s,
