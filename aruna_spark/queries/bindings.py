@@ -59,6 +59,12 @@ STRATEGIES = (
 )
 DEFAULT_STRATEGY = "strat-def"
 
+# resolve_strategy_binding folds the bindings relation into driver-side
+# CASE cascades — sound only for a config-sized dimension. The
+# reference holds bindings inside ONE realm config document, so a few
+# thousand rungs is already far past anything real.
+_MAX_BINDINGS = 10_000
+
 
 def load_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("doc_id")
@@ -99,7 +105,23 @@ def resolve_strategy_binding(
     # plain collect: a coalesce(1) here was measured at ~5 s — the
     # single merged task computes every parent partition of the
     # Python-created frame sequentially through the Python runner
-    rows = bindings.collect()
+    rows = bindings.limit(_MAX_BINDINGS + 1).collect()
+    # guard the config-sized assumption (ADVICE r15): an oversized
+    # bindings relation must fail loudly, not OOM the driver, and a
+    # duplicate (scope_kind, scope_value) row must not silently resolve
+    # to whichever row the collect returned last
+    if len(rows) > _MAX_BINDINGS:
+        raise ValueError(
+            f"bindings relation exceeds {_MAX_BINDINGS} rows — "
+            "not a config-sized dimension; refusing to fold to CASE maps"
+        )
+    seen_scopes = [(r["scope_kind"], r["scope_value"]) for r in rows]
+    if len(set(seen_scopes)) != len(seen_scopes):
+        raise ValueError(
+            "duplicate (scope_kind, scope_value) in bindings — the CASE "
+            "fold would pick an arbitrary winner where the old join "
+            "shape duplicated the target rows"
+        )
     # longest-prefix rung: evaluate prefixes longest-first so the first
     # matching WHEN is the max_by(length) winner (segment-boundary or
     # exact match; the empty prefix matches everything at rank 0)

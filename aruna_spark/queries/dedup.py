@@ -399,14 +399,19 @@ def _ppjoin_pairs(
     )
     # Two-step verify. Step 1 intersects the xxhash64'd shingle arrays
     # (long-array set ops are ~2.5x faster than string-array ones over
-    # the ~200k candidates). A hash collision can only MERGE distinct
-    # shingles — inflating the apparent intersection and shrinking the
-    # union — so hash-Jaccard >= true Jaccard and the survivors are a
-    # superset of the true pairs. Step 2 re-verifies the (tiny)
-    # survivor set on the actual shingle strings, so the output is
-    # EXACT regardless of collisions. Union sizes come from
-    # na + nb - |intersect| (exact: the arrays are distinct sets), so
-    # each step costs ONE array op per pair instead of two.
+    # the ~200k candidates). A hash collision between shingles on
+    # OPPOSITE sides of a pair only MERGES them — inflating the
+    # apparent intersection — so hash-Jaccard >= true Jaccard and the
+    # survivors are a superset of the true pairs, ABSENT a collision
+    # between two shingles inside one pair's intersection (which would
+    # shrink inter_h below the true overlap against the exact
+    # na + nb - inter_h denominator). That residual failure mode is a
+    # same-pair 64-bit collision, probability ~ n²/2⁶⁴ per pair —
+    # negligible, but probabilistic, not absolute (ADVICE r15). Step 2
+    # re-verifies the (tiny) survivor set on the actual shingle
+    # strings, so every EMITTED pair's jaccard is exact. Union sizes
+    # come from na + nb - |intersect| (exact: the arrays are distinct
+    # sets), so each step costs ONE array op per pair instead of two.
     ah = sets.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
     bh = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
     inter_h = F.expr("size(array_intersect(shh_a, shh_b))")

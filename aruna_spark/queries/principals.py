@@ -412,7 +412,13 @@ def registry_subject_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     claims = load_subject_claims(spark, sf_dir)
     # the pair relation is read three times downstream (conflict
     # grouping, edge join, final merge join); materialize it once so
-    # the claims scan + explode + distinct run once per invocation
+    # the claims scan + explode + distinct run once per invocation.
+    # Disk lifecycle (ADVICE r15): each invocation leaves DISK_ONLY
+    # checkpoint blocks on local disk until the ContextCleaner GCs the
+    # frame — bounded per invocation, nothing persists across runs, and
+    # the checkpoint also erases size estimates (downstream joins here
+    # are aggregations and the min-label loop, never un-hinted
+    # broadcasts, so finding (c) of OPTIMIZATION_r15 does not bite).
     pairs = (
         claims.select(
             "user_id", F.explode("subject_ids").alias("subject_id")

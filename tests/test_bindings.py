@@ -87,3 +87,37 @@ def test_default_and_first_rungs_without_realm_binding(spark):
         t, no_realm, STRATEGIES, None
     ).collect()[0]
     assert no_default["level"] == "first"
+
+
+def test_duplicate_scope_binding_rejected(spark):
+    """ADVICE r15: a duplicate (scope_kind, scope_value) row must fail
+    loudly — the CASE fold would otherwise pick an arbitrary winner
+    where the old join shape duplicated the target rows."""
+    import pytest
+
+    dup = spark.createDataFrame(
+        [("group", "grp-1", "strat-a"), ("group", "grp-1", "strat-b")],
+        "scope_kind string, scope_value string, strategy string",
+    )
+    t = _targets(
+        spark, [("x", "projects/p1/t0/run-1", "grp-1", "metadata", None)]
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        resolve_strategy_binding(t, dup, STRATEGIES, "strat-def")
+
+
+def test_oversized_bindings_rejected(spark, monkeypatch):
+    """ADVICE r15: the driver-side fold must refuse a bindings relation
+    past the config-sized bound instead of collecting it."""
+    import pytest
+
+    from aruna_spark.queries import bindings as mod
+
+    monkeypatch.setattr(mod, "_MAX_BINDINGS", 1)
+    t = _targets(
+        spark, [("x", "projects/p1/t0/run-1", "grp-1", "metadata", None)]
+    )
+    with pytest.raises(ValueError, match="config-sized"):
+        resolve_strategy_binding(
+            t, bindings_df(spark), STRATEGIES, "strat-def"
+        )
