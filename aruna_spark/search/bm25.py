@@ -198,24 +198,38 @@ def bm25_scores(
     tables when querying a shard-pruned materialized index, where the
     scan no longer sees the whole corpus (per-(field, token) df IS
     correct from a pruned scan, because a token's shard holds all of its
-    postings)."""
+    postings).
+
+    r16: when ``postings`` already carries on-row ``df`` and ``dl``
+    columns (the materialized index denormalizes them at build/upsert
+    time — see ``incremental.with_scoring_columns``), scoring skips the
+    df aggregation and both per-row joins: pruned scan → broadcast
+    token join → broadcast stats join → one groupBy."""
     spark = postings.sparkSession
-    if dl is None:
+    onrow = "df" in postings.columns and "dl" in postings.columns
+    if dl is None and not onrow:
         dl = build_doc_lengths(postings)
     if stats is None:
-        stats = build_field_stats(dl)
-    df_ = postings.groupBy("field", "token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+        stats = build_field_stats(
+            dl if dl is not None else build_doc_lengths(postings)
+        )
     q = spark.createDataFrame(
         [(t,) for t in dict.fromkeys(query_tokens)], "token string"
     )
-    joined = (
-        postings.join(F.broadcast(q), "token")
-        .join(df_, ["field", "token"])
-        .join(dl, ["subject", "field"])
-        .join(F.broadcast(stats), "field")
-    )
+    if onrow:
+        joined = postings.join(F.broadcast(q), "token").join(
+            F.broadcast(stats), "field"
+        )
+    else:
+        df_ = postings.groupBy("field", "token").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        joined = (
+            postings.join(F.broadcast(q), "token")
+            .join(df_, ["field", "token"])
+            .join(dl, ["subject", "field"])
+            .join(F.broadcast(stats), "field")
+        )
     return joined.groupBy("graph_iri", "subject").agg(
         F.sum(_contrib_expr()).alias("score_q")
     )
@@ -244,28 +258,44 @@ def bm25_scores_field_merged(
 
     The merged index tables default to being derived from ``postings``;
     pass the precomputed (``merged``/``dl``/``stats``/``df_``) tables
-    when querying the materialized merged layout."""
+    when querying the materialized merged layout. r16: a ``merged``
+    relation carrying on-row ``df``/``dl`` columns (the materialized
+    merged store denormalizes them at build time) skips both per-row
+    joins, like :func:`bm25_scores`."""
     if merged is None:
         merged = build_merged_postings(postings)
     spark = merged.sparkSession
-    if dl is None:
+    onrow = "df" in merged.columns and "dl" in merged.columns
+    if dl is None and not onrow:
         dl = merged.groupBy("subject").agg(F.sum("tf").alias("dl"))
     if stats is None:
-        stats = dl.agg(
+        base_dl = (
+            dl
+            if dl is not None
+            else merged.groupBy("subject").agg(F.sum("tf").alias("dl"))
+        )
+        stats = base_dl.agg(
             F.count(F.lit(1)).alias("n"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         )
-    if df_ is None:
-        df_ = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame(
         [(t,) for t in dict.fromkeys(query_tokens)], "token string"
     )
-    joined = (
-        merged.join(F.broadcast(q), "token")
-        .join(df_, "token")
-        .join(dl, "subject")
-        .crossJoin(F.broadcast(stats))
-    )
+    if onrow:
+        joined = merged.join(F.broadcast(q), "token").crossJoin(
+            F.broadcast(stats)
+        )
+    else:
+        if df_ is None:
+            df_ = merged.groupBy("token").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+        joined = (
+            merged.join(F.broadcast(q), "token")
+            .join(df_, "token")
+            .join(dl, "subject")
+            .crossJoin(F.broadcast(stats))
+        )
     return joined.groupBy("graph_iri", "subject").agg(
         F.sum(_contrib_expr()).alias("score_q")
     )

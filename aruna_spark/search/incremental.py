@@ -57,6 +57,29 @@ def _with_shard(postings: DataFrame) -> DataFrame:
     )
 
 
+def with_scoring_columns(
+    postings: DataFrame, dl: DataFrame | None = None
+) -> DataFrame:
+    """Denormalize the scoring terms onto the posting rows (r16):
+    ``dl`` (the row's (subject, field) token count) and ``df`` (the
+    row's (field, token) document frequency). Query-time scoring then
+    needs NO df aggregation and NO per-row joins — pruned scan →
+    broadcast token join → broadcast stats join (see
+    ``bm25.bm25_scores``). Both columns are maintainable per shard: a
+    doc's rows rewrite together (dl), and a token lives entirely in its
+    shard, so every row whose df could change is in a rewritten shard
+    (df). On-disk cost is two RLE-friendly long columns (rows are
+    sorted by token, so df runs are constant)."""
+    from pyspark.sql import Window
+
+    if dl is None:
+        dl = build_doc_lengths(postings)
+    return postings.join(dl, ["subject", "field"]).withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("field", "token")),
+    )
+
+
 def _write_aux(table: VersionedTable, dl: DataFrame) -> str:
     """Materialize the scoring sidecars (per-field doc lengths + corpus
     stats) for one commit ATTEMPT under a UNIQUE ``_aux/<uuid>/`` dir,
@@ -134,8 +157,9 @@ def init_postings_table(
     table = VersionedTable(path)
     part = f"part-{uuid.uuid4().hex}"
     out = os.path.join(path, part)
+    dl = build_doc_lengths(postings)
     (
-        _with_shard(postings)
+        _with_shard(with_scoring_columns(postings, dl))
         .repartition("shard")
         .sortWithinPartitions("token", "subject")
         .write.partitionBy("shard")
@@ -145,7 +169,7 @@ def init_postings_table(
         f"{part}/{d}" for d in os.listdir(out) if d.startswith("shard=")
     )
     latest = table.latest_version()
-    aux_rel = _write_aux(table, build_doc_lengths(postings))
+    aux_rel = _write_aux(table, dl)
     table._commit_manifest(
         leaves,
         "overwrite",
@@ -207,14 +231,30 @@ def upsert_postings(
     if not affected:
         return latest  # nothing to do: no new manifest
 
-    # rewrite the affected shards only
+    # rewrite the affected shards only. Scoring columns (r16): kept
+    # rows' dl is still valid (their docs are unchanged), new rows get
+    # dl from the batch's own doc lengths; df is recomputed over the
+    # union per (field, token) — every row whose df could change is in
+    # an affected shard, because a token lives entirely in its shard.
+    from pyspark.sql import Window
+
     part = f"part-{uuid.uuid4().hex}"
     out = os.path.join(table.path, part)
-    kept_old = _with_shard(old).filter(
-        F.col("shard").isin(*affected)
-    ).join(F.broadcast(drop_subjects), "subject", "left_anti")
+    kept_old = (
+        _with_shard(old)
+        .filter(F.col("shard").isin(*affected))
+        .join(F.broadcast(drop_subjects), "subject", "left_anti")
+        .drop("df")
+    )
+    new_batch_dl = build_doc_lengths(new_postings)
+    new_scored = _with_shard(
+        new_postings.join(new_batch_dl, ["subject", "field"])
+    )
     rewritten = kept_old.unionByName(
-        new_p.filter(F.col("shard").isin(*affected))
+        new_scored.filter(F.col("shard").isin(*affected))
+    ).withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("field", "token")),
     )
     (
         rewritten.repartition("shard")
@@ -237,7 +277,7 @@ def upsert_postings(
     old_dl, _ = read_aux(spark, table, latest)
     new_dl = old_dl.join(
         F.broadcast(drop_subjects), "subject", "left_anti"
-    ).unionByName(build_doc_lengths(new_postings))
+    ).unionByName(new_batch_dl)
     aux_rel = _write_aux(table, new_dl)
     return table._commit_manifest(
         sorted(carried) + new_leaves,

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Bump when any materialized layout changes shape (postings schema,
 # partitioning, sort) so stale caches rebuild instead of mis-reading.
-LAYOUT_VERSION = "v7-pq-refine"
+LAYOUT_VERSION = "v8-onrow-df-dl"
 
 
 def _repo_root() -> str:
@@ -187,10 +187,21 @@ def merged_postings_store(
     from aruna_spark.search.bm25 import build_merged_postings, materialize_postings
 
     def build(tmp: str) -> None:
+        from pyspark.sql import Window
+
         postings, _, _ = postings_store(spark, sf_dir)
-        merged = build_merged_postings(postings)
-        materialize_postings(merged, os.path.join(tmp, "merged"))
+        merged = build_merged_postings(
+            postings.drop("dl", "df", "shard")
+        )
         dl = merged.groupBy("subject").agg(F.sum("tf").alias("dl"))
+        # r16: denormalize dl + df onto the merged rows (the per-field
+        # index does the same at init/upsert — incremental.
+        # with_scoring_columns), so the rank-shift query's merged leg
+        # scores with zero per-row joins
+        merged_scored = merged.join(dl, "subject").withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        materialize_postings(merged_scored, os.path.join(tmp, "merged"))
         dl.coalesce(1).write.parquet(os.path.join(tmp, "dl"))
         dl.agg(
             F.count(F.lit(1)).alias("n"),
@@ -579,6 +590,27 @@ def shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dest = _ensure("shingles", sf_dir, build)
     return spark.read.parquet(os.path.join(dest, "sets"))
+
+
+def held_buckets_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (strategy, shard, node_id) held-bucket view as a
+    materialized layout (r16): the reference maintains this as cluster
+    placement state (``node_info.rs:182-190`` reads the placement
+    directory, it never re-resolves rendezvous per heartbeat), while
+    the repo re-ran the two-level rendezvous pipeline + an eager
+    localCheckpoint on every invocation of every consumer. ≤ 384 rows;
+    fingerprinted on ``nation.parquet`` (the node dimension's source),
+    so regenerated testdata rebuilds it."""
+
+    def build(tmp: str) -> None:
+        from aruna_spark.queries.node_info import compute_held_buckets
+
+        compute_held_buckets(spark, sf_dir).repartition(1).write.parquet(
+            os.path.join(tmp, "held")
+        )
+
+    dest = _ensure("held_buckets", sf_dir, build, src_name="nation.parquet")
+    return spark.read.parquet(os.path.join(dest, "held"))
 
 
 def ngram_prefix_store(

@@ -310,3 +310,40 @@ def test_stream_feeds_maintained_index_per_microbatch(
     # time travel across the maintenance history is intact
     assert _postings_set(table.read(spark, 0)) == v0_postings
     assert len(_postings_set(table.read(spark, 1))) > len(v0_postings)
+
+
+def test_onrow_scoring_columns_match_recomputation(spark, sf_dir, tmp_path):
+    """r16: the denormalized on-row (dl, df) scoring columns must stay
+    exact through an incremental upsert — dl is the row's (subject,
+    field) token count and df its (field, token) document frequency,
+    both over the POST-upsert corpus (a token lives entirely in its
+    shard, so every affected df row is in a rewritten shard)."""
+    from aruna_spark.search.bm25 import build_doc_lengths
+
+    fields, base, changed = _split_fields(spark, sf_dir)
+    table = init_postings_table(
+        spark, build_postings(base), str(tmp_path / "idx")
+    )
+    upsert_postings(
+        table,
+        spark,
+        build_postings(changed),
+        changed.select("subject").distinct(),
+    )
+    latest = table.read(spark)
+    expect = build_postings(fields)
+    exp_dl = {
+        (r.subject, r.field): r.dl
+        for r in build_doc_lengths(expect).collect()
+    }
+    exp_df = {
+        (r.field, r.token): r["df"]
+        for r in expect.groupBy("field", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    rows = latest.collect()
+    assert rows
+    for r in rows:
+        assert r.dl == exp_dl[(r.subject, r.field)], (r.subject, r.field)
+        assert r["df"] == exp_df[(r.field, r.token)], (r.field, r.token)
