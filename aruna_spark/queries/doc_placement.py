@@ -41,21 +41,20 @@ the ``placement_strategy_binding`` query's plane (queries/bindings.py)
 and is not re-modeled here — the fixture assigns each request its
 resolved strategy directly.
 
-Spark shape: the binding directory is a config-sized literal that
-broadcasts; the handle rungs are two broadcast left joins; the local
-bucket pick joins requests against the (node-held buckets) relation on
-the strategy key and takes a per-request min of the rendezvous score
-struct — candidates per request are bounded by one node's held-bucket
-count (≈ shard_count · replicas / nodes), never the shard space, and
-nothing here scans per request.
+Spark shape (r16): the binding directory folds per call into codegen
+CASE cascades; the held-bucket view (read from its materialized store)
+collapses to a per-(strategy, origin) candidate-ARRAY dimension
+attached by one broadcast join — ONE pass over the request scan, no
+shuffle, no union. The rendezvous pick is an ``array_min`` over a
+``transform``-scored candidate array; candidates per request stay
+bounded by one node's held-bucket count (≈ shard_count · replicas /
+nodes), never the shard space, and nothing here scans per request.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from aruna_spark.ops.mat import DISK_ONLY
 
 from aruna_spark.catalog import load_table
 from aruna_spark.ops.placement import (
@@ -222,160 +221,206 @@ def _requests_from_keys(keyed: DataFrame) -> DataFrame:
     )
 
 
+# classify_creates folds the binding directory into driver-side CASE
+# expressions — sound only for a config-sized relation (it lives in one
+# realm config document). Guarded like bindings._MAX_BINDINGS; the
+# held-bucket dimension attaches by broadcast join instead, so it needs
+# no driver-side bound.
+_MAX_DIRECTORY = 10_000
+
+
 def classify_creates(
     requests: DataFrame, directory: DataFrame, held: DataFrame
 ) -> DataFrame:
     """Run a create batch through the mint/resolve ladders — see the
-    module doc for the rung order each mode follows."""
-    # r15: the minted and supplied branches each re-derived the request
-    # frame from its corpus scan; materialize the narrow batch once
-    requests = requests.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
-    bound = directory.filter(F.col("state") == "bound")
-    tuple_min = bound.groupBy(
-        "scope_kind", "scope_value", "doc_class", "strategy"
-    ).agg(F.min("handle").alias("rung_handle"))
-    g = tuple_min.filter(
-        (F.col("scope_kind") == "group") & (F.col("doc_class") == "metadata")
-    ).select(
-        F.col("scope_value").alias("group_id"),
-        F.col("strategy").alias("req_strategy"),
-        F.col("rung_handle").alias("g_handle"),
-    )
-    r = tuple_min.filter(
-        (F.col("scope_kind") == "realm")
-        & (F.col("scope_value") == REALM)
-        & (F.col("doc_class") == "metadata")
-    ).select(
-        F.col("strategy").alias("req_strategy"),
-        F.col("rung_handle").alias("r_handle"),
-    )
-    minted = (
-        requests.filter(F.col("mode") != "supplied")
-        .join(F.broadcast(g), ["group_id", "req_strategy"], "left")
-        .join(F.broadcast(r), ["req_strategy"], "left")
-        .withColumn("handle", F.coalesce("g_handle", "r_handle"))
-        .withColumn(
-            "handle_scope",
-            F.when(F.col("g_handle").isNotNull(), "group").when(
-                F.col("r_handle").isNotNull(), "realm"
-            ),
+    module doc for the rung order each mode follows.
+
+    r16 shape (the ``placement_strategy_binding`` treatment): the
+    binding directory (8 rows) folds into codegen CASE cascades, the
+    held-bucket view (≤384 rows) collapses to a per-(strategy, origin)
+    candidate-ARRAY dimension attached by ONE broadcast join, and the
+    two lanes merge into one mode-CASE pass — the r15 shape paid a
+    request checkpoint, four broadcast joins, a corpus-wide groupBy for
+    the rendezvous min, and a two-branch union. The rendezvous pick is
+    an ``array_min`` over the joined array scored in a single
+    ``transform`` lambda (same Q6.24 fold, same (l_score, cand_id)
+    ordering as the old ``min(struct)``).
+    The request frame spreads to the session's core count first: the
+    fixture's compressed request scan plans as ONE split while each
+    local row pays ~8 interpreted Q6.24 folds (the r15
+    ``spread_for_cpu`` trap — cheap bytes, expensive compute); at
+    warehouse scale the scan already yields >= cores splits and the
+    spread is a no-op."""
+    from aruna_spark.ops.text import spread_for_cpu
+
+    requests = spread_for_cpu(requests)
+    dir_rows = directory.limit(_MAX_DIRECTORY + 1).collect()
+    if len(dir_rows) > _MAX_DIRECTORY:
+        raise ValueError(
+            "binding directory exceeds the config-sized bound — refusing "
+            "to fold to CASE expressions"
         )
+
+    # ---- handle rungs (create_handle): lowest bound handle per tuple
+    tuple_min: dict[tuple, int] = {}
+    for r in dir_rows:
+        if r["state"] != "bound":
+            continue
+        key = (r["scope_kind"], r["scope_value"], r["doc_class"], r["strategy"])
+        h = tuple_min.get(key)
+        tuple_min[key] = r["handle"] if h is None else min(h, r["handle"])
+    g_handle = F.lit(None).cast("int")
+    r_handle = F.lit(None).cast("int")
+    for (sk, sv, dc, st), h in sorted(tuple_min.items()):
+        if dc != "metadata":
+            continue
+        if sk == "group":
+            g_handle = F.when(
+                (F.col("group_id") == sv) & (F.col("req_strategy") == st),
+                F.lit(h),
+            ).otherwise(g_handle)
+        elif sk == "realm" and sv == REALM:
+            r_handle = F.when(
+                F.col("req_strategy") == st, F.lit(h)
+            ).otherwise(r_handle)
+    handle = F.coalesce(g_handle, r_handle)
+    handle_scope = F.when(g_handle.isNotNull(), "group").when(
+        r_handle.isNotNull(), "realm"
     )
-    # local bucket pick: rendezvous among the origin's held buckets.
-    # r15 shape: ONE left broadcast join + ONE aggregation — the r14
-    # filter -> join -> agg -> join-back evaluated the minted subtree
-    # twice and shuffled the corpus-sized request frame an extra time.
-    # The join condition carries the local/handle gate, so non-local
-    # rows pass through unmultiplied with a NULL candidate, and the
-    # per-request min over candidate structs is unchanged.
-    cand_id = F.lpad(F.col("shard").cast("string"), 2, "0")
-    scored_held = held.select(
+
+    # ---- local bucket pick: rendezvous among the origin's held
+    # buckets. The ≤(strategies × nodes)-row candidate-ARRAY dimension
+    # attaches by broadcast (building it as a per-(strategy, origin)
+    # CASE of array literals was measured at ~4.5 s of driver-side
+    # py4j Column construction per invocation); the join condition
+    # carries the local/handle gate, so forward/supplied rows never
+    # match and never pay the fold. The scored pick lands in its own
+    # projection below so the interpreted higher-order expression
+    # evaluates ONCE per row (CollapseProject keeps non-cheap
+    # expressions un-inlined).
+    cands = held.groupBy(
         F.col("strategy").alias("__h_strategy"),
         F.col("node_id").alias("__h_node"),
-        F.col("shard").alias("__h_shard"),
-        cand_id.alias("__h_cand_id"),
-    )
-    minted_cols = [c for c in minted.columns]
-    minted = (
-        minted.join(
-            F.broadcast(scored_held),
-            (F.col("__h_strategy") == F.col("req_strategy"))
-            & (F.col("__h_node") == F.col("origin"))
-            & (F.col("mode") == "local")
-            & F.col("handle").isNotNull(),
-            "left",
-        )
-        .withColumn(
-            "__cand",
-            F.when(
-                F.col("__h_shard").isNotNull(),
+    ).agg(
+        F.sort_array(
+            F.collect_list(
                 F.struct(
-                    neg_log2_q24(
-                        selector_hash(
-                            ROLE_SHARD, F.col("subject"), F.col("__h_cand_id")
-                        )
-                    ).alias("l_score"),
-                    F.col("__h_cand_id").alias("cand_id"),
-                    F.col("__h_shard").alias("shard"),
-                ),
+                    F.lpad(F.col("shard").cast("string"), 2, "0").alias(
+                        "cand_id"
+                    ),
+                    F.col("shard").cast("int").alias("shard"),
+                )
+            )
+        ).alias("__cands")
+    )
+    local_gate = (F.col("mode") == "local") & handle.isNotNull()
+    best = F.array_min(
+        F.transform(
+            F.col("__cands"),
+            lambda c: F.struct(
+                neg_log2_q24(
+                    selector_hash(ROLE_SHARD, F.col("subject"), c["cand_id"])
+                ).alias("l_score"),
+                c["cand_id"].alias("cand_id"),
+                c["shard"].alias("shard"),
             ),
         )
-        .groupBy(*minted_cols)
-        .agg(F.min("__cand").alias("__best"))
-        .withColumn("picked_shard", F.col("__best.shard"))
-        .drop("__best")
     )
-    minted_out = minted.select(
-        "request_id",
-        "mode",
-        F.when(F.col("handle").isNull(), "no_binding")
-        .when(
-            (F.col("mode") == "local") & F.col("picked_shard").isNull(),
-            "origin_holds_no_bucket",
-        )
-        .otherwise("ok")
-        .alias("verdict"),
-        F.col("handle").cast("int").alias("handle"),
-        F.when(F.col("handle").isNotNull(), F.col("handle_scope")).alias(
-            "handle_scope"
-        ),
-        F.col("req_strategy").alias("strategy"),
-        F.when(
-            F.col("mode") == "local", F.col("picked_shard")
-        )
-        .otherwise(shard_for_subject(F.col("subject"), SHARD_COUNT))
-        .alias("raw_shard"),
-    ).withColumn(
-        "shard",
-        F.when(F.col("verdict") == "ok", F.col("raw_shard")).cast("int"),
-    ).drop("raw_shard")
+    picked = F.col("__picked")
 
-    # supplied-id validation (resolve_metadata_id rung order)
-    resolve = directory.groupBy("handle").agg(
-        F.max(F.col("state") == "conflicted").alias("is_conflicted"),
-        F.max("scope_kind").alias("t_scope_kind"),
-        F.max("scope_value").alias("t_scope_value"),
-        F.max("doc_class").alias("t_class"),
-        F.max("strategy").alias("t_strategy"),
+    minted_verdict = (
+        F.when(handle.isNull(), "no_binding")
+        .when((F.col("mode") == "local") & picked.isNull(),
+              "origin_holds_no_bucket")
+        .otherwise("ok")
     )
-    s = (
-        requests.filter(F.col("mode") == "supplied")
-        .join(
-            F.broadcast(resolve),
-            requests["sup_handle"] == resolve["handle"],
-            "left",
+    minted_raw_shard = F.when(F.col("mode") == "local", picked).otherwise(
+        shard_for_subject(F.col("subject"), SHARD_COUNT)
+    )
+
+    # ---- supplied-id validation (resolve_metadata_id rung order):
+    # per-handle resolution folded from the same directory rows (MAX per
+    # field — the old groupBy(handle).agg(max) semantics, exactly)
+    by_handle: dict[int, dict] = {}
+    for r in dir_rows:
+        e = by_handle.setdefault(
+            r["handle"],
+            {"conf": False, "scope_kind": None, "scope_value": None,
+             "doc_class": None, "strategy": None},
         )
-        .drop("handle")
-    )
-    resolved_bound = F.col("t_scope_kind").isNotNull() & ~F.col(
-        "is_conflicted"
-    )
+        e["conf"] = e["conf"] or (r["state"] == "conflicted")
+        for field in ("scope_kind", "scope_value", "doc_class", "strategy"):
+            v = r[field]
+            if v is not None and (e[field] is None or v > e[field]):
+                e[field] = v
+
+    def _resolve_case(field: str, dtype: str = "string"):
+        expr = F.lit(None).cast(dtype)
+        for h, e in sorted(by_handle.items()):
+            if e[field] is not None:
+                expr = F.when(
+                    F.col("sup_handle") == h, F.lit(e[field])
+                ).otherwise(expr)
+        return expr
+
+    t_scope_kind = _resolve_case("scope_kind")
+    t_scope_value = _resolve_case("scope_value")
+    t_class = _resolve_case("doc_class")
+    t_strategy = _resolve_case("strategy")
+    is_conflicted = F.lit(None).cast("boolean")
+    for h, e in sorted(by_handle.items()):
+        is_conflicted = F.when(
+            F.col("sup_handle") == h, F.lit(e["conf"])
+        ).otherwise(is_conflicted)
+
+    resolved_bound = t_scope_kind.isNotNull() & ~is_conflicted
     scope_ok = F.when(
-        F.col("t_scope_kind") == "realm", F.col("t_scope_value") == REALM
-    ).otherwise(F.col("t_scope_value") == F.col("group_id"))
-    verdict = (
-        F.when(F.col("t_scope_kind").isNull(), "unknown_handle")
-        .when(F.col("is_conflicted"), "conflicted_handle")
-        .when(
-            ~F.col("t_strategy").isin(*KNOWN_STRATEGIES), "unknown_strategy"
-        )
+        t_scope_kind == "realm", t_scope_value == REALM
+    ).otherwise(t_scope_value == F.col("group_id"))
+    sup_verdict = (
+        F.when(t_scope_kind.isNull(), "unknown_handle")
+        .when(is_conflicted, "conflicted_handle")
+        .when(~t_strategy.isin(*KNOWN_STRATEGIES), "unknown_strategy")
         .when(F.col("sup_bucket") >= SHARD_COUNT, "bucket_out_of_range")
-        .when(F.col("t_class") != "metadata", "wrong_class")
+        .when(t_class != "metadata", "wrong_class")
         .when(~scope_ok, "scope_mismatch")
         .otherwise("ok")
     )
-    supplied_out = s.select(
+
+    # ---- one pass, no union: the mode CASE replaces the two lanes
+    is_sup = F.col("mode") == "supplied"
+    verdict = F.when(is_sup, sup_verdict).otherwise(minted_verdict)
+    requests = (
+        requests.join(
+            F.broadcast(cands),
+            (F.col("__h_strategy") == F.col("req_strategy"))
+            & (F.col("__h_node") == F.col("origin"))
+            & local_gate,
+            "left",
+        )
+        .drop("__h_strategy", "__h_node")
+        .withColumn("__picked", best["shard"])
+        .drop("__cands")
+    )
+    return requests.select(
         "request_id",
         "mode",
         verdict.alias("verdict"),
-        F.col("sup_handle").alias("handle"),
-        F.when(resolved_bound, F.col("t_scope_kind")).alias("handle_scope"),
-        F.when(resolved_bound, F.col("t_strategy")).alias("strategy"),
-        F.when(verdict == "ok", F.col("sup_bucket"))
+        F.when(is_sup, F.col("sup_handle"))
+        .otherwise(handle)
+        .cast("int")
+        .alias("handle"),
+        F.when(is_sup, F.when(resolved_bound, t_scope_kind))
+        .otherwise(F.when(handle.isNotNull(), handle_scope))
+        .alias("handle_scope"),
+        F.when(is_sup, F.when(resolved_bound, t_strategy))
+        .otherwise(F.col("req_strategy"))
+        .alias("strategy"),
+        F.when(verdict == "ok",
+               F.when(is_sup, F.col("sup_bucket")).otherwise(minted_raw_shard))
         .cast("int")
         .alias("shard"),
     )
-    return minted_out.unionByName(supplied_out)
 
 
 @register(

@@ -80,26 +80,34 @@ def shard_subjects(spark: SparkSession) -> DataFrame:
     )
 
 
-def held_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compute_held_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(strategy, shard, node_id): the buckets each node holds —
     shard topics resolved through the modeled rendezvous plane
     (node_info.rs:182-190 held_placement_set over placement's
-    held_buckets)."""
+    held_buckets). This is the DERIVATION; queries read the
+    materialized layout via :func:`held_buckets`."""
     subjects = shard_subjects(spark)
     holders = resolve_holders(
         load_nodes(spark, sf_dir),
         subjects.select("subject"),
         REPLICA_COUNT,
     )
-    out = holders.join(F.broadcast(subjects), "subject").select(
+    return holders.join(F.broadcast(subjects), "subject").select(
         "strategy", "shard", "node_id"
     )
-    # ≤ 2·64·3 = 384 rows behind a 2-aggregation rendezvous pipeline;
-    # every consumer joins it against a corpus-sized side (often more
-    # than once), so materialize the tiny result per call instead of
-    # replicating the derivation through each reference (localCheckpoint
-    # is per-invocation — nothing survives a run).
-    return out.localCheckpoint(eager=True, storageLevel=DISK_ONLY)
+
+
+def held_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ≤ 2·64·3 = 384-row held-bucket view, served from the
+    materialized store (r16): in the reference this is MAINTAINED
+    placement state (the cluster's bucket directory), not a per-query
+    derivation — the r15 shape re-ran the two-level rendezvous pipeline
+    plus an eager localCheckpoint on EVERY invocation of every
+    consumer (~2 s of driver jobs each for node_info_heartbeat and
+    registry_create_doc_placement)."""
+    from aruna_spark.store import held_buckets_store
+
+    return held_buckets_store(spark, sf_dir)
 
 
 def load_registry_placements(spark: SparkSession, sf_dir: str) -> DataFrame:

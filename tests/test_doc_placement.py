@@ -237,3 +237,24 @@ def test_supplied_ladder_matches_reference_port_on_random_directories():
         assert got == want
 
     run()
+
+
+def test_classify_creates_rejects_oversized_dimensions(
+    spark, sf_dir, monkeypatch
+):
+    """r16: classify_creates folds the binding directory into
+    driver-side expressions — the collect is guarded so a
+    non-config-sized relation fails loudly instead of building an
+    unbounded CASE cascade."""
+    import pytest
+
+    from aruna_spark.queries import doc_placement as mod
+
+    reqs = mod.load_create_requests(spark, sf_dir).limit(1)
+    held = spark.createDataFrame(
+        [("strat-a", 1, "node-05")],
+        "strategy string, shard int, node_id string",
+    )
+    monkeypatch.setattr(mod, "_MAX_DIRECTORY", 1)
+    with pytest.raises(ValueError, match="config-sized"):
+        mod.classify_creates(reqs, mod.load_directory(spark), held)
