@@ -180,14 +180,24 @@ def rocrate_export_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 def crate_entities(scoped: DataFrame) -> DataFrame:
     """A crate's data entities: its subjects plus every IRI it
     references (document, parent collection, conformsTo profile) —
-    distinct per graph."""
+    distinct per graph.
+
+    r16: ONE pass — a conditional array + explode replaces the
+    two-branch union (the r15 documents_to_triples single-scan pattern),
+    halving the triples derivation this relation's consumers pay."""
     return (
-        scoped.select("graph_iri", F.col("subject").alias("entity"))
-        .union(
-            scoped.filter(F.col("object_kind") == "iri").select(
-                "graph_iri", F.col("object_value").alias("entity")
-            )
+        scoped.select(
+            "graph_iri",
+            F.explode(
+                F.array(
+                    F.col("subject"),
+                    F.when(
+                        F.col("object_kind") == "iri", F.col("object_value")
+                    ),
+                )
+            ).alias("entity"),
         )
+        .filter(F.col("entity").isNotNull())
         .distinct()
     )
 
@@ -213,9 +223,6 @@ def rocrate_page(
     """
     from pyspark.sql import Window
 
-    totals = ents.groupBy("graph_iri").agg(
-        F.count(F.lit(1)).alias("total_data_entities")
-    )
     scoped = ents
     base = offset
     if after_cursor is not None:
@@ -227,6 +234,28 @@ def rocrate_page(
         base = consumed
     w = Window.partitionBy("graph_iri").orderBy("entity")
     ranked = scoped.withColumn("rn", F.row_number().over(w) - F.lit(1))
+    if after_cursor is None:
+        # first page: the per-graph total is a count over the SAME
+        # window partition (r16) — one shuffle serves rank + total +
+        # the page aggregate (the agg reuses the window's hash
+        # partitioning), and the totals-side join disappears. The old
+        # shape derived `ents` twice (totals groupBy + window) and
+        # joined the halves back together.
+        ranked = ranked.withColumn(
+            "total_data_entities",
+            F.count(F.lit(1)).over(Window.partitionBy("graph_iri")),
+        )
+        totals_agg = [F.max("total_data_entities").alias(
+            "total_data_entities"
+        )]
+    else:
+        # resumption: the cursor filter runs BEFORE the window, so the
+        # per-graph total must still count the unfiltered relation —
+        # keep the separate totals aggregate + join here
+        totals = ents.groupBy("graph_iri").agg(
+            F.count(F.lit(1)).alias("total_data_entities")
+        )
+        totals_agg = []
     lo = offset if after_cursor is None else 0
     page = (
         ranked.filter((F.col("rn") >= lo) & (F.col("rn") < lo + limit))
@@ -237,26 +266,26 @@ def rocrate_page(
                 "page_entities"
             ),
             F.max("entity").alias("last_entity"),
+            *totals_agg,
         )
     )
+    if after_cursor is not None:
+        page = totals.join(page, "graph_iri")
     more = F.lit(base) + F.col("returned_data_entities") < F.col(
         "total_data_entities"
     )
-    return (
-        totals.join(page, "graph_iri")
-        .select(
-            "graph_iri",
-            "total_data_entities",
-            "returned_data_entities",
-            "page_entities",
-            F.when(
-                more,
-                (F.lit(base) + F.col("returned_data_entities")).cast(
-                    "bigint"
-                ),
-            ).alias("next_offset"),
-            F.when(more, F.col("last_entity")).alias("next_cursor"),
-        )
+    return page.select(
+        "graph_iri",
+        "total_data_entities",
+        "returned_data_entities",
+        "page_entities",
+        F.when(
+            more,
+            (F.lit(base) + F.col("returned_data_entities")).cast(
+                "bigint"
+            ),
+        ).alias("next_offset"),
+        F.when(more, F.col("last_entity")).alias("next_cursor"),
     )
 
 

@@ -196,7 +196,14 @@ _PRECEDES_LOC = duck_precedes_sql(
 def placement_resolve_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resolve_holders for every subject: 3 replicas on distinct
     locations by two-level weighted rendezvous (see module doc)."""
-    subjects = (
+    from aruna_spark.ops.text import spread_for_cpu
+
+    # r16: each subject pays ~nodes+locations interpreted Q6.24 folds
+    # while the compressed part scan plans a handful of splits — spread
+    # to the session's core count first (no-op at warehouse scale;
+    # same-session A/B: 8.0 -> 6.0 s at sf1, +0.2 s exchange cost at
+    # sf0.1 — the scale trade documented in OPTIMIZATION_r16.md)
+    subjects = spread_for_cpu(
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % 20 == 3)
         .select(

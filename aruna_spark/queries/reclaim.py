@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aruna_spark.catalog import load_table
+from aruna_spark.ops.mat import DISK_ONLY
 from aruna_spark.queries import register
 from aruna_spark.sources.objects import OBJECTS_ORACLE_SQL, load_object_versions
 
@@ -74,17 +75,30 @@ def reclaim_sweep(
     strategy dimension and the pin check is one broadcast semi-join of
     the candidate keys against the catalog's surviving locations —
     pruned by blob_hash before any shuffle."""
+    # r16 (guide §3.2): prune the corpus-sized surviving catalog to the
+    # candidate keys BEFORE the distinct — the old shape shuffled every
+    # surviving (blob_hash, backend) pair through the distinct (and a
+    # sort-merge join) to serve a page-sized probe. The candidate batch
+    # materializes once (lazy: both consumers feed one action) because
+    # it feeds the key set AND the verdict join; both downstream joins
+    # carry explicit broadcast hints, so the checkpoint's erased size
+    # estimates cannot demote them (OPTIMIZATION_r15 finding (c)).
+    candidates = candidates.localCheckpoint(
+        eager=False, storageLevel=DISK_ONLY
+    )
+    keys = candidates.select("backend", "blob_hash").distinct()
     locs = (
         surviving.filter(F.col("blob_hash").isNotNull())
         .select(
             F.col("blob_hash"),
             _backend_of(F.col("size")).alias("backend"),
         )
+        .join(F.broadcast(keys), ["backend", "blob_hash"], "left_semi")
         .distinct()
     )
     pinned = (
         candidates.join(
-            locs.withColumn("__pin", F.lit(True)),
+            F.broadcast(locs.withColumn("__pin", F.lit(True))),
             ["backend", "blob_hash"],
             "left",
         )

@@ -730,8 +730,15 @@ def textstats_char_lm_quality(
     corpus-trained trigram model, plus the below-corpus-mean flag the
     filter cuts on. Documents shorter than one trigram are excluded
     (no model evidence either way)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= 3
+    # r16: the compressed document scan plans ~6 splits while the
+    # trigram explode expands bytes ~3x chars and the (doc, tri)
+    # aggregation is the dominant compute — spread to the session's
+    # core count first (no-op at warehouse scale; measured 3.5 -> 1.7 s
+    # at sf0.1 on 32 cores)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length("text") >= 3
+        )
     )
     tri = docs.select(
         "doc_id",
