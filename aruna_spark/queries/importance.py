@@ -164,9 +164,14 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_feats) plus the deterministic top-K resample flag. Positive
     score_num ⇒ the document looks more target-domain than
     corpus-average under the hashed-n-gram model."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "__is_t", F.col("source").isin(*TARGET_SOURCES)
-    )
+    from aruna_spark.ops.text import spread_for_cpu
+
+    # r16: the unigram+bigram explode expands the compressed ~6-split
+    # document scan ~2x tokens — spread to the session's core count
+    # first (no-op at warehouse scale)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents")
+    ).withColumn("__is_t", F.col("source").isin(*TARGET_SOURCES))
     # ONE corpus explode (r15 optimization): per-(doc, bucket) counts
     # with the doc's target flag, materialized once. The r14 shape
     # re-exploded the corpus for the q model, the t model (via a
