@@ -772,9 +772,16 @@ def inspect_archive_layout(entries: DataFrame) -> DataFrame:
             F.when(wrapper_meta, F.split(F.col("norm"), "/")[0])
         ).alias("wrapper_val"),
     )
-    # second pass: stray / payload / signature need the wrapper value
+    # second pass: stray / payload / signature need the wrapper value.
+    # r16: the per-archive aggregate is batch-sized (one row per
+    # archive) but checkpoint-derived lineage loses the estimate and
+    # demoted this to sort-merge — hint it (r15 finding (c))
     j = e.join(
-        agg.select("archive_id", "wrapper_val", "root_meta", "wrapper_meta"),
+        F.broadcast(
+            agg.select(
+                "archive_id", "wrapper_val", "root_meta", "wrapper_meta"
+            )
+        ),
         "archive_id",
     )
     prefix = F.concat(F.col("wrapper_val"), F.lit("/"))
@@ -799,7 +806,7 @@ def inspect_archive_layout(entries: DataFrame) -> DataFrame:
         F.sum(payload.cast("int")).alias("n_payload_raw"),
         F.max(stripped == ARCHIVE_SIGNATURE_PATH).alias("has_sig_raw"),
     )
-    out = agg.join(agg2, "archive_id")
+    out = agg.join(F.broadcast(agg2), "archive_id")
     verdict = (
         F.when(F.col("any_unsafe"), "unsafe_path")
         .when(F.col("any_special"), "special_entry")

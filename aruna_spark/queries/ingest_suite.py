@@ -901,9 +901,14 @@ def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id",
         F.explode(F.array_distinct(F.array(raw, decoded))).alias("cand"),
     )
+    # r16: every frame below is import-batch-sized (archives x entries)
+    # but checkpoint-derived lineage erased the estimates and demoted
+    # these joins to sort-merge (r15 finding (c)) — hint them
     matched = cands.join(
-        payload.withColumnRenamed("path", "cand").withColumn(
-            "__hit", F.lit(True)
+        F.broadcast(
+            payload.withColumnRenamed("path", "cand").withColumn(
+                "__hit", F.lit(True)
+            )
         ),
         ["archive_id", "cand"],
         "left",
@@ -925,8 +930,10 @@ def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("n_describers") > 1).alias("any_dup")
     )
     keyed = payload.join(
-        per_path.select("archive_id", "path").withColumn(
-            "described", F.lit(True)
+        F.broadcast(
+            per_path.select("archive_id", "path").withColumn(
+                "described", F.lit(True)
+            )
         ),
         ["archive_id", "path"],
         "left",
@@ -944,11 +951,11 @@ def archive_import_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("target_key").alias("first_key_raw"),
     )
     out = (
-        entries.join(id_errs, "archive_id", "left")
+        entries.join(F.broadcast(id_errs), "archive_id", "left")
         # an archive whose ids all failed to match has NO per_path rows
         # — the dup relation is empty for it, never absent overall
-        .join(dup, "archive_id", "left")
-        .join(has_sig, "archive_id", "left")
+        .join(F.broadcast(dup), "archive_id", "left")
+        .join(F.broadcast(has_sig), "archive_id", "left")
     )
     verdict = (
         F.when(F.coalesce(F.col("any_no_payload"), F.lit(False)),

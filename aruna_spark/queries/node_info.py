@@ -290,7 +290,13 @@ def node_info_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_id")
         .agg(F.sum("__n").cast("long").alias("bucket_docs"))
     )
-    bucket_counts = per_node_held.join(per_node_docs, "node_id", "left")
+    # r16: both sides are ≤25-row frames but derive through the
+    # checkpointed doc_groups / the store scan, whose erased size
+    # estimates demoted this to a sort-merge join (r15 finding (c)) —
+    # hint the right side explicitly
+    bucket_counts = per_node_held.join(
+        F.broadcast(per_node_docs), "node_id", "left"
+    )
     nodes = load_nodes(spark, sf_dir).select("node_id")
     n = F.substring("node_id", 6, 2).cast("int")
     cores = n % 5

@@ -126,9 +126,15 @@ def _allow_flags(paths: DataFrame, rules: DataFrame,
     READ and WRITE ladders only differ in which aggregate they test,
     so the matrix query was paying the whole match+aggregate pipeline
     twice)."""
+    # r16: rules/restrictions are config-sized literal tables, but they
+    # reach this helper through enough plumbing that the planner loses
+    # the size estimate and demoted all three joins to sort-merge —
+    # shuffling the corpus-sized (paths x subjects) frame three times.
+    # Explicit broadcast hints keep the big side un-shuffled (the only
+    # exchanges left are the two verdict aggregations).
     subjects = rules.select("subject_id").distinct()
-    matched = paths.crossJoin(subjects).join(
-        rules.withColumnRenamed("subject_id", "__rs"),
+    matched = paths.crossJoin(F.broadcast(subjects)).join(
+        F.broadcast(rules.withColumnRenamed("subject_id", "__rs")),
         (F.col("subject_id") == F.col("__rs"))
         & F.regexp_like(F.col("key"), F.col("pattern")),
         "left",
@@ -156,7 +162,7 @@ def _allow_flags(paths: DataFrame, rules: DataFrame,
     ).distinct()
     return (
         base.join(
-            r,
+            F.broadcast(r),
             (F.col("subject_id") == F.col("__ts"))
             & F.regexp_like(F.col("key"), F.col("pattern")),
             "left",
@@ -174,7 +180,7 @@ def _allow_flags(paths: DataFrame, rules: DataFrame,
                 "rgrant_write"
             ),
         )
-        .join(has_restr, "subject_id", "left")
+        .join(F.broadcast(has_restr), "subject_id", "left")
     )
 
 

@@ -87,9 +87,13 @@ def classify_held_shards(holders: DataFrame, local_node: str) -> DataFrame:
         F.col("replica_rank").alias("holder_rank"),
     )
     nn = F.substring("node_id", 6, 2).cast("int")
+    # r16: every frame here is config-sized (64 shards x <=3 replicas)
+    # but derives through per-call checkpoints whose erased size
+    # estimates demoted all four joins to sort-merge (r15 finding (c))
+    # — hint them explicitly
     cos = (
         holders.filter(F.col("node_id") != local_node)
-        .join(mine.select("subject"), "subject")
+        .join(F.broadcast(mine.select("subject")), "subject")
         .select(
             "subject",
             "replica_rank",
@@ -111,8 +115,8 @@ def classify_held_shards(holders: DataFrame, local_node: str) -> DataFrame:
     )
     co_nn = F.substring("co_holder", 6, 2).cast("int")
     flagged = (
-        mine.join(co_count, "subject", "left")
-        .join(first_reachable, "subject", "left")
+        mine.join(F.broadcast(co_count), "subject", "left")
+        .join(F.broadcast(first_reachable), "subject", "left")
         .withColumn("marker", F.col("shard") % 5 == 0)
         .withColumn("genesis", F.col("shard") % 7 != 2)
         .withColumn(
@@ -282,7 +286,7 @@ def shard_verification_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             subjects.select("subject"),
             REPLICA_COUNT,
         )
-        .join(subjects, "subject")
+        .join(F.broadcast(subjects), "subject")
         # ≤ 64·3 rows behind the rendezvous pipeline; the classify
         # ladder reads it three ways (mine / co-counts / first-co) —
         # materialize per call instead of re-deriving per reference
